@@ -1,0 +1,81 @@
+"""IO layer: parquet table loading + file-date provenance.
+
+The reference reads per-entity directories of date-named dump files and
+derives a per-file date used for newest-wins precedence
+(``/root/reference/ght2dm.go:985-1029``).  Here that becomes a plain column
+recovered from ``input_file_name()`` at scan time — no driver-side listing,
+so it scales to millions of input files (the listing is Spark's, distributed
+and incremental).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: unanchored date pattern, mirroring the reference's filename filter
+#: (``ght2dm.go:1023`` uses an unanchored MatchString on
+#: ``[0-9]{4}-[0-9]{2}-[0-9]{2}\.bson``)
+FILE_DATE_PATTERN = r"(\d{4}-\d{2}-\d{2})"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (``<sf_dir>/<name>.parquet``).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long which we
+    truncate to microseconds — matching DuckDB's nanos→micros cast, so both
+    engines see identical values.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def read_dated_dumps(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read a directory of date-named dump files, adding provenance columns.
+
+    Reproduces the reference's S2/S3 scan semantics
+    (``ght2dm.go:1014-1029``): files whose names don't contain a
+    ``YYYY-MM-DD`` date are skipped; the parsed date is carried as
+    ``file_date`` so downstream newest-wins dedup (operators.dedup) can
+    order by it.  Works for parquet dumps; BSON dumps go through
+    :mod:`ght2dm_spark.sources.bson` first.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    fname = F.input_file_name()
+    return df.withColumn(
+        "file_date", F.to_date(F.regexp_extract(fname, FILE_DATE_PATTERN, 1))
+    ).filter(F.col("file_date").isNotNull())
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Bulk columnar sink — replaces the reference's row-at-a-time INSERT
+    (S5, ``ght2dm.go:962-979``) and COPY (S6, ``ght2dm.go:510``)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

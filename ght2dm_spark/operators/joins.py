@@ -1,0 +1,92 @@
+"""Join operators: broadcast lookups, anti-join dedup/existence, FK
+resolution with rejects, and OR-predicate decomposition.
+
+The reference drives all joins as per-row SQL lookups (index nested-loop
+from the client, ``/root/reference/ght2dm.go:440-490,778-810,941-959``) or
+LEFT JOIN + IS NULL anti-joins (``db/insert_from_tmp_tables.sql:52-54``).
+Here each becomes one set-oriented join; dimension sides are broadcast
+(they are bounded: users/orgs/repos dims ≪ fact streams), so the fact side
+never shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class Resolved(NamedTuple):
+    """Per-stage result + rejects routing (reference E1 semantics:
+    fail-and-continue per record, ``ght2dm.go:281-313``)."""
+
+    good: DataFrame
+    rejects: DataFrame
+
+
+def broadcast_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi join with an explicitly broadcast dimension (J1-J3,
+    ``ght2dm.go:778-810,941-959``)."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def anti_join(df: DataFrame, other: DataFrame, on: str | list[str] | Column) -> DataFrame:
+    """Rows of ``df`` with no match in ``other`` — the skip-if-exists probes
+    (F3, ``ght2dm.go:440-490``) and the repos IS NULL anti-predicates (F8,
+    ``db/insert_from_tmp_tables.sql:52-54``)."""
+    return df.join(other, on, "left_anti")
+
+
+def semi_join(df: DataFrame, other: DataFrame, on: str | list[str] | Column) -> DataFrame:
+    return df.join(other, on, "left_semi")
+
+
+def resolve_fk(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str] | Column,
+    broadcast_dim: bool = True,
+) -> Resolved:
+    """Inner-join FK resolution with unmatched rows routed to rejects
+    (F9: the reference logs-and-skips relation rows whose user/org/repo
+    cannot be resolved, ``ght2dm.go:757-765,920-927``)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    good = fact.join(d, on, "inner")
+    rejects = fact.join(d, on, "left_anti")
+    return Resolved(good, rejects)
+
+
+def or_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_pairs: Sequence[tuple[str, str]],
+    payload: str,
+) -> DataFrame:
+    """Disjunctive (OR) lookup decomposed into per-key equi joins +
+    first-match coalesce — J4's shape (``ght2dm.go:633-653``, dead code in
+    the reference).  A raw OR join would force BroadcastNestedLoopJoin;
+    this stays hash-join per key.  Adds column ``payload`` from ``dim``
+    using the first key pair that matches, in ``key_pairs`` order.
+    """
+    out = fact
+    picked: list[Column] = []
+    for i, (fk, dk) in enumerate(key_pairs):
+        # min() (not dropDuplicates) picks the surviving payload per key so
+        # the result is deterministic and oracle-reproducible.
+        side = (
+            dim.groupBy(F.col(dk).alias(f"__k{i}"))
+            .agg(F.min(payload).alias(f"__p{i}"))
+        )
+        out = out.join(F.broadcast(side), out[fk] == side[f"__k{i}"], "left").drop(
+            f"__k{i}"
+        )
+        picked.append(F.col(f"__p{i}"))
+    out = out.withColumn(payload, F.coalesce(*picked))
+    return out.drop(*[f"__p{i}" for i in range(len(key_pairs))])

@@ -1,0 +1,15 @@
+"""Declared-query registry.
+
+Importing this package registers every declared query; the driver contract
+(``__spark_entry__.py``) and the oracle test-suite both enumerate
+:data:`ght2dm_spark.queries.registry.QUERIES` /
+:data:`ght2dm_spark.queries.registry.ORACLE`.
+"""
+
+from ght2dm_spark.queries.registry import ORACLE, QUERIES, register
+
+# Import for registration side effects — order fixes registry iteration order.
+from ght2dm_spark.queries import t0_core  # noqa: E402,F401
+from ght2dm_spark.queries import tpch  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLE", "register"]

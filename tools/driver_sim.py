@@ -1,0 +1,78 @@
+"""Driver-sim: consume the repo exactly as the per-round verify does.
+
+Imports ``__spark_entry__`` from the repo root, runs ``entry()`` (smoke),
+then every ``queries()[name]`` at sf0.01 compared against
+``oracle_sql()[name]`` via DuckDB — row count, sorted column names, and
+order-insensitive exact values.  Exit code 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as e  # noqa: E402
+from ght2dm_spark.io import TABLES  # noqa: E402
+from ght2dm_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01")
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        t = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = "__nan__" if math.isnan(v) else (0.0 if v == 0.0 else v)
+            t.append(v)
+        out.append(tuple(t))
+    out.sort(key=repr)
+    return out
+
+
+def main() -> int:
+    spark = get_spark(app_name="driver-sim", shuffle_partitions=8)
+    df = e.entry(spark)
+    print("entry(): rows =", len(df.collect()), "cols =", df.columns)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    qs, osql = e.queries(), e.oracle_sql()
+    fails = []
+    for name, fn in sorted(qs.items()):
+        try:
+            sdf = fn(spark, SF)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name}: ERROR {ex}")
+            fails.append(name)
+            continue
+        if name not in osql:
+            print(f"{name}: rows-only, {len(srows)} rows")
+            continue
+        res = con.sql(osql[name])
+        drows = res.fetchall()
+        ok = (
+            len(srows) == len(drows)
+            and sorted(sdf.columns) == sorted(res.columns)
+            and canon(sdf.columns, srows) == canon(res.columns, drows)
+        )
+        print(f"{name}: {'OK' if ok else 'MISMATCH'} ({len(srows)} rows)")
+        if not ok:
+            fails.append(name)
+    print("FAILED:", fails if fails else "none")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
