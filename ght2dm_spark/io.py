@@ -34,17 +34,31 @@ TABLES = (
 FILE_DATE_PATTERN = r"(\d{4}-\d{2}-\d{2})"
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table (``<sf_dir>/<name>.parquet``).
+#: per-session DataFrame cache — a DataFrame is a plan, not data, so caching
+#: the object just avoids re-running footer/schema jobs per query build.
+_table_cache: dict[tuple[int, str, str], DataFrame] = {}
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (``<sf_dir>/<name>.parquet``) with its
+    declared schema (no inference job — SURVEY §1.3).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); under
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long which we
     truncate to microseconds — matching DuckDB's nanos→micros cast, so both
     engines see identical values.
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    key = (id(spark), sf_dir, name)
+    if key in _table_cache:
+        return _table_cache[key]
+    from ght2dm_spark.schemas import TESTDATA
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = TESTDATA.get(name)
+    df = (spark.read.schema(schema) if schema is not None else spark.read).parquet(path)
+    if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _table_cache[key] = df
     return df
 
 

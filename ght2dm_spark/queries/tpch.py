@@ -120,8 +120,12 @@ def q3_shipping_priority(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
-        li, li.l_orderkey == orders.o_orderkey
+    # lineitem is the fact side: keep it on the left so Catalyst never
+    # builds a hash relation out of it; the filtered orders⋈customer side
+    # is small and broadcasts (locally via AQE; at scale it would be SMJ).
+    joined = li.join(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        li.l_orderkey == orders.o_orderkey,
     )
     disc_price = _dec("l_extendedprice") * _one_minus("l_discount")
     agg = (
@@ -165,9 +169,14 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
     li = load_table(spark, sf_dir, "lineitem")
 
+    # Fact (lineitem) on the left; the date-filtered orders⋈customer side
+    # shrinks to ~15% of orders and broadcasts locally. No hint on that
+    # join: at 100 TB AQE would pick a sort-merge join on l_orderkey.
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
