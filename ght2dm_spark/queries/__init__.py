@@ -11,5 +11,6 @@ from ght2dm_spark.queries.registry import ORACLE, QUERIES, register
 # Import for registration side effects — order fixes registry iteration order.
 from ght2dm_spark.queries import t0_core  # noqa: E402,F401
 from ght2dm_spark.queries import tpch  # noqa: E402,F401
+from ght2dm_spark.queries import ext_relational  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "register"]

@@ -1,0 +1,449 @@
+"""T1 extension surface (SURVEY §2.9): window functions, set operations,
+aggregate suite, rollup/cube, top-k, semi joins, and the scalar function
+surface (JSON, datetime, string, array) — each a declared query with a
+DuckDB oracle.
+
+These are new capabilities (no reference citation — the reference is a
+fixed ETL tool); built entirely on public Spark DataFrame APIs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.operators.topk import top_k, top_k_per_group
+from ght2dm_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t1_window_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           lag(o_orderkey)  OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def t1_window_ranking(spark, sf_dir):
+    """row_number/rank/dense_rank/lag/lead over a per-customer order
+    history. One shuffle on the partition key; all five functions share a
+    single window spec (one sort)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+@register(
+    "t1_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_spend,
+           count(*) OVER w AS n_so_far,
+           min(o_totalprice) OVER w AS min_so_far,
+           max(o_totalprice) OVER w AS max_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def t1_window_running(spark, sf_dir):
+    """Running sum/count/min/max with an explicit ROWS frame.  The running
+    sum is computed in DECIMAL (prefix sums of doubles are accumulation-
+    order-dependent) and cast to double at the end."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+        F.min("o_totalprice").over(w).alias("min_so_far"),
+        F.max("o_totalprice").over(w).alias("max_so_far"),
+    )
+
+
+@register(
+    "t1_window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           count(*) OVER (ORDER BY o_orderkey
+                          RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS n_in_range
+    FROM orders
+    """,
+)
+def t1_window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based, vs the ROWS frame above)."""
+    w = Window.orderBy(F.col("o_orderkey")).rangeBetween(-10, Window.currentRow)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.count(F.lit(1)).over(w).alias("n_in_range")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t1_set_ops",
+    oracle="""
+    SELECT o_custkey, 'both' AS tag FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    ) a
+    UNION ALL
+    SELECT o_custkey, 'only_open' AS tag FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    ) b
+    UNION ALL
+    SELECT DISTINCT o_custkey, 'distinct_f' AS tag
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def t1_set_ops(spark, sf_dir):
+    """union all / intersect all / except all / distinct — multiset
+    semantics match ANSI (min/ max of multiplicities)."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    big_keys = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    both = open_keys.intersectAll(big_keys).withColumn("tag", F.lit("both"))
+    only_open = open_keys.exceptAll(big_keys).withColumn("tag", F.lit("only_open"))
+    distinct_f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+        .withColumn("tag", F.lit("distinct_f"))
+    )
+    return both.unionByName(only_open).unionByName(distinct_f)
+
+
+# ---------------------------------------------------------------------------
+# Aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t1_agg_suite",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_spend
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def t1_agg_suite(spark, sf_dir):
+    """count / count distinct / min / max / sum / avg in one groupBy —
+    partial aggregation map-side, one shuffle of 5 groups."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_ts"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_customers",
+            "first_order",
+            "last_order",
+            F.col("_ts").cast("double").alias("total_spend"),
+            (F.col("_ts").cast("double") / F.col("n_orders")).alias("avg_spend"),
+        )
+    )
+
+
+@register(
+    "t1_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def t1_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (status → status×priority → grand total)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "t1_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def t1_cube(spark, sf_dir):
+    """CUBE — all grouping-set combinations."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("t1_approx_aggs")  # no oracle: approximate results are engine-specific
+def t1_approx_aggs(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) and percentile_approx — sketch
+    results differ across engines by design, so the driver records the
+    rows-only check; exact counterparts are oracle-checked in
+    t1_agg_suite."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        )
+    )
+
+
+@register(
+    "t1_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_linestatus = 'O') AS O,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def t1_pivot(spark, sf_dir):
+    """Pivot on a low-cardinality column (explicit value list — never let
+    pivot scan for distinct values at scale)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k and semi join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t1_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 15
+    """,
+)
+def t1_topk_global(spark, sf_dir):
+    """Global top-k → TakeOrderedAndProject (per-partition heaps merged on
+    the driver; no global sort)."""
+    return top_k(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        15,
+    )
+
+
+@register(
+    "t1_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        FROM orders
+    ) t WHERE rk <= 3
+    """,
+)
+def t1_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer (window row_number ≤ k)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    return top_k_per_group(
+        orders,
+        group=["c_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+        rank_col="rk",
+    )
+
+
+@register(
+    "t1_semi_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    """,
+)
+def t1_semi_join(spark, sf_dir):
+    """EXISTS → left_semi join (complement of t0_anti_join_new_only)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(recent, "c_custkey", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface: JSON, datetime, string, array
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t1_json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+    FROM events
+    """,
+)
+def t1_json_extract(spark, sf_dir):
+    """JSON path extraction from the string props column
+    (events.props is JSON-in-string per FIXTURES.md §B)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select("event_id", k.alias("k_str"), k.cast("long").alias("k_int"))
+
+
+@register(
+    "t1_datetime_funcs",
+    oracle="""
+    SELECT event_id,
+           year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+           hour(ts) AS h, minute(ts) AS mi,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,
+           date_trunc('hour', ts) AS hour_bucket,
+           dayofweek(ts) + 1 AS dow
+    FROM events
+    """,
+)
+def t1_datetime_funcs(spark, sf_dir):
+    """Datetime scalar surface.  Note dayofweek conventions differ: Spark
+    is 1=Sunday..7, DuckDB 0=Sunday..6 — the oracle normalizes (+1)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.date_trunc("day", F.col("ts")).alias("day_bucket"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        F.dayofweek("ts").alias("dow"),
+    )
+
+
+@register(
+    "t1_string_funcs",
+    oracle="""
+    SELECT doc_id,
+           upper(lang) AS lang_up,
+           substr(text, 1, 20) AS prefix,
+           length(text) AS n_len,
+           concat(source, ':', lang) AS tagged,
+           replace(lang, 'e', '3') AS leet,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded,
+           len(string_split(text, ' ')) AS n_tokens,
+           strpos(text, 'spark') AS spark_at
+    FROM documents
+    """,
+)
+def t1_string_funcs(spark, sf_dir):
+    """String scalar surface (all JVM built-ins, codegen'd)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_up"),
+        F.substring("text", 1, 20).alias("prefix"),
+        F.length("text").alias("n_len"),
+        F.concat_ws(":", "source", "lang").alias("tagged"),
+        F.replace(F.col("lang"), F.lit("e"), F.lit("3")).alias("leet"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded"),
+        F.size(F.split("text", " ", -1)).alias("n_tokens"),
+        F.instr(F.col("text"), "spark").alias("spark_at"),
+    )
+
+
+@register(
+    "t1_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1] AS first_val,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)
+                                                        * CAST(x AS DOUBLE))), 4)
+               AS sq_norm
+    FROM embeddings
+    """,
+)
+def t1_array_funcs(spark, sf_dir):
+    """Array surface over the embedding column: size, indexing, lambda
+    filter, and a fold (sum of squares — the dot-product primitive used by
+    the similarity operators).  Both engines fold the doubles sequentially
+    left-to-right; round(…,4) guards the last-bit anyway."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.round(sq, 4).alias("sq_norm"),
+    )
