@@ -1,0 +1,137 @@
+"""Text-analysis column builders for the training-data pipeline surface
+(SURVEY §2.9; BASELINE.json north_star: "text analysis").
+
+All pure column expressions over ``pyspark.sql.functions`` built-ins —
+JVM-side, whole-stage-codegen'd, no Python in the hot path.  Each has an
+exact ANSI-SQL counterpart so the DuckDB oracle can hash-match (the reason
+everything is built from md5 / regexp / array folds rather than
+engine-specific hash functions).
+
+Design notes for 100 TB:
+
+- every function is a narrow map over one row — no shuffle, fully
+  pipelined inside the scan stage;
+- tokenization happens once per expression tree; callers that need many
+  token-derived stats should materialize ``tokens`` once in a projection
+  and reuse the column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small english/german/french marker sets for the n-gram/stopword
+#: language-ID heuristic.  Deliberately tiny and hard-coded: the point is a
+#: deterministic, oracle-reproducible heuristic, not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+}
+
+#: Tiny stopword list for quality scoring (subset of LANG_MARKERS["en"]).
+STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in", "is")
+
+#: "BPE-ish" token pattern: runs of letters, runs of digits, or a single
+#: non-alphanumeric-non-space symbol — a coarse stand-in for byte-pair
+#: pretokenization (word/number/punct classes).
+BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """Whitespace tokens (empty-string artifacts of repeated separators
+    removed so counts match intuition and the oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """Lowercased BPE-ish regex tokens (letters / digits / single symbol).
+    Pattern passed as a literal Column (not spliced into F.expr SQL text,
+    whose string-literal escaping would eat the ``\\s``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(ws_tokens(col))
+
+
+def avg_token_len(col: Column | str) -> Column:
+    """Mean token length in chars (NULL for empty docs)."""
+    toks = ws_tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n = F.size(toks)
+    return F.when(n > 0, total.cast("double") / n)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not [a-z0-9] or whitespace, of the
+    total length (0.0 for empty strings → NULL guarded)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lc = F.lower(c)
+    n_punct = F.length(F.regexp_replace(lc, r"[a-z0-9\s]", ""))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    toks = ws_tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n)
+
+
+def lang_marker_hits(col: Column | str, lang: str) -> Column:
+    """Count of tokens that are marker words for ``lang``."""
+    toks = ws_tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of marker hits over {en,de,fr}, ties
+    broken in that fixed order; no hits at all → 'und' (undetermined)."""
+    en = lang_marker_hits(col, "en")
+    de = lang_marker_hits(col, "de")
+    fr = lang_marker_hits(col, "fr")
+    return (
+        F.when((en == 0) & (de == 0) & (fr == 0), F.lit("und"))
+        .when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def content_fingerprint(col: Column | str) -> Column:
+    """Normalized-content fingerprint: md5 of the lowercased,
+    whitespace-collapsed text — equal iff the docs are equal modulo case
+    and whitespace runs (exact-dedup key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def rolling_min_fingerprint(col: Column | str, gram: int = 8) -> Column:
+    """Rolling-hash document fingerprint: min md5 over all ``gram``-char
+    windows of the text (a 1-hash winnowing sketch).  Robust to local
+    edits away from the minimizing window; NULL for docs shorter than
+    ``gram``.  Same shape DuckDB expresses with
+    ``list_min(list_transform(range(...), i -> md5(substr(...))))``."""
+    name = _name(col, F.col(col) if isinstance(col, str) else col)
+    return F.expr(
+        f"array_min(transform(sequence(1, greatest(char_length({name}) - {gram - 1}, 0)),"
+        f" i -> md5(substring({name}, i, {gram}))))"
+    )
+
+
+def _name(orig: Column | str, col: Column) -> str:
+    """SQL-fragment name for expr() builders — requires a plain column
+    name (the F.expr-based builders only accept string column refs)."""
+    if isinstance(orig, str):
+        return orig
+    raise TypeError(
+        "this builder requires a column NAME (it splices into F.expr)"
+    )

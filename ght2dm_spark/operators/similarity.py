@@ -1,0 +1,139 @@
+"""Vector similarity search (SURVEY §2.9 / north_star "similarity
+search"): exact cosine top-k as the baseline, and a sign-random-projection
+LSH bucketed variant as the scale path.
+
+Determinism contract: the LSH hyperplanes are a ±1 sign matrix derived
+from md5 in PYTHON at import time and spliced into both the Spark plan and
+the DuckDB oracle as literals — both engines bucket identically, so even
+the approximate operator is exactly oracle-checkable.  Dot products fold
+left-to-right over doubles in both engines (Spark ``aggregate``, DuckDB
+``list_reduce``), so cosine values are bit-identical.
+
+Scale shape (100 TB of vectors):
+
+- brute-force top-k is O(Q·N) but the query side is broadcast — the corpus
+  never shuffles, each partition computes local per-query heaps
+  (window row_number over a re-shuffle keyed by query is the generic
+  form used here; a mapPartitions heap is the next optimization);
+- LSH restricts candidates to matching buckets: corpus is bucketed once
+  (narrow map), the join is an equi join on bucket code — broadcastable
+  query side, AQE handles bucket skew;
+- an IVF variant would replace the hash bucketing with learned centroids;
+  the plumbing (bucket column + equi join + per-bucket top-k) is identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EMB_DIM = 64  # driver testdata embeddings are 64-dim float (FIXTURES.md §B)
+
+
+@lru_cache(maxsize=None)
+def sign_matrix(planes: int = 8, dim: int = EMB_DIM, seed: str = "srp-v1") -> tuple:
+    """Deterministic ±1 hyperplane matrix: sign of the first md5 hex nibble
+    of ``seed|plane|dim`` — reproducible anywhere, no RNG state."""
+    return tuple(
+        tuple(
+            1.0
+            if int(hashlib.md5(f"{seed}|{p}|{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        )
+        for p in range(planes)
+    )
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of pairwise products (order matches DuckDB's
+    list_reduce exactly — bit-identical doubles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """DuckDB mirror of :func:`dot` (1-based indexing, sequential fold)."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def cosine_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"({dot_sql(a, b, dim)} / "
+        f"sqrt({dot_sql(a, a, dim)} * {dot_sql(b, b, dim)}))"
+    )
+
+
+def srp_bucket(vec: Column, planes: int = 8, dim: int = EMB_DIM) -> Column:
+    """Sign-random-projection bucket code: one '0'/'1' char per hyperplane
+    (projection ≥ 0 → '1'), concatenated MSB-first."""
+    m = sign_matrix(planes, dim)
+    bits = []
+    for p in range(planes):
+        w = F.array(*[F.lit(v) for v in m[p]])
+        proj = dot(as_double(vec), w)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def srp_bucket_sql(vec: str, planes: int = 8, dim: int = EMB_DIM) -> str:
+    """DuckDB mirror of :func:`srp_bucket`."""
+    m = sign_matrix(planes, dim)
+    bits = []
+    for p in range(planes):
+        w = "[" + ", ".join(str(v) for v in m[p]) + "]::DOUBLE[]"
+        proj = (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({w})[i]), (x, y) -> x + y)"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+def topk_neighbors(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+    pre_join: list | None = None,
+) -> DataFrame:
+    """Exact cosine top-k per query over (a join of) corpus.
+
+    ``pre_join``: optional equi-join key column names shared by both sides
+    (e.g. an LSH bucket column) restricting the candidate set; ``None``
+    means brute force (queries side is broadcast — the corpus never
+    shuffles for the join).  Self-matches (same id) are excluded.
+    Deterministic: ties in cosine break by neighbor id.
+    """
+    joined = (
+        corpus.join(F.broadcast(queries), pre_join)
+        if pre_join
+        else corpus.crossJoin(F.broadcast(queries))
+    )
+    scored = joined.filter(F.col(q_id) != F.col(c_id)).withColumn(
+        "cos", cosine(as_double(F.col(q_vec)), as_double(F.col(c_vec)))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "cos", "rank")
+    )

@@ -1,0 +1,238 @@
+"""Deduplication declared queries (SURVEY §2.9 / north_star "dedup"):
+exact, n-gram Jaccard, MinHash signature, MinHash+LSH banding, SimHash,
+and embedding-cosine near-dup — each oracle-checked against DuckDB.
+
+The driver corpus is random text with no planted duplicates, so each
+query AUGMENTS the corpus inline: exact copies of every 10th doc
+(+1_000_000 ids) and near-copies (last word dropped) of docs ≡5 (mod 10)
+(+2_000_000 ids).  The augmentation is part of the query on BOTH sides, so
+the oracle still verifies end-to-end and the result provably contains the
+planted duplicates (nonzero output — no trivially-empty match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ght2dm_spark.functions.text import content_fingerprint
+from ght2dm_spark.io import load_table
+from ght2dm_spark.operators.neardup import (
+    TOKS_SQL,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signature,
+    shingle_sql,
+    sig_jaccard,
+    simhash64,
+    simhash_sql,
+    ws_shingles,
+)
+from ght2dm_spark.queries.registry import register
+
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+
+_AUG_SQL = """
+    aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               regexp_replace(text, '\\s+\\S+$', '') AS text
+        FROM documents WHERE doc_id % 10 = 5
+    )
+"""
+
+
+def _aug_docs(spark, sf_dir):
+    """Documents + planted exact and near duplicates (see module doc)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@register(
+    "t1_dedup_exact",
+    oracle=f"""
+    WITH {_AUG_SQL}
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keeper,
+           count(*) AS n_copies
+    FROM aug
+    GROUP BY fp
+    """,
+)
+def t1_dedup_exact(spark, sf_dir):
+    """Exact dedup at scale: hash-groupBy on a normalized content
+    fingerprint, min-id survivor.  One shuffle keyed by the fingerprint
+    (uniform — md5), carrying only (fp, id): the text never shuffles."""
+    aug = _aug_docs(spark, sf_dir)
+    return (
+        aug.select(content_fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_TOKS = TOKS_SQL.format(text="text")
+
+
+@register(
+    "t1_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    t AS (SELECT doc_id, {_TOKS} AS toks, lower(text) AS ltext FROM aug),
+    sh AS (SELECT doc_id, unnest(list_distinct({shingle_sql("toks", "ltext", 3)})) AS shingle
+           FROM t),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM p
+    JOIN sz sa ON p.id_a = sa.doc_id
+    JOIN sz sb ON p.id_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    """,
+)
+def t1_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup: inverted-index join on 3-gram
+    shingles (pairs share ≥1 shingle), true Jaccard from intersection and
+    set sizes, threshold 0.5.
+
+    Scale notes: the shingle join is the inverted index — it shuffles on
+    the shingle, and stop-shingles are the skew risk (AQE skew-split
+    locally; a frequency cap on shingles is the production guard, same
+    pattern as lsh_candidate_pairs' bucket cap)."""
+    aug = _aug_docs(spark, sf_dir)
+    sh = aug.select(
+        "doc_id", F.explode(F.array_distinct(ws_shingles(F.col("text"), 3))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    left = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    right = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_sql_cte(source: str = "documents") -> str:
+    """CTEs computing h0..h{k-1} per doc over ``source`` (mirrors
+    operators.neardup.minhash_signature)."""
+    mins = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(MINHASH_K)
+    )
+    return f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks, lower(text) AS ltext FROM {source}),
+    sh AS (SELECT doc_id, unnest(list_distinct({shingle_sql("toks", "ltext", 3)})) AS shingle
+           FROM t),
+    m AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+    """
+
+
+@register(
+    "t1_minhash_signature",
+    oracle=f"""
+    WITH {_minhash_sql_cte("documents")}
+    SELECT doc_id,
+           {" || ',' || ".join(f"h{i}" for i in range(MINHASH_K))} AS sig
+    FROM m
+    """,
+)
+def t1_minhash_signature(spark, sf_dir):
+    """MinHash signatures (k=16): min of md5('i|'||shingle) per hash slot.
+    One explode + one groupBy(doc_id) — the 16 hash functions are 16
+    aggregate expressions over one pass, not 16 passes."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = minhash_signature(d, "doc_id", "text", k=MINHASH_K)
+    return sig.select("doc_id", F.concat_ws(",", "sig").alias("sig"))
+
+
+@register(
+    "t1_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    {_minhash_sql_cte("aug")},
+    sig AS (SELECT doc_id,
+                   [{", ".join(f"h{i}" for i in range(MINHASH_K))}] AS sig
+            FROM m),
+    bands AS ({" UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM m".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)),
+        )
+        for b in range(LSH_BANDS)
+    )}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a
+             JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+             WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(CAST(len(list_filter(range(1, {MINHASH_K + 1}),
+                                      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+                 / {MINHASH_K}, 6) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON cand.id_a = sa.doc_id
+    JOIN sig sb ON cand.id_b = sb.doc_id
+    WHERE CAST(len(list_filter(range(1, {MINHASH_K + 1}),
+                               i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+          / {MINHASH_K} >= 0.5
+    """,
+)
+def t1_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash + LSH banding end-to-end: signatures → 4 bands × 4 rows →
+    bucket-join candidates → signature-estimate filter ≥ 0.5.
+
+    The scale path for near-dedup: candidates come from an equi join on
+    band keys (not an O(n²) comparison); verification re-joins signatures
+    by doc_id.  Degenerate buckets are capped in lsh_candidate_pairs."""
+    aug = _aug_docs(spark, sf_dir)
+    sig = minhash_signature(aug, "doc_id", "text", k=MINHASH_K)
+    bands = lsh_bands(sig, "doc_id", bands=LSH_BANDS, rows=LSH_ROWS)
+    cand = lsh_candidate_pairs(bands, "doc_id")
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = sig_jaccard(F.col("sig_a"), F.col("sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(est >= 0.5)
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    )
+
+
+@register(
+    "t1_simhash",
+    oracle=f"""
+    SELECT id AS doc_id, simhash
+    FROM ({simhash_sql("doc_id", "text", "documents")})
+    """,
+)
+def t1_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints as '0'/'1' strings (near-identical docs
+    differ in few bits → Hamming-ball lookup via bit-band buckets, same
+    banding machinery as MinHash LSH)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash64(d, "doc_id", "text")

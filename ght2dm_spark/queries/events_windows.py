@@ -1,0 +1,170 @@
+"""Event-time windowing over the ``events`` table (SURVEY §2.9
+"Streaming (events)"): tumbling / sliding / session windows in batch form,
+plus genuinely-streaming variants (readStream → AvailableNow → memory
+sink) whose results are still exactly oracle-checked.
+
+Window-start alignment: Spark tumbling/sliding windows align to the epoch;
+the oracles reproduce that with integer epoch math rather than
+date_trunc/time_bucket (whose origins differ across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.queries.registry import register
+from ght2dm_spark.streaming import read_events_stream, run_to_completion
+
+_TUMBLE_SQL = """
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def _tumbling_agg(ev: DataFrame) -> DataFrame:
+    """Shared by the batch and streaming forms — identical logical plan on
+    both sides of the batch/stream equivalence check."""
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_tv"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register("t1_tumbling_window", oracle=_TUMBLE_SQL)
+def t1_tumbling_window(spark, sf_dir):
+    """15-minute tumbling windows × event_type: one shuffle on
+    (window, type); partial aggregation map-side.  Epoch-aligned starts
+    match the oracle's integer epoch math."""
+    return _tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "t1_sliding_window",
+    oracle="""
+    WITH starts AS (
+        SELECT ts, value,
+               make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS window_start
+        FROM events
+        UNION ALL
+        SELECT ts, value,
+               make_timestamp(CAST(floor(epoch(ts) / 900) * 900 - 900 AS BIGINT) * 1000000) AS window_start
+        FROM events
+    )
+    SELECT window_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM starts
+    GROUP BY 1
+    """,
+)
+def t1_sliding_window(spark, sf_dir):
+    """30-minute windows sliding by 15: every event lands in exactly two
+    windows (width/slide = 2 — the oracle enumerates both starts
+    explicitly).  Spark's window() does the replication internally."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_tv"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "t1_session_window",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= 14400
+                    THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 4 HOUR AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def t1_session_window(spark, sf_dir):
+    """Per-user session windows with a 4-hour gap.  Spark merges events
+    closer than the gap and extends the session to last_ts + gap; the
+    oracle is the classic gaps-and-islands rewrite (lag → new-session
+    flag → running sum → group), with the same >= gap boundary rule."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "4 hours").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_tv"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register("t1_stream_tumbling", oracle=_TUMBLE_SQL)
+def t1_stream_tumbling(spark, sf_dir):
+    """The tumbling agg as a REAL streaming job: readStream over the
+    events parquet, 10-minute watermark, AvailableNow trigger, memory
+    sink — micro-batch planner and state store genuinely run, and the
+    final state exactly equals the batch result (same oracle)."""
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return run_to_completion(_tumbling_agg(stream), output_mode="complete").select(
+        "window_start", "event_type", "n_events", "total_value"
+    )
+
+
+@register(
+    "t1_stream_dedup",
+    oracle="SELECT DISTINCT event_id, user_id FROM events",
+)
+def t1_stream_dedup(spark, sf_dir):
+    """Streaming stateful dedup: the stream unioned with itself (every
+    event arrives twice) → dropDuplicates on event_id emits each exactly
+    once.  Production form bounds state with
+    dropDuplicatesWithinWatermark; the unbounded form keeps the demo
+    deterministic (which copy wins is irrelevant to the projected key)."""
+    s1 = read_events_stream(spark, sf_dir).select("event_id", "user_id")
+    s2 = read_events_stream(spark, sf_dir).select("event_id", "user_id")
+    deduped = s1.union(s2).dropDuplicates(["event_id"])
+    return run_to_completion(deduped, output_mode="append")

@@ -1,0 +1,151 @@
+"""Similarity-search declared queries (SURVEY §2.9 / north_star
+"similarity search") over the ``embeddings`` table: exact brute-force
+cosine top-k (the baseline), sign-projection-LSH bucketed top-k (the scale
+path), and embedding-cosine near-dup pairs.
+
+All oracle-checked: the LSH hyperplanes are Python-side literals spliced
+into both plans, and cosine folds are sequential in both engines, so even
+the "approximate" operators produce bit-identical results (see
+operators.similarity module doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.operators.similarity import (
+    EMB_DIM,
+    as_double,
+    cosine,
+    cosine_sql,
+    srp_bucket,
+    srp_bucket_sql,
+    topk_neighbors,
+)
+from ght2dm_spark.queries.registry import register
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+
+@register(
+    "t1_ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+    s AS (SELECT q_id, c_id, {cosine_sql("q_vec", "c_vec")} AS cos
+          FROM c CROSS JOIN q WHERE q_id <> c_id),
+    r AS (SELECT q_id, c_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, c_id ASC) AS rank
+          FROM s)
+    SELECT q_id, c_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 5
+    """,
+)
+def t1_ann_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-5 neighbors for the first 10 vectors.  The query
+    side broadcasts; the corpus never shuffles for the scoring join — at
+    100 TB this is one corpus scan per query batch, the right baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = topk_neighbors(q, c, k=5)
+    return out.select("q_id", "c_id", F.round("cos", 6).alias("cos"), "rank")
+
+
+@register(
+    "t1_ann_lsh_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec,
+                      {srp_bucket_sql("embedding")} AS bucket
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec,
+                 {srp_bucket_sql("embedding")} AS bucket
+          FROM embeddings),
+    s AS (SELECT q_id, c_id, {cosine_sql("q_vec", "c_vec")} AS cos
+          FROM c JOIN q USING (bucket) WHERE q_id <> c_id),
+    r AS (SELECT q_id, c_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, c_id ASC) AS rank
+          FROM s)
+    SELECT q_id, c_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 3
+    """,
+)
+def t1_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed top-3: candidates restricted to the query's
+    sign-projection bucket (8 hyperplanes → 256 buckets), then exact
+    cosine rank within.  ~256× less scoring work than brute force at the
+    cost of recall — the standard ANN trade; bucketing is a narrow map,
+    the candidate join is an equi join on the bucket code."""
+    e = load_table(spark, sf_dir, "embeddings")
+    withb = e.withColumn("bucket", srp_bucket(F.col("embedding")))
+    q = withb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), "bucket"
+    )
+    c = withb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), "bucket"
+    )
+    out = topk_neighbors(q, c, k=3, pre_join=["bucket"])
+    return out.select("q_id", "c_id", F.round("cos", 6).alias("cos"), "rank")
+
+
+_PERTURB_SQL = f"""
+    aug AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(range(1, {EMB_DIM + 1}),
+                   i -> CAST(CAST(embedding[i] AS DOUBLE)
+                             * (1.0 + 0.05 * ((i % 5) - 2)) AS FLOAT)) AS embedding
+        FROM embeddings WHERE vec_id % 10 = 0
+    )
+"""
+
+
+@register(
+    "t1_embedding_neardup",
+    oracle=f"""
+    WITH {_PERTURB_SQL},
+    b AS (SELECT vec_id, embedding, {srp_bucket_sql("embedding")} AS bucket FROM aug),
+    p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 {cosine_sql("a.embedding", "b2.embedding")} AS cos
+          FROM b a JOIN b b2 USING (bucket)
+          WHERE a.vec_id < b2.vec_id)
+    SELECT id_a, id_b, round(cos, 6) AS cos FROM p WHERE cos >= 0.9
+    """,
+)
+def t1_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: corpus augmented with deterministic ±10%
+    per-dim perturbed copies of every 10th vector, then LSH-bucketed
+    pairing + cosine ≥ 0.9.  Random 64-dim vectors have cosine ≈ 0, so
+    survivors are exactly the planted near-copies that stayed in-bucket."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            lambda i: (
+                F.element_at("embedding", i).cast("double")
+                * (F.lit(1.0) + F.lit(0.05) * ((i % 5) - 2))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    aug = e.unionByName(pert)
+    withb = aug.withColumn("bucket", srp_bucket(F.col("embedding")))
+    a = withb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = withb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    cos = cosine(as_double(F.col("emb_a")), as_double(F.col("emb_b")))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.9)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

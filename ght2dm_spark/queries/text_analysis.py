@@ -1,0 +1,165 @@
+"""Text-analysis declared queries over the ``documents`` table
+(SURVEY §2.9 / BASELINE.json north_star "text analysis": language-ID,
+quality scoring, token counting, document fingerprinting).
+
+New capabilities with no reference citation (the reference is a fixed ETL
+tool); every query is a narrow per-row map — no shuffle, pipelined inside
+the parquet scan — so throughput at 100 TB is scan-bound by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ght2dm_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    avg_token_len,
+    bpe_tokens,
+    content_fingerprint,
+    lang_id,
+    punct_ratio,
+    rolling_min_fingerprint,
+    stopword_ratio,
+    token_count,
+    ws_tokens,
+)
+from ght2dm_spark.io import load_table
+from ght2dm_spark.queries.registry import register
+
+_SQL_WS_TOKENS = "list_filter(regexp_split_to_array({c}, '\\s+'), t -> t <> '')"
+
+
+@register(
+    "t1_text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len({_SQL_WS_TOKENS.format(c="text")}) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           len(list_distinct({_SQL_WS_TOKENS.format(c="lower(text)")})) AS n_unique_tokens
+    FROM documents
+    """,
+)
+def t1_text_token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens, BPE-ish regex tokens, unique
+    tokens — three tokenizations in one projection, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        F.size(bpe_tokens("text")).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(ws_tokens(F.lower(F.col("text"))))).alias(
+            "n_unique_tokens"
+        ),
+    )
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "t1_text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, {_SQL_WS_TOKENS.format(c="text")} AS toks,
+               {_SQL_WS_TOKENS.format(c="lower(text)")} AS ltoks
+        FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           round(CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+           END, 6) AS avg_tok_len,
+           round(CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / length(text)
+           END, 6) AS punct_ratio,
+           round(CASE WHEN len(ltoks) > 0 THEN
+               CAST(len(list_filter(ltoks, t -> t IN ({_STOP_LIST}))) AS DOUBLE) / len(ltoks)
+           END, 6) AS stopword_ratio
+    FROM t
+    """,
+)
+def t1_text_quality(spark, sf_dir):
+    """Quality scoring: length / token-length / punctuation / stopword
+    ratios (the standard cheap pre-filters for LLM corpus cleaning).
+    Ratios rounded to 6 digits — the operands are small exact integer
+    ratios, rounding only guards the last bit of the division."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        token_count("text").alias("n_tokens"),
+        F.round(avg_token_len("text"), 6).alias("avg_tok_len"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter({_SQL_WS_TOKENS.format(c='lower(text)')},"
+        f" t -> t IN ({lst})))"
+    )
+
+
+@register(
+    "t1_text_lang_id",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               {_marker_sql("en")} AS en_hits,
+               {_marker_sql("de")} AS de_hits,
+               {_marker_sql("fr")} AS fr_hits
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+               WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'und'
+               WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+               WHEN de_hits >= fr_hits THEN 'de'
+               ELSE 'fr'
+           END AS detected_lang,
+           en_hits, de_hits, fr_hits
+    FROM s
+    """,
+)
+def t1_text_lang_id(spark, sf_dir):
+    """Language-ID via marker-token voting (argmax with a fixed tie order
+    so the result is deterministic and engine-independent)."""
+    d = load_table(spark, sf_dir, "documents")
+    from ght2dm_spark.functions.text import lang_marker_hits
+
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id("text").alias("detected_lang"),
+        lang_marker_hits("text", "en").alias("en_hits"),
+        lang_marker_hits("text", "de").alias("de_hits"),
+        lang_marker_hits("text", "fr").alias("fr_hits"),
+    )
+
+
+@register(
+    "t1_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_fp,
+           list_min(list_transform(
+               range(1, greatest(length(text) - 7, 0) + 1),
+               i -> md5(substr(text, CAST(i AS INTEGER), 8)))) AS rolling_fp
+    FROM documents
+    """,
+)
+def t1_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: normalized-content md5 (exact-dedup key)
+    plus a rolling 8-gram min-hash (1-hash winnowing sketch, robust to
+    local edits)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        content_fingerprint("text").alias("content_fp"),
+        rolling_min_fingerprint("text", 8).alias("rolling_fp"),
+    )

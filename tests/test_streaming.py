@@ -1,0 +1,126 @@
+"""Streaming semantics tests (SURVEY §5 item 5): batch-stream
+equivalence, watermark late-data drop, and a custom stateful operator
+via applyInPandasWithState.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ght2dm_spark.streaming import read_events_stream, run_to_completion, stream_equals_batch
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()])
+
+
+def test_stream_session_window_equals_batch(spark, sf_dir):
+    """Session windows (stateful, merge-on-gap) computed by the streaming
+    engine equal the batch plan over the same events."""
+
+    def build(ev):
+        return (
+            ev.withWatermark("ts", "1 minute")
+            .groupBy(F.session_window("ts", "4 hours").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+        )
+
+    stream_out, batch_out = stream_equals_batch(spark, sf_dir, build, "complete")
+    assert _rows(stream_out) == _rows(batch_out)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving in a later micro-batch, older than the watermark
+    horizon, is dropped from an append-mode windowed aggregation
+    (the late-data semantics the reference has no analog for)."""
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("uid", LongType())]
+    )
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    # batch 0: events at 00:00 / 01:00 → end-of-batch watermark 00:50
+    pd.DataFrame(
+        {"ts": [base, base + pd.Timedelta("1 hour")], "uid": [1, 2]}
+    ).to_parquet(f"{d}/a.parquet", coerce_timestamps="us")
+    time.sleep(0.05)
+    # batch 1: 02:00 → the [00:00,00:10) window (end < 00:50) is evicted
+    # and emitted with uid_sum=1; watermark advances to 01:50
+    pd.DataFrame({"ts": [base + pd.Timedelta("2 hours")], "uid": [3]}).to_parquet(
+        f"{d}/b.parquet", coerce_timestamps="us"
+    )
+    time.sleep(0.05)
+    # batch 2: a LATE event at 00:05, far behind the 01:50 watermark and
+    # belonging to an already-emitted window → must be dropped
+    pd.DataFrame({"ts": [base + pd.Timedelta("5 minutes")], "uid": [99]}).to_parquet(
+        f"{d}/c.parquet", coerce_timestamps="us"
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.sum("uid").alias("uid_sum"))
+        .select(F.col("w.start").alias("ws"), "uid_sum")
+    )
+    out = run_to_completion(stream, output_mode="append")
+    rows = [(r["ws"], r["uid_sum"]) for r in out.collect()]
+    # the 00:00 window was closed with only uid=1; the late uid=99 row
+    # must neither merge into it nor re-emit it
+    assert (base.to_pydatetime(), 1) in rows
+    assert all(s != 99 and s != 100 for _, s in rows)
+
+
+def test_apply_in_pandas_with_state_running_count(spark, sf_dir):
+    """Custom stateful operator: per-user event counting with explicit
+    GroupState, final counts equal the batch groupBy."""
+    out_schema = "user_id long, n long"
+    state_schema = "n long"
+
+    def count_fn(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_fn, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )
+    got = run_to_completion(stream, output_mode="update")
+    # update mode may emit a row per micro-batch per key: keep the max
+    # (monotone counts), one micro-batch here in practice
+    final = {
+        r["user_id"]: r["n"]
+        for r in got.groupBy("user_id").agg(F.max("n").alias("n")).collect()
+    }
+    from ght2dm_spark.io import load_table
+
+    expect = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == expect
