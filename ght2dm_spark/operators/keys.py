@@ -57,12 +57,18 @@ def add_surrogate_key(
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
-    offset_col = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # Zero-row input → no partitions counted; create_map() with no args is
+    # typed VOID and breaks the lookup, so fall back to a constant offset.
+    offset_col = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+            F.col("__pid")
+        ]
+        if offsets
+        else F.lit(start - 1)
     )
     # Pass 2: local rank within each range partition + broadcast offset.
     w = Window.partitionBy("__pid").orderBy(*order_by)
     return (
-        ranged.withColumn(name, F.row_number().over(w) + offset_col[F.col("__pid")])
+        ranged.withColumn(name, F.row_number().over(w) + offset_col)
         .drop("__pid")
     )

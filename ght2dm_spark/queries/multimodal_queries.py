@@ -1,0 +1,67 @@
+"""Multimodal declared queries: binary payloads synthesized from the
+documents table (UTF-8 bytes of the text — deterministic on both
+engines), pushed through the real Arrow/mapInPandas plumbing, with exact
+DuckDB oracles (md5 over the same bytes, ascii() for the fake header).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.operators.multimodal import decode_meta, frame_sample
+from ght2dm_spark.queries.registry import register
+
+
+def _with_payload(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+@register(
+    "t1_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS content_len,
+           ascii(substr(text, 1, 1)) AS header_w,
+           ascii(substr(text, 2, 1)) AS header_h,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def t1_multimodal_decode(spark, sf_dir):
+    """Binary decode + metadata extraction through mapInPandas (Arrow
+    batch transfer of binary columns).  The payload is the UTF-8 text
+    bytes, so the oracle reproduces the 'decoded header' with ascii() and
+    the digest with md5() over identical bytes (documents are ASCII)."""
+    out = decode_meta(_with_payload(spark, sf_dir), "payload", keep=["doc_id"])
+    return out.select(
+        "doc_id",
+        "content_len",
+        F.col("header_w").cast("int").alias("header_w"),
+        F.col("header_h").cast("int").alias("header_h"),
+        "digest",
+    )
+
+
+@register(
+    "t1_multimodal_frames",
+    oracle="""
+    WITH idx AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT), 2)) AS frame_idx
+        FROM documents
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           substr(text, CAST(frame_idx * 16 + 1 AS INTEGER), 16) AS frame_text
+    FROM idx
+    """,
+)
+def t1_multimodal_frames(spark, sf_dir):
+    """Frame sampling: every 2nd 16-byte chunk of each payload becomes a
+    row (the demuxer stand-in).  Decoded back to string for the compare
+    (DuckDB's substr over the same ASCII yields identical chunks)."""
+    out = frame_sample(_with_payload(spark, sf_dir), "payload", every=2, keep=["doc_id"])
+    return out.select(
+        "doc_id", "frame_idx", F.decode("frame", "UTF-8").alias("frame_text")
+    )

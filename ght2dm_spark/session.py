@@ -15,6 +15,7 @@ but expressed so the same code runs unchanged on a multi-executor cluster:
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -42,6 +43,14 @@ def get_spark(
     cores = default_parallelism()
     if master is None:
         master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    # Python workers must be able to import this package (pandas-UDF
+    # closures pickle by reference) even when the driver script runs from
+    # elsewhere: export the repo root on PYTHONPATH before the JVM (which
+    # spawns the workers) starts.  On a real cluster this is --py-files.
+    repo_root = str(Path(__file__).resolve().parents[1])
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
