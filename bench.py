@@ -31,6 +31,14 @@ HEADLINE = [
     "t0_newest_wins_dedup",
     "t0_extremal_row",
     "t0_broadcast_lookup",
+    "t1_dedup_exact",
+    "t1_minhash_lsh_pairs",
+    "t1_simhash",
+    "t1_text_quality",
+    "t1_ann_bruteforce_topk",
+    "t1_ann_lsh_topk",
+    "t1_tumbling_window",
+    "t1_session_window",
 ]
 
 

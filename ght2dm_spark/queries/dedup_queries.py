@@ -17,15 +17,17 @@ from pyspark.sql import functions as F
 from ght2dm_spark.functions.text import content_fingerprint
 from ght2dm_spark.io import load_table
 from ght2dm_spark.operators.neardup import (
+    MINHASH_PRIME,
     TOKS_SQL,
+    hex2int_sql,
     lsh_bands,
     lsh_candidate_pairs,
     minhash_signature,
     shingle_sql,
     sig_jaccard,
+    shingle_df,
     simhash64,
     simhash_sql,
-    ws_shingles,
 )
 from ght2dm_spark.queries.registry import register
 
@@ -47,8 +49,11 @@ _AUG_SQL = """
 
 
 def _aug_docs(spark, sf_dir):
-    """Documents + planted exact and near duplicates (see module doc)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    """Documents + planted exact and near duplicates (see module doc).
+    The base selection is cached: all three union branches (and several
+    dedup queries) scan it, and one in-memory copy beats three parquet
+    scans at any scale where the id+text projection fits the cache tier."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").cache()
     exact = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
@@ -115,9 +120,7 @@ def t1_ngram_jaccard_pairs(spark, sf_dir):
     locally; a frequency cap on shingles is the production guard, same
     pattern as lsh_candidate_pairs' bucket cap)."""
     aug = _aug_docs(spark, sf_dir)
-    sh = aug.select(
-        "doc_id", F.explode(F.array_distinct(ws_shingles(F.col("text"), 3))).alias("shingle")
-    )
+    sh = shingle_df(aug, "doc_id", "text", 3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     left = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     right = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -140,15 +143,18 @@ def t1_ngram_jaccard_pairs(spark, sf_dir):
 
 def _minhash_sql_cte(source: str = "documents") -> str:
     """CTEs computing h0..h{k-1} per doc over ``source`` (mirrors
-    operators.neardup.minhash_signature)."""
+    operators.neardup.minhash_signature: one md5 per shingle, k slots via
+    the Kirsch-Mitzenmacher family (h1 + i·h2) mod p)."""
     mins = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(MINHASH_K)
+        f"min((h1 + {i} * h2) % {MINHASH_PRIME}) AS h{i}" for i in range(MINHASH_K)
     )
     return f"""
     t AS (SELECT doc_id, {_TOKS} AS toks, lower(text) AS ltext FROM {source}),
     sh AS (SELECT doc_id, unnest(list_distinct({shingle_sql("toks", "ltext", 3)})) AS shingle
            FROM t),
-    m AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+    hh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+    hi AS (SELECT doc_id, {hex2int_sql("h", 1)} AS h1, {hex2int_sql("h", 9)} AS h2 FROM hh),
+    m AS (SELECT doc_id, {mins} FROM hi GROUP BY doc_id)
     """
 
 
@@ -157,13 +163,13 @@ def _minhash_sql_cte(source: str = "documents") -> str:
     oracle=f"""
     WITH {_minhash_sql_cte("documents")}
     SELECT doc_id,
-           {" || ',' || ".join(f"h{i}" for i in range(MINHASH_K))} AS sig
+           concat_ws(',', {", ".join(f"h{i}" for i in range(MINHASH_K))}) AS sig
     FROM m
     """,
 )
 def t1_minhash_signature(spark, sf_dir):
-    """MinHash signatures (k=16): min of md5('i|'||shingle) per hash slot.
-    One explode + one groupBy(doc_id) — the 16 hash functions are 16
+    """MinHash signatures (k=16, Kirsch-Mitzenmacher family — one md5 per
+    shingle).  One explode + one groupBy(doc_id); the 16 slots are 16
     aggregate expressions over one pass, not 16 passes."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sig = minhash_signature(d, "doc_id", "text", k=MINHASH_K)
@@ -209,7 +215,9 @@ def t1_minhash_lsh_pairs(spark, sf_dir):
     band keys (not an O(n²) comparison); verification re-joins signatures
     by doc_id.  Degenerate buckets are capped in lsh_candidate_pairs."""
     aug = _aug_docs(spark, sf_dir)
-    sig = minhash_signature(aug, "doc_id", "text", k=MINHASH_K)
+    # cache: the signature subtree feeds three consumers (banding + both
+    # sides of the verification join) — without it the explode+agg runs 3×
+    sig = minhash_signature(aug, "doc_id", "text", k=MINHASH_K).cache()
     bands = lsh_bands(sig, "doc_id", bands=LSH_BANDS, rows=LSH_ROWS)
     cand = lsh_candidate_pairs(bands, "doc_id")
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
