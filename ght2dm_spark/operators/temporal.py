@@ -1,0 +1,130 @@
+"""Temporal join operators Spark lacks as built-ins (SURVEY §2.9; the
+"custom operators" tier): as-of join and binned range join, plus the
+salted two-phase aggregation for skewed keys.
+
+Both joins are expressed as compositions of existing DataFrame ops —
+no Pandas UDF, no per-row Python — chosen for their shuffle shape at
+100 TB:
+
+- **as-of join**: the union-and-window formulation.  One shuffle on the
+  join key, one sort per partition, zero row expansion — versus the
+  naive inequality-join (BroadcastNestedLoop or range explosion).  This
+  is the classic stream-table "latest value at time t" operator.
+- **range join**: bucketize both sides to the range grain, explode the
+  probe side to its candidate buckets (bounded, small constant), equi
+  join on (key, bucket), re-filter exactly.  Turns an inequality join
+  into a hash join with a ≤(range/grain + 1)× probe-side expansion.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    ``right_ts <= left_ts`` and the same key (backward as-of; rows with
+    no prior right row get NULLs — left-join semantics).
+
+    Right side must be unique per (key, right_ts) for deterministic
+    results; pass ``tie_break`` (a payload column) to pre-dedup keeping
+    its max.  Implementation: tag both sides, union, sort each key
+    partition by (ts, side) with right-before-left at equal ts, carry
+    payloads forward with last(ignorenulls) over an expanding frame.
+    """
+    if tie_break is not None:
+        w = Window.partitionBy(key, right_ts).orderBy(F.col(tie_break).desc())
+        right = (
+            right.withColumn("__tb", F.row_number().over(w))
+            .filter(F.col("__tb") == 1)
+            .drop("__tb")
+        )
+    l_tagged = left.withColumn("__src", F.lit(1)).withColumn(
+        "__t", F.col(left_ts)
+    )
+    r_tagged = right.select(
+        F.col(key), F.col(right_ts).alias("__t"), *[F.col(p) for p in payload]
+    ).withColumn("__src", F.lit(0))
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t").asc(), F.col("__src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for p in payload:
+        u = u.withColumn(p, F.last(p, ignorenulls=True).over(w))
+    return u.filter(F.col("__src") == 1).drop("__src", "__t")
+
+
+def range_join_binned(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str,
+    build_ts: str,
+    lower: Column,
+    upper: Column,
+    grain_seconds: int,
+    how: str = "left",
+) -> DataFrame:
+    """Join rows of ``build`` to each ``probe`` row where
+    ``build_ts ∈ [probe_ts + lower, probe_ts + upper]`` and keys match,
+    via bucket candidates at ``grain_seconds`` — an equi join Catalyst
+    can hash-partition, instead of an inequality join it cannot.
+
+    ``lower``/``upper`` are interval Columns (e.g. ``F.expr("INTERVAL
+    -1 HOUR")``).  The probe side explodes to its candidate buckets; the
+    exact predicate re-filters inside the join condition, so ``how=
+    'left'`` keeps zero-match probe rows (count with count(build col)).
+    """
+    lo_b = F.floor(F.unix_timestamp(F.col(probe_ts) + lower) / grain_seconds)
+    hi_b = F.floor(F.unix_timestamp(F.col(probe_ts) + upper) / grain_seconds)
+    p = probe.withColumn("__bucket", F.explode(F.sequence(lo_b, hi_b)))
+    b = build.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(build_ts) / grain_seconds)
+    )
+    in_range = (b[build_ts] >= p[probe_ts] + lower) & (
+        b[build_ts] <= p[probe_ts] + upper
+    )
+    cond = (p[key] == b[key]) & (p["__bucket"] == b["__bucket"]) & in_range
+    joined = p.join(b, cond, how)
+    return joined.drop(b[key]).drop(p["__bucket"]).drop(b["__bucket"])
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    salt_col: Column,
+    n_salt: int,
+    counts: Sequence[str] = ("n",),
+    sums: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: phase 1 groups by
+    (keys, salt) — spreading one hot key over ``n_salt`` reducers — and
+    phase 2 combines the partials by keys alone (tiny: n_salt rows per
+    key).  For algebraic aggregates (count/sum here; min/max/avg follow
+    the same partial/final split).
+
+    ``salt_col`` must be deterministic in [0, n_salt) (e.g. ``pmod`` of
+    a high-cardinality column) so results are reproducible.
+    """
+    sums = sums or {}
+    phase1 = df.groupBy(*keys, (salt_col % n_salt).alias("__salt")).agg(
+        F.count(F.lit(1)).alias("__pc"),
+        *[expr.alias(f"__ps_{name}") for name, expr in sums.items()],
+    )
+    return phase1.groupBy(*keys).agg(
+        F.sum("__pc").alias(counts[0]),
+        *[F.sum(f"__ps_{name}").alias(name) for name in sums],
+    )

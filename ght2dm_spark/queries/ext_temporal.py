@@ -1,0 +1,218 @@
+"""Temporal/skew extension queries: as-of join, binned range join,
+salted aggregation, multi-grain time rollup (the hypertable continuous-
+aggregate shape), exact percentiles, and edit-distance scalars — each
+with a DuckDB oracle (DuckDB has native ASOF JOIN, which checks our
+union-window formulation independently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.operators.temporal import asof_join, range_join_binned, salted_agg
+from ght2dm_spark.queries.registry import register
+
+
+@register(
+    "t1_asof_join",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders
+        GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+    FROM events e
+    ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def t1_asof_join(spark, sf_dir):
+    """Backward as-of join: each event picks the latest order of the same
+    customer at-or-before its timestamp.  Union-and-window formulation —
+    one shuffle on the key, no row expansion (SCALING.md) — checked
+    against DuckDB's native ASOF JOIN.  Orders are pre-deduped per
+    (customer, date) keeping max orderkey so ties are deterministic on
+    both engines."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    out = asof_join(
+        ev,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey"],
+        tie_break="o_orderkey",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("o_orderkey").alias("last_orderkey")
+    )
+
+
+@register(
+    "t1_range_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           count(c.event_id) AS clicks_before
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def t1_range_join(spark, sf_dir):
+    """Range (interval) join: clicks by the same user within the hour
+    before each purchase.  Bucketized to a 1-hour grain → equi join on
+    (user, bucket) with exact re-filter; probe side expands ≤2×, and the
+    join hash-partitions instead of falling into a nested-loop
+    inequality join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    joined = range_join_binned(
+        purchases.withColumnRenamed("ts", "p_ts"),
+        clicks,
+        key="user_id",
+        probe_ts="p_ts",
+        build_ts="c_ts",
+        lower=F.expr("INTERVAL -1 HOUR"),
+        upper=F.expr("INTERVAL 0 SECOND"),
+        grain_seconds=3600,
+        how="left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("click_id").alias("clicks_before")
+    )
+
+
+@register(
+    "t1_salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def t1_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation over a genuinely skewed key (a
+    handful of event types for all rows): phase 1 spreads each type over
+    16 salt reducers, phase 2 combines 16 partials per type.  Result is
+    identical to the plain groupBy (same oracle) — the salt only changes
+    the shuffle shape."""
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        salt_col=F.col("event_id"),
+        n_salt=16,
+        counts=("n",),
+        sums={"_tv": F.sum(F.col("value").cast("decimal(18,2)"))},
+    )
+    return out.select(
+        "event_type", "n", F.col("_tv").cast("double").alias("total_value")
+    )
+
+
+@register(
+    "t1_time_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CASE WHEN grouping(hour) = 0 THEN hour END AS hour,
+           grouping(hour) AS grain,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (SELECT ts, value, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour
+          FROM events) t
+    GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS TIMESTAMP), hour)
+    HAVING grouping(CAST(date_trunc('day', ts) AS TIMESTAMP)) = 0
+    """,
+)
+def t1_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hourly and daily grains in
+    ONE pass via ROLLUP(day, hour) (hour rows roll up into day rows;
+    grouping() tags the grain; the all-NULL grand total is dropped).
+    At scale this halves the scans vs materializing each grain
+    separately — partial aggregation handles both levels in the same
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    out = (
+        ev.rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_tv"),
+            F.grouping("hour").alias("grain"),
+            F.grouping("day").alias("__gd"),
+        )
+        .filter(F.col("__gd") == 0)
+    )
+    return out.select(
+        "day",
+        "hour",
+        F.col("grain").cast("int").alias("grain"),
+        "n",
+        F.col("_tv").cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "t1_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def t1_percentile_exact(spark, sf_dir):
+    """Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    quantile_cont: linear interpolation over the sorted group).  The
+    exact form sorts per group — the approx sketch (t1_approx_aggs) is
+    the 100 TB path; this is the correctness anchor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+@register(
+    "t1_edit_distance",
+    oracle="""
+    SELECT doc_id,
+           levenshtein(source, lang) AS src_lang_dist,
+           levenshtein(substr(text, 1, 10), substr(text, 6, 10)) AS self_shift_dist
+    FROM documents
+    """,
+)
+def t1_edit_distance(spark, sf_dir):
+    """Edit-distance scalar surface (fuzzy matching primitive for
+    record linkage)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.levenshtein("source", "lang").alias("src_lang_dist"),
+        F.levenshtein(
+            F.substring("text", 1, 10), F.substring("text", 6, 10)
+        ).alias("self_shift_dist"),
+    )

@@ -1,0 +1,102 @@
+"""Property-based tests (SURVEY §5 item 3) for the core T0 operators:
+newest-wins dedup, surrogate keys, extremal-row selection — randomized
+inputs via hypothesis, invariants checked against a Python-side model.
+
+Examples are kept small and few: each runs a real Spark job.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ght2dm_spark.operators.dedup import dedup_newest, keep_extremal
+from ght2dm_spark.operators.keys import add_surrogate_key
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # key
+        st.integers(0, 3),  # day offset → file_date
+        st.integers(0, 9),  # file_pos
+        st.integers(-100, 100),  # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy)
+@_slow
+def test_dedup_newest_matches_model(spark, rows):
+    base = dt.date(2014, 1, 1)
+    data = [
+        (k, base + dt.timedelta(days=d), p, v) for k, d, p, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "key long, file_date date, file_pos long, payload long"
+    )
+    got = {
+        (r["key"], r["file_date"], r["file_pos"])
+        for r in dedup_newest(
+            df, ["key"], [F.col("file_date").desc(), F.col("file_pos").asc()]
+        ).collect()
+    }
+    # model: per key, max date then min pos (ties beyond that collapse to
+    # one arbitrary-but-single row; we check the (date,pos) choice)
+    expect = {}
+    for k, d, p, v in data:
+        cur = expect.get(k)
+        if cur is None or (d, -p) > (cur[0], -cur[1]):
+            expect[k] = (d, p)
+    assert {(k, d, p) for k, (d, p) in expect.items()} == got
+    assert len(got) == len(expect)
+
+
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=50, unique=True),
+    nparts=st.integers(1, 7),
+)
+@_slow
+def test_surrogate_keys_partitioning_independent(spark, keys, nparts):
+    """range strategy == window strategy == rank over sorted keys,
+    whatever the input partitioning (the hash-match prerequisite)."""
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(nparts)
+    ranged = {
+        r["k"]: r["sk"]
+        for r in add_surrogate_key(df, ["k"], "sk", strategy="range").collect()
+    }
+    expect = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert ranged == expect
+
+
+@given(rows=rows_strategy)
+@_slow
+def test_keep_extremal_matches_model(spark, rows):
+    df = spark.createDataFrame(
+        [(k, d, p, v) for k, d, p, v in rows],
+        "key long, a long, b long, v long",
+    )
+    got = {
+        (r["key"], r["a"], r["b"], r["v"])
+        for r in keep_extremal(df, ["key"], max_cols=["a"], min_cols=["b"]).collect()
+    }
+    by_key: dict = {}
+    for k, a, b, v in rows:
+        by_key.setdefault(k, []).append((a, b, v))
+    expect = set()
+    for k, vals in by_key.items():
+        mx_a = max(a for a, _, _ in vals)
+        mn_b = min(b for _, b, _ in vals)
+        for a, b, v in vals:
+            if a == mx_a and b == mn_b:
+                expect.add((k, a, b, v))
+    assert got == expect
