@@ -39,6 +39,9 @@ HEADLINE = [
     "t1_ann_lsh_topk",
     "t1_tumbling_window",
     "t1_session_window",
+    "t1_asof_join",
+    "t1_range_join",
+    "t1_tfidf_top_terms",
 ]
 
 

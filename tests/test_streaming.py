@@ -124,3 +124,39 @@ def test_apply_in_pandas_with_state_running_count(spark, sf_dir):
         .collect()
     }
     assert final == expect
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks + a time-range condition
+    (clicks within the hour before each purchase) — state-bounded on both
+    sides; result equals the equivalent batch join."""
+    from ght2dm_spark.io import load_table
+
+    def sides(reader):
+        p = (
+            reader()
+            .filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("p_id"), F.col("user_id").alias("p_uid"),
+                    F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "2 hours")
+        )
+        c = (
+            reader()
+            .filter(F.col("event_type") == "click")
+            .select(F.col("event_id").alias("c_id"), F.col("user_id").alias("c_uid"),
+                    F.col("ts").alias("c_ts"))
+            .withWatermark("c_ts", "2 hours")
+        )
+        cond = (
+            (F.col("p_uid") == F.col("c_uid"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+        )
+        return p.join(c, cond).select("p_id", "c_id")
+
+    stream_out = run_to_completion(
+        sides(lambda: read_events_stream(spark, sf_dir)), output_mode="append"
+    )
+    batch_out = sides(lambda: load_table(spark, sf_dir, "events"))
+    assert _rows(stream_out) == _rows(batch_out)
+    assert stream_out.count() > 0
