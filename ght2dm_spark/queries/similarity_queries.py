@@ -92,6 +92,109 @@ def t1_ann_lsh_topk(spark, sf_dir):
     return out.select("q_id", "c_id", F.round("cos", 6).alias("cos"), "rank")
 
 
+N_CENTROIDS = 16
+N_PROBE = 2
+
+_DIST_SQL = (
+    "list_reduce(list_transform(range(1, {d} + 1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+    "   * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+@register(
+    "t1_ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS c_vec
+                   FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    assign AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_DIST_SQL.format(a="e.embedding", b="c.c_vec", d=EMB_DIM)} ASC,
+                                c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) t WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_DIST_SQL.format(a="e.embedding", b="c.c_vec", d=EMB_DIM)} ASC,
+                                c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id < {N_QUERIES}
+        ) t WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT q.q_id, a.vec_id AS c_id,
+               {cosine_sql("q.q_vec", "a.embedding")} AS cos
+        FROM qprobe q JOIN assign a USING (cid)
+        WHERE q.q_id <> a.vec_id
+    ),
+    dedup AS (SELECT q_id, c_id, min(cos) AS cos FROM scored GROUP BY 1, 2)
+    SELECT q_id, c_id, round(cos, 6) AS cos, rank FROM (
+        SELECT q_id, c_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, c_id ASC) AS rank
+        FROM dedup
+    ) r WHERE rank <= 3
+    """,
+)
+def t1_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: corpus partitioned into inverted lists by nearest
+    centroid (here: the first 16 vectors as fixed centroids — real
+    deployments train them offline with k-means; the plumbing is
+    identical), queries probe their nprobe=2 nearest lists, exact cosine
+    rank within.  Same bucket-join shape as the LSH variant — IVF swaps
+    the hash for learned centroids.  Candidates reached through both
+    probed lists dedup via min(cos) (cos is identical either way)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_vec")
+    )
+
+    def sq_dist(a, b):
+        diff = F.zip_with(
+            as_double(a), as_double(b), lambda x, y: (x - y) * (x - y)
+        )
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    from pyspark.sql import Window
+
+    scored_cent = e.crossJoin(F.broadcast(cents)).withColumn(
+        "__d", sq_dist(F.col("embedding"), F.col("c_vec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("__d").asc(), F.col("cid").asc())
+    ranked = scored_cent.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "cid")
+    qprobe = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            "cid",
+        )
+    )
+    scored = (
+        assign.join(F.broadcast(qprobe), "cid")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn(
+            "cos", cosine(as_double(F.col("q_vec")), as_double(F.col("embedding")))
+        )
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(F.min("cos").alias("cos"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 _PERTURB_SQL = f"""
     aug AS (
         SELECT vec_id, embedding FROM embeddings

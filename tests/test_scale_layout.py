@@ -1,0 +1,97 @@
+"""Physical-layout tests for the scale path: bucketed co-located joins
+(no shuffle at join time) and the foreachBatch streaming sink pattern.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.streaming import read_events_stream
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Both sides bucketed+sorted on the join key → the sort-merge join
+    reads buckets directly: NO Exchange in the physical plan.  This is
+    the co-location strategy SCALING.md prescribes for repeated big-big
+    joins (e.g. the F3 anti-join against a growing target at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(tmp_path / "li_b"))
+        .saveAsTable("li_b")
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "o_b"))
+        .saveAsTable("o_b")
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("li_b").join(
+                spark.table("o_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+            # and it still computes the right thing
+            expect = li.join(
+                orders, li.l_orderkey == orders.o_orderkey
+            ).count()
+            assert j.count() == expect
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: the production sink pattern (arbitrary batch-side
+    logic per micro-batch — upserts, multi-table writes).  Here each
+    micro-batch appends its per-type counts partitioned by batch id;
+    the union of batches equals the batch-mode aggregate."""
+    out = str(tmp_path / "agg_out")
+
+    def sink(batch_df, batch_id):
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    expect = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
