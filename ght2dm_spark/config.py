@@ -35,6 +35,7 @@ class RunConfig:
     folders: list[str]
     output_dir: str
     nocheck: bool = False  # the reference's -nocheck flag (ght2dm.go:1126)
+    incremental: bool = False  # append-only rerun against existing outputs
     extra: dict = field(default_factory=dict)
 
 
@@ -43,11 +44,12 @@ def read_config(path: str) -> RunConfig:
     ``extra`` rather than rejected."""
     with open(path) as f:
         raw = json.load(f)
-    known = {"folders", "output_dir", "nocheck"}
+    known = {"folders", "output_dir", "nocheck", "incremental"}
     return RunConfig(
         folders=list(raw["folders"]),
         output_dir=raw["output_dir"],
         nocheck=bool(raw.get("nocheck", False)),
+        incremental=bool(raw.get("incremental", False)),
         extra={k: v for k, v in raw.items() if k not in known},
     )
 
@@ -101,7 +103,14 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
 
     Relation entities require their dimensions to have been imported
     first — exactly the reference's folder-order contract.
+
+    ``cfg.incremental``: rerun against existing outputs — already-loaded
+    keys are anti-joined away (F3/F8), surrogate keys continue from the
+    existing max (append-only, ids never reused), and new rows APPEND to
+    the output tables.  A fresh run overwrites.
     """
+    from pyspark.sql import functions as F
+
     from ght2dm_spark.io import write_table
     from ght2dm_spark.pipelines import (
         import_org_members,
@@ -112,13 +121,34 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
     from ght2dm_spark.sources.bson import read_bson_dumps, split_rejects
 
     out = Path(cfg.output_dir)
+    mode = "append" if cfg.incremental else "overwrite"
     written: dict[str, str] = {}
     state: dict = {}
 
     def _write(name, df):
         p = str(out / name)
-        write_table(df, p)
+        if cfg.incremental:
+            # materialize before appending: the new-rows plan reads the
+            # SAME path (anti-join vs existing) it is about to append to
+            df = df.cache()
+            df.count()
+        write_table(df, p, mode=mode)
         written[name] = p
+
+    def _existing(name):
+        p = out / name
+        if cfg.incremental and p.exists():
+            return spark.read.parquet(str(p))
+        return None
+
+    def _next_key(df):
+        if df is None:
+            return 1
+        mx = df.agg(F.max("id")).collect()[0][0]
+        return (mx or 0) + 1
+
+    def _union(new, existing):
+        return new if existing is None else existing.unionByName(new)
 
     for folder in cfg.folders:
         entity = os.path.basename(os.path.normpath(folder))
@@ -128,9 +158,18 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
             good, rej = split_rejects(
                 read_bson_dumps(spark, folder, _users_schema())
             )
-            res = import_users(good, nocheck=cfg.nocheck)
-            state["gh_users"] = res.gh_users
-            state["gh_organizations"] = res.gh_organizations
+            ex_u, ex_o = _existing("gh_users"), _existing("gh_organizations")
+            res = import_users(
+                good,
+                existing_gh_users=ex_u,
+                existing_gh_organizations=ex_o,
+                nocheck=cfg.nocheck,
+                user_key_start=_next_key(ex_u),
+                org_key_start=_next_key(ex_o),
+            )
+            # relations later in this run resolve against old + new dims
+            state["gh_users"] = _union(res.gh_users, ex_u)
+            state["gh_organizations"] = _union(res.gh_organizations, ex_o)
             for n in ("users", "gh_users", "gh_organizations"):
                 _write(n, getattr(res, n))
             _write("rejects_users", res.rejects.unionByName(rej, allowMissingColumns=True))
@@ -141,9 +180,15 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
                     flatten={"owner_login": ("owner", "login")},
                 )
             )
-            res = import_repos(good)
-            state["repositories"] = res.repositories
-            state["gh_repositories"] = res.gh_repositories
+            ex_r, ex_g = _existing("repositories"), _existing("gh_repositories")
+            res = import_repos(
+                good,
+                existing_repositories=ex_r,
+                existing_gh_repositories=ex_g,
+                key_start=_next_key(ex_r),
+            )
+            state["repositories"] = _union(res.repositories, ex_r)
+            state["gh_repositories"] = _union(res.gh_repositories, ex_g)
             _write("repositories", res.repositories)
             _write("gh_repositories", res.gh_repositories)
             _write("rejects_repos", rej)
@@ -152,7 +197,8 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
                 read_bson_dumps(spark, folder, _members_schema())
             )
             res = import_org_members(
-                good, state["gh_users"], state["gh_organizations"]
+                good, state["gh_users"], state["gh_organizations"],
+                existing=_existing("gh_users_organizations"),
             )
             _write("gh_users_organizations", res.gh_users_organizations)
             _write(
@@ -166,6 +212,7 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
             res = import_repo_collaborators(
                 good, state["gh_users"], state["repositories"],
                 state["gh_repositories"],
+                existing=_existing("users_repositories"),
             )
             _write("users_repositories", res.gh_users_organizations)
             _write(

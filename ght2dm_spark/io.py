@@ -81,8 +81,12 @@ def read_dated_dumps(spark: SparkSession, path: str, schema=None) -> DataFrame:
         reader = reader.schema(schema)
     df = reader.parquet(path)
     fname = F.input_file_name()
+    # nullif first: regexp_extract yields '' on no-match, and ANSI mode
+    # makes to_date('') an error rather than NULL — undated files must be
+    # SKIPPED (ght2dm.go:1027), not crash the job.
     return df.withColumn(
-        "file_date", F.to_date(F.regexp_extract(fname, FILE_DATE_PATTERN, 1))
+        "file_date",
+        F.to_date(F.nullif(F.regexp_extract(fname, FILE_DATE_PATTERN, 1), F.lit(""))),
     ).filter(F.col("file_date").isNotNull())
 
 

@@ -82,6 +82,8 @@ def import_users(
     existing_gh_users: DataFrame | None = None,
     existing_gh_organizations: DataFrame | None = None,
     nocheck: bool = False,
+    user_key_start: int = 1,
+    org_key_start: int = 1,
 ) -> UsersResult:
     """Entry point B (``ght2dm.go:240-337``): one job replaces the
     scan → type-switch → probe → insert row loop.
@@ -114,7 +116,7 @@ def import_users(
 
     # One surrogate per winning doc: users.id = gh_users.id =
     # gh_users.user_id (see module doc on the reference's lockstep serials).
-    users_b = add_surrogate_key(users_b, order_by=["id"], name="__sk")
+    users_b = add_surrogate_key(users_b, order_by=["id"], name="__sk", start=user_key_start)
 
     users = users_b.select(
         F.col("__sk").alias("id"),
@@ -141,7 +143,7 @@ def import_users(
         to_ts(_zs("created_at")).alias("created_at"),
         to_ts(coalesce_empty(_zs("updated_at"), _zs("created_at"))).alias("updated_at"),
     )
-    orgs_b = add_surrogate_key(orgs_b, order_by=["id"], name="__sk")
+    orgs_b = add_surrogate_key(orgs_b, order_by=["id"], name="__sk", start=org_key_start)
     # ghOrgsFields (ght2dm.go:123-134); C8 at ght2dm.go:352-354.
     gh_organizations = orgs_b.select(
         F.col("__sk").alias("id"),
@@ -182,6 +184,7 @@ def import_repos(
     raw: DataFrame,
     existing_repositories: DataFrame | None = None,
     existing_gh_repositories: DataFrame | None = None,
+    key_start: int = 1,
 ) -> ReposResult:
     """Entry point C, both phases fused: the Go staging loop
     (``ght2dm.go:494-548,578-623``) and the PL/pgSQL finalize
@@ -245,7 +248,7 @@ def import_repos(
     # (repositories_unique_clone_path, insert_from_tmp_tables.sql:88);
     # github_id breaks ties deterministically if the invariant is violated.
     surv = add_surrogate_key(
-        surv, order_by=["clone_path", "github_id"], name="__sk"
+        surv, order_by=["clone_path", "github_id"], name="__sk", start=key_start
     )
     repositories = surv.select(
         F.col("__sk").alias("id"),

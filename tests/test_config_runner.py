@@ -81,3 +81,49 @@ def test_run_from_config(spark, config_path):
     assert rel.count() == 1
     ur = spark.read.parquet(written["users_repositories"])
     assert ur.count() == 1
+
+
+def test_incremental_rerun(spark, config_path, tmp_path):
+    """Incremental mode: a second run with one new user appends exactly
+    that user with a fresh surrogate id; existing rows and keys are
+    untouched; a no-new-data rerun appends nothing."""
+    import dataclasses
+
+    cfg = read_config(config_path)
+    out2 = str(tmp_path / "out_inc")
+    first = dataclasses.replace(cfg, output_dir=out2)
+    run_from_config(spark, first)
+    users_v1 = {(r["id"], r["username"]) for r in
+                spark.read.parquet(f"{out2}/users").collect()}
+
+    # add a later dump with one known + one new user
+    users_dir = cfg.folders[0]
+    import pathlib
+    (pathlib.Path(users_dir) / "2014-02-01.bson").write_bytes(
+        b"".join(enc_doc(x) for x in [
+            {"id": 1, "login": "alice", "type": "User",
+             "created_at": "2013-01-01 00:00:00"},  # already loaded → skipped
+            {"id": 9, "login": "zoe", "type": "User",
+             "created_at": "2014-01-15 00:00:00"},
+        ])
+    )
+    try:
+        inc = dataclasses.replace(cfg, output_dir=out2, incremental=True,
+                                  folders=[users_dir])
+        run_from_config(spark, inc)
+        users_v2 = {(r["id"], r["username"]) for r in
+                    spark.read.parquet(f"{out2}/users").collect()}
+        assert users_v1 < users_v2
+        added = users_v2 - users_v1
+        assert {u for _, u in added} == {"zoe"}
+        ids = [i for i, _ in users_v2]
+        assert len(ids) == len(set(ids))  # surrogate ids never collide
+        assert max(i for i, _ in users_v1) < next(i for i, u in added if u == "zoe")
+
+        # third run, nothing new → nothing appended
+        run_from_config(spark, inc)
+        users_v3 = {(r["id"], r["username"]) for r in
+                    spark.read.parquet(f"{out2}/users").collect()}
+        assert users_v3 == users_v2
+    finally:
+        (pathlib.Path(users_dir) / "2014-02-01.bson").unlink()
