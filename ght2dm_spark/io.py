@@ -90,10 +90,32 @@ def read_dated_dumps(spark: SparkSession, path: str, schema=None) -> DataFrame:
     ).filter(F.col("file_date").isNotNull())
 
 
-def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
-    """Bulk columnar sink — replaces the reference's row-at-a-time INSERT
-    (S5, ``ght2dm.go:962-979``) and COPY (S6, ``ght2dm.go:510``)."""
-    writer = df.write.mode(mode)
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+    **options: str,
+) -> None:
+    """Bulk sink — replaces the reference's row-at-a-time INSERT (S5,
+    ``ght2dm.go:962-979``) and COPY (S6, ``ght2dm.go:510``).  Parquet is
+    the scale default (columnar, compressed, prunable); csv/json exist
+    for interchange — never for the 100 TB hot path."""
+    writer = df.write.mode(mode).format(fmt)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    if options:
+        writer = writer.options(**options)
+    writer.save(path)
+
+
+def read_table_fmt(
+    spark: SparkSession, path: str, schema, fmt: str = "parquet", **options: str
+) -> DataFrame:
+    """Schema-declared read for any format (inference stays banned —
+    SURVEY §1.3; for csv/json an inference pass is a full extra scan)."""
+    reader = spark.read.format(fmt).schema(schema)
+    if options:
+        reader = reader.options(**options)
+    return reader.load(path)

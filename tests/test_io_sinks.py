@@ -47,3 +47,35 @@ def test_overwrite_replaces(spark, sf_dir, tmp_path):
     write_table(one, out)
     write_table(two, out, mode="overwrite")
     assert spark.read.parquet(out).count() == 3
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    """Interchange formats: csv (with header) and json lines round-trip
+    through declared schemas — no inference pass either direction."""
+    from ght2dm_spark.io import read_table_fmt
+    from ght2dm_spark.schemas import TESTDATA
+
+    nation = load_table(spark, sf_dir, "nation")
+    rows = {tuple(r) for r in nation.collect()}
+
+    csv_p = str(tmp_path / "nation_csv")
+    write_table(nation, csv_p, fmt="csv", header="true")
+    back_csv = read_table_fmt(
+        spark, csv_p, TESTDATA["nation"], fmt="csv", header="true"
+    )
+    assert {tuple(r) for r in back_csv.collect()} == rows
+
+    json_p = str(tmp_path / "nation_json")
+    write_table(nation, json_p, fmt="json")
+    back_json = read_table_fmt(spark, json_p, TESTDATA["nation"], fmt="json")
+    assert {tuple(r) for r in back_json.collect()} == rows
+
+
+def test_parquet_codec_option(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "zstd_out")
+    write_table(
+        load_table(spark, sf_dir, "region"), out, compression="zstd"
+    )
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files and all("zstd" in f for f in files)
+    assert spark.read.parquet(out).count() == 5
