@@ -24,5 +24,6 @@ from ght2dm_spark.queries import multimodal_queries  # noqa: E402,F401
 from ght2dm_spark.queries import ext_temporal  # noqa: E402,F401
 from ght2dm_spark.queries import clustering_queries  # noqa: E402,F401
 from ght2dm_spark.queries import quality_queries  # noqa: E402,F401
+from ght2dm_spark.queries import sampling_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "register"]

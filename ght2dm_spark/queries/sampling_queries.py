@@ -1,0 +1,85 @@
+"""Sampling / split queries over ``documents`` — reproducible,
+engine-neutral (md5-keyed) sampling for training-data pipelines.
+
+The DuckDB oracles replay the exact bucket arithmetic via
+:func:`ght2dm_spark.operators.neardup.hex2int_sql` (DuckDB lacks
+``conv``), so these are full value-level checks, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.operators.neardup import hex2int_sql
+from ght2dm_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    stratified_hash_sample,
+    train_test_split,
+)
+from ght2dm_spark.queries.registry import register
+
+_BUCKET = f"({hex2int_sql('md5(CAST(doc_id AS VARCHAR))', 1, 8)} % 100)"
+
+
+@register(
+    "t1_hash_sample",
+    oracle=f"""
+    SELECT doc_id, {_BUCKET} AS bucket
+    FROM documents WHERE {_BUCKET} < 10
+    """,
+)
+def t1_hash_sample(spark, sf_dir):
+    """~10% deterministic sample of documents: a pure map-side filter
+    (no shuffle, no RNG), so the sampled set is identical across runs,
+    partitionings, and engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return hash_sample(d, F.col("doc_id"), 10).select(
+        "doc_id", hash_bucket(F.col("doc_id")).alias("bucket")
+    )
+
+
+@register(
+    "t1_train_test_split",
+    oracle=f"""
+    SELECT CASE WHEN {_BUCKET} < 10 THEN 'test' ELSE 'train' END AS split,
+           count(*) AS n,
+           CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS chars
+    FROM documents GROUP BY split
+    """,
+)
+def t1_train_test_split(spark, sf_dir):
+    """Hash-keyed 90/10 train/test split: a document's split is a pure
+    function of its id — it never migrates between splits across runs
+    (contamination control at corpus scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        train_test_split(d, F.col("doc_id"), 10)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double").alias("chars"),
+        )
+    )
+
+
+@register(
+    "t1_stratified_sample",
+    oracle=f"""
+    SELECT lang, count(*) AS n
+    FROM documents
+    WHERE {_BUCKET} < (CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 60 ELSE 0 END)
+    GROUP BY lang
+    """,
+)
+def t1_stratified_sample(spark, sf_dir):
+    """Per-stratum rates (downsample dominant 'en' to 20%, keep 60% of
+    'de', drop the rest) — the rebalancing step of corpus curation, as
+    one CASE-gated map-side filter."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(d, F.col("doc_id"), F.col("lang"), {"en": 20, "de": 60})
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
