@@ -1,0 +1,116 @@
+"""Product-analytics shapes over ``events`` / ``customer``: sequential
+funnel conversion, deterministic string aggregation, and distribution
+window functions (ntile / percent_rank / cume_dist).
+
+These close the remaining gaps in the window/aggregate surface that the
+reference's ad-hoc analytics queries exercise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.queries.registry import register
+
+
+@register(
+    "t1_event_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase
+    """,
+)
+def t1_event_funnel(spark, sf_dir):
+    """Sequential funnel view→click→purchase: a user converts a stage
+    only with an event strictly after their previous stage's first
+    event.  Each stage is one groupBy-min plus a broadcast join of the
+    (tiny) converted-user frame back onto events — the events table is
+    scanned per stage but never shuffled whole; at 100 TB the stage
+    frames are the only shuffled data (≤ one row per user)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(prev, etype, prev_ts, out_ts):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            g = e
+        else:
+            g = e.join(F.broadcast(prev), "user_id").filter(
+                F.col("ts") > F.col(prev_ts)
+            )
+        return g.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    v = stage(None, "view", None, "v_ts")
+    c = stage(v, "click", "v_ts", "c_ts")
+    p = stage(c, "purchase", "c_ts", "p_ts")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in [(v, "n_view"), (c, "n_click"), (p, "n_purchase")]
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@register(
+    "t1_listagg",
+    oracle="""
+    SELECT n.n_name, string_agg(c.c_name, ',' ORDER BY c.c_name) AS members,
+           count(*) AS n
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def t1_listagg(spark, sf_dir):
+    """Deterministic string aggregation (LISTAGG): collect_list has no
+    cross-partition order, so sort the array before joining — the only
+    way a distributed string_agg can be reproducible.  The nation dim
+    broadcasts; one shuffle on nationkey."""
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_name")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("members"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "t1_window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def t1_window_distribution(spark, sf_dir):
+    """Distribution window functions per market segment.  c_custkey
+    tie-breaks the ordering so ntile is deterministic under equal
+    balances; percent_rank/cume_dist are exact rational divisions —
+    identical IEEE doubles on both engines, rounded only for output
+    hygiene."""
+    w = (
+        Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
