@@ -42,6 +42,10 @@ HEADLINE = [
     "t1_asof_join",
     "t1_range_join",
     "t1_tfidf_top_terms",
+    "q8_market_share",
+    "q18_large_volume_customer",
+    "t1_hash_sample",
+    "t1_event_funnel",
 ]
 
 
