@@ -34,10 +34,12 @@ from ght2dm_spark.queries.registry import register
 def t1_event_funnel(spark, sf_dir):
     """Sequential funnel view→click→purchase: a user converts a stage
     only with an event strictly after their previous stage's first
-    event.  Each stage is one groupBy-min plus a broadcast join of the
-    (tiny) converted-user frame back onto events — the events table is
-    scanned per stage but never shuffled whole; at 100 TB the stage
-    frames are the only shuffled data (≤ one row per user)."""
+    event.  Each stage is one groupBy-min plus a join of the converted-
+    user frame back onto events — no hint: at small SF AQE broadcasts
+    the stage frame, at 100 TB (hundreds of millions of users) it
+    becomes a shuffle-hash join on user_id.  Events are scanned per
+    stage but never shuffled whole; stage frames (≤ one row per user)
+    are the only shuffled data."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
 
     def stage(prev, etype, prev_ts, out_ts):
@@ -45,9 +47,7 @@ def t1_event_funnel(spark, sf_dir):
         if prev is None:
             g = e
         else:
-            g = e.join(F.broadcast(prev), "user_id").filter(
-                F.col("ts") > F.col(prev_ts)
-            )
+            g = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
         return g.groupBy("user_id").agg(F.min("ts").alias(out_ts))
 
     v = stage(None, "view", None, "v_ts")

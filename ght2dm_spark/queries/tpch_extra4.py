@@ -109,10 +109,14 @@ def q2_min_acctbal_supplier(spark, sf_dir):
 )
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: NATION_5 suppliers' share of ASIA-customer revenue
-    per order year.  Six joins, but only lineitem↔orders is big-big (hash
-    join on orderkey); customer/nation/region/supplier all broadcast.
-    The share is a conditional-sum ratio in ONE aggregate pass — never
-    two scans.  Sums in DECIMAL, divide as double, round(6) at output."""
+    per order year.  Six joins: nation/region/supplier are true dims and
+    broadcast explicitly; the region-filtered customer key set is joined
+    WITHOUT a hint — at 100 TB it is ~1/5 of all customers (too big to
+    force-broadcast), so AQE picks broadcast when it fits and
+    shuffle-hash when it doesn't.  lineitem↔orders is the one guaranteed
+    big-big shuffle (orderkey).  The share is a conditional-sum ratio in
+    ONE aggregate pass — never two scans.  Sums in DECIMAL, divide as
+    double, round(6) at output."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -139,7 +143,7 @@ def q8_market_share(spark, sf_dir):
 
     vol = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_in_region), o.o_custkey == F.col("c_custkey"))
+        .join(cust_in_region, o.o_custkey == F.col("c_custkey"), "left_semi")
         .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -224,9 +228,11 @@ def q15_top_supplier(spark, sf_dir):
 def q18_large_volume_customer(spark, sf_dir):
     """TPC-H Q18: orders whose total quantity exceeds 300, with customer.
     The IN-aggregate subquery is a semi join against a pre-aggregated
-    keys frame; the qualifying key set is tiny → broadcast semi join, so
-    the big lineitem table is filtered before the orders join.  At 100 TB
-    the HAVING aggregate is the only full-lineitem shuffle."""
+    keys frame; the qualifying key set is tiny, so BOTH big tables
+    (lineitem and orders) are broadcast-semi-filtered by it before they
+    meet — the final join touches only qualifying rows.  At 100 TB the
+    HAVING aggregate is the only full-lineitem shuffle; broadcasting
+    unfiltered orders would be a scale bug."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
@@ -242,9 +248,14 @@ def q18_large_volume_customer(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
+    o_big = o.join(
+        F.broadcast(big.withColumnRenamed("l_orderkey", "_bk")),
+        o.o_orderkey == F.col("_bk"),
+        "left_semi",
+    )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        li_big.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li_big.join(F.broadcast(o_big.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
                     F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(
