@@ -119,3 +119,58 @@ def read_table_fmt(
     if options:
         reader = reader.options(**options)
     return reader.load(path)
+
+
+def write_range_clustered(
+    df: DataFrame, path: str, cluster_cols: list[str], num_files: int, **options: str
+) -> None:
+    """Range-clustered parquet layout: repartitionByRange + per-file sort
+    on ``cluster_cols`` gives files with disjoint key ranges and sorted
+    row groups, so parquet min/max statistics prune both files and row
+    groups for range predicates on those columns.  This is the layout
+    knob behind 'filters reach the scan': pushdown only skips IO when
+    the physical layout clusters the data.  Range boundaries come from
+    Spark's reservoir sampling of the keys — balanced even under skew."""
+    (
+        df.repartitionByRange(num_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .options(**options)
+        .parquet(path)
+    )
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files and
+    return the new file count.  Small-file proliferation (per-micro-batch
+    appends, over-parallel writers) is a first-order 100 TB problem:
+    every file costs a footer read, a task, and namenode pressure.
+
+    Sizing uses the CURRENT compressed bytes on disk, so the rewrite
+    keeps file sizes near the parquet sweet spot regardless of the input
+    row width.  The rewrite goes through a temp dir + atomic rename —
+    reading and overwriting the same path in one job would clobber the
+    input mid-scan.  (Sizing walks the local FS here; on a cluster the
+    identical listing comes from the Hadoop FileSystem API.)"""
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n = max(1, -(-total // target_file_bytes))  # ceil
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    tmp = path.rstrip("/") + "__compact_tmp"
+    reader.parquet(path).coalesce(n).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )

@@ -71,6 +71,46 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in back_json.collect()} == rows
 
 
+def test_compact_merges_small_files(spark, sf_dir, tmp_path):
+    """16 writer-parallel files → 1 after compaction; data unchanged."""
+    from ght2dm_spark.io import compact_table
+
+    out = str(tmp_path / "shattered")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(16).write.parquet(out)
+    before = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(before) == 16
+    n_files = compact_table(spark, out, target_file_bytes=10**12)
+    assert n_files == 1
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_range_clustered_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
+    """repartitionByRange + sortWithinPartitions → per-file key ranges
+    don't overlap, which is what lets parquet min/max stats skip whole
+    files for range predicates."""
+    from ght2dm_spark.io import write_range_clustered
+
+    out = str(tmp_path / "clustered")
+    o = load_table(spark, sf_dir, "orders")
+    write_range_clustered(o, out, ["o_orderdate"], 4)
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        mm = (
+            spark.read.parquet(os.path.join(out, f))
+            .agg(F.min("o_orderdate"), F.max("o_orderdate"))
+            .collect()[0]
+        )
+        ranges.append((mm[0], mm[1]))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
+    assert spark.read.parquet(out).count() == o.count()
+
+
 def test_parquet_codec_option(spark, sf_dir, tmp_path):
     out = str(tmp_path / "zstd_out")
     write_table(
