@@ -15,6 +15,7 @@ from ght2dm_spark.queries import tpch_extra  # noqa: E402,F401
 from ght2dm_spark.queries import tpch_extra2  # noqa: E402,F401
 from ght2dm_spark.queries import tpch_extra3  # noqa: E402,F401
 from ght2dm_spark.queries import tpch_extra4  # noqa: E402,F401
+from ght2dm_spark.queries import tpch_extra5  # noqa: E402,F401
 from ght2dm_spark.queries import ext_relational  # noqa: E402,F401
 from ght2dm_spark.queries import text_analysis  # noqa: E402,F401
 from ght2dm_spark.queries import dedup_queries  # noqa: E402,F401
