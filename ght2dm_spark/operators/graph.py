@@ -61,3 +61,55 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("a").alias(node_col), "comp")
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    max_level: int = 3,
+) -> DataFrame:
+    """Breadth-first search: hop distance from a seed set, frontier style.
+
+    ``edges`` (src, dst) are treated as undirected; ``seeds`` is one column
+    ``node_col``.  Returns (node, level) where level is the MINIMUM hop
+    count, because a node joins the visited set the first round it is
+    reachable and the anti-join bars rediscovery at a larger level.
+    Integer-only arithmetic — deterministic across engines and runs.
+
+    Scale: each round shuffles only the frontier join (edges hashed on
+    src) and an anti-join against visited (|V| rows max, not |E|).  The
+    driver loop holds no data — just a per-round empty-frontier check —
+    and caches break lineage growth so round N's plan does not replay
+    rounds 1..N-1.
+    """
+    both = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    frontier = seeds.select(F.col(node_col).alias("node")).distinct().cache()
+    visited = frontier.withColumn("level", F.lit(0)).cache()
+    visited.count()
+
+    for lvl in range(1, max_level + 1):
+        nxt = (
+            both.join(frontier, both.a == F.col("node"))
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(lvl))
+            .cache()
+        )
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        new_visited = visited.unionByName(nxt).cache()
+        new_visited.count()
+        visited.unpersist()
+        frontier.unpersist()
+        visited = new_visited
+        frontier = nxt.select("node")
+    return visited

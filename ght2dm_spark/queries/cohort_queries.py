@@ -1,0 +1,366 @@
+"""Behavioral-analytics and statistics shapes over ``events`` /
+``lineitem`` / ``orders``: weekly cohort retention, gap-based
+sessionization, SCD2 run-length history collapse, histogram binning,
+GROUPING SETS, exact-moment correlation statistics, canonical-pick
+dedup, and iterative BFS hop levels.
+
+These extend the T1 surface (SURVEY §2.9) with the query shapes a
+training-data/product pipeline runs daily.  Determinism discipline per
+registry docstring: integer/decimal arithmetic wherever a sum crosses
+engines; doubles only for final derived ratios, rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.queries.registry import register
+
+
+@register(
+    "t1_cohort_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+    c AS (SELECT user_id, date_trunc('week', first_ts) AS cohort_week FROM f),
+    a AS (SELECT e.user_id, c.cohort_week,
+                 CAST(floor(date_diff('day', CAST(c.cohort_week AS DATE),
+                                      CAST(e.ts AS DATE)) / 7) AS BIGINT)
+                   AS week_offset
+          FROM events e JOIN c ON e.user_id = c.user_id)
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+           count(DISTINCT user_id) AS n_active
+    FROM a GROUP BY 1, 2
+    """,
+)
+def t1_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users bucketed by the ISO week of
+    their first event; n_active = distinct users from that cohort seen
+    in week cohort+offset.  Both engines truncate weeks to Monday and
+    the offset is pure integer day arithmetic — no float drift.
+
+    Scale: first-touch frame is one groupBy on user_id (|users| rows);
+    the join back to events is a shuffle-hash join on user_id (AQE
+    broadcasts it at small SF).  The retention agg shuffles only
+    (cohort_week, week_offset, user_id) distinct triples, a tiny
+    fraction of the event volume."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", F.date_trunc("week", "first_ts").alias("cohort_week"))
+    )
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_week").cast("date"))
+                / 7
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "t1_sessionize_gap",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    s AS (
+      SELECT user_id,
+             sum(CASE WHEN prev_ts IS NULL
+                        OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM o),
+    g AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2)
+    SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
+           max(n) AS max_session_events
+    FROM g GROUP BY user_id
+    """,
+)
+def t1_sessionize_gap(spark, sf_dir):
+    """Gap-based sessionization (30-minute inactivity splits a session)
+    via lag + running-sum-of-boundaries — the batch equivalent of
+    session_window(ts, '30 minutes') but assigning explicit session ids.
+    Gap test is integer microseconds (unix_micros vs date_diff
+    'microsecond'), exact on both engines.
+
+    Scale: ONE shuffle on user_id serves both window functions and the
+    two-level aggregation (same partitioning reused by Catalyst); state
+    per user is a single running counter."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    prev = F.lag("ts").over(w)
+    boundary = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("__b", boundary)
+        .withColumn("session_id", F.sum("__b").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+    )
+
+
+@register(
+    "t1_scd2_history",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    chg AS (
+      SELECT user_id, event_type, ts AS valid_from FROM o
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to
+    FROM chg
+    """,
+)
+def t1_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    user's event_type stream into change rows with [valid_from,
+    valid_to) ranges; the open row has valid_to NULL.  This is the
+    standard snapshot→history derivation for dimension tracking.
+
+    Scale: both windows partition by user_id — one shuffle, no joins.
+    Change rows are a small fraction of events, so the lead() pass runs
+    on the collapsed frame."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+    )
+
+
+@register(
+    "t1_histogram",
+    oracle="""
+    SELECT CAST(least(greatest(floor(o_totalprice / 50000), 0), 9) AS BIGINT)
+             AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def t1_histogram(spark, sf_dir):
+    """Equi-width histogram (width_bucket semantics, clamped edges) of
+    order totals.  floor of a double division is bit-identical across
+    engines; min/max need no summation so no decimal cast.
+
+    Scale: a 10-bucket groupBy is a pure map-side partial aggregation —
+    the shuffle moves ≤ 10 rows per task regardless of table size."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / 50000), F.lit(0)), F.lit(9)
+    )
+    return (
+        o.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "t1_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def t1_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form behind rollup/cube, which
+    t1_rollup/t1_cube already cover) with grouping() flags
+    disambiguating aggregated NULLs from data NULLs.  Spark's SQL front
+    end plans this as a single Expand + one aggregation — one scan for
+    all three grains.  Decimal sum for cross-engine exactness."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__gs_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                 AS sum_qty,
+               count(*) AS n
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "t1_stat_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS corr_qty_price,
+           round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6)
+             AS stddev_qty
+    FROM m
+    """,
+)
+def t1_stat_moments(spark, sf_dir):
+    """Correlation and sample stddev from EXACT decimal moments.  Naive
+    corr()/stddev() sum doubles in engine-specific order, so results
+    differ in the last bits across engines; summing decimals instead is
+    exact and associative (safe under any shuffle order), then the
+    closed-form combination runs in IEEE doubles identically on both
+    sides.  This is also the scale-correct plan: each moment is a
+    map-side partial aggregate, one shuffle on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(19,4)")
+    price = F.col("l_extendedprice").cast("decimal(19,4)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(price * price).cast("double").alias("syy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr_qty_price"),
+        F.round(
+            F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * (n - 1.0))),
+            6,
+        ).alias("stddev_qty"),
+    )
+
+
+@register(
+    "t1_dedup_keep_canonical",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def t1_dedup_keep_canonical(spark, sf_dir):
+    """Exact dedup with a canonical-survivor policy: among docs with
+    identical text (md5 group), keep the longest, tie-broken by lowest
+    doc_id — the priority-pick form every training-data dedup needs
+    (t1_dedup_exact keeps an arbitrary row; this keeps a DEFINED one).
+
+    Scale: one shuffle on the 128-bit text hash (uniform by
+    construction, no skew); row_number state is one counter per group."""
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@register(
+    "t1_bfs_levels",
+    oracle="""
+    WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b
+                FROM lineitem),
+    e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    l0 AS (SELECT DISTINCT 's' || s_suppkey AS node FROM supplier
+           WHERE s_suppkey <= 10),
+    l1 AS (SELECT DISTINCT e.b AS node FROM e JOIN l0 ON e.a = l0.node
+           WHERE e.b NOT IN (SELECT node FROM l0)),
+    l2 AS (SELECT DISTINCT e.b AS node FROM e JOIN l1 ON e.a = l1.node
+           WHERE e.b NOT IN (SELECT node FROM l0)
+             AND e.b NOT IN (SELECT node FROM l1)),
+    l3 AS (SELECT DISTINCT e.b AS node FROM e JOIN l2 ON e.a = l2.node
+           WHERE e.b NOT IN (SELECT node FROM l0)
+             AND e.b NOT IN (SELECT node FROM l1)
+             AND e.b NOT IN (SELECT node FROM l2))
+    SELECT node, 0 AS level FROM l0
+    UNION ALL SELECT node, 1 FROM l1
+    UNION ALL SELECT node, 2 FROM l2
+    UNION ALL SELECT node, 3 FROM l3
+    """,
+)
+def t1_bfs_levels(spark, sf_dir):
+    """Iterative BFS over the supplier↔part bipartite graph (edges =
+    distinct lineitem pairs), 3 hops from suppliers 1..10.  Frontier
+    expansion + anti-join against visited gives min-hop levels with
+    integer-only arithmetic.  The oracle unrolls the same three rounds
+    as CTEs.  See operators/graph.bfs_levels for the scale argument
+    (per-round shuffles touch the frontier, never the full edge set)."""
+    from ght2dm_spark.operators.graph import bfs_levels
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 10)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+    )
+    out = bfs_levels(edges, seeds, max_level=3)
+    return out.select("node", F.col("level").cast("int").alias("level"))
