@@ -90,3 +90,34 @@ def or_lookup(
         picked.append(F.col(f"__p{i}"))
     out = out.withColumn(payload, F.coalesce(*picked))
     return out.drop(*[f"__p{i}" for i in range(len(key_pairs))])
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi join: salt the fact side's key into ``n_salt``
+    sub-keys and replicate the (smaller) ``dim`` side once per salt, so a
+    hot key's rows spread over ``n_salt`` reducers instead of one.
+
+    Result is row-identical to ``fact.join(dim, key, how)`` — salting only
+    reshapes the shuffle.  Use when AQE's skew-join splitting can't help
+    (e.g. the skew is in the build of a shuffle-hash join, or a stable
+    partitioning must be preserved).  The dim side is replicated
+    ``n_salt``× — keep it the bounded side.  Salt comes from a uniform
+    hash of the whole fact row's key ``xxhash64(key, monotonic part)``:
+    we use ``spark_partition_id`` + a per-row hash so rows of one hot key
+    land on distinct salts deterministically within a run.
+    """
+    salt = (F.xxhash64(F.col(key), F.spark_partition_id()) % n_salt + n_salt) % n_salt
+    f = fact.withColumn("__salt", salt.cast("int"))
+    d = dim.crossJoin(
+        F.broadcast(
+            fact.sparkSession.range(n_salt).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = f.join(d, [key, "__salt"], how)
+    return out.drop("__salt")
