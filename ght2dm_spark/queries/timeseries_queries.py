@@ -1,0 +1,116 @@
+"""Time-series completion and null-semantics shapes: minute-spine gap
+filling with zero-fill and forward-fill (the resample/ffill idiom), and
+null-safe equality joins.
+
+Gap filling is the standard pre-step before windowed models consume a
+metric stream (missing minutes must exist as rows); null-safe equality
+is the join semantics the reference's zero-value policy (SURVEY §1.3)
+implies when absent keys are represented as NULL on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.queries.registry import register
+
+
+@register(
+    "t1_null_safe_join",
+    oracle="""
+    WITH l AS (SELECT doc_id, nullif(lang, 'de') AS k FROM documents),
+    r AS (SELECT DISTINCT nullif(lang, 'de') AS k, coalesce(lang, '?') AS tag
+          FROM documents)
+    SELECT l.k, r.tag, count(*) AS n
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k, r.tag
+    """,
+)
+def t1_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys instead of dropping out — the semantics required
+    when a sentinel ("no value") must join to its own dimension row.
+    One lang is nulled on both sides to prove NULL↔NULL pairs survive.
+
+    Scale: <=> is hash-joinable in Catalyst (NULL hashes to a bucket
+    like any value) — the plan stays a broadcast/SMJ equi join, never a
+    nested loop; but ALL null-key rows land in ONE reducer, so a mostly-
+    null key needs the salted_join fallback."""
+    d = load_table(spark, sf_dir, "documents")
+    left = d.select("doc_id", F.nullif("lang", F.lit("de")).alias("k"))
+    right = (
+        d.select(
+            F.nullif("lang", F.lit("de")).alias("k"),
+            F.coalesce("lang", F.lit("?")).alias("tag"),
+        )
+        .distinct()
+    )
+    return (
+        left.join(right, left.k.eqNullSafe(right.k))
+        .groupBy(left.k, right.tag)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(left.k.alias("k"), "tag", "n")
+    )
+
+
+@register(
+    "t1_time_gapfill",
+    oracle="""
+    WITH e AS (SELECT ts, value FROM events WHERE ts < TIMESTAMP '2024-01-02'),
+    b AS (SELECT date_trunc('minute', min(ts)) AS lo,
+                 date_trunc('minute', max(ts)) AS hi FROM e),
+    spine AS (SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 MINUTE))
+                AS minute FROM b),
+    m AS (SELECT date_trunc('minute', ts) AS minute, count(*) AS n_raw,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+          FROM e GROUP BY 1)
+    SELECT s.minute, coalesce(m.n_raw, 0) AS n,
+           round(last_value(m.v IGNORE NULLS)
+                   OVER (ORDER BY s.minute
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS v_ff
+    FROM spine s LEFT JOIN m ON s.minute = m.minute
+    """,
+)
+def t1_time_gapfill(spark, sf_dir):
+    """Resample-to-minutes with gap filling: a generated minute spine
+    (sequence + explode) left-joins the per-minute aggregate; missing
+    minutes get count 0 and a forward-filled value (last non-null —
+    pandas ffill) via last(..., ignorenulls=True) over a running frame.
+
+    Scale: the spine is generated, never scanned (rows = time range ÷
+    grain, independent of event volume).  The single global window here
+    is the one-series demo form; the production form partitions the
+    window (and the spine) by series key, so state is one running value
+    per series.  Filtered to one day to keep the demo spine bounded."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        .select("ts", "value")
+    )
+    m = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("lo"),
+        F.date_trunc("minute", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 minute"))
+        ).alias("minute")
+    )
+    w = Window.orderBy("minute").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(m, "minute", "left")
+        .select(
+            "minute",
+            F.coalesce("n_raw", F.lit(0)).alias("n"),
+            F.round(F.last("v", ignorenulls=True).over(w), 2).alias("v_ff"),
+        )
+    )

@@ -119,3 +119,23 @@ def test_parquet_codec_option(spark, sf_dir, tmp_path):
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert files and all("zstd" in f for f in files)
     assert spark.read.parquet(out).count() == 5
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC interchange (the other columnar format Spark ships a native
+    vectorized reader for): schema-declared write+read round-trips values
+    and, like parquet, pushes filters to the scan."""
+    from ght2dm_spark.io import read_table_fmt
+
+    n = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_orc")
+    write_table(n, out, fmt="orc")
+    back = read_table_fmt(spark, out, n.schema, fmt="orc")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+    plan = (
+        back.filter(F.col("n_nationkey") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in plan
