@@ -85,10 +85,14 @@ def bfs_levels(
     and caches break lineage growth so round N's plan does not replay
     rounds 1..N-1.
     """
+    # Materialize the deduped bidirectional edge list ONCE — every round
+    # joins it, and without the cache each round would replay the
+    # union+distinct over the raw edges.
     both = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .cache()
     )
     frontier = seeds.select(F.col(node_col).alias("node")).distinct().cache()
     visited = frontier.withColumn("level", F.lit(0)).cache()
@@ -112,4 +116,5 @@ def bfs_levels(
         frontier.unpersist()
         visited = new_visited
         frontier = nxt.select("node")
+    both.unpersist()
     return visited
