@@ -53,6 +53,8 @@ HEADLINE = [
     "t1_salted_join",
     "t1_pii_scrub",
     "t1_lang_balance_sample",
+    "t1_doc_chunking",
+    "t1_token_budget_pack",
 ]
 
 
