@@ -1,0 +1,92 @@
+"""Plan lint: every declared query's physical plan is swept for scale
+hazards.  This enforces SCALING.md mechanically — a query that would
+melt down at 100 TB because of an accidental cartesian product,
+nested-loop join, or single-partition window fails CI here, not in
+production.
+
+Hazards and their allowlists (each allowlisted query documents WHY the
+shape is intentional in its docstring / SCALING.md §"Known
+local-mode-only shapes"):
+
+- CartesianProduct / BroadcastNestedLoopJoin: only legitimate for
+  joining a 1-row aggregate (scalar subquery decorrelation) or a tiny
+  generated frame onto another frame.
+- Unpartitioned WindowExec ("Window ... ORDER BY" with no PARTITION BY
+  shuffles ALL rows to one task): only legitimate for bounded frames
+  (post-agg scalars, a one-day minute spine, small per-query rankings).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ght2dm_spark.queries import QUERIES
+
+# Queries whose plan legitimately contains a cross/nested-loop join:
+# every entry joins a ≤1-row (or constant-size) frame, never two facts.
+CROSS_OK = {
+    "t1_event_funnel",  # three 1-row counts cross-joined into one row
+    "q2_min_acctbal_supplier",  # scalar MIN subquery broadcast
+    "q8_market_share",  # scalar year-total frame
+    "q11_important_parts",  # scalar global-agg threshold
+    "q14_promo_effect",  # ratio of two 1-row aggregates
+    "q15_top_supplier",  # scalar MAX revenue frame
+    "q17_small_quantity",  # decorrelated per-part avg (broadcast)
+    "q22_dormant_customers",  # scalar AVG acctbal
+    "t1_train_test_split",  # 2-row label frame
+    "t1_lang_balance_sample",  # 1-row quota frame
+    "t1_time_gapfill",  # bounds frame (1 row) feeding sequence()
+    "t1_profile_table",  # per-column scalar stats assembled crosswise
+    "t1_salted_join",  # deliberate: dim × 8-row salt spine replication
+    "t1_ann_bruteforce_topk",  # deliberate brute-force baseline (query×corpus)
+    "t1_embedding_neardup",  # bucketed pairs; tiny bucket self-pairs
+    "t1_ann_ivf_topk",  # vectors × K centroids (K bounded), queries × probes
+    "t1_tfidf_top_terms",  # 1-row corpus-size frame for the IDF term
+}
+
+# Queries whose plan legitimately contains an unpartitioned ORDERED
+# window (single-task sort): both are bounded-input demos documented in
+# SCALING.md §"Known local-mode-only shapes".
+GLOBAL_WINDOW_OK = {
+    "t1_window_range_frame",  # frame-semantics demo over one table
+    "t1_time_gapfill",  # 1440-row minute spine forward fill (one series)
+}
+
+# Streaming queries drive a memory sink; their final plan is the sink
+# table scan, so linting the batch plan is meaningless.
+SKIP = {name for name in QUERIES if name.startswith("t1_stream_")}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_has_no_scale_hazards(name, spark, sf_dir):
+    if name in SKIP:
+        pytest.skip("streaming sink plan")
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    if name not in CROSS_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join (non-equi or missing join keys?)"
+        )
+    if name not in GLOBAL_WINDOW_OK:
+        # An unpartitioned window shows as "Window [...], [col ASC ...]"
+        # with no partition spec — detect via WindowExec lines lacking a
+        # partitionBy clause marker.  Spark prints:
+        #   Window [f() windowspecdefinition(part, ord ASC, ...)], [part], [ord]
+        # vs unpartitioned:
+        #   Window [f() windowspecdefinition(ord ASC, ...)], [ord]
+        for line in plan.splitlines():
+            s = line.strip().lstrip("+-*( ").rstrip()
+            if s.startswith("Window ") or s.startswith("RunningWindowFunction"):
+                # Spark prints: Window [funcs], [partition], [order]  (both)
+                #               Window [funcs], [partition]           (part only)
+                #               Window [funcs], [order ASC/DESC ...]  (GLOBAL: bad)
+                # A partition-only window is parallel (no global sort); the
+                # hazard is exactly one trailing list that is an ORDER spec.
+                if s.count("], [") == 1 and (" ASC" in s.rsplit("], [", 1)[1]
+                                             or " DESC" in s.rsplit("], [", 1)[1]):
+                    raise AssertionError(
+                        f"{name}: unpartitioned ordered window → "
+                        f"single-task shuffle:\n{s}"
+                    )
