@@ -100,3 +100,62 @@ def test_keep_extremal_matches_model(spark, rows):
             if a == mx_a and b == mn_b:
                 expect.add((k, a, b, v))
     assert got == expect
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(edges=edges_strategy, seeds=st.sets(st.integers(0, 12), min_size=1, max_size=3))
+@_slow
+def test_bfs_levels_matches_model(spark, edges, seeds):
+    from ght2dm_spark.operators.graph import bfs_levels
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        (r["node"], r["level"])
+        for r in bfs_levels(edf, sdf, max_level=4).collect()
+    }
+    # model: textbook frontier BFS over the undirected adjacency
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    level = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for lvl in range(1, 5):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in level:
+                    level[m] = lvl
+                    nxt.add(m)
+        frontier = nxt
+    assert {(n, lv) for n, lv in level.items()} == got
+
+
+@given(
+    fact=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-50, 50)), min_size=1, max_size=40
+    ),
+    dim=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 9)), min_size=1, max_size=8
+    ),
+)
+@_slow
+def test_salted_join_equals_plain_join(spark, fact, dim):
+    from ght2dm_spark.operators.joins import salted_join
+
+    # unique dim keys (the operator contract: dim is a dimension)
+    dim = list({k: (k, t) for k, t in dim}.values())
+    f = spark.createDataFrame(fact, "k long, v long")
+    d = spark.createDataFrame(dim, "k long, tag long")
+    got = sorted(
+        map(tuple, salted_join(f, d, "k", n_salt=4).select("k", "v", "tag").collect())
+    )
+    expect = sorted(map(tuple, f.join(d, "k").select("k", "v", "tag").collect()))
+    assert got == expect
