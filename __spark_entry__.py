@@ -23,8 +23,12 @@ from ght2dm_spark.queries import ORACLE, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The corpus-build pipeline composes the engine's identity stages
+    (quality filter → exact dedup → PII scrub → chunking → manifest)
+    into one job — the broadest single smoke check the registry has."""
+    return QUERIES["t1_corpus_build_pipeline"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -55,6 +55,8 @@ HEADLINE = [
     "t1_lang_balance_sample",
     "t1_doc_chunking",
     "t1_token_budget_pack",
+    "t1_contamination_check",
+    "t1_corpus_build_pipeline",
 ]
 
 
