@@ -95,26 +95,30 @@ def bfs_levels(
         .cache()
     )
     frontier = seeds.select(F.col(node_col).alias("node")).distinct().cache()
-    visited = frontier.withColumn("level", F.lit(0)).cache()
-    visited.count()
+    frontier.count()
+    # One cached frame per level; the anti-join unions them lazily (each
+    # is already materialized) so a round costs ONE action, not two.
+    levels = [frontier.withColumn("level", F.lit(0))]
 
     for lvl in range(1, max_level + 1):
+        seen = levels[0].select("node")
+        for prior in levels[1:]:
+            seen = seen.unionByName(prior.select("node"))
         nxt = (
             both.join(frontier, both.a == F.col("node"))
             .select(F.col("b").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(seen, "node", "left_anti")
             .withColumn("level", F.lit(lvl))
             .cache()
         )
         if nxt.count() == 0:
             nxt.unpersist()
             break
-        new_visited = visited.unionByName(nxt).cache()
-        new_visited.count()
-        visited.unpersist()
-        frontier.unpersist()
-        visited = new_visited
+        levels.append(nxt)
         frontier = nxt.select("node")
+    out = levels[0]
+    for prior in levels[1:]:
+        out = out.unionByName(prior)
     both.unpersist()
-    return visited
+    return out
