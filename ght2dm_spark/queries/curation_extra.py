@@ -100,3 +100,111 @@ def t1_explode_outer(spark, sf_dir):
         F.regexp_extract_all("text", F.lit("[0-9]{3,}"), 0).alias("nums"),
     )
     return m.select("doc_id", F.explode_outer("nums").alias("num"))
+
+
+@register(
+    "t1_repetition_ratio",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1])
+                 ELSE [] END AS grams
+          FROM t)
+    SELECT doc_id,
+           CAST(len(grams) AS INTEGER) AS n_bigrams,
+           round(CASE WHEN len(grams) > 0 THEN
+                   1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                 END, 6) AS rep_ratio
+    FROM g
+    """,
+)
+def t1_repetition_ratio(spark, sf_dir):
+    """Repetition ratio (Gopher-style quality rule): fraction of
+    duplicate word bigrams per document — high values flag boilerplate
+    and spam.  Pure integer counts divided once at the end; rounds only
+    guard the division's last bit.
+
+    Scale: narrow map (tokenize → bigram transform → distinct count
+    inside the array) — no shuffle, no explode; the per-row arrays live
+    only inside the projection."""
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks")
+    )
+    grams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", grams.alias("grams"))
+    return g.select(
+        "doc_id",
+        F.size("grams").alias("n_bigrams"),
+        F.round(
+            F.when(
+                F.size("grams") > 0,
+                1.0
+                - F.size(F.array_distinct("grams")).cast("double")
+                / F.size("grams"),
+            ),
+            6,
+        ).alias("rep_ratio"),
+    )
+
+
+@register(
+    "t1_char_entropy",
+    oracle="""
+    WITH c AS (SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS ch
+               FROM documents WHERE length(text) > 0),
+    f AS (SELECT doc_id, ch, count(*) AS n FROM c WHERE ch <> ''
+          GROUP BY doc_id, ch),
+    tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS total FROM f
+            GROUP BY doc_id),
+    term AS (SELECT f.doc_id,
+                    CAST(round(
+                      -(CAST(f.n AS DOUBLE) / tot.total)
+                        * log2(CAST(f.n AS DOUBLE) / tot.total), 9)
+                      AS DECIMAL(18,9)) AS t
+             FROM f JOIN tot ON f.doc_id = tot.doc_id)
+    SELECT doc_id, round(CAST(sum(t) AS DOUBLE), 6) AS entropy
+    FROM term GROUP BY doc_id
+    """,
+)
+def t1_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the gibberish/
+    natural-text discriminator in quality pipelines (random strings ≈ 4+
+    bits, english ≈ 2.5-3).  Each -p·log2(p) term is computed in IEEE
+    doubles (identical on both engines), rounded to 9 digits, then
+    summed as DECIMAL so shuffle order can't perturb the total — the
+    same exact-moment discipline as t1_stat_moments.
+
+    Scale: explode-by-character inflates rows ×n_chars but each row is
+    tiny; the (doc, char) aggregation is one shuffle with heavy map-side
+    partial aggregation (≤ alphabet-size rows per doc per task).  The
+    production alternative is a pandas_udf computing entropy per row
+    with numpy — fewer rows moved, Python cost instead; both are
+    provided (see t1_pandas_udf_scalar for the Arrow path)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    c = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    f = c.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = f.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    term = f.join(tot, "doc_id").select(
+        "doc_id",
+        F.round(-p * F.log2(p), 9).cast("decimal(18,9)").alias("t"),
+    )
+    return term.groupBy("doc_id").agg(
+        F.round(F.sum("t").cast("double"), 6).alias("entropy")
+    )
