@@ -114,3 +114,81 @@ def t1_time_gapfill(spark, sf_dir):
             F.round(F.last("v", ignorenulls=True).over(w), 2).alias("v_ff"),
         )
     )
+
+
+@register(
+    "t1_time_gapfill_series",
+    oracle="""
+    WITH e AS (SELECT event_type, ts, value FROM events
+               WHERE ts < TIMESTAMP '2024-01-02'),
+    b AS (SELECT event_type,
+                 date_trunc('minute', min(ts)) AS lo,
+                 date_trunc('minute', max(ts)) AS hi
+          FROM e GROUP BY event_type),
+    spine AS (SELECT event_type,
+                     unnest(generate_series(lo, hi, INTERVAL 1 MINUTE))
+                       AS minute
+              FROM b),
+    m AS (SELECT event_type, date_trunc('minute', ts) AS minute,
+                 count(*) AS n_raw,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+          FROM e GROUP BY 1, 2)
+    SELECT s.event_type, s.minute, coalesce(m.n_raw, 0) AS n,
+           round(last_value(m.v IGNORE NULLS)
+                   OVER (PARTITION BY s.event_type ORDER BY s.minute
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS v_ff
+    FROM spine s
+    LEFT JOIN m ON s.event_type = m.event_type AND s.minute = m.minute
+    """,
+)
+def t1_time_gapfill_series(spark, sf_dir):
+    """Per-series gap filling — the production form of t1_time_gapfill:
+    each series (event_type) gets its OWN minute spine spanning its own
+    [min, max] range, and forward-fill runs per series.
+
+    Scale: this is the shape that survives 100 TB where the global
+    variant does not.  The spine is generated per series key from a tiny
+    per-key bounds aggregate (|series| rows), so spine size is
+    |series| × range ÷ grain — never proportional to event volume.  The
+    spine-to-aggregate join and the forward-fill window share the same
+    (series, minute) hash partitioning, so Catalyst plans one shuffle
+    for the join and one sort per partition for the window; window state
+    is one running value per series, and series are spread across
+    executors instead of the single-reducer global window (flagged by
+    plan-lint on the demo variant)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        .select("event_type", "ts", "value")
+    )
+    m = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("minute", F.min("ts")).alias("lo"),
+        F.date_trunc("minute", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 minute"))
+        ).alias("minute"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(m, ["event_type", "minute"], "left")
+        .select(
+            "event_type",
+            "minute",
+            F.coalesce("n_raw", F.lit(0)).alias("n"),
+            F.round(F.last("v", ignorenulls=True).over(w), 2).alias("v_ff"),
+        )
+    )
