@@ -244,3 +244,105 @@ def t1_simhash(spark, sf_dir):
     banding machinery as MinHash LSH)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash64(d, "doc_id", "text")
+
+
+# Span-level exact dedup: consecutive SPAN-token segments stand in for
+# "lines" (the synthetic corpus has no newlines); a segment present in
+# >= LINE_DEDUP_DF distinct documents is treated as boilerplate.
+LINE_SPAN = 3
+LINE_DEDUP_DF = 5
+
+
+@register(
+    "t1_line_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) > 0 THEN
+                   list_transform(
+                     range(CAST(ceil(len(toks) / {LINE_SPAN}.0) AS BIGINT)),
+                     i -> array_to_string(
+                       toks[(i*{LINE_SPAN}+1):(i*{LINE_SPAN}+{LINE_SPAN})],
+                       ' '))
+                 ELSE [] END AS segs
+          FROM t),
+    s AS (SELECT doc_id, i AS pos, segs[i+1] AS seg
+          FROM g, unnest(range(len(segs))) AS u(i)),
+    bad AS (SELECT seg FROM s
+            GROUP BY seg HAVING count(DISTINCT doc_id) >= {LINE_DEDUP_DF}),
+    k AS (SELECT s.doc_id, s.pos, s.seg
+          FROM s ANTI JOIN bad USING (seg)),
+    r AS (SELECT doc_id, count(*) AS n_kept,
+                 md5(string_agg(seg, ' ' ORDER BY pos)) AS scrub_md5
+          FROM k GROUP BY doc_id)
+    SELECT g.doc_id, CAST(len(g.segs) AS INTEGER) AS n_segs,
+           CAST(coalesce(r.n_kept, 0) AS INTEGER) AS n_kept,
+           coalesce(r.scrub_md5, md5('')) AS scrub_md5
+    FROM g LEFT JOIN r USING (doc_id)
+    """,
+)
+def t1_line_dedup(spark, sf_dir):
+    """Corpus-wide exact line dedup (RefinedWeb/C4-style boilerplate
+    removal): every document is segmented into consecutive 3-token
+    spans ("lines" — the synthetic corpus has no newlines), spans that
+    occur in >= 5 distinct documents are declared boilerplate, and each
+    document is reassembled without them.  Output pins the scrubbed
+    text byte-exactly via md5 plus kept/total span counts.
+
+    Scale: the heavy-hitter span set is tiny relative to the corpus
+    (bounded by spans repeated across >= DF docs), so removal is a
+    BROADCAST anti-join against exploded spans — no shuffle of the
+    corpus for the filter.  The span frequency count and the per-doc
+    reassembly are the two real shuffles; reassembly sorts spans by
+    position inside the aggregated array (array_sort on (pos, seg)
+    structs), never a global orderBy.  At 100 TB the frequency agg
+    benefits from partial map-side counting (distinct doc_ids per span
+    approximated per task before the merge)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    nseg = F.ceil(F.size("toks") / LINE_SPAN).cast("int")
+    segs = F.when(
+        F.size("toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.array_join(
+                F.slice("toks", i * LINE_SPAN + 1, LINE_SPAN), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id", segs.alias("segs")
+    )
+    s = g.select("doc_id", F.posexplode("segs").alias("pos", "seg"))
+    bad = (
+        s.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= LINE_DEDUP_DF)
+        .select("seg")
+    )
+    kept = s.join(F.broadcast(bad), "seg", "left_anti")
+    r = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            )
+        ).alias("scrub_md5"),
+    )
+    return (
+        g.select("doc_id", F.size("segs").alias("n_segs"))
+        .join(r, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("scrub_md5", F.md5(F.lit(""))).alias("scrub_md5"),
+        )
+    )
