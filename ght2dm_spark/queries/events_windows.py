@@ -168,3 +168,72 @@ def t1_stream_dedup(spark, sf_dir):
     s2 = read_events_stream(spark, sf_dir).select("event_id", "user_id")
     deduped = s1.union(s2).dropDuplicates(["event_id"])
     return run_to_completion(deduped, output_mode="append")
+
+
+@register(
+    "t1_stream_session_append",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= 14400
+                    THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    ),
+    g AS (
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 4 HOUR AS session_end,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_value
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT * FROM g
+    WHERE session_end <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
+    """,
+)
+def t1_stream_session_append(spark, sf_dir):
+    """Streaming sessionization in APPEND mode: per-user 4-hour-gap
+    session windows over readStream, 30-minute watermark, AvailableNow.
+    Unlike the complete-mode aggs, append emits each session exactly
+    once, when the watermark passes its end — the production shape for
+    an unbounded session feed (state is evicted as sessions finalize,
+    so state size tracks the number of OPEN sessions, not history).
+
+    Sessions ending within the final watermark horizon (max event time −
+    30 min) are still open in state at shutdown and are NOT emitted; the
+    oracle applies the same cutoff to the gaps-and-islands rewrite.
+    Boundary note: Spark tracks the watermark at millisecond precision
+    while the oracle keeps micros — a session ending inside that sub-ms
+    sliver could differ, but event times here never tie the cutoff.
+
+    Scale: each micro-batch shuffles only its delta on user_id; the
+    state store holds one (start, end, partial agg) per open session,
+    merged via the session-window state format — no per-event state."""
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = (
+        stream.groupBy(F.session_window("ts", "4 hours").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_tv"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+    )
+    return run_to_completion(agg, output_mode="append")
