@@ -3,9 +3,17 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query is executed once, cold (no cache reuse between queries), timed
-to completion of its action.  A tiny warmup job first amortizes JVM/codegen
-class-loading so per-query numbers measure the plan, not the JIT.
+Each query is executed $SPARK_GRAFT_BENCH_REPS times (default 3) with no
+cache reuse between queries; the reported per-query number is the MEDIAN
+rep, so one GC pause or compilation stall can't skew a query's score.  A
+warmup pass at the smallest SF first amortizes JVM/codegen class-loading
+so per-query numbers measure the plan, not the JIT.
+
+Note on caching: queries that explicitly .cache() an intermediate (e.g.
+the BFS edge set) hit Spark's CacheManager on later reps (plans are
+matched canonically, not by object), so their median is the steady-state
+resident-pipeline cost, not the cold-scan cost — the cold cost is visible
+in each query's rep-1 sample on stderr.
 """
 
 from __future__ import annotations
@@ -13,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -57,6 +66,10 @@ HEADLINE = [
     "t1_token_budget_pack",
     "t1_contamination_check",
     "t1_corpus_build_pipeline",
+    "t1_line_dedup",
+    "t1_time_gapfill_series",
+    "t1_repetition_ratio",
+    "t1_char_entropy",
 ]
 
 
@@ -76,15 +89,23 @@ def main() -> None:
     else:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+        print(
+            f"# {name}: p50 {timings[name]:.3f}s of "
+            f"{[round(s, 3) for s in samples]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     print(
