@@ -163,3 +163,88 @@ def t1_text_fingerprint(spark, sf_dir):
         content_fingerprint("text").alias("content_fp"),
         rolling_min_fingerprint("text", 8).alias("rolling_fp"),
     )
+
+
+@register(
+    "t1_token_pmi",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_sort(list_distinct(list_filter(
+                        regexp_split_to_array(lower(text), '\\s+'),
+                        x -> x <> ''))) AS toks
+               FROM documents),
+    p AS (SELECT ta.tok AS a, tb.tok AS b
+          FROM t, unnest(toks) AS ta(tok), unnest(toks) AS tb(tok)
+          WHERE ta.tok < tb.tok),
+    c AS (SELECT a, b, count(*) AS cab FROM p
+          GROUP BY a, b HAVING count(*) >= 50),
+    u AS (SELECT tok, count(*) AS df
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY tok),
+    n AS (SELECT count(*) AS nd FROM t)
+    SELECT c.a, c.b, CAST(c.cab AS INTEGER) AS n_ab,
+           round(log2(CAST(c.cab * n.nd AS DOUBLE) / (ua.df * ub.df)), 6)
+             AS pmi
+    FROM c JOIN u ua ON c.a = ua.tok JOIN u ub ON c.b = ub.tok, n
+    """,
+)
+def t1_token_pmi(spark, sf_dir):
+    """Document-level pointwise mutual information between token pairs:
+    PMI(a,b) = log2(N·df(a,b) / (df(a)·df(b))) over distinct tokens per
+    doc, keeping pairs co-occurring in >= 50 docs.
+
+    Scale: pair generation is an ARRAY COMPREHENSION inside the row
+    (sorted distinct tokens → upper-triangle pairs via indexed
+    transform + flatten), NOT a corpus self-join — the classic
+    co-occurrence shape that dies at scale is the |tokens|² shuffle
+    join; here pairs explode from each doc locally and hit one
+    count shuffle.  The unigram document-frequency table is vocabulary-
+    sized, so both PMI denominator lookups are broadcast joins; the
+    corpus-size scalar N rides along as a broadcast single-row cross
+    join, never a collect."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_sort(
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        )
+    )
+    t = d.select("doc_id", toks.alias("toks"))
+    pairs = F.flatten(
+        F.transform(
+            "toks",
+            lambda x, i: F.transform(
+                F.slice("toks", i + 2, F.size("toks")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    p = t.select(F.explode(pairs).alias("pr")).select("pr.a", "pr.b")
+    c = (
+        p.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 50)
+    )
+    u = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = t.agg(F.count(F.lit(1)).alias("nd"))
+    ua = u.select(F.col("tok").alias("a"), F.col("df").alias("df_a"))
+    ub = u.select(F.col("tok").alias("b"), F.col("df").alias("df_b"))
+    return (
+        c.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            F.col("cab").cast("int").alias("n_ab"),
+            F.round(
+                F.log2(
+                    (F.col("cab") * F.col("nd")).cast("double")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
