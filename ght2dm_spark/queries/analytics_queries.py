@@ -114,3 +114,44 @@ def t1_window_distribution(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@register(
+    "t1_markov_transitions",
+    oracle="""
+    WITH o AS (SELECT user_id, event_type AS cur,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+               FROM events),
+    c AS (SELECT cur, nxt, count(*) AS n FROM o
+          WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+    t AS (SELECT cur, sum(n) AS total FROM c GROUP BY cur)
+    SELECT c.cur, c.nxt, CAST(c.n AS INTEGER) AS n,
+           round(CAST(c.n AS DOUBLE) / t.total, 6) AS p
+    FROM c JOIN t ON c.cur = t.cur
+    """,
+)
+def t1_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of event types per user
+    stream: P(next | current) from lead() pairs, ties broken by
+    event_id so both engines see the same successor.
+
+    Scale: one shuffle on user_id for the lead() window (per-user sort,
+    users spread across executors), then a transition count whose
+    cardinality is |event_type|² — tiny — so the probability join is a
+    broadcast.  The classic sequence-mining shape: per-entity ordering
+    work distributes, global state is the small transition table."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = o.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("cur").agg(F.sum("n").alias("total"))
+    return c.join(F.broadcast(t), "cur").select(
+        "cur",
+        "nxt",
+        F.col("n").cast("int").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
+    )
