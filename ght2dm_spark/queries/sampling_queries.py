@@ -83,3 +83,44 @@ def t1_stratified_sample(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_UBUCKET = f"({hex2int_sql('md5(CAST(user_id AS VARCHAR))', 1, 8)} % 100)"
+
+
+@register(
+    "t1_group_split",
+    oracle=f"""
+    WITH s AS (SELECT CASE WHEN {_UBUCKET} < 10 THEN 'test' ELSE 'train' END
+                        AS split,
+                      user_id, value
+               FROM events)
+    SELECT split, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s GROUP BY split
+    """,
+)
+def t1_group_split(spark, sf_dir):
+    """GROUP-aware train/test split: the split is a pure function of
+    user_id, so ALL of a user's events land in one split — the entity-
+    leakage control a row-level split (t1_train_test_split) cannot give
+    when rows of one entity are correlated (a user's test events must
+    not have train siblings).
+
+    Scale: the split label is a map-side expression (md5 of the group
+    key) — no shuffle, no RNG, no group materialization; the only
+    shuffle is the verification aggregate.  Any keyed entity (user,
+    domain, repository) slots in as the group key."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        train_test_split(ev, F.col("user_id"), 10)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
