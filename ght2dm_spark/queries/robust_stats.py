@@ -1,0 +1,133 @@
+"""Robust statistics for data curation: per-group winsorization bounds
+and rolling z-score anomaly flagging — the outlier-control pre-steps a
+metrics/feature pipeline applies before aggregates or model training
+consume a value column.
+
+Exact-match discipline: percentile bounds follow the
+t1_percentile_exact precedent (Spark ``percentile`` ≡ DuckDB
+``quantile_cont``, rounded in the output only); rolling moments are
+accumulated as DECIMAL sums (order-independent) and only the final
+mean/σ/z arithmetic runs in IEEE doubles, identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.queries.registry import register
+
+
+@register(
+    "t1_winsorize_bounds",
+    oracle="""
+    WITH b AS (SELECT event_type,
+                      quantile_cont(value, 0.05) AS lo,
+                      quantile_cont(value, 0.95) AS hi
+               FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           round(b.lo, 6) AS lo,
+           round(b.hi, 6) AS hi,
+           count(*) AS n,
+           count(*) FILTER (e.value < b.lo) AS n_below,
+           count(*) FILTER (e.value > b.hi) AS n_above
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.lo, b.hi
+    """,
+)
+def t1_winsorize_bounds(spark, sf_dir):
+    """Winsorization audit per event_type: exact p05/p95 clip bounds and
+    how many values each tail would clamp — the compute-stats /
+    broadcast-back / apply pattern for outlier control.
+
+    Scale: the bounds table is |event_type| rows, so the apply join is a
+    BROADCAST against the fact scan — the expensive part is the exact
+    per-group percentile (per-group sort), whose 100 TB path is the
+    approx_percentile sketch (t1_approx_aggs); this exact form is the
+    correctness anchor, same split as t1_percentile_exact."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("value") < F.col("lo")).alias("n_below"),
+            F.count_if(F.col("value") > F.col("hi")).alias("n_above"),
+        )
+        .select(
+            "event_type",
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+            "n",
+            "n_below",
+            "n_above",
+        )
+    )
+
+
+@register(
+    "t1_rolling_zscore",
+    oracle="""
+    WITH w AS (
+        SELECT event_id, user_id, ts, value,
+               count(*) OVER win AS n,
+               CAST(sum(CAST(value AS DECIMAL(19,2))) OVER win AS DOUBLE)
+                 AS s1,
+               CAST(sum(CAST(value AS DECIMAL(19,2))
+                        * CAST(value AS DECIMAL(19,2))) OVER win AS DOUBLE)
+                 AS s2
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts,
+           round((value - s1 / n)
+                   / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+    FROM w
+    WHERE n = 20
+      AND abs((value - s1 / n)
+                / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 2.5
+    """,
+)
+def t1_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flags: each event scored against the
+    trailing 20 events of its own user stream; |z| > 2.5 over a full
+    window flags the row.  Moments come from DECIMAL sums of value and
+    value² over the frame (exact, order-independent); mean/σ/z then run
+    the identical IEEE double expression on both engines, so round(6)
+    only guards the last bit.
+
+    Scale: one shuffle on user_id, per-user sort, single window pass
+    computing all three frame aggregates together; state per task is
+    the 20-row frame.  No self-join against a shifted copy — the
+    classic O(n·w) rolling-stats mistake."""
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    vdec = F.col("value").cast("decimal(19,2)")
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum(vdec).over(win).cast("double").alias("s1"),
+        F.sum(vdec * vdec).over(win).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        w.filter((F.col("n") == 20) & (F.abs(z) > 2.5))
+        .select("event_id", "user_id", "ts", F.round(z, 6).alias("z"))
+    )
