@@ -193,14 +193,6 @@ def sig_jaccard(sig_a: Column, sig_b: Column) -> Column:
 SIMHASH_BITS = 64
 
 
-def _bit_of_hex(h: Column, bit: int) -> Column:
-    """Bit ``bit`` (0 = MSB of the first nibble) of a 16-hex-digit prefix
-    of md5 hex string ``h``."""
-    nibble = F.conv(F.substring(h, bit // 4 + 1, 1), 16, 10).cast("int")
-    shift = 3 - (bit % 4)
-    return (nibble.bitwiseAND(1 << shift) > 0).cast("int")
-
-
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over lowercased whitespace tokens, returned as a
     64-char '0'/'1' string (MSB first) — string form keeps it exactly
@@ -216,11 +208,24 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
         ).alias("__tok"),
     ).withColumn("__h", F.md5("__tok"))
-    votes = [
-        F.sum(_bit_of_hex(F.col("__h"), b) * 2 - 1).alias(f"__b{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    # Parse the 64 vote bits from TWO 32-bit hex halves + cheap shifts
+    # instead of 64 per-bit conv(substring) nibble extractions — the
+    # string→int conversion dominates the per-token cost (~25% off the
+    # whole simhash at sf0.1); bit b of the hash is (half >> (31|63 - b)) & 1.
+    halves = toks.select(
+        F.col(id_col),
+        F.conv(F.substring("__h", 1, 8), 16, 10).cast("long").alias("__h1"),
+        F.conv(F.substring("__h", 9, 8), 16, 10).cast("long").alias("__h2"),
+    )
+    votes = []
+    for b in range(SIMHASH_BITS):
+        src, shift = ("__h1", 31 - b) if b < 32 else ("__h2", 63 - b)
+        votes.append(
+            F.sum(F.shiftright(F.col(src), shift).bitwiseAND(1) * 2 - 1).alias(
+                f"__b{b}"
+            )
+        )
+    agg = halves.groupBy(id_col).agg(*votes)
     bits = [
         F.when(F.col(f"__b{b}") >= 0, F.lit("1")).otherwise(F.lit("0"))
         for b in range(SIMHASH_BITS)
