@@ -78,6 +78,56 @@ def decode_meta(df: DataFrame, payload_col: str = "payload", keep: list[str] | N
     return df.mapInPandas(batches, schema=out_schema)
 
 
+#: schema of the feature struct produced by extract_features
+FEATURES_SCHEMA = (
+    "n_bytes long, byte_sum long, byte_mean double, byte_var double"
+)
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", keep: list[str] | None = None
+) -> DataFrame:
+    """binary payload → numeric feature vector via numpy inside
+    mapInPandas — the real feature-extraction path shape (an embedding
+    model or mel-spectrogram call slots in where the byte stats are).
+
+    Features are exact integer moments of the byte stream (sum and
+    sum-of-squares in int64) with mean/variance derived in float64 at
+    the end, so results are bit-reproducible across engines and batch
+    orders — the same exact-moment discipline as the SQL-side stats.
+    """
+    import numpy as np
+
+    keep = keep or [c for c in df.columns if c != payload_col]
+    kept_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keep
+    )
+    out_schema = (
+        f"{kept_schema}, {FEATURES_SCHEMA}" if kept_schema else FEATURES_SCHEMA
+    )
+
+    def feats(b: bytes) -> tuple[int, int, float, float]:
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        n = arr.size
+        if n == 0:
+            return 0, 0, 0.0, 0.0
+        s = int(arr.sum())
+        ss = int((arr * arr).sum())
+        return n, s, s / n, (ss - s * s / n) / n
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [feats(b) for b in pdf[payload_col]]
+            meta = pd.DataFrame(
+                rows, columns=["n_bytes", "byte_sum", "byte_mean", "byte_var"]
+            )
+            yield pd.concat([pdf[keep].reset_index(drop=True), meta], axis=1)
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def frame_sample(df: DataFrame, payload_col: str = "payload", every: int = 2, keep: list[str] | None = None) -> DataFrame:
     """'Frame sampling' over a binary payload: emit every ``every``-th
     byte-chunk as a row (stand-in for video frame extraction — the chunk

@@ -9,7 +9,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
-from ght2dm_spark.operators.multimodal import decode_meta, frame_sample
+from ght2dm_spark.operators.multimodal import (
+    decode_meta,
+    extract_features,
+    frame_sample,
+)
 from ght2dm_spark.queries.registry import register
 
 
@@ -64,4 +68,46 @@ def t1_multimodal_frames(spark, sf_dir):
     out = frame_sample(_with_payload(spark, sf_dir), "payload", every=2, keep=["doc_id"])
     return out.select(
         "doc_id", "frame_idx", F.decode("frame", "UTF-8").alias("frame_text")
+    )
+
+
+@register(
+    "t1_multimodal_features",
+    oracle="""
+    WITH c AS (SELECT doc_id, length(text) AS n,
+                      list_filter(list_transform(
+                        string_split_regex(text, ''), ch -> ascii(ch)),
+                        x -> x IS NOT NULL) AS codes
+               FROM documents),
+    m AS (SELECT doc_id, n,
+                 CAST(list_sum(codes) AS BIGINT) AS s,
+                 CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT)
+                   AS ss
+          FROM c)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, s AS byte_sum,
+           round(CAST(s AS DOUBLE) / n, 6) AS byte_mean,
+           round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n, 6)
+             AS byte_var
+    FROM m
+    """,
+)
+def t1_multimodal_features(spark, sf_dir):
+    """Feature extraction over binary payloads: numpy byte moments per
+    item through the Arrow/mapInPandas batch path — the shape a real
+    embedding/spectrogram extractor uses (vectorized math over each
+    payload's buffer, columnar transfer both ways).  Moments are exact
+    int64 sums; mean/variance divide once in float64, so the oracle's
+    ascii-code arithmetic lands on identical doubles.
+
+    Scale: narrow map over payload splits — no shuffle; downstream
+    consumers read only the small feature columns (payload pruned by
+    projection).  Arrow batch size bounds executor memory against large
+    payloads."""
+    out = extract_features(_with_payload(spark, sf_dir), "payload", keep=["doc_id"])
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "byte_sum",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_var", 6).alias("byte_var"),
     )
