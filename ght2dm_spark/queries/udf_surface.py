@@ -1,0 +1,124 @@
+"""Remaining pandas-UDF surfaces (SURVEY §2.9 "UDF surface"): grouped
+AGGREGATE (@pandas_udf GROUPED_AGG shape via F.pandas_udf returning a
+scalar per group) and grouped MAP (applyInPandas) — alongside the scalar
+pandas UDF (t1_pandas_udf_scalar), the UDTF (t1_python_udtf), mapInPandas
+(multimodal/bson) and applyInPandasWithState (streaming test), this
+completes the Python-on-Spark execution surface.
+
+Exact-match discipline: the grouped-agg works in int64 only (weighted
+sums of bigint columns — no float accumulation order); the grouped-map
+derives per-row floats from group min/max (exact doubles), so both are
+value-level oracle checks, not rows-only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.queries.registry import register
+
+
+@register(
+    "t1_grouped_agg_udf",
+    oracle="""
+    SELECT lang,
+           CAST(sum(((doc_id % 7) + 1) * n_chars) AS BIGINT) AS wsum,
+           CAST(sum((doc_id % 7) + 1) AS BIGINT) AS wtot,
+           round(CAST(sum(((doc_id % 7) + 1) * n_chars) AS DOUBLE)
+                   / sum((doc_id % 7) + 1), 6) AS wmean_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def t1_grouped_agg_udf(spark, sf_dir):
+    """Grouped-aggregate pandas UDF: a custom weighted mean computed in
+    numpy per group (Arrow hands each group's columns as pandas Series).
+    The UDF accumulates int64 weighted sums — order-independent — and
+    divides once, so the oracle matches exactly.
+
+    Scale: GROUPED_AGG ships whole groups to Python, so group size must
+    be bounded (|lang| groups here are fine; a per-user grouping at
+    100 TB wants the two-phase SQL rewrite or a partial-agg pandas UDF).
+    The aggregation itself is one shuffle on the group key, same as the
+    built-in path — the Python cost is per-group, Arrow-batched."""
+
+    @pandas_udf("long")
+    def wsum_udf(w: pd.Series, v: pd.Series) -> int:
+        return int((w.astype("int64") * v.astype("int64")).sum())
+
+    @pandas_udf("long")
+    def wtot_udf(w: pd.Series) -> int:
+        return int(w.astype("int64").sum())
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "w", (F.col("doc_id") % 7 + 1).cast("long")
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            wsum_udf("w", "n_chars").alias("wsum"),
+            wtot_udf("w").alias("wtot"),
+        )
+        .select(
+            "lang",
+            "wsum",
+            "wtot",
+            F.round(
+                F.col("wsum").cast("double") / F.col("wtot"), 6
+            ).alias("wmean_chars"),
+        )
+    )
+
+
+@register(
+    "t1_grouped_map_scale",
+    oracle="""
+    WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           round(CASE WHEN b.hi > b.lo
+                      THEN (e.value - b.lo) / (b.hi - b.lo)
+                      ELSE 0.5 END, 6) AS norm
+    FROM events e JOIN b ON e.event_type = b.event_type
+    """,
+)
+def t1_grouped_map_scale(spark, sf_dir):
+    """Grouped-map applyInPandas: per-event_type min-max normalization,
+    each group rescaled as one pandas DataFrame (the grouped
+    feature-engineering shape — a per-group sklearn scaler or model
+    scoring call slots in here).  min/max are exact doubles and the
+    normalization arithmetic is the same IEEE expression on both
+    engines, so round(6) only guards the last bit.
+
+    Scale: applyInPandas shuffles whole groups to Python workers —
+    legitimate when groups are bounded (|event_type| here); per-entity
+    variants must watch the largest group (salting can't help a grouped
+    map — a skewed group needs the broadcast-stats + map-side form,
+    which is exactly what the SQL oracle shows)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        norm = (
+            (pdf["value"] - lo) / (hi - lo)
+            if hi > lo
+            else pd.Series(0.5, index=pdf.index)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "norm": norm,
+            }
+        )
+
+    out = ev.groupBy("event_type").applyInPandas(
+        scale, schema="event_id long, event_type string, norm double"
+    )
+    return out.select(
+        "event_id", "event_type", F.round("norm", 6).alias("norm")
+    )
