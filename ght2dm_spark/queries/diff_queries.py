@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
+from ght2dm_spark.operators.neardup import hex2int_sql
 from ght2dm_spark.queries.registry import register
 
 
@@ -87,4 +88,81 @@ def t1_snapshot_diff(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.min("doc_id").alias("min_key"),
         F.max("doc_id").alias("max_key"),
+    )
+
+
+@register(
+    "t1_merge_upsert",
+    oracle=f"""
+    WITH ops AS (
+      SELECT doc_id, 'D' AS op, NULL AS new_text
+      FROM documents WHERE doc_id % 19 = 0
+      UNION ALL
+      SELECT doc_id, 'U' AS op, text || ' v2' AS new_text
+      FROM documents WHERE doc_id % 19 <> 0 AND doc_id % 13 = 0
+      UNION ALL
+      SELECT doc_id + 7000000 AS doc_id, 'U' AS op, text AS new_text
+      FROM documents WHERE doc_id % 29 = 0),
+    merged AS (
+      SELECT coalesce(b.doc_id, o.doc_id) AS doc_id,
+             CASE WHEN o.op = 'U' THEN o.new_text ELSE b.text END AS text
+      FROM documents b FULL OUTER JOIN ops o ON b.doc_id = o.doc_id
+      WHERE o.op IS NULL OR o.op <> 'D')
+    SELECT doc_id % 10 AS bucket, count(*) AS n,
+           CAST(sum(length(text)) AS BIGINT) AS total_len,
+           bit_xor({{h64}}) AS checksum
+    FROM merged GROUP BY bucket
+    """.format(h64=hex2int_sql("md5(text)", 1, 8)),
+)
+def t1_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics without a table format: a CDC batch of
+    upserts/deletes applied to a base snapshot via ONE full-outer join —
+    WHEN MATCHED AND op='D' THEN DELETE / AND op='U' THEN UPDATE / WHEN
+    NOT MATCHED THEN INSERT.  Per-bucket row counts plus an
+    order-independent bit_xor checksum of row hashes pin the merged
+    content exactly (the same verification trick table formats use for
+    snapshot integrity).
+
+    Scale: this is the join-based MERGE every lakehouse engine (Delta,
+    Iceberg) executes under the hood — one shuffle of each side on the
+    key; at 100 TB the win is partition pruning (only touched partitions
+    join — the CDC batch's key range prunes the base scan) and a
+    broadcast of the CDC side when the batch is small, both of which
+    Catalyst applies automatically here."""
+    base = load_table(spark, sf_dir, "documents")
+    ops = (
+        base.filter(F.col("doc_id") % 19 == 0)
+        .select("doc_id", F.lit("D").alias("op"), F.lit(None).cast("string").alias("new_text"))
+        .unionByName(
+            base.filter((F.col("doc_id") % 19 != 0) & (F.col("doc_id") % 13 == 0)).select(
+                "doc_id",
+                F.lit("U").alias("op"),
+                F.concat("text", F.lit(" v2")).alias("new_text"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 29 == 0).select(
+                (F.col("doc_id") + 7_000_000).alias("doc_id"),
+                F.lit("U").alias("op"),
+                F.col("text").alias("new_text"),
+            )
+        )
+    )
+    b = base.alias("b")
+    o = ops.alias("o")
+    merged = (
+        b.join(o, F.col("b.doc_id") == F.col("o.doc_id"), "full_outer")
+        .filter(F.col("o.op").isNull() | (F.col("o.op") != "D"))
+        .select(
+            F.coalesce("b.doc_id", "o.doc_id").alias("doc_id"),
+            F.when(F.col("o.op") == "U", F.col("o.new_text"))
+            .otherwise(F.col("b.text"))
+            .alias("text"),
+        )
+    )
+    h64 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    return merged.groupBy((F.col("doc_id") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("total_len"),
+        F.bit_xor(h64).alias("checksum"),
     )
