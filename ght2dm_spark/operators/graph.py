@@ -122,3 +122,79 @@ def bfs_levels(
         out = out.unionByName(prior)
     both.unpersist()
     return out
+
+
+#: fixed-point scale for pagerank ranks: 1 rank unit = 1e-12
+PAGERANK_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over an undirected graph (edges expanded to both
+    directions) in INTEGER fixed-point: ranks are BIGINT multiples of
+    1e-12 and every operation — the initial 1/N, the per-edge r/outdeg
+    contribution, the damping blend — is integer division, so the
+    iteration state is bit-identical across engines, runs, and
+    partitionings with no float rounding anywhere.  (A float formulation
+    was tried first: two engines' round(x, 12) disagree by 1 ulp near
+    digit boundaries and the divergence compounds per iteration.)
+    Floor-division truncation leaks ≤1e-12 of mass per edge per round —
+    irrelevant for ranking, and exactly mirrored by any conforming
+    implementation.
+
+    Scale: each iteration is ONE join (edges ⋈ ranks, hashed on the
+    node id) + ONE aggregation shuffled on the destination — the
+    standard distributed PageRank shape.  The edge list and degree
+    table are computed once and cached; ranks are |V| rows, never |E|.
+    A high-degree hub concentrates its in-edge sum in one reducer —
+    partial map-side aggregation absorbs most of it, AQE skew-split the
+    rest.  The driver loop holds no data; lineage is cut per round.
+    """
+    both = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .cache()
+    )
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("od")).cache()
+    nodes = both.select("a").distinct()
+    n_df = nodes.agg(F.count(F.lit(1)).alias("nn"))
+    base_num = (damp_den - damp_num) * PAGERANK_SCALE
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("a").alias("node"),
+            F.expr(f"CAST({PAGERANK_SCALE} AS BIGINT) div nn").alias("r"),
+        )
+        .cache()
+    )
+    ranks.count()
+
+    for _ in range(iterations):
+        contrib = (
+            both.join(ranks, both.a == F.col("node"))
+            .join(deg, "a")
+            .select(F.col("b"), F.expr("r div od").alias("c"))
+        )
+        s = contrib.groupBy("b").agg(F.sum("c").alias("sc"))
+        new_ranks = (
+            s.crossJoin(F.broadcast(n_df))
+            .select(
+                F.col("b").alias("node"),
+                F.expr(
+                    f"CAST({base_num} AS BIGINT) div ({damp_den} * nn)"
+                    f" + (sc * {damp_num}) div {damp_den}"
+                ).alias("r"),
+            )
+            .cache()
+        )
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks

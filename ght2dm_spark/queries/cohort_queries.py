@@ -364,3 +364,65 @@ def t1_bfs_levels(spark, sf_dir):
     )
     out = bfs_levels(edges, seeds, max_level=3)
     return out.select("node", F.col("level").cast("int").alias("level"))
+
+
+_PR_ITERS = 3
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
+
+
+def _pagerank_sql(iters: int) -> str:
+    """DuckDB oracle mirroring operators/graph.pagerank: the same
+    rounds unrolled as CTEs in the same BIGINT fixed-point (1e-12
+    units), `//` standing in for Spark's `div`.  All-integer arithmetic
+    is what makes this an exact-match oracle — a float formulation
+    diverged by 1 ulp per round (engines' round() algorithms differ at
+    digit boundaries)."""
+    from ght2dm_spark.operators.graph import PAGERANK_SCALE
+
+    nn = "(SELECT nn FROM n)"
+    base_num = (_PR_DAMP_DEN - _PR_DAMP_NUM) * PAGERANK_SCALE
+    ctes = [
+        "e0 AS (SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b"
+        " FROM lineitem)",
+        "e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)",
+        "deg AS (SELECT a, count(*) AS od FROM e GROUP BY a)",
+        "n AS (SELECT count(DISTINCT a) AS nn FROM e)",
+        f"r0 AS (SELECT a AS node, CAST({PAGERANK_SCALE} AS BIGINT) // {nn}"
+        " AS r FROM (SELECT DISTINCT a FROM e))",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} AS (SELECT e.b AS node, "
+            f"CAST({base_num} AS BIGINT) // ({_PR_DAMP_DEN} * {nn}) "
+            f"+ (sum(r.r // d.od) * {_PR_DAMP_NUM}) // {_PR_DAMP_DEN} AS r "
+            f"FROM e JOIN r{k - 1} r ON e.a = r.node JOIN deg d ON e.a = d.a "
+            f"GROUP BY e.b)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r{iters}"
+    )
+
+
+@register("t1_pagerank", oracle=_pagerank_sql(_PR_ITERS))
+def t1_pagerank(spark, sf_dir):
+    """PageRank (3 iterations, d=85/100) over the supplier↔part
+    bipartite graph — the iterative-algorithm companion to BFS and
+    connected components.  Ranks are BIGINT fixed-point (1e-12 units):
+    integer-only state makes the oracle (the same rounds unrolled as
+    CTEs) match to the last unit rather than within a tolerance.  See
+    operators/graph.pagerank for the per-iteration shuffle shape."""
+    from ght2dm_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    out = pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        damp_num=_PR_DAMP_NUM,
+        damp_den=_PR_DAMP_DEN,
+    )
+    return out.select("node", F.col("r").alias("rank_e12"))

@@ -43,6 +43,7 @@ CROSS_OK = {
     "t1_ann_ivf_topk",  # vectors × K centroids (K bounded), queries × probes
     "t1_tfidf_top_terms",  # 1-row corpus-size frame for the IDF term
     "t1_token_pmi",  # 1-row corpus-size frame for the PMI numerator
+    "t1_pagerank",  # 1-row node-count frame for the damping base term
 }
 
 # Queries whose plan legitimately contains an unpartitioned ORDERED
