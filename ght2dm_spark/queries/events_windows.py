@@ -237,3 +237,50 @@ def t1_stream_session_append(spark, sf_dir):
         )
     )
     return run_to_completion(agg, output_mode="append")
+
+
+@register(
+    "t1_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS p_id, c.event_id AS c_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def t1_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join: purchases matched to the same
+    user's clicks in the preceding hour, both sides real streams with
+    2-hour watermarks.  An INNER join emits matches as both sides
+    arrive, so the drained result equals the batch join exactly — the
+    watermarks exist to BOUND STATE: each side buffers only rows inside
+    its watermark horizon, which is what makes an unbounded two-stream
+    join feasible (state is horizon-sized, not history-sized).
+
+    Scale: each micro-batch shuffles both deltas on user_id; the
+    time-range predicate prunes buffered state per key.  The batch form
+    of this plan is the as-of/range join family (t1_asof_join,
+    t1_range_join)."""
+
+    def side(pred, ids):
+        return (
+            read_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == pred)
+            .select(
+                F.col("event_id").alias(f"{ids}_id"),
+                F.col("user_id").alias(f"{ids}_uid"),
+                F.col("ts").alias(f"{ids}_ts"),
+            )
+            .withWatermark(f"{ids}_ts", "2 hours")
+        )
+
+    p, c = side("purchase", "p"), side("click", "c")
+    cond = (
+        (F.col("p_uid") == F.col("c_uid"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    return run_to_completion(
+        p.join(c, cond).select("p_id", "c_id"), output_mode="append"
+    )
