@@ -159,3 +159,31 @@ def test_salted_join_equals_plain_join(spark, fact, dim):
     )
     expect = sorted(map(tuple, f.join(d, "k").select("k", "v", "tag").collect()))
     assert got == expect
+
+
+def test_line_dedup_identity_when_no_boilerplate(spark, sf_dir, monkeypatch):
+    """With an unreachable document-frequency threshold, no span is
+    boilerplate and positional reassembly must reproduce every
+    document's whitespace-normalized text byte-exactly (md5) with
+    n_kept == n_segs — the invariant that the explode → anti-join →
+    array_sort reassembly loses nothing and never reorders."""
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.queries import dedup_queries as dq
+
+    monkeypatch.setattr(dq, "LINE_DEDUP_DF", 10**9)
+    out = dq.t1_line_dedup(spark, sf_dir)
+
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    expected = (
+        dq.load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.md5(F.array_join(toks, " ")).alias("expect_md5")
+        )
+    )
+    j = out.join(expected, "doc_id")
+    assert j.filter(
+        (F.col("scrub_md5") != F.col("expect_md5"))
+        | (F.col("n_kept") != F.col("n_segs"))
+    ).count() == 0
+    assert out.count() == expected.count()
