@@ -122,3 +122,40 @@ def t1_grouped_map_scale(spark, sf_dir):
     return out.select(
         "event_id", "event_type", F.round("norm", 6).alias("norm")
     )
+
+
+@register(
+    "t1_pandas_udwf",
+    oracle="""
+    SELECT doc_id,
+           CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS roll_chars
+    FROM documents
+    """,
+)
+def t1_pandas_udwf(spark, sf_dir):
+    """Pandas UDF as a WINDOW function (bounded frame): a custom rolling
+    aggregate evaluated per frame by Arrow-batched Python — the shape
+    for rolling model scores or domain-specific decayed sums that SQL
+    aggregates can't express.  The demo body is a plain int64 sum so the
+    SQL window oracle verifies the plumbing exactly.
+
+    Scale: one shuffle on the partition key + per-partition sort — the
+    same plan as a built-in window; the UDF evaluates per frame slice,
+    so cost is O(rows × frame) Python-side — bounded frames only (an
+    unbounded-preceding pandas UDWF re-feeds the whole history per
+    row)."""
+    from pyspark.sql import Window
+
+    @pandas_udf("long")
+    def psum(v: pd.Series) -> int:
+        return int(v.astype("int64").sum())
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return d.select("doc_id", psum("n_chars").over(w).alias("roll_chars"))
