@@ -70,6 +70,11 @@ HEADLINE = [
     "t1_time_gapfill_series",
     "t1_repetition_ratio",
     "t1_char_entropy",
+    "t1_token_pmi",
+    "t1_pagerank",
+    "t1_merge_upsert",
+    "t1_rolling_zscore",
+    "t1_grouped_map_scale",
 ]
 
 
