@@ -208,3 +208,63 @@ def t1_char_entropy(spark, sf_dir):
     return term.groupBy("doc_id").agg(
         F.round(F.sum("t").cast("double"), 6).alias("entropy")
     )
+
+
+@register(
+    "t1_unigram_surprisal",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    u AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM u),
+    term AS (SELECT tok.doc_id,
+                    CAST(round(-log2(CAST(u.cnt AS DOUBLE)
+                                       / (SELECT total FROM n)), 9)
+                         AS DECIMAL(18,9)) AS s
+             FROM tok JOIN u ON tok.tok = u.tok)
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_toks,
+           round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_surprisal
+    FROM term GROUP BY doc_id
+    """,
+)
+def t1_unigram_surprisal(spark, sf_dir):
+    """Unigram LM surprisal per document — the perplexity-filter proxy
+    quality pipelines use (documents whose tokens are improbable under
+    the corpus unigram distribution are outliers: gibberish, wrong
+    language, boilerplate).  avg_surprisal = mean over tokens of
+    -log2 p(tok), p from corpus counts; per-token terms are rounded to
+    9 digits and summed as DECIMAL so shuffle order can't perturb the
+    mean (the char-entropy discipline).
+
+    Scale: the unigram table is vocabulary-sized → broadcast join onto
+    the exploded token stream; corpus total rides as a 1-row broadcast.
+    One count shuffle builds the LM, one doc_id shuffle aggregates
+    surprisal — a real n-gram LM scorer swaps the broadcast table for a
+    bigger one, the plan shape is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    tok = d.select("doc_id", F.explode(toks).alias("tok"))
+    u = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n = u.agg(F.sum("cnt").cast("bigint").alias("total"))
+    term = (
+        tok.join(F.broadcast(u), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log2(F.col("cnt").cast("double") / F.col("total")), 9
+            )
+            .cast("decimal(18,9)")
+            .alias("s"),
+        )
+    )
+    return term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_toks"),
+        F.round(
+            F.sum("s").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_surprisal"),
+    )

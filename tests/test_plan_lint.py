@@ -44,6 +44,7 @@ CROSS_OK = {
     "t1_tfidf_top_terms",  # 1-row corpus-size frame for the IDF term
     "t1_token_pmi",  # 1-row corpus-size frame for the PMI numerator
     "t1_pagerank",  # 1-row node-count frame for the damping base term
+    "t1_unigram_surprisal",  # 1-row corpus-token-total frame for p(tok)
 }
 
 # Queries whose plan legitimately contains an unpartitioned ORDERED
