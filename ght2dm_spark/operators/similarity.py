@@ -137,3 +137,25 @@ def topk_neighbors(
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "cos", "rank")
     )
+
+
+def l2_dist(a: Column, b: Column) -> Column:
+    """Euclidean distance via the same left-to-right fold as :func:`dot`
+    (bit-identical vs the DuckDB mirror)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def l2_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """DuckDB mirror of :func:`l2_dist`."""
+    return (
+        f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y))"
+    )

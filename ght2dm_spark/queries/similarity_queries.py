@@ -11,6 +11,7 @@ operators.similarity module doc).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
@@ -19,6 +20,8 @@ from ght2dm_spark.operators.similarity import (
     as_double,
     cosine,
     cosine_sql,
+    l2_dist,
+    l2_sql,
     srp_bucket,
     srp_bucket_sql,
     topk_neighbors,
@@ -252,3 +255,40 @@ def t1_embedding_neardup(spark, sf_dir):
         .filter(F.col("cos") >= 0.9)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+@register(
+    "t1_ann_euclidean_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+    s AS (SELECT q_id, c_id, {l2_sql("q_vec", "c_vec")} AS dist
+          FROM c CROSS JOIN q WHERE q_id <> c_id),
+    r AS (SELECT q_id, c_id, dist,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY dist ASC, c_id ASC) AS rank
+          FROM s)
+    SELECT q_id, c_id, round(dist, 6) AS dist, rank FROM r WHERE rank <= 5
+    """,
+)
+def t1_ann_euclidean_topk(spark, sf_dir):
+    """Exact EUCLIDEAN top-5 neighbors (the L2 companion to the cosine
+    baseline — SURVEY §2.9 names both metrics): same broadcast-queries /
+    corpus-never-shuffles plan, distance folded left-to-right so both
+    engines produce bit-identical doubles, ties broken by neighbor id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    d = l2_dist(as_double(F.col("q_vec")), as_double(F.col("c_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("c_id").asc())
+    out = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", d.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    return out.select("q_id", "c_id", F.round("dist", 6).alias("dist"), "rank")
