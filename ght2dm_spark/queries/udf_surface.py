@@ -159,3 +159,21 @@ def t1_pandas_udwf(spark, sf_dir):
         .rowsBetween(-2, Window.currentRow)
     )
     return d.select("doc_id", psum("n_chars").over(w).alias("roll_chars"))
+
+
+@register(
+    "t1_python_udf_row",
+    oracle="SELECT doc_id, length(text) + 7 AS shifted_len FROM documents",
+)
+def t1_python_udf_row(spark, sf_dir):
+    """Row-at-a-time Python UDF (F.udf) — present for SURVEY §2.9 surface
+    completeness and as the documented ANTI-PATTERN: each row round-trips
+    through pickled Python with no Arrow batching, ~10-100× slower than
+    the pandas UDF next door and opaque to Catalyst (no pushdown through
+    it).  Production code in this repo never uses F.udf on a hot path —
+    every real Python hook is Arrow-batched (see the other queries in
+    this module); this query exists so the tier difference is measurable
+    on demand."""
+    shifted = F.udf(lambda s: len(s) + 7, "long")
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", shifted("text").alias("shifted_len"))
