@@ -174,3 +174,75 @@ def compact_table(
     return len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Z-order (Morton) key: interleave the low ``bits`` bits of two
+    non-negative int columns — bit i of ``a`` lands at position 2i+1,
+    bit i of ``b`` at 2i.  Locality in the key ⇒ locality in BOTH
+    dimensions, which is what makes multi-column min/max pruning work
+    (a linear sort clusters only its leading column).  Pure integer
+    expression — deterministic, engine-portable, codegen-friendly."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            .bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i + 1))
+            .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i))
+        )
+    return key
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int,
+    bits: int = 16,
+    **options: str,
+) -> None:
+    """Z-order-clustered parquet layout: range-partition + sort on the
+    Morton interleave of (col_a, col_b), so every file covers a small
+    RECTANGLE in (a, b) space and parquet min/max statistics prune scans
+    filtered on EITHER or BOTH columns — the Delta/Iceberg OPTIMIZE
+    ZORDER layout, built from public Spark primitives.  Compare
+    write_range_clustered, which clusters only its leading column.
+
+    Both columns are min-max scaled to the full ``bits`` width before
+    interleaving — otherwise the wider-ranged column's high bits dominate
+    the key and the narrow column ends up unclustered (observed: a
+    200-value dimension next to a 6000-value one got zero locality).
+    Bounds come from one tiny aggregate broadcast back over the scan.
+    """
+    hi = (1 << bits) - 1
+    bounds = df.agg(
+        F.min(col_a).alias("__loa"),
+        F.max(col_a).alias("__hia"),
+        F.min(col_b).alias("__lob"),
+        F.max(col_b).alias("__hib"),
+    )
+    keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "__zkey",
+        zorder_key(
+            F.expr(
+                f"CAST(({col_a} - __loa) * {hi} AS BIGINT)"
+                f" div greatest(__hia - __loa, 1)"
+            ),
+            F.expr(
+                f"CAST(({col_b} - __lob) * {hi} AS BIGINT)"
+                f" div greatest(__hib - __lob, 1)"
+            ),
+            bits,
+        ),
+    )
+    (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", "__loa", "__hia", "__lob", "__hib")
+        .write.mode("overwrite")
+        .options(**options)
+        .parquet(path)
+    )
