@@ -284,3 +284,76 @@ def t1_stream_stream_join(spark, sf_dir):
     return run_to_completion(
         p.join(c, cond).select("p_id", "c_id"), output_mode="append"
     )
+
+
+@register(
+    "t1_stream_stateful_counts",
+    oracle="""
+    SELECT user_id, count(*) AS n,
+           min(event_id) AS first_event, max(event_id) AS last_event
+    FROM events GROUP BY user_id
+    """,
+)
+def t1_stream_stateful_counts(spark, sf_dir):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, min event_id, max event_id) held in an
+    explicit state row, updated per micro-batch from pandas — the escape
+    hatch for state machines window aggregates can't express (the
+    declared-query form of the test-suite operator).  Integer-only state
+    keeps it exactly oracle-checkable; update-mode re-emissions collapse
+    via a monotone max/min normalization.
+
+    Scale: state lives in the checkpointed state store, one row per
+    user, shuffled on the group key per micro-batch — the same state
+    sizing argument as the windowed aggs, but user-controlled."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n", LongType()),
+            StructField("first_event", LongType()),
+            StructField("last_event", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("lo", LongType()),
+            StructField("hi", LongType()),
+        ]
+    )
+
+    def track(key, pdf_iter, state):
+        n, lo, hi = state.get if state.exists else (0, None, None)
+        for pdf in pdf_iter:
+            ids = pdf["event_id"]
+            n += len(ids)
+            bl, bh = int(ids.min()), int(ids.max())
+            lo = bl if lo is None else min(lo, bl)
+            hi = bh if hi is None else max(hi, bh)
+        state.update((n, lo, hi))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "first_event": [lo],
+             "last_event": [hi]}
+        )
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )
+    got = run_to_completion(stream, output_mode="update")
+    return got.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.min("first_event").alias("first_event"),
+        F.max("last_event").alias("last_event"),
+    )
