@@ -7,6 +7,7 @@ union-window formulation independently).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
@@ -215,4 +216,72 @@ def t1_edit_distance(spark, sf_dir):
         F.levenshtein(
             F.substring("text", 1, 10), F.substring("text", 6, 10)
         ).alias("self_shift_dist"),
+    )
+
+
+@register(
+    "t1_fuzzy_blocking_join",
+    oracle="""
+    WITH probe AS (
+      SELECT n_nationkey AS probe_id,
+             CASE WHEN n_nationkey % 2 = 1
+                  THEN substr(n_name, 1, 2) || 'X' || substr(n_name, 4)
+                  ELSE n_name END AS dirty
+      FROM nation),
+    cand AS (SELECT p.probe_id, p.dirty, n.n_name AS match,
+                    levenshtein(p.dirty, n.n_name) AS dist
+             FROM probe p JOIN nation n
+               ON substr(p.dirty, 1, 2) = substr(n.n_name, 1, 2)
+              AND length(p.dirty) = length(n.n_name)
+             WHERE levenshtein(p.dirty, n.n_name) <= 1),
+    r AS (SELECT probe_id, dirty, match, dist,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY dist, match) AS rn
+          FROM cand)
+    SELECT probe_id, dirty, match, dist FROM r WHERE rn = 1
+    """,
+)
+def t1_fuzzy_blocking_join(spark, sf_dir):
+    """Fuzzy record-linkage join with BLOCKING: dirty probe names (odd
+    keys get one character mutated) resolve to canonical names via an
+    equi join on the block key (2-char prefix + length) followed by a
+    levenshtein ≤ 1 filter, best candidate per probe kept (lowest
+    distance, name tiebreak).
+
+    Scale: the blocking equi join is what makes fuzzy matching feasible
+    — edit distance runs only INSIDE blocks instead of over the |probe|
+    × |canonical| cross product (the join Catalyst would refuse to hash
+    anyway).  Block-key choice bounds block size; skewed blocks get the
+    same salting/cap treatment as any hot key."""
+    n = load_table(spark, sf_dir, "nation")
+    probe = n.select(
+        F.col("n_nationkey").alias("probe_id"),
+        F.when(
+            F.col("n_nationkey") % 2 == 1,
+            F.concat(
+                F.substring("n_name", 1, 2),
+                F.lit("X"),
+                F.expr("substr(n_name, 4)"),
+            ),
+        )
+        .otherwise(F.col("n_name"))
+        .alias("dirty"),
+    )
+    cand = (
+        probe.join(
+            n.select(F.col("n_name").alias("match")),
+            (
+                F.substring("dirty", 1, 2)
+                == F.substring("match", 1, 2)
+            )
+            & (F.length("dirty") == F.length("match")),
+        )
+        .withColumn("dist", F.levenshtein("dirty", "match"))
+        .filter(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist", "match")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "dirty", "match", "dist")
     )
