@@ -124,3 +124,52 @@ def t1_group_split(spark, sf_dir):
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "t1_negative_sampling",
+    oracle="""
+    WITH n AS (SELECT count(*) AS nd FROM documents),
+    neg AS (SELECT d.doc_id, j,
+                   (d.doc_id + j * 97) % (SELECT nd FROM n) AS neg_id
+            FROM documents d, unnest([1, 2, 3]) AS u(j)),
+    ok AS (SELECT * FROM neg WHERE neg_id <> doc_id)
+    SELECT ok.doc_id, ok.j, ok.neg_id, nd.n_chars AS neg_chars
+    FROM ok JOIN documents nd ON ok.neg_id = nd.doc_id
+    """,
+)
+def t1_negative_sampling(spark, sf_dir):
+    """Deterministic negative-pair sampling for contrastive training:
+    each anchor document gets 3 negatives at fixed stride offsets in the
+    (contiguous) id space, materialized by joining back to the corpus —
+    no RNG, so the pair set is identical across runs/engines/partitions
+    (the property that keeps a training set reproducible).
+
+    Scale: negatives generate map-side (explode of a 3-element literal
+    array), the fetch is ONE equi join on the corpus key; stride offsets
+    decorrelate anchors from negatives without a shuffle-heavy global
+    shuffle-pair pass.  Non-contiguous id spaces first map ids through a
+    dense rank (one window) or use hash-bucketed negatives."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("nd"))
+    neg = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            F.col("nd"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            ((F.col("doc_id") + F.col("j") * 97) % F.col("nd")).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    corpus = d.select(
+        F.col("doc_id").alias("neg_id"), F.col("n_chars").alias("neg_chars")
+    )
+    return neg.join(corpus, "neg_id").select(
+        "doc_id", "j", "neg_id", "neg_chars"
+    )

@@ -46,6 +46,7 @@ CROSS_OK = {
     "t1_token_pmi",  # 1-row corpus-size frame for the PMI numerator
     "t1_pagerank",  # 1-row node-count frame for the damping base term
     "t1_unigram_surprisal",  # 1-row corpus-token-total frame for p(tok)
+    "t1_negative_sampling",  # 1-row corpus-size frame for the id modulus
 }
 
 # Queries whose plan legitimately contains an unpartitioned ORDERED
