@@ -139,3 +139,24 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in plan
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """Schema evolution across appended batches: an old batch without a
+    column and a new batch with it read back together via mergeSchema —
+    old rows surface NULL for the added column (the additive-evolution
+    policy a long-lived table needs; renames/type-changes stay forbidden,
+    matching the declared-schema-only posture in io.py)."""
+    out = str(tmp_path / "evolving")
+    r = load_table(spark, sf_dir, "region")
+    r.select("r_regionkey", "r_name").write.parquet(out)
+    r.select(
+        "r_regionkey", "r_name", F.length("r_name").alias("name_len")
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"r_regionkey", "r_name", "name_len"}
+    assert merged.count() == 2 * r.count()
+    # old-batch rows: NULL in the evolved column; new-batch rows: populated
+    assert merged.filter(F.col("name_len").isNull()).count() == r.count()
+    assert merged.filter(F.col("name_len") > 0).count() == r.count()
