@@ -155,3 +155,48 @@ def t1_markov_transitions(spark, sf_dir):
         F.col("n").cast("int").alias("n"),
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
     )
+
+
+@register(
+    "t1_sliding_distinct_users",
+    oracle="""
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT days.day,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS wau
+    FROM days JOIN d
+      ON d.day BETWEEN days.day - INTERVAL 6 DAY AND days.day
+    GROUP BY days.day
+    """,
+)
+def t1_sliding_distinct_users(spark, sf_dir):
+    """Trailing-7-day distinct active users per day (the WAU metric).
+    Spark windows cannot express count(DISTINCT) over a frame, so the
+    distinct-in-frame is built as size(collect_set) over a RANGE window
+    keyed on epoch-day — after first collapsing events to distinct
+    (day, user) pairs so the window state holds each user once per day,
+    not once per event.
+
+    Scale: the heavy lifting happens BEFORE the window — one shuffle
+    collapses events to per-day user sets, so the window runs over
+    |days| rows only (bounded by the calendar, not event volume; the
+    allowlisted single-task sort is over ~tens of rows).  Frame state is
+    7 per-day sets; at extreme cardinality those become HLL sketches
+    merged across the frame (approx path, t1_approx_aggs) — this exact
+    form is the correctness anchor.  The oracle uses a spine join
+    (DuckDB materializes the same semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    per_day = d.groupBy("day").agg(F.collect_set("user_id").alias("users"))
+    dd = per_day.withColumn(
+        "epoch_day", F.datediff("day", F.lit("1970-01-01"))
+    )
+    w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+    return dd.select(
+        "day",
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("users").over(w)))
+        )
+        .cast("bigint")
+        .alias("wau"),
+    )

@@ -55,6 +55,7 @@ CROSS_OK = {
 GLOBAL_WINDOW_OK = {
     "t1_window_range_frame",  # frame-semantics demo over one table
     "t1_time_gapfill",  # 1440-row minute spine forward fill (one series)
+    "t1_sliding_distinct_users",  # window over |days| rows (calendar-bounded)
 }
 
 # Streaming queries drive a memory sink; their final plan is the sink
