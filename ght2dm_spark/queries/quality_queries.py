@@ -45,3 +45,72 @@ def t1_corrupt_json_routing(spark, sf_dir):
         ),
         F.element_at(parsed, "k").alias("k_val"),
     )
+
+
+@register(
+    "t1_dq_rules",
+    oracle="""
+    WITH t AS (SELECT count(*) AS n,
+                      count(*) FILTER (lang IS NULL) AS r_notnull,
+                      count(*) - count(DISTINCT doc_id) AS r_unique,
+                      count(*) FILTER (lang IS NOT NULL AND lang NOT IN
+                        ('en', 'de', 'es', 'fr', 'zh')) AS r_accepted,
+                      count(*) FILTER (n_chars < 1 OR n_chars > 100000)
+                        AS r_range,
+                      count(*) FILTER (length(text) <> n_chars)
+                        AS r_consistent
+               FROM documents)
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           round(CAST(n_violations AS DOUBLE) / n, 6) AS violation_rate
+    FROM t UNPIVOT (n_violations FOR rule IN
+      (r_notnull AS 'lang_not_null', r_unique AS 'doc_id_unique',
+       r_accepted AS 'lang_accepted_values', r_range AS 'n_chars_range',
+       r_consistent AS 'n_chars_consistent'))
+    """,
+)
+def t1_dq_rules(spark, sf_dir):
+    """Declarative data-quality rule evaluation (the dbt-test /
+    Deequ-check shape): not-null, key-uniqueness, accepted-values,
+    value-range, and cross-column consistency rules over documents,
+    all evaluated in ONE scan as conditional aggregates, then unpivoted
+    to a (rule, violations, rate) report.
+
+    Scale: N rules cost one pass regardless of N — the anti-pattern is
+    one job per rule (N scans).  Uniqueness is the only rule needing a
+    shuffle (count distinct); everything else is map-side.  Zero
+    violations still emit a row, so silent rule drop-out is visible."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("lang").isNull()).alias("lang_not_null"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias(
+            "doc_id_unique"
+        ),
+        F.count_if(
+            F.col("lang").isNotNull()
+            & ~F.col("lang").isin("en", "de", "es", "fr", "zh")
+        ).alias("lang_accepted_values"),
+        F.count_if(
+            (F.col("n_chars") < 1) | (F.col("n_chars") > 100000)
+        ).alias("n_chars_range"),
+        F.count_if(F.length("text") != F.col("n_chars")).alias(
+            "n_chars_consistent"
+        ),
+    )
+    rules = [
+        "lang_not_null",
+        "doc_id_unique",
+        "lang_accepted_values",
+        "n_chars_range",
+        "n_chars_consistent",
+    ]
+    long = t.unpivot(
+        ["n"], rules, "rule", "n_violations"
+    )
+    return long.select(
+        "rule",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        F.round(
+            F.col("n_violations").cast("double") / F.col("n"), 6
+        ).alias("violation_rate"),
+    )
