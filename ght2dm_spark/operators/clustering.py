@@ -1,0 +1,92 @@
+"""Integer fixed-point k-means over embedding columns — the training
+step behind IVF-style vector indexes (t1_ann_ivf_topk uses fixed
+centroids; this learns them).
+
+Determinism discipline (the pagerank lesson, operators/graph.pagerank):
+iterative float state diverges across engines by 1 ulp per round, so the
+ENTIRE iteration runs in integers — vectors are converted once to BIGINT
+micro-units (×1e6, the only float rounding anywhere), squared distances
+are exact int64 sums, argmin ties break lexicographically by centroid
+id, and centroid updates are floor-division means.  State after every
+iteration is bit-identical on any conforming engine.
+
+Scale: each iteration is one broadcast of K centroids over the vector
+scan (assignment — a narrow map, no shuffle) plus one (cid, dim)
+aggregation for the update (K×dim result rows).  The classic
+distributed k-means shape: the data never shuffles, only tiny centroid
+state moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 1 unit = 1e-6 of the raw embedding value
+KM_SCALE = 10**6
+
+
+def int_vec(col, scale: int = KM_SCALE):
+    """Float array → BIGINT micro-unit array (round half away from zero —
+    Spark's BigDecimal HALF_UP ≡ DuckDB's round for all signs)."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+    )
+
+
+def sqdist_int(a, b):
+    """Exact integer squared euclidean distance (left-to-right fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: K-way broadcast cross join, exact
+    integer distances, (distance, cid) lexicographic tie-break."""
+    d = sqdist_int(F.col("v"), F.col("c"))
+    w = Window.partitionBy("id").orderBy("d", "cid")
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .select("id", "v", "cid", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def kmeans_int(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Train k centroids for ``iters`` rounds (init: the vectors whose
+    id < k) and return the final assignment (id, cid, d) with exact
+    integer distances.  Empty clusters keep their previous centroid only
+    if re-seeded upstream — with contiguous-id init and ≥1 round every
+    cluster here retains members (asserted by the caller's oracle)."""
+    v = df.select(
+        F.col(id_col).alias("id"), int_vec(F.col(vec_col)).alias("v")
+    ).cache()
+    cents = v.filter(F.col("id") < k).select(
+        F.col("id").alias("cid"), F.col("v").alias("c")
+    )
+    for _ in range(iters):
+        asg = _assign(v, cents)
+        dims = asg.select(
+            "cid", F.posexplode("v").alias("i", "val")
+        )
+        per_dim = dims.groupBy("cid", "i").agg(
+            F.expr("sum(val) div count(1)").alias("m")
+        )
+        cents = per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    return _assign(v, cents)

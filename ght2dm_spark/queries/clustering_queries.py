@@ -141,3 +141,75 @@ def t1_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+_KM_K, _KM_ITERS, _KM_DIM = 4, 2, 64
+
+
+def _kmeans_sql(k: int, iters: int, dim: int) -> str:
+    """DuckDB oracle mirroring operators/clustering.kmeans_int: the same
+    rounds unrolled as CTEs in the same BIGINT micro-unit fixed point
+    (exact integer distances, lexicographic (d, cid) argmin ties,
+    floor-division centroid means) — bit-identical iterative state, the
+    same discipline as the pagerank oracle."""
+    sq = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> (v[i]-c[i])*(v[i]-c[i])), (x, y) -> x + y)"
+    )
+    ctes = [
+        "v AS (SELECT vec_id AS id, list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v "
+        "FROM embeddings)",
+        f"c0 AS (SELECT id AS cid, v AS c FROM v WHERE id < {k})",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"a{t} AS (SELECT id, v, "
+            f"min(struct_pack(d := {sq}, c := cid)) AS mn "
+            f"FROM v CROSS JOIN c{t - 1} GROUP BY id, v)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT cid, list(cm ORDER BY i) AS c FROM "
+            f"(SELECT struct_extract(mn, 'c') AS cid, i, "
+            f"CAST(sum(v[i]) // count(*) AS BIGINT) AS cm "
+            f"FROM a{t}, unnest(range(1, {dim + 1})) AS u(i) "
+            f"GROUP BY 1, 2) GROUP BY cid)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    af AS (SELECT id, min(struct_pack(d := {sq}, c := cid)) AS mn
+           FROM v CROSS JOIN c{iters} GROUP BY id, v)
+    SELECT struct_extract(mn, 'c') AS cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           min(id) AS min_id, max(id) AS max_id,
+           CAST(CAST(sum(struct_extract(mn, 'd')) AS DECIMAL(38,0))
+                AS DOUBLE) AS inertia
+    FROM af GROUP BY 1"""
+    )
+
+
+@register(
+    "t1_kmeans_clusters", oracle=_kmeans_sql(_KM_K, _KM_ITERS, _KM_DIM)
+)
+def t1_kmeans_clusters(spark, sf_dir):
+    """K-means over the embeddings (k=4, 2 training rounds, init = first
+    k vectors) — the IVF-index training step (t1_ann_ivf_topk consumes
+    centroids like these).  The whole iteration runs in BIGINT
+    micro-units (exact distances, floor-mean centroids), so cluster
+    assignments and inertia match the unrolled-CTE oracle exactly — an
+    ITERATIVE ML algorithm under the exact-match gate, not a rows-only
+    waiver.  See operators/clustering for the per-iteration shape
+    (assignment = broadcast-K narrow map, update = K×dim aggregate;
+    the corpus never shuffles)."""
+    from ght2dm_spark.operators.clustering import kmeans_int
+
+    e = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_int(e, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS)
+    return asg.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.sum("d").cast("decimal(38,0)").cast("double").alias("inertia"),
+    )

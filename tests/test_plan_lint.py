@@ -48,6 +48,7 @@ CROSS_OK = {
     "t1_unigram_surprisal",  # 1-row corpus-token-total frame for p(tok)
     "t1_negative_sampling",  # 1-row corpus-size frame for the id modulus
     "t1_triangle_count",  # 1-row max-shared frame for the edge threshold
+    "t1_kmeans_clusters",  # K-row centroid frame broadcast per round
 }
 
 # Queries whose plan legitimately contains an unpartitioned ORDERED
