@@ -75,6 +75,12 @@ HEADLINE = [
     "t1_merge_upsert",
     "t1_rolling_zscore",
     "t1_grouped_map_scale",
+    "t1_kmeans_clusters",
+    "t1_triangle_count",
+    "t1_sliding_distinct_users",
+    "t1_unigram_surprisal",
+    "t1_dq_rules",
+    "t1_ann_euclidean_topk",
 ]
 
 

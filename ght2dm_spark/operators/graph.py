@@ -157,14 +157,15 @@ def pagerank(
     partial map-side aggregation absorbs most of it, AQE skew-split the
     rest.  The driver loop holds no data.
 
-    Rounds compose LAZILY into one Catalyst plan — at low iteration
-    counts that is ~9× faster than forcing a job per round (measured at
-    sf0.1: 0.32s vs 2.8s for 3 rounds), because per-round actions pay
-    scheduler + cache-write latency that dwarfs the actual joins.  Deep
-    iteration instead needs the opposite trade: every
-    ``materialize_every`` rounds the rank frame is localCheckpoint-ed
-    (eager) to cut lineage before plan size/optimizer time blows up —
-    same pattern as connected_components.
+    Rounds compose LAZILY into one Catalyst plan: one job instead of one
+    per round, so the scheduler/cache-write latency of per-round actions
+    disappears (cold run ~10% faster at sf0.1; steady-state is a wash
+    locally because CacheManager serves the edge list either way — on a
+    cluster, fewer barriers also means rounds pipeline into the same
+    stage where possible).  Deep iteration needs the opposite trade:
+    every ``materialize_every`` rounds the rank frame is
+    localCheckpoint-ed (eager) to cut lineage before plan
+    size/optimizer time blows up — same pattern as connected_components.
     """
     both = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

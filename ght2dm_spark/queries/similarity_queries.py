@@ -148,10 +148,10 @@ _DIST_SQL = (
 )
 def t1_ann_ivf_topk(spark, sf_dir):
     """IVF-flat ANN: corpus partitioned into inverted lists by nearest
-    centroid (here: the first 16 vectors as fixed centroids — real
-    deployments train them offline with k-means; the plumbing is
-    identical), queries probe their nprobe=2 nearest lists, exact cosine
-    rank within.  Same bucket-join shape as the LSH variant — IVF swaps
+    centroid (here: the first 16 vectors as fixed centroids — the
+    training step lives in t1_kmeans_clusters / operators.clustering,
+    and the plumbing is identical either way), queries probe their
+    nprobe=2 nearest lists, exact cosine rank within.  Same bucket-join shape as the LSH variant — IVF swaps
     the hash for learned centroids.  Candidates reached through both
     probed lists dedup via min(cos) (cos is identical either way)."""
     e = load_table(spark, sf_dir, "embeddings")
