@@ -200,3 +200,44 @@ def t1_sliding_distinct_users(spark, sf_dir):
         .cast("bigint")
         .alias("wau"),
     )
+
+
+@register(
+    "t1_mom_growth",
+    oracle="""
+    WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE) AS revenue
+               FROM orders GROUP BY 1)
+    SELECT CAST(month AS TIMESTAMP) AS month, revenue,
+           round(CASE WHEN lag(revenue) OVER (ORDER BY month) > 0
+                      THEN revenue / lag(revenue) OVER (ORDER BY month) - 1
+                 END, 6) AS mom_growth
+    FROM m
+    """,
+)
+def t1_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth: monthly decimal-exact totals,
+    then lag()/ratio over the month series (first month NULL).  The
+    period-over-period comparison every reporting layer needs.
+
+    Scale: the heavy aggregation shuffles once on month; the lag window
+    then runs over |months| rows — calendar-bounded, so the
+    unpartitioned window is a few dozen rows (same allowlisted class as
+    the WAU query).  Multi-entity variants partition the window by the
+    entity key and stay fully distributed."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(
+            F.when(prev > 0, F.col("revenue") / prev - 1), 6
+        ).alias("mom_growth"),
+    )

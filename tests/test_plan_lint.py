@@ -58,6 +58,7 @@ GLOBAL_WINDOW_OK = {
     "t1_window_range_frame",  # frame-semantics demo over one table
     "t1_time_gapfill",  # 1440-row minute spine forward fill (one series)
     "t1_sliding_distinct_users",  # window over |days| rows (calendar-bounded)
+    "t1_mom_growth",  # lag over |months| rows (calendar-bounded)
 }
 
 # Streaming queries drive a memory sink; their final plan is the sink
