@@ -187,3 +187,21 @@ def test_line_dedup_identity_when_no_boilerplate(spark, sf_dir, monkeypatch):
         | (F.col("n_kept") != F.col("n_segs"))
     ).count() == 0
     assert out.count() == expected.count()
+
+
+def test_kmeans_partitioning_independent(spark, sf_dir):
+    """Integer k-means must produce identical assignments (and therefore
+    centroids) regardless of input partitioning — the property the
+    all-integer formulation buys: no float accumulation order anywhere,
+    so repartitioning cannot perturb a single cluster id or distance."""
+    from ght2dm_spark.io import load_table
+    from ght2dm_spark.operators.clustering import kmeans_int
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = kmeans_int(e, "vec_id", "embedding", k=4, iters=2)
+    shuffled = kmeans_int(
+        e.repartition(13, "vec_id"), "vec_id", "embedding", k=4, iters=2
+    )
+    a = {(r["id"], r["cid"], r["d"]) for r in base.collect()}
+    b = {(r["id"], r["cid"], r["d"]) for r in shuffled.collect()}
+    assert a == b
