@@ -63,12 +63,14 @@ def kmeans_int(
     vec_col: str,
     k: int = 4,
     iters: int = 2,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Train k centroids for ``iters`` rounds (init: the vectors whose
-    id < k) and return the final assignment (id, cid, d) with exact
-    integer distances.  Empty clusters keep their previous centroid only
-    if re-seeded upstream — with contiguous-id init and ≥1 round every
-    cluster here retains members (asserted by the caller's oracle)."""
+    id < k) and return (assignment, centroids): the final assignment
+    (id, v, cid, d) with exact integer distances, and the trained
+    centroid table (cid, c) for downstream probing (IVF search).  Empty
+    clusters keep their previous centroid only if re-seeded upstream —
+    with contiguous-id init and ≥1 round every cluster here retains
+    members (asserted by the caller's oracle)."""
     v = df.select(
         F.col(id_col).alias("id"), int_vec(F.col(vec_col)).alias("v")
     ).cache()
@@ -89,4 +91,4 @@ def kmeans_int(
                 lambda s: s["m"],
             ).alias("c")
         )
-    return _assign(v, cents)
+    return _assign(v, cents), cents

@@ -146,12 +146,13 @@ def t1_tfidf_top_terms(spark, sf_dir):
 _KM_K, _KM_ITERS, _KM_DIM = 4, 2, 64
 
 
-def _kmeans_sql(k: int, iters: int, dim: int) -> str:
-    """DuckDB oracle mirroring operators/clustering.kmeans_int: the same
-    rounds unrolled as CTEs in the same BIGINT micro-unit fixed point
-    (exact integer distances, lexicographic (d, cid) argmin ties,
-    floor-division centroid means) — bit-identical iterative state, the
-    same discipline as the pagerank oracle."""
+def _kmeans_ctes(k: int, iters: int, dim: int) -> tuple[list, str]:
+    """Shared CTE prefix mirroring operators/clustering.kmeans_int (the
+    same rounds unrolled in the same BIGINT micro-unit fixed point —
+    exact integer distances, lexicographic (d, cid) argmin ties,
+    floor-division centroid means; bit-identical iterative state, the
+    pagerank discipline).  Returns (ctes, integer-distance expression
+    usable wherever columns ``v``/``c`` are in scope)."""
     sq = (
         f"list_reduce(list_transform(range(1, {dim + 1}), "
         f"i -> (v[i]-c[i])*(v[i]-c[i])), (x, y) -> x + y)"
@@ -175,6 +176,12 @@ def _kmeans_sql(k: int, iters: int, dim: int) -> str:
             f"FROM a{t}, unnest(range(1, {dim + 1})) AS u(i) "
             f"GROUP BY 1, 2) GROUP BY cid)"
         )
+    return ctes, sq
+
+
+def _kmeans_sql(k: int, iters: int, dim: int) -> str:
+    """Full k-means oracle: training CTEs + per-cluster report."""
+    ctes, sq = _kmeans_ctes(k, iters, dim)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -206,10 +213,117 @@ def t1_kmeans_clusters(spark, sf_dir):
     from ght2dm_spark.operators.clustering import kmeans_int
 
     e = load_table(spark, sf_dir, "embeddings")
-    asg = kmeans_int(e, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS)
+    asg, _ = kmeans_int(e, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS)
     return asg.groupBy(F.col("cid").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n"),
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
         F.sum("d").cast("decimal(38,0)").cast("double").alias("inertia"),
+    )
+
+
+def _ivf_learned_sql(k: int, iters: int, dim: int, nq: int, nprobe: int) -> str:
+    """Learned-IVF oracle: the k-means training CTEs, then corpus
+    assignment to final centroids (inverted lists), query probing of the
+    nprobe nearest lists (same integer distances), and exact cosine
+    ranking within the probed lists."""
+    from ght2dm_spark.operators.similarity import cosine_sql
+
+    ctes, sq = _kmeans_ctes(k, iters, dim)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    af AS (SELECT id,
+                  struct_extract(min(struct_pack(d := {sq}, c := cid)), 'c')
+                    AS cid
+           FROM v CROSS JOIN c{iters} GROUP BY id, v),
+    qp AS (SELECT id AS q_id, cid FROM (
+             SELECT v.id, c{iters}.cid,
+                    row_number() OVER (PARTITION BY v.id
+                                       ORDER BY {sq} ASC, cid ASC) AS rn
+             FROM v CROSS JOIN c{iters} WHERE v.id < {nq}) t
+           WHERE rn <= {nprobe}),
+    scored AS (SELECT q.q_id, a.id AS c_id,
+                      {cosine_sql("qe.embedding", "ce.embedding")} AS cos
+               FROM qp q JOIN af a USING (cid)
+               JOIN embeddings qe ON qe.vec_id = q.q_id
+               JOIN embeddings ce ON ce.vec_id = a.id
+               WHERE q.q_id <> a.id),
+    dedup AS (SELECT q_id, c_id, min(cos) AS cos FROM scored GROUP BY 1, 2)
+    SELECT q_id, c_id, round(cos, 6) AS cos, rank FROM (
+        SELECT q_id, c_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, c_id ASC) AS rank
+        FROM dedup) r WHERE rank <= 3"""
+    )
+
+
+_IVF_NQ, _IVF_NPROBE = 10, 2
+
+
+@register(
+    "t1_ann_ivf_learned",
+    oracle=_ivf_learned_sql(_KM_K, _KM_ITERS, _KM_DIM, _IVF_NQ, _IVF_NPROBE),
+)
+def t1_ann_ivf_learned(spark, sf_dir):
+    """IVF search END-TO-END with TRAINED centroids: integer k-means
+    (t1_kmeans_clusters) learns the coarse quantizer, the corpus is
+    assigned to inverted lists at the final centroids, queries probe
+    their nprobe=2 nearest lists (same exact integer distances as
+    training), and candidates rank by exact cosine — the full
+    train→index→search composition under one exact-match oracle, where
+    t1_ann_ivf_topk uses fixed centroids to isolate the search plumbing.
+
+    Scale: training never shuffles the corpus (broadcast-K rounds);
+    list assignment rides the final training round; search = one equi
+    join on list id, exactly the LSH-bucket shape.  Recall tunes via
+    k/nprobe; everything downstream of training is identical plumbing
+    for any quantizer."""
+    from pyspark.sql import Window
+
+    from ght2dm_spark.operators.clustering import (
+        int_vec,
+        kmeans_int,
+        sqdist_int,
+    )
+    from ght2dm_spark.operators.similarity import as_double, cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, cents = kmeans_int(
+        e, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS
+    )
+    inv = asg.select("cid", F.col("id").alias("c_id"))
+
+    vq = e.filter(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("q_id"), int_vec(F.col("embedding")).alias("v")
+    )
+    wq = Window.partitionBy("q_id").orderBy("d", "cid")
+    qp = (
+        vq.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "cid", sqdist_int(F.col("v"), F.col("c")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("q_id", "cid")
+    )
+    qe = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    ce = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    scored = (
+        qp.join(inv, "cid")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .join(F.broadcast(qe), "q_id")
+        .join(ce, "c_id")
+        .withColumn(
+            "cos", cosine(as_double(F.col("q_vec")), as_double(F.col("c_vec")))
+        )
+        .groupBy("q_id", "c_id")
+        .agg(F.min("cos").alias("cos"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", F.round("cos", 6).alias("cos"), "rank")
     )

@@ -49,6 +49,7 @@ CROSS_OK = {
     "t1_negative_sampling",  # 1-row corpus-size frame for the id modulus
     "t1_triangle_count",  # 1-row max-shared frame for the edge threshold
     "t1_kmeans_clusters",  # K-row centroid frame broadcast per round
+    "t1_ann_ivf_learned",  # K-row centroid frame broadcast per round
 }
 
 # Queries whose plan legitimately contains an unpartitioned ORDERED

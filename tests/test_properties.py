@@ -198,8 +198,8 @@ def test_kmeans_partitioning_independent(spark, sf_dir):
     from ght2dm_spark.operators.clustering import kmeans_int
 
     e = load_table(spark, sf_dir, "embeddings")
-    base = kmeans_int(e, "vec_id", "embedding", k=4, iters=2)
-    shuffled = kmeans_int(
+    base, _ = kmeans_int(e, "vec_id", "embedding", k=4, iters=2)
+    shuffled, _ = kmeans_int(
         e.repartition(13, "vec_id"), "vec_id", "embedding", k=4, iters=2
     )
     a = {(r["id"], r["cid"], r["d"]) for r in base.collect()}
