@@ -177,3 +177,81 @@ def t1_python_udf_row(spark, sf_dir):
     shifted = F.udf(lambda s: len(s) + 7, "long")
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", shifted("text").alias("shifted_len"))
+
+
+@register(
+    "t1_map_in_arrow",
+    oracle="""
+    SELECT event_id, length(props) AS props_len,
+           user_id * 2 AS doubled_uid
+    FROM events
+    """,
+)
+def t1_map_in_arrow(spark, sf_dir):
+    """mapInArrow: the zero-copy tier BELOW mapInPandas — the UDF
+    receives raw pyarrow RecordBatches (no pandas conversion, no index
+    materialization), the right level for columnar libraries that speak
+    Arrow natively (polars, duckdb-in-executor, custom C++ kernels via
+    Arrow C data interface).  Computation here uses pyarrow.compute
+    kernels — vectorized C++, never Python per row.
+
+    Scale: same narrow-map properties as mapInPandas (no shuffle,
+    batch-size-bounded memory) minus the pandas conversion overhead on
+    both edges — the preferred hook once the payload is large or the
+    downstream library is Arrow-native."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for batch in it:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("event_id")),
+                    pc.utf8_length(
+                        batch.column(batch.schema.get_field_index("props"))
+                    ).cast(pa.int64()),
+                    pc.multiply(
+                        batch.column(
+                            batch.schema.get_field_index("user_id")
+                        ),
+                        pa.scalar(2, pa.int64()),
+                    ),
+                ],
+                names=["event_id", "props_len", "doubled_uid"],
+            )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "props", "user_id"
+    )
+    return ev.mapInArrow(
+        batches, schema="event_id long, props_len long, doubled_uid long"
+    )
+
+
+@register(
+    "t1_variant_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_val,
+           CAST(json_extract(props, '$.n') AS BIGINT) AS n_val
+    FROM events
+    """,
+)
+def t1_variant_extract(spark, sf_dir):
+    """VariantType (Spark 4): props parsed ONCE into the binary variant
+    encoding, then typed path extraction via variant_get — the
+    semi-structured column story that replaces repeated from_json/
+    get_json_object string re-parsing (variant decode is a cheap binary
+    walk per access, and the parse amortizes across any number of
+    extractions).
+
+    Scale: a narrow map either way, but on wide telemetry the
+    parse-once-extract-many difference is a large constant factor; the
+    oracle extracts the same paths from the JSON text directly."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "string").alias("k_val"),
+        F.variant_get(v, "$.n", "bigint").alias("n_val"),
+    )
