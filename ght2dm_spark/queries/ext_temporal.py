@@ -285,3 +285,112 @@ def t1_fuzzy_blocking_join(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("probe_id", "dirty", "match", "dist")
     )
+
+
+@register(
+    "t1_last_touch_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS c_ts, max(event_id) AS touch_id
+          FROM events WHERE event_type = 'click'
+          GROUP BY user_id, ts)
+    SELECT p.p_id, p.user_id, c.touch_id
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+    """,
+)
+def t1_last_touch_attribution(spark, sf_dir):
+    """Last-touch attribution: every purchase credits the same user's
+    most recent click at-or-before it (never-clicked purchases keep a
+    NULL touch — they must stay visible, not drop out).  This is the
+    as-of join wearing its marketing-analytics hat; simultaneous clicks
+    pre-dedup to max event_id so attribution is deterministic.
+
+    Scale: union-and-window as-of (one shuffle on user_id, no row
+    expansion — the naive correlated max-subquery re-scans clicks per
+    purchase); checked against DuckDB's native ASOF JOIN as an
+    independent implementation."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("touch_id"),
+    )
+    out = asof_join(
+        p,
+        c,
+        key="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        payload=["touch_id"],
+        tie_break="touch_id",
+    )
+    return out.select("p_id", "user_id", "touch_id")
+
+
+@register(
+    "t1_histogram_equidepth",
+    oracle="""
+    WITH b AS (SELECT event_type, value,
+                      ntile(4) OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS bucket
+               FROM events)
+    SELECT event_type, bucket, count(*) AS n,
+           round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def t1_histogram_equidepth(spark, sf_dir):
+    """Equi-DEPTH histogram per event_type: ntile(4) splits each group's
+    value distribution into four equal-population buckets whose
+    boundaries adapt to the data (the t1_histogram equi-width
+    complement, and the statistic behind range-partition boundary
+    estimation).  event_id tie-breaks equal values so bucket membership
+    is deterministic.
+
+    Scale: one shuffle on event_type + per-group sort; ntile's counter
+    state is O(1) per group.  The production variant at extreme group
+    size samples (approx_percentile boundaries) instead of total-sorting
+    — same output schema."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    b = ev.select(
+        "event_type", "value", F.ntile(4).over(w).alias("bucket")
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+@register(
+    "t1_topk_with_ties",
+    oracle="""
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS rk
+      FROM documents) t
+    WHERE rk <= 3
+    """,
+)
+def t1_topk_with_ties(spark, sf_dir):
+    """Top-3 longest documents per language WITH ties (rank(), not
+    row_number()): equal lengths at the cutoff all survive — the SQL
+    FETCH WITH TIES semantics, where the row_number form
+    (t1_topk_per_group) picks arbitrarily among ties unless given a
+    total order.  Output size becomes data-dependent; deterministic
+    either way because rank() depends only on the (documented) sort
+    key."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc())
+    return (
+        d.select("lang", "doc_id", "n_chars", F.rank().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "doc_id", "n_chars")
+    )
