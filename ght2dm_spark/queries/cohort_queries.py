@@ -426,3 +426,102 @@ def t1_pagerank(spark, sf_dir):
         damp_den=_PR_DAMP_DEN,
     )
     return out.select("node", F.col("r").alias("rank_e12"))
+
+
+@register(
+    "t1_user_feature_pipeline",
+    oracle="""
+    WITH o AS (SELECT user_id, ts, value, event_type,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+               FROM events),
+    m AS (SELECT *, CASE WHEN prev IS NULL
+                              OR epoch(ts) - epoch(prev) >= 14400
+                         THEN 1 ELSE 0 END AS new_s FROM o),
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m),
+    sess AS (SELECT user_id, sid,
+                    count(*) AS n_events,
+                    date_diff('microsecond', min(ts), max(ts)) AS dur_us,
+                    sum(CAST(value AS DECIMAL(18,2))) AS sv
+             FROM s GROUP BY user_id, sid)
+    SELECT sess.user_id,
+           count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(dur_us) AS BIGINT) AS max_session_us,
+           round(CAST(sum(n_events) AS DOUBLE) / count(*), 6)
+             AS events_per_session,
+           CAST(sum(sv) AS DOUBLE) AS total_value,
+           u.n_types
+    FROM sess
+    JOIN (SELECT user_id, count(DISTINCT event_type) AS n_types
+          FROM events GROUP BY user_id) u ON sess.user_id = u.user_id
+    GROUP BY sess.user_id, u.n_types
+    """,
+)
+def t1_user_feature_pipeline(spark, sf_dir):
+    """Fused per-user feature engineering — the events-side counterpart
+    to the corpus-build flagship: gap sessionization (4h) → per-session
+    stats (events, integer-microsecond duration, decimal-exact value)
+    → per-user features
+    (session counts, max/avg session shape, total value, event-type
+    breadth) in ONE job.
+
+    Scale: every stage shares the user_id partitioning — Catalyst plans
+    ONE exchange on user_id and reuses it through the sessionize window,
+    both aggregations, and the breadth join; nothing reshuffles.  This
+    reuse-the-exchange property is what makes fused feature pipelines
+    cheap relative to running each feature as its own job (N scans, N
+    shuffles)."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = (
+        ev.withColumn("prev", F.lag("ts").over(wu))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | (
+                    F.unix_timestamp("ts") - F.unix_timestamp("prev")
+                    >= 14400
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(run))
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).alias("dur_us"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+    )
+    breadth = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types")
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("dur_us").alias("max_session_us"),
+            F.round(
+                F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+            ).alias("events_per_session"),
+            F.sum("sv").cast("double").alias("total_value"),
+        )
+        .join(breadth, "user_id")
+        .select(
+            "user_id",
+            "n_sessions",
+            "n_events",
+            "max_session_us",
+            "events_per_session",
+            "total_value",
+            "n_types",
+        )
+    )
