@@ -467,12 +467,15 @@ def t1_user_feature_pipeline(spark, sf_dir):
     (session counts, max/avg session shape, total value, event-type
     breadth) in ONE job.
 
-    Scale: every stage shares the user_id partitioning — Catalyst plans
-    ONE exchange on user_id and reuses it through the sessionize window,
-    both aggregations, and the breadth join; nothing reshuffles.  This
-    reuse-the-exchange property is what makes fused feature pipelines
-    cheap relative to running each feature as its own job (N scans, N
-    shuffles)."""
+    Scale: every stage clusters on user_id, so hash partitioning on the
+    user key SATISFIES every downstream distribution — the sessionize
+    windows, the (user_id, sid) session aggregate (subset-partitioning
+    rule: grouping by a superset of the partition key needs no
+    re-exchange), the user rollup, and the breadth join all run on
+    user_id exchanges only (verified: 3 exchanges in the plan, all on
+    user_id — main branch, breadth branch, join side; zero sorts beyond
+    the window's own).  Running each feature as its own job would cost
+    N scans and N shuffles instead."""
     ev = load_table(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id").orderBy("ts")
     run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
