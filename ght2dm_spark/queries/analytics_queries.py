@@ -241,3 +241,115 @@ def t1_mom_growth(spark, sf_dir):
             F.when(prev > 0, F.col("revenue") / prev - 1), 6
         ).alias("mom_growth"),
     )
+
+
+@register(
+    "t1_churn_labels",
+    oracle="""
+    WITH w AS (SELECT user_id,
+                      CAST(date_trunc('week', ts) AS DATE) AS week,
+                      count(*) AS n_events
+               FROM events GROUP BY 1, 2)
+    SELECT user_id, week, CAST(n_events AS BIGINT) AS n_events,
+           CAST(CASE WHEN lead(week) OVER (PARTITION BY user_id
+                                           ORDER BY week)
+                          = week + INTERVAL 7 DAY
+                     THEN 1 ELSE 0 END AS INTEGER) AS active_next_week
+    FROM w
+    """,
+)
+def t1_churn_labels(spark, sf_dir):
+    """Training-label generation with temporal correctness: per
+    (user, week) activity rows labeled with whether the user was active
+    the FOLLOWING week (lead over the user's week sequence — the label
+    never reads data from its own feature window, the leakage rule
+    supervised pipelines must obey).  Trailing weeks label 0 (churned or
+    censored — callers cut the last observed week before training).
+
+    Scale: one shuffle to (user, week) grains (tiny vs events), one
+    user-partitioned lead pass.  Features from t1_user_feature_pipeline
+    join on the same user key."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("user_id").orderBy("week")
+    return wk.select(
+        "user_id",
+        "week",
+        "n_events",
+        F.when(
+            F.lead("week").over(w) == F.date_add("week", 7), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("active_next_week"),
+    )
+
+
+@register(
+    "t1_auc_metric",
+    oracle="""
+    WITH s AS (SELECT source, n_chars AS score,
+                      count(*) FILTER (lang = 'en') AS np,
+                      count(*) FILTER (lang <> 'en') AS nn
+               FROM documents GROUP BY source, n_chars),
+    c AS (SELECT source, score, np, nn,
+                 coalesce(sum(nn) OVER (PARTITION BY source ORDER BY score
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS neg_below
+          FROM s),
+    u AS (SELECT source,
+                 CAST(sum(np * neg_below) AS BIGINT) AS u2,
+                 CAST(sum(np * nn) AS BIGINT) AS ties2,
+                 CAST(sum(np) AS BIGINT) AS n_pos,
+                 CAST(sum(nn) AS BIGINT) AS n_neg
+          FROM c GROUP BY source)
+    SELECT source, n_pos, n_neg,
+           round((u2 + 0.5 * ties2) / (CAST(n_pos AS DOUBLE) * n_neg), 6)
+             AS auc
+    FROM u
+    """,
+)
+def t1_auc_metric(spark, sf_dir):
+    """Distributed AUC (Mann-Whitney U) per source: does document length
+    predict lang='en'?  Computed WITHOUT per-row ranking: scores
+    collapse to their distinct-value distribution first (n_pos/n_neg per
+    score), U = Σ n_pos(s)·neg_below(s) + ½·ties, so the window runs
+    over |distinct scores| rows per source — the score-histogram trick
+    that makes exact AUC feasible at corpus scale (production buckets
+    scores first, same shape).  All counting is integer; one double
+    division at the end.
+
+    Scale: one shuffle to (source, score) grains, one source-partitioned
+    cumulative window over the score histogram, one final source
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source", F.col("n_chars").alias("score")).agg(
+        F.count_if(F.col("lang") == "en").alias("np"),
+        F.count_if(F.col("lang") != "en").alias("nn"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = s.withColumn(
+        "neg_below", F.coalesce(F.sum("nn").over(w), F.lit(0))
+    )
+    u = c.groupBy("source").agg(
+        F.sum(F.col("np") * F.col("neg_below")).alias("u2"),
+        F.sum(F.col("np") * F.col("nn")).alias("ties2"),
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+    )
+    return u.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("u2") + 0.5 * F.col("ties2"))
+            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
