@@ -207,3 +207,61 @@ def test_zorder_clustering_bounds_both_dimensions(spark, sf_dir, tmp_path):
     # linear clustering: leading column tight, second column ~unbounded
     assert med([a for a, _ in r]) < 0.2 * glob_a
     assert med([b for _, b in r]) > 0.9 * glob_b
+
+
+def test_foreach_batch_exactly_once_upsert(spark, sf_dir, tmp_path):
+    """foreachBatch upsert sink with exactly-once semantics: events
+    arrive over MULTIPLE micro-batches (maxFilesPerTrigger=1 over a
+    4-file copy), each batch MERGEs into a keyed parquet target
+    (anti-join out existing keys, union, atomic swap).  The final table
+    equals the batch-mode distinct, and re-delivering a batch (the
+    at-least-once failure mode checkpoint replay produces) changes
+    nothing — idempotence is what upgrades at-least-once delivery to
+    exactly-once results."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.parquet(src)
+    target = tmp_path / "target"
+
+    def upsert(batch_df, batch_id):
+        batch = batch_df.select("event_id", "user_id").dropDuplicates(
+            ["event_id"]
+        )
+        if target.exists():
+            cur = spark.read.parquet(str(target))
+            merged = cur.join(batch, "event_id", "left_anti").unionByName(
+                batch
+            )
+        else:
+            merged = batch
+        tmp = str(tmp_path / f"swap_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        if target.exists():
+            shutil.rmtree(target)
+        shutil.move(tmp, target)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1  # really ran multiple batches
+
+    expect = load_table(spark, sf_dir, "events").select("event_id").distinct()
+    got = spark.read.parquet(str(target))
+    assert got.count() == expect.count()
+    assert got.select("event_id").distinct().count() == expect.count()
+
+    # duplicate delivery of an arbitrary batch: no change
+    replay = spark.read.parquet(str(target)).limit(500)
+    upsert(replay.withColumn("x", F.lit(1)).drop("x"), 99)
+    assert spark.read.parquet(str(target)).count() == expect.count()
