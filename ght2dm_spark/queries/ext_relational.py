@@ -447,3 +447,56 @@ def t1_array_funcs(spark, sf_dir):
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
         F.round(sq, 4).alias("sq_norm"),
     )
+
+
+@register(
+    "t1_pareto_front",
+    oracle="""
+    WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate,
+                      max(o_orderdate) OVER (
+                        PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS best_date_above
+               FROM orders)
+    SELECT o_orderpriority, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice, o_orderdate
+    FROM r
+    WHERE best_date_above IS NULL OR o_orderdate > best_date_above
+    """,
+)
+def t1_pareto_front(spark, sf_dir):
+    """2-D Pareto front (skyline) per order priority: orders not
+    dominated on (totalprice, orderdate) — no other order in the class
+    has both a strictly higher-or-equal price (earlier in the sort) and
+    a later-or-equal date.  One sort by price descending + a running
+    max of date: a row survives iff its date beats every date seen at
+    higher prices — the classic O(n log n) sweep, expressed as a single
+    window.
+
+    Scale: partitioned by the class key, so each front computes
+    independently after one shuffle; the unbounded-preceding frame is a
+    running scalar, not a buffered list.  (A global skyline runs the
+    same sweep per partition then re-sweeps the per-partition fronts —
+    two passes, still no cross product.)  Tie policy: equal prices sweep
+    in orderkey order, so an equal-price-later-date row survives; true
+    duplicates dominate by key order — deterministic either way."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = o.withColumn("best_date_above", F.max("o_orderdate").over(w))
+    return (
+        r.filter(
+            F.col("best_date_above").isNull()
+            | (F.col("o_orderdate") > F.col("best_date_above"))
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderdate",
+        )
+    )
