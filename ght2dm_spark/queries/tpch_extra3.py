@@ -189,3 +189,68 @@ def t1_sql_api(spark, sf_dir):
         GROUP BY c.c_mktsegment
         """
     )
+
+
+@register(
+    "t1_sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice >= 150000 AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def t1_sql_parameterized(spark, sf_dir):
+    """Parameterized SQL (Spark 4 named parameter markers): values bind
+    as TYPED literals through `spark.sql(query, args=...)` — never
+    string interpolation, so no SQL injection and no accidental type
+    coercion; Catalyst constant-folds the bound literals into pushed
+    filters exactly like inline ones.
+
+    Scale: identical plan to the inline form — the parquet scan shows
+    both predicates in PushedFilters."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders_v
+        WHERE o_totalprice >= :min_price AND o_orderdate >= :since
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000, "since": "1996-01-01 00:00:00"},
+    )
+
+
+@register(
+    "t1_union_evolved",
+    oracle="""
+    SELECT doc_id, lang, NULL AS quality_tier FROM documents
+    UNION ALL BY NAME
+    SELECT doc_id, lang,
+           CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END
+             AS quality_tier
+    FROM documents
+    """,
+)
+def t1_union_evolved(spark, sf_dir):
+    """Union across schema versions (unionByName with
+    allowMissingColumns): an old batch lacking a column unions with a
+    new batch that has it — missing fields surface as NULL, matched by
+    NAME not position (positional unionAll silently mismatches after
+    any column reorder).  The in-flight counterpart of the mergeSchema
+    read (tests/test_io_sinks.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.select("doc_id", "lang")
+    new = d.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("n_chars") > 300, "long")
+        .otherwise("short")
+        .alias("quality_tier"),
+    )
+    return old.unionByName(new, allowMissingColumns=True)
