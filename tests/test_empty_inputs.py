@@ -1,0 +1,72 @@
+"""Empty-input robustness: core operators must return EMPTY results on
+empty frames — never throw — because at 100 TB a date-partition filter
+or a quality gate routinely leaves a stage with zero rows, and a
+pipeline that crashes on an empty partition day is a paged on-call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+
+
+def _empty(df):
+    return df.filter(F.lit(False))
+
+
+def test_dedup_newest_empty(spark, sf_dir):
+    from ght2dm_spark.operators.dedup import dedup_newest
+
+    d = _empty(load_table(spark, sf_dir, "documents")).withColumn(
+        "file_date", F.current_date()
+    ).withColumn("file_pos", F.lit(0))
+    out = dedup_newest(
+        d, ["doc_id"], [F.desc("file_date"), F.asc("file_pos")]
+    )
+    assert out.count() == 0
+
+
+def test_minhash_empty(spark, sf_dir):
+    from ght2dm_spark.operators.neardup import minhash_signature
+
+    d = _empty(load_table(spark, sf_dir, "documents"))
+    assert minhash_signature(d, "doc_id", "text", k=4).count() == 0
+
+
+def test_pagerank_empty_edges(spark, sf_dir):
+    from ght2dm_spark.operators.graph import pagerank
+
+    li = _empty(load_table(spark, sf_dir, "lineitem"))
+    edges = li.select(
+        F.col("l_suppkey").cast("string").alias("src"),
+        F.col("l_partkey").cast("string").alias("dst"),
+    )
+    assert pagerank(edges, iterations=2).count() == 0
+
+
+def test_kmeans_empty(spark, sf_dir):
+    from ght2dm_spark.operators.clustering import kmeans_int
+
+    e = _empty(load_table(spark, sf_dir, "embeddings"))
+    asg, cents = kmeans_int(e, "vec_id", "embedding", k=4, iters=1)
+    assert asg.count() == 0 and cents.count() == 0
+
+
+def test_asof_join_empty_right(spark, sf_dir):
+    """Empty RIGHT side must keep left-join semantics: all left rows
+    survive with NULL payload (not an empty result)."""
+    from ght2dm_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = _empty(load_table(spark, sf_dir, "orders")).select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    out = asof_join(
+        ev, orders, key="user_id", left_ts="ts",
+        right_ts="o_orderdate", payload=["o_orderkey"],
+    )
+    assert out.count() == ev.count()
+    assert out.filter(F.col("o_orderkey").isNotNull()).count() == 0

@@ -160,3 +160,62 @@ def test_stream_stream_interval_join(spark, sf_dir):
     batch_out = sides(lambda: load_table(spark, sf_dir, "events"))
     assert _rows(stream_out) == _rows(batch_out)
     assert stream_out.count() > 0
+
+
+def test_streaming_corpus_ingest_pipeline(spark, sf_dir, tmp_path):
+    """Streaming CURATION composition: documents arrive over multiple
+    micro-batches (maxFilesPerTrigger=1), each batch flows through the
+    quality gate → exact-dedup (cross-batch, via the keyed upsert sink)
+    → parquet corpus.  The drained corpus equals the batch-mode
+    filter+dedup — the same curation semantics, incremental delivery."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.io import load_table
+
+    src = str(tmp_path / "docs_src")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(3).write.parquet(src)
+    target = tmp_path / "corpus"
+
+    def curate(batch_df, batch_id):
+        batch = (
+            batch_df.filter(F.col("n_chars") >= 100)
+            .withColumn("h", F.md5("text"))
+            .dropDuplicates(["h"])
+            .select("doc_id", "h", "n_chars")
+        )
+        if target.exists():
+            cur = spark.read.parquet(str(target))
+            merged = cur.join(batch, "h", "left_anti").unionByName(batch)
+        else:
+            merged = batch
+        tmp = str(tmp_path / f"swap_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        if target.exists():
+            shutil.rmtree(target)
+        shutil.move(tmp, target)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(curate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1
+
+    expect = (
+        docs.filter(F.col("n_chars") >= 100)
+        .withColumn("h", F.md5("text"))
+        .dropDuplicates(["h"])
+    )
+    got = spark.read.parquet(str(target))
+    assert got.count() == expect.count()
+    assert got.select("h").distinct().count() == expect.count()
