@@ -353,3 +353,89 @@ def t1_auc_metric(spark, sf_dir):
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "t1_mode_per_group",
+    oracle="""
+    WITH c AS (SELECT user_id, event_type, count(*) AS n
+               FROM events GROUP BY user_id, event_type),
+    r AS (SELECT user_id, event_type, n,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY n DESC, event_type) AS rn
+          FROM c)
+    SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = 1
+    """,
+)
+def t1_mode_per_group(spark, sf_dir):
+    """Deterministic MODE per group: each user's most frequent event
+    type, ties broken lexicographically — built from count + row_number
+    rather than the engine's mode() aggregate, whose tie choice is
+    implementation-defined (the reproducibility rule: never ship an
+    operator whose output depends on unspecified tie behavior).
+
+    Scale: the (user, type) count collapses events map-side first; the
+    pick window runs over ≤ |event_type| rows per user."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+@register(
+    "t1_sequence_pattern",
+    oracle="""
+    WITH s AS (SELECT user_id,
+                      string_agg(substr(event_type, 1, 1), ''
+                                 ORDER BY ts, event_id) AS seq
+               FROM events GROUP BY user_id)
+    SELECT user_id, length(seq) AS n_events,
+           CAST(regexp_matches(seq, 'v[vc]*p') AS INTEGER)
+             AS converted_via_views
+    FROM s
+    """,
+)
+def t1_sequence_pattern(spark, sf_dir):
+    """Sequence-pattern matching over event streams (the
+    MATCH_RECOGNIZE emulation): each user's ordered events encode to a
+    character string (v/c/p/… initials), and the behavioral pattern
+    "view, then only views/clicks until a purchase" is one regex over
+    that string.  Encoding order is pinned by (ts, event_id), so the
+    string — and the match — is deterministic.
+
+    Scale: one shuffle on user_id; the per-user string is bounded by
+    the user's event count (cap long tails by windowing the encode to
+    the trailing N events).  Regex-over-encoded-sequence turns
+    arbitrary order-sensitive patterns into a scan over |users| strings
+    — the trick that avoids k-way self-joins for k-step patterns
+    (compare t1_event_funnel's 3 joins for one fixed funnel)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda x: F.substring(x["event_type"], 1, 1),
+            ),
+            "",
+        ).alias("seq")
+    )
+    return s.select(
+        "user_id",
+        F.length("seq").alias("n_events"),
+        F.col("seq").rlike("v[vc]*p").cast("int").alias(
+            "converted_via_views"
+        ),
+    )
