@@ -500,3 +500,58 @@ def t1_pareto_front(spark, sf_dir):
             "o_orderdate",
         )
     )
+
+
+@register(
+    "t1_keyset_pagination",
+    oracle="""
+    WITH anchor AS (
+      SELECT o_totalprice AS ap, o_orderkey AS ak FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 1 OFFSET 99
+    )
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders, anchor
+    WHERE o_totalprice < ap OR (o_totalprice = ap AND o_orderkey > ak)
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def t1_keyset_pagination(spark, sf_dir):
+    """Keyset (seek) pagination: the page AFTER a known anchor row is
+    fetched with a WHERE over the total sort key — (price, orderkey)
+    strictly past the anchor — plus LIMIT, instead of OFFSET.  The
+    anchor here is derived in-query (row 100) to keep the demo
+    self-contained; a real caller passes the last row of the previous
+    page.
+
+    Scale: OFFSET n is O(n) on every page (the engine sorts and skips n
+    rows — TakeOrderedAndProject still computes them); the keyset
+    predicate pushes to the scan and each page costs O(page) after
+    pruning, independent of how deep you've paged.  The sort key must
+    be TOTAL (unique tie-break column) or pages can skip/repeat rows."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("o_totalprice").alias("ap"), F.col("o_orderkey").alias("ak")
+        )
+    )
+    return (
+        o.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("o_totalprice") < F.col("ap"))
+            | (
+                (F.col("o_totalprice") == F.col("ap"))
+                & (F.col("o_orderkey") > F.col("ak"))
+            )
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+    )

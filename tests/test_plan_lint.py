@@ -50,6 +50,7 @@ CROSS_OK = {
     "t1_triangle_count",  # 1-row max-shared frame for the edge threshold
     "t1_kmeans_clusters",  # K-row centroid frame broadcast per round
     "t1_ann_ivf_learned",  # K-row centroid frame broadcast per round
+    "t1_keyset_pagination",  # 1-row page-anchor frame broadcast
 }
 
 # Queries whose plan legitimately contains an unpartitioned ORDERED
