@@ -60,6 +60,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound Arrow batch size so pandas-UDF stages over wide binary
+        # payloads (multimodal decode) can't blow out worker memory —
+        # batches stream at this granularity regardless of row width.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
         # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos
         # timestamp — read as long, io.load_table converts to micros exactly
