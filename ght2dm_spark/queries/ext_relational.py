@@ -555,3 +555,43 @@ def t1_keyset_pagination(spark, sf_dir):
             "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
         )
     )
+
+
+@register(
+    "t1_topk_incremental",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def t1_topk_incremental(spark, sf_dir):
+    """Incrementally-maintained top-k (insert-only IVM): the corpus is
+    split into a base and a delta batch; the maintained result is
+    top-k(top-k(base) ∪ delta) — only the k retained rows plus the new
+    batch are rescanned, never the base.  The oracle is the direct
+    top-k over everything, proving the maintenance identity (sound for
+    INSERT-only streams because top-k is monotone under union; deletes
+    need the k-skyband or a recompute, cf. incremental top-k search,
+    EDBT 2020).
+
+    Scale: each refresh costs O(k + |delta|) rather than O(|table|) —
+    the difference between a dashboard tick and a table scan at 100 TB.
+    Ties break on orderkey so the maintained and direct forms pick
+    identical rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 5 != 0)
+    delta = o.filter(F.col("o_orderkey") % 5 == 0)
+
+    def topk(df):
+        return df.orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        ).limit(20)
+
+    maintained = topk(topk(base).unionByName(delta))
+    return maintained.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
