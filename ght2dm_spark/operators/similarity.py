@@ -105,6 +105,33 @@ def srp_bucket_sql(vec: str, planes: int = 8, dim: int = EMB_DIM) -> str:
     return " || ".join(bits)
 
 
+def srp_margins(vec: Column, planes: int = 8, dim: int = EMB_DIM) -> Column:
+    """Absolute projection margin per hyperplane, as an array aligned with
+    the bucket-code bit order.  The smallest margin marks the bit most
+    likely to be on the wrong side of its hyperplane — the bit that
+    query-directed multi-probe LSH (Lv et al., VLDB'07) flips first."""
+    m = sign_matrix(planes, dim)
+    projs = []
+    for p in range(planes):
+        w = F.array(*[F.lit(v) for v in m[p]])
+        projs.append(F.abs(dot(as_double(vec), w)))
+    return F.array(*projs)
+
+
+def srp_margins_sql(vec: str, planes: int = 8, dim: int = EMB_DIM) -> str:
+    """DuckDB mirror of :func:`srp_margins` (same fold → bit-identical
+    doubles → both engines pick the same flip bit)."""
+    m = sign_matrix(planes, dim)
+    projs = []
+    for p in range(planes):
+        w = "[" + ", ".join(str(v) for v in m[p]) + "]::DOUBLE[]"
+        projs.append(
+            f"abs(list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({w})[i]), (x, y) -> x + y))"
+        )
+    return "[" + ", ".join(projs) + "]"
+
+
 def topk_neighbors(
     queries: DataFrame,
     corpus: DataFrame,

@@ -24,6 +24,8 @@ from ght2dm_spark.operators.similarity import (
     l2_sql,
     srp_bucket,
     srp_bucket_sql,
+    srp_margins,
+    srp_margins_sql,
     topk_neighbors,
 )
 from ght2dm_spark.queries.registry import register
@@ -92,6 +94,79 @@ def t1_ann_lsh_topk(spark, sf_dir):
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), "bucket"
     )
     out = topk_neighbors(q, c, k=3, pre_join=["bucket"])
+    return out.select("q_id", "c_id", F.round("cos", 6).alias("cos"), "rank")
+
+
+@register(
+    "t1_ann_lsh_multiprobe",
+    oracle=f"""
+    WITH q0 AS (SELECT vec_id AS q_id, embedding AS q_vec,
+                       {srp_bucket_sql("embedding")} AS bucket,
+                       {srp_margins_sql("embedding")} AS margins
+                FROM embeddings WHERE vec_id < {N_QUERIES}),
+    q1 AS (SELECT q_id, q_vec, bucket,
+                  list_position(margins, list_min(margins)) AS fidx
+           FROM q0),
+    q2 AS (SELECT q_id, q_vec, bucket,
+                  substr(bucket, 1, fidx - 1)
+                  || (CASE WHEN substr(bucket, fidx, 1) = '1'
+                           THEN '0' ELSE '1' END)
+                  || substr(bucket, fidx + 1, 8) AS probe2
+           FROM q1),
+    probes AS (SELECT q_id, q_vec, unnest([bucket, probe2]) AS bucket FROM q2),
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec,
+                 {srp_bucket_sql("embedding")} AS bucket
+          FROM embeddings),
+    s AS (SELECT q_id, c_id, {cosine_sql("q_vec", "c_vec")} AS cos
+          FROM c JOIN probes USING (bucket) WHERE q_id <> c_id),
+    r AS (SELECT q_id, c_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, c_id ASC) AS rank
+          FROM s)
+    SELECT q_id, c_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 3
+    """,
+)
+def t1_ann_lsh_multiprobe(spark, sf_dir):
+    """Query-directed multi-probe LSH (Lv et al., VLDB'07): each query
+    probes its own sign-projection bucket PLUS the bucket with its
+    lowest-|margin| bit flipped — the bit most likely to have landed on
+    the wrong side of its hyperplane.  Recall is a strict superset of
+    single-bucket LSH at 2× the candidate work instead of 256× (brute
+    force).  Scale shape: the corpus is bucketed ONCE (narrow map, no
+    re-hash per probe); only the tiny query side fans out (explode to 2
+    probe rows), then one equi join on the bucket code with the query
+    side broadcast — the corpus never shuffles.  Both engines compute
+    margins with the same left-to-right double fold, so the flipped bit
+    (first-minimum tie-break via array_position/list_position) is
+    identical and the "approximate" operator stays exactly
+    oracle-checkable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    withb = e.withColumn("bucket", srp_bucket(F.col("embedding")))
+    q1 = (
+        withb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            "bucket",
+            srp_margins(F.col("embedding")).alias("margins"),
+        )
+        .withColumn("fidx", F.expr("array_position(margins, array_min(margins))"))
+    )
+    q2 = q1.withColumn(
+        "probe2",
+        F.expr(
+            "concat(substring(bucket, 1, cast(fidx - 1 as int)), "
+            "if(substring(bucket, cast(fidx as int), 1) = '1', '0', '1'), "
+            "substring(bucket, cast(fidx + 1 as int), 8))"
+        ),
+    )
+    probes = q2.select(
+        "q_id", "q_vec", F.explode(F.array("bucket", "probe2")).alias("bucket")
+    )
+    c = withb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), "bucket"
+    )
+    out = topk_neighbors(probes, c, k=3, pre_join=["bucket"])
     return out.select("q_id", "c_id", F.round("cos", 6).alias("cos"), "rank")
 
 
