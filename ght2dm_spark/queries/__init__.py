@@ -42,5 +42,7 @@ from ght2dm_spark.queries import robust_stats  # noqa: E402,F401
 from ght2dm_spark.queries import udf_surface  # noqa: E402,F401
 from ght2dm_spark.queries import graph_extra  # noqa: E402,F401
 from ght2dm_spark.queries import temporal_extra  # noqa: E402,F401
+from ght2dm_spark.queries import feature_stats  # noqa: E402,F401
+from ght2dm_spark.queries import experiment_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "register"]

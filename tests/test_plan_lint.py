@@ -51,6 +51,7 @@ CROSS_OK = {
     "t1_kmeans_clusters",  # K-row centroid frame broadcast per round
     "t1_ann_ivf_learned",  # K-row centroid frame broadcast per round
     "t1_keyset_pagination",  # 1-row page-anchor frame broadcast
+    "t1_heavy_hitters",  # 1-row corpus-token-total frame for the threshold
 }
 
 # Queries whose plan legitimately contains an unpartitioned ORDERED
