@@ -131,3 +131,67 @@ def t1_rolling_zscore(spark, sf_dir):
         w.filter((F.col("n") == 20) & (F.abs(z) > 2.5))
         .select("event_id", "user_id", "ts", F.round(z, 6).alias("z"))
     )
+
+
+@register(
+    "t1_weighted_median",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    c AS (
+        SELECT l_returnflag, price, w,
+               sum(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY price, w
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM s
+    )
+    SELECT l_returnflag, min(price) AS wmedian,
+           max(tot) AS total_weight
+    FROM c WHERE 2 * cw >= tot
+    GROUP BY l_returnflag
+    """,
+)
+def t1_weighted_median(spark, sf_dir):
+    """Weighted median per group (price weighted by quantity): sort the
+    group by value, take the first row whose cumulative weight reaches
+    half the total — the lower weighted median, picked (never
+    interpolated), so the comparison stays in integers (2·cw ≥ W) and
+    the result is a value that exists in the data.  Neither engine has
+    a weighted-median builtin; both run the same cumulative-weight
+    formulation.
+
+    Scale: one shuffle on the group key; the cumulative window and the
+    total share the partition sort.  The tie among rows of equal price
+    is fixed by the (price, w) ordering, and the ≥-threshold pick is
+    min() over the qualifying suffix — deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = Window.partitionBy("l_returnflag")
+    c = s.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(cum).alias("cw"),
+        F.sum("w").over(part).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("wmedian"),
+            F.max("tot").alias("total_weight"),
+        )
+    )

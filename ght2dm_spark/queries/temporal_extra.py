@@ -302,3 +302,83 @@ def t1_ohlc(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(19,2)")).cast("double").alias("volume"),
         )
     )
+
+
+@register(
+    "t1_interval_union",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s_us,
+               epoch_us(ts)
+                 + CAST(CAST(value AS DECIMAL(19,6)) * 1000000 AS BIGINT)
+                 AS e_us
+        FROM events
+    ),
+    sw AS (
+        SELECT user_id, s_us, e_us,
+               max(e_us) OVER (PARTITION BY user_id
+                               ORDER BY s_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev_end
+        FROM iv
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(CASE WHEN prev_end IS NULL OR s_us > prev_end
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+           CAST(sum(greatest(0, e_us - greatest(s_us,
+                    coalesce(prev_end, s_us)))) AS BIGINT) AS covered_us
+    FROM sw GROUP BY user_id
+    """,
+)
+def t1_interval_union(spark, sf_dir):
+    """Interval-union coverage (sweep line): each event spans
+    [ts, ts + value seconds]; per user, the total time covered by the
+    UNION of those spans plus the count of disjoint merged blocks —
+    double-counting overlaps is the classic bug in "time spent" /
+    machine-utilization metrics, and naive sum-of-durations gets it
+    wrong.  One pass: sort the user's intervals by start, carry the
+    running max end over PRECEDING rows, and each row contributes only
+    its uncovered suffix (greatest(0, end − greatest(start, prev_end))).
+    Durations are integer micros derived via decimal quantization, so
+    the sums are exact.
+
+    Scale: one shuffle on user_id; the sweep is a partition-local sort
+    with O(1) window state — versus the quadratic self-join of
+    interval-overlap formulations.  The same shuffled sort feeds the
+    final per-user aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + (F.col("value").cast("decimal(19,6)") * 1000000)
+            .cast("bigint")
+        ).alias("e_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sw = iv.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.max("e_us").over(w).alias("prev_end"),
+    )
+    new_block = F.when(
+        F.col("prev_end").isNull() | (F.col("s_us") > F.col("prev_end")), 1
+    ).otherwise(0)
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("e_us")
+        - F.greatest(F.col("s_us"), F.coalesce("prev_end", "s_us")),
+    )
+    return sw.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(new_block).alias("n_blocks"),
+        F.sum(contrib).alias("covered_us"),
+    )

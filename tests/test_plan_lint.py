@@ -52,6 +52,8 @@ CROSS_OK = {
     "t1_ann_ivf_learned",  # K-row centroid frame broadcast per round
     "t1_keyset_pagination",  # 1-row page-anchor frame broadcast
     "t1_heavy_hitters",  # 1-row corpus-token-total frame for the threshold
+    "t1_crosstab_chisq",  # marginal-sized grid cross (|types|×|tiers|) + 1-row total
+    "t1_benford_audit",  # 1-row digit-total frame for the share math
 }
 
 # Queries whose plan legitimately contains an unpartitioned ORDERED
