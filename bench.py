@@ -81,6 +81,14 @@ HEADLINE = [
     "t1_unigram_surprisal",
     "t1_dq_rules",
     "t1_ann_euclidean_topk",
+    "t1_pit_join",
+    "t1_nearest_event_join",
+    "t1_twap",
+    "t1_ohlc",
+    "t1_interval_union",
+    "t1_weighted_median",
+    "t1_linear_attribution",
+    "t1_skew_audit",
 ]
 
 

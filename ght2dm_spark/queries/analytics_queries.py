@@ -439,3 +439,143 @@ def t1_sequence_pattern(spark, sf_dir):
             "converted_via_views"
         ),
     )
+
+
+@register(
+    "t1_longest_streak",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT user_id, d,
+               CAST(d - DATE '2024-01-01' AS BIGINT)
+                 - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                 AS island
+        FROM days
+    ),
+    runs AS (
+        SELECT user_id, island, count(*) AS len, min(d) AS start_d
+        FROM r GROUP BY 1, 2
+    )
+    SELECT user_id, max(len) AS max_streak,
+           arg_max(start_d,
+                   lpad(CAST(len AS VARCHAR), 10, '0')
+                   || lpad(CAST(99999999
+                                - CAST(start_d - DATE '2024-01-01' AS BIGINT)
+                           AS VARCHAR), 10, '0')) AS streak_start
+    FROM runs GROUP BY user_id
+    """,
+)
+def t1_longest_streak(spark, sf_dir):
+    """Longest run of CONSECUTIVE calendar days with a purchase, per
+    user — gaps-and-islands: day_number − row_number() is constant
+    within a consecutive run, so it is the island key; one count per
+    island, then the per-user max with the earliest start as the
+    deterministic tie-break (via the padded (len, inverted-start)
+    ordering string).  Distinct from gap sessionization
+    (t1_sessionize_gap): streaks are calendar-aligned integer logic,
+    not timestamp-delta logic.
+
+    Scale: distinct-day projection shrinks events to ≤ users×days rows
+    first; then two aggregations and one window, all partitioned by
+    user_id — one shuffle reused throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    r = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff("d", F.lit("2024-01-01").cast("date")).cast("bigint")
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    runs = r.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("start_d")
+    )
+    ord_key = F.concat(
+        F.lpad(F.col("len").cast("string"), 10, "0"),
+        F.lpad(
+            (
+                F.lit(99999999)
+                - F.datediff("start_d", F.lit("2024-01-01").cast("date"))
+                .cast("bigint")
+            ).cast("string"),
+            10,
+            "0",
+        ),
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.max_by("start_d", ord_key).alias("streak_start"),
+    )
+
+
+@register(
+    "t1_top_n_other",
+    oracle="""
+    WITH tot AS (
+        SELECT event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                 AS revenue,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT event_type, revenue, n_events,
+               row_number() OVER (ORDER BY revenue DESC, event_type)
+                 AS rk
+        FROM tot
+    )
+    SELECT CASE WHEN rk <= 3 THEN event_type ELSE 'other' END AS bucket,
+           CAST(sum(revenue) AS DOUBLE) AS revenue,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           count(*) AS n_members
+    FROM r GROUP BY 1
+    """,
+)
+def t1_top_n_other(spark, sf_dir):
+    """Top-N-plus-other reporting rollup: the top 3 categories by exact
+    decimal revenue keep their identity, the tail collapses into one
+    'other' bucket — the conditional re-grouping every dashboard needs
+    (a plain top-k LIMIT silently drops the tail; 'other' keeps totals
+    reconciling).  Rank ties break on the category name so bucket
+    membership is deterministic.
+
+    Scale: the ranking runs on the AGGREGATED category table (|cats|
+    rows — the unpartitioned window is over a bounded frame, not raw
+    events), then one re-aggregation; events are shuffled once."""
+    ev = load_table(spark, sf_dir, "events")
+    tot = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("event_type"))
+    r = tot.select(
+        "event_type", "revenue", "n_events", F.row_number().over(w).alias("rk")
+    )
+    return (
+        r.select(
+            F.when(F.col("rk") <= 3, F.col("event_type"))
+            .otherwise(F.lit("other"))
+            .alias("bucket"),
+            "revenue",
+            "n_events",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("revenue").cast("double").alias("revenue"),
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )

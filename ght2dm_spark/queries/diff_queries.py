@@ -166,3 +166,80 @@ def t1_merge_upsert(spark, sf_dir):
         F.sum(F.length("text")).alias("total_len"),
         F.bit_xor(h64).alias("checksum"),
     )
+
+
+def _fp_sql(table: str, row_expr: str) -> str:
+    """DuckDB side of one table fingerprint (md5-int sum + count)."""
+    return f"""
+        SELECT '{table}' AS table_name,
+               count(*) AS n_rows,
+               CAST(sum({hex2int_sql(f"md5({row_expr})", 1, 8)}) AS BIGINT)
+                 AS checksum
+        FROM {table}
+    """
+
+
+@register(
+    "t1_table_fingerprint",
+    oracle=(
+        _fp_sql(
+            "orders",
+            "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+            " || '|' || o_orderstatus || '|' ||"
+            " CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"
+            " || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR)"
+            " || '|' || o_orderpriority",
+        )
+        + " UNION ALL "
+        + _fp_sql(
+            "customer",
+            "CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||"
+            " CAST(c_nationkey AS VARCHAR) || '|' ||"
+            " CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)"
+            " || '|' || c_mktsegment",
+        )
+    ),
+)
+def t1_table_fingerprint(spark, sf_dir):
+    """Order-insensitive table content fingerprint: per table, the row
+    count plus the SUM of a 32-bit integer slice of each row's md5 —
+    the cheap replication/migration integrity check two systems can
+    compute independently and compare (sum is commutative, so row order
+    and partitioning are irrelevant; count catches the all-zeros
+    failure mode).  Every value is rendered through an engine-neutral
+    form first (decimals via DECIMAL(18,2) strings, timestamps via
+    epoch micros) — raw float/timestamp formatting is NOT portable.
+
+    Scale: a full scan with a map-side-combinable sum — no shuffle of
+    row data, one 1-row result per table; this is what you run on both
+    sides of a 100 TB copy instead of row-by-row diffing
+    (t1_snapshot_diff is the drill-down when fingerprints disagree)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def fp(df, table, row_expr):
+        h = F.conv(F.substring(F.md5(row_expr), 1, 8), 16, 10).cast("bigint")
+        return df.agg(
+            F.lit(table).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h).alias("checksum"),
+        )
+
+    o_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("string"),
+        "o_orderpriority",
+    )
+    c_repr = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        "c_name",
+        F.col("c_nationkey").cast("string"),
+        F.col("c_acctbal").cast("decimal(18,2)").cast("string"),
+        "c_mktsegment",
+    )
+    return fp(o, "orders", o_repr).unionAll(fp(c, "customer", c_repr))

@@ -357,3 +357,63 @@ def t1_stream_stateful_counts(spark, sf_dir):
         F.min("first_event").alias("first_event"),
         F.max("last_event").alias("last_event"),
     )
+
+
+_OHLC_STREAM_SQL = """
+    WITH s AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                 AS window_start,
+               value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+        FROM events
+    )
+    SELECT event_type, window_start,
+           arg_min(value, ord_key) AS open_v,
+           max(value) AS high_v,
+           min(value) AS low_v,
+           arg_max(value, ord_key) AS close_v,
+           count(*) AS n_obs
+    FROM s GROUP BY event_type, window_start
+"""
+
+
+@register("t1_stream_ohlc", oracle=_OHLC_STREAM_SQL)
+def t1_stream_ohlc(spark, sf_dir):
+    """Daily OHLC bars computed BY THE STREAMING ENGINE: readStream →
+    1-day epoch-aligned event-time windows → min_by/max_by positional
+    aggregates → AvailableNow → memory sink.  Positional aggregates are
+    the interesting case for streaming state: each partial carries one
+    candidate (ord_key, value) pair per extreme and merges across
+    micro-batches — the final bars exactly equal the batch/DuckDB
+    arg_min/arg_max result (same total ordering key as t1_ohlc).
+
+    Scale: state per (series, day) key is O(1) — four candidate pairs
+    and two counters; the watermark lets the store evict closed days.
+    This is the standing-query form of the bar builder a market-data /
+    metrics pipeline keeps running."""
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    ord_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    bars = (
+        stream.select("event_type", "ts", "value", ord_key.alias("ord_key"))
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", "ord_key").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", "ord_key").alias("close_v"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    return run_to_completion(bars, output_mode="complete").select(
+        "event_type",
+        F.col("w.start").alias("window_start"),
+        "open_v",
+        "high_v",
+        "low_v",
+        "close_v",
+        "n_obs",
+    )
