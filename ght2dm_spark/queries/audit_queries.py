@@ -243,3 +243,61 @@ def t1_benford_audit(spark, sf_dir):
             F.round(obs - exp, 6).alias("deviation"),
         )
     )
+
+
+@register(
+    "t1_join_cardinality_audit",
+    oracle="""
+    WITH a AS (SELECT user_id AS k, count(*) AS na FROM events GROUP BY 1),
+    b AS (SELECT o_custkey AS k, count(*) AS nb FROM orders GROUP BY 1),
+    pred AS (
+        SELECT CAST(sum(na * nb) AS BIGINT) AS predicted,
+               count(*) AS n_shared_keys,
+               max(na * nb) AS max_key_pairs
+        FROM a JOIN b USING (k)
+    ),
+    act AS (
+        SELECT count(*) AS actual
+        FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    )
+    SELECT predicted, actual, n_shared_keys, max_key_pairs,
+           predicted = actual AS consistent
+    FROM pred CROSS JOIN act
+    """,
+)
+def t1_join_cardinality_audit(spark, sf_dir):
+    """Join-cardinality audit: the EXACT output size of an equi join,
+    predicted from per-side key histograms (Σ n_a(k)·n_b(k)) without
+    running the join — then cross-checked against the actual join count
+    in the same result row (`consistent` must be true).  With
+    t1_skew_audit this is the pre-flight for big joins: `predicted`
+    says whether the join explodes, `max_key_pairs` says which key
+    explodes it.
+
+    Scale: two key-histogram shuffles (map-side combined, |keys| rows)
+    and a histogram-sized join — the prediction costs a fraction of the
+    join it sizes; the verification join here is the self-check and
+    would be omitted in a pre-flight."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    a = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    pred = a.join(b, "k").agg(
+        F.sum(F.col("na") * F.col("nb")).alias("predicted"),
+        F.count(F.lit(1)).alias("n_shared_keys"),
+        F.max(F.col("na") * F.col("nb")).alias("max_key_pairs"),
+    )
+    act = ev.join(o, ev.user_id == o.o_custkey).agg(
+        F.count(F.lit(1)).alias("actual")
+    )
+    return pred.crossJoin(F.broadcast(act)).select(
+        "predicted",
+        "actual",
+        "n_shared_keys",
+        "max_key_pairs",
+        (F.col("predicted") == F.col("actual")).alias("consistent"),
+    )

@@ -268,3 +268,94 @@ def t1_unigram_surprisal(spark, sf_dir):
             F.sum("s").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_surprisal"),
     )
+
+
+@register(
+    "t1_bigram_surprisal",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 2
+                           THEN list_transform(range(1, len(toks)),
+                                               i -> toks[i] || ' ' || toks[i+1])
+                           ELSE [] END) AS bigram
+        FROM t
+    ),
+    c2 AS (SELECT bigram, count(*) AS n2 FROM bg GROUP BY 1),
+    c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS n1
+           FROM bg GROUP BY 1),
+    term AS (
+        SELECT bg.doc_id,
+               CAST(round(-log2(CAST(c2.n2 AS DOUBLE)
+                                / CAST(c1.n1 AS DOUBLE)), 9)
+                    AS DECIMAL(28,9)) AS s
+        FROM bg
+        JOIN c2 USING (bigram)
+        JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS avg_bigram_surprisal
+    FROM term GROUP BY doc_id
+    """,
+)
+def t1_bigram_surprisal(spark, sf_dir):
+    """Bigram-LM surprisal per document — one Markov order above
+    t1_unigram_surprisal: mean −log2 p(w_i | w_{i−1}) under the corpus
+    MLE bigram model (p = c(w1w2)/c(w1·), both counts from the same
+    bigram stream, so every probability is well-defined and ≤ 1).
+    Catches locally-improbable token SEQUENCES (shuffled text, spam
+    keyword stuffing) that unigram frequencies score as normal.
+    Per-term surprisals are rounded to 9 digits and summed as DECIMAL
+    (the char-entropy discipline); docs with <2 tokens have no bigrams
+    and drop out on both engines.
+
+    Scale: bigrams come from slice+array_join over a materialized token
+    array (never n× element_at re-tokenization — see ws_shingles);
+    the model tables are vocabulary²-bounded → broadcast joins onto the
+    exploded stream; one doc_id shuffle aggregates.  A trillion-token
+    corpus swaps the broadcasts for shuffle joins on the bigram key —
+    same plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    td = d.select("doc_id", toks.alias("toks"))
+    grams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.array_join(F.slice("toks", i, 2), " "),
+        ),
+    ).otherwise(F.array())
+    bg = td.select("doc_id", F.explode(grams).alias("bigram"))
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy(
+        F.substring_index("bigram", " ", 1).alias("w1")
+    ).agg(F.count(F.lit(1)).alias("n1"))
+    term = (
+        bg.join(F.broadcast(c2), "bigram")
+        .join(
+            F.broadcast(c1),
+            F.substring_index(F.col("bigram"), " ", 1) == F.col("w1"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                -F.log2(F.col("n2").cast("double") / F.col("n1").cast("double")),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("s"),
+        )
+    )
+    return term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("s").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_bigram_surprisal"),
+    )

@@ -195,3 +195,71 @@ def t1_weighted_median(spark, sf_dir):
             F.max("tot").alias("total_weight"),
         )
     )
+
+
+@register(
+    "t1_cusum_drift",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               CAST(sum(CAST(value AS DECIMAL(19,6))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS mu
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT e.user_id, e.ts, e.event_id,
+               CAST(round(e.value - m.mu, 9) AS DECIMAL(28,9)) AS dev
+        FROM events e JOIN m USING (user_id)
+    ),
+    c AS (
+        SELECT user_id,
+               sum(dev) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cusum
+        FROM d
+    )
+    SELECT user_id, count(*) AS n,
+           round(CAST(max(abs(cusum)) AS DOUBLE), 6) AS max_abs_cusum
+    FROM c GROUP BY user_id
+    """,
+)
+def t1_cusum_drift(spark, sf_dir):
+    """CUSUM drift score per user: the maximum |running sum of
+    deviations from the user's own mean| over the time-ordered series —
+    the classic change-point signal (a series that switches regime
+    mid-stream accumulates a large excursion even when its global mean
+    looks normal; rolling z-scores miss slow drifts).  Deviations are
+    quantized to 9 digits and cumulated as DECIMAL so the running sum
+    is exact at every prefix on both engines.
+
+    Scale: one shuffle on user_id feeds the mean, the ordered cumsum
+    window, and the final max — same key throughout; window state is a
+    single decimal accumulator."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.col("value").cast("decimal(19,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mu")
+    )
+    d = ev.join(m, "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") - F.col("mu"), 9)
+        .cast("decimal(28,9)")
+        .alias("dev"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select("user_id", F.sum("dev").over(w).alias("cusum"))
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max(F.abs(F.col("cusum"))).cast("double"), 6).alias(
+            "max_abs_cusum"
+        ),
+    )

@@ -54,6 +54,7 @@ CROSS_OK = {
     "t1_heavy_hitters",  # 1-row corpus-token-total frame for the threshold
     "t1_crosstab_chisq",  # marginal-sized grid cross (|types|×|tiers|) + 1-row total
     "t1_benford_audit",  # 1-row digit-total frame for the share math
+    "t1_join_cardinality_audit",  # two 1-row audit frames joined into one row
 }
 
 # Queries whose plan legitimately contains an unpartitioned ORDERED
@@ -64,6 +65,7 @@ GLOBAL_WINDOW_OK = {
     "t1_time_gapfill",  # 1440-row minute spine forward fill (one series)
     "t1_sliding_distinct_users",  # window over |days| rows (calendar-bounded)
     "t1_mom_growth",  # lag over |months| rows (calendar-bounded)
+    "t1_top_n_other",  # row_number over the |categories|-row aggregate
 }
 
 # Streaming queries drive a memory sink; their final plan is the sink
