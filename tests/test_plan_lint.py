@@ -66,6 +66,8 @@ GLOBAL_WINDOW_OK = {
     "t1_sliding_distinct_users",  # window over |days| rows (calendar-bounded)
     "t1_mom_growth",  # lag over |months| rows (calendar-bounded)
     "t1_top_n_other",  # row_number over the |categories|-row aggregate
+    "t1_rfm_segments",  # quintile windows over the |users|-row aggregate;
+    # 100 TB form broadcasts approx-quantile cut points (docstring)
 }
 
 # Streaming queries drive a memory sink; their final plan is the sink

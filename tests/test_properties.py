@@ -205,3 +205,62 @@ def test_kmeans_partitioning_independent(spark, sf_dir):
     a = {(r["id"], r["cid"], r["d"]) for r in base.collect()}
     b = {(r["id"], r["cid"], r["d"]) for r in shuffled.collect()}
     assert a == b
+
+
+asof_strategy = st.tuples(
+    # left rows: (key, ts)
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 50)),
+        min_size=1,
+        max_size=30,
+    ),
+    # right rows: (key, ts, payload)
+    st.lists(
+        st.tuples(
+            st.integers(0, 4), st.integers(0, 50), st.integers(0, 999)
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+)
+
+
+@given(data=asof_strategy)
+@_slow
+def test_asof_join_matches_model(spark, data):
+    """asof_join ≡ the brute-force model: for each left row, the payload
+    of the right row with the max right_ts <= left_ts on the same key
+    (ties on right_ts pre-collapsed to max payload via tie_break)."""
+    from ght2dm_spark.operators.temporal import asof_join
+
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid long, key long, lts long",
+    )
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None)], "key long, rts long, pay long"
+    ).filter(F.col("key").isNotNull())
+    out = asof_join(
+        left,
+        right,
+        key="key",
+        left_ts="lts",
+        right_ts="rts",
+        payload=["pay"],
+        tie_break="pay",
+    )
+    got = {r["lid"]: r["pay"] for r in out.collect()}
+
+    # brute-force model
+    best: dict[tuple[int, int], int] = {}
+    for k, t, p in right_rows:
+        cur = best.get((k, t))
+        best[(k, t)] = p if cur is None else max(cur, p)
+    expect = {}
+    for i, (k, t) in enumerate(left_rows):
+        cands = [
+            (rt, p) for (rk, rt), p in best.items() if rk == k and rt <= t
+        ]
+        expect[i] = max(cands)[1] if cands else None
+    assert got == expect
