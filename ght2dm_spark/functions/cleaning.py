@@ -43,5 +43,32 @@ def zero_default(col: Column | str, default: str) -> Column:
 def to_ts(col: Column | str) -> Column:
     """ISO-8601 string → timestamp, empty → NULL first (C7+F6) — the
     reference lets PostgreSQL cast at insert
-    (``db/create_tmp_tables.sql:30-32``)."""
-    return empty_to_null(col).cast("timestamp")
+    (``db/create_tmp_tables.sql:30-32``).
+
+    TIMESTAMP_NTZ, not TIMESTAMP: every testdata timestamp is
+    isAdjustedToUTC=false, and an LTZ result column shifts under
+    ``collect()`` when the verifying process runs in a non-UTC zone —
+    the values would be right in-plan yet hash-mismatch the oracle."""
+    return empty_to_null(col).cast("timestamp_ntz")
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Integer microseconds since epoch from a TIMESTAMP_NTZ column.
+
+    ``unix_micros`` only accepts TIMESTAMP (LTZ), so NTZ goes through a
+    cast first; the session time zone is pinned to UTC by
+    ``io.ensure_session_conf`` making the cast an identity reinterpretation
+    regardless of where the hosting process runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def trunc_ntz(unit: str, col: Column | str) -> Column:
+    """``date_trunc`` that stays TIMESTAMP_NTZ.
+
+    Spark's ``date_trunc`` always returns TIMESTAMP (LTZ), which shifts
+    at ``collect()`` under a non-UTC host process; with the session zone
+    pinned to UTC (io.ensure_session_conf) the round-trip cast is an
+    identity reinterpretation, so truncated buckets stay comparable to a
+    naive-timestamp oracle."""
+    return F.date_trunc(unit, col).cast("timestamp_ntz")

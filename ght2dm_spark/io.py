@@ -38,6 +38,38 @@ FILE_DATE_PATTERN = r"(\d{4}-\d{2}-\d{2})"
 #: the object just avoids re-running footer/schema jobs per query build.
 _table_cache: dict[tuple[int, str, str], DataFrame] = {}
 
+_conf_ensured: set[int] = set()
+
+
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Pin runtime-settable SQL confs on an externally-created session.
+
+    The driver's verify constructs its OWN SparkSession and hands it to each
+    query, so nothing from :mod:`ght2dm_spark.session` applies there.  Query
+    semantics must not depend on ambient config — in particular the session
+    time zone (TIMESTAMP_NTZ vs timestamp-literal comparisons shift by the
+    TZ offset otherwise) — and small-SF latency should not pay for a default
+    200-partition shuffle.  Every conf here is runtime-settable; anything the
+    session refuses is skipped.
+    """
+    sid = id(spark)
+    if sid in _conf_ensured:
+        return
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "16")),
+        # harmless when events.ts is plain micros; required to read NANOS
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    _conf_ensured.add(sid)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (``<sf_dir>/<name>.parquet``) with its
@@ -48,18 +80,74 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncate to microseconds — matching DuckDB's nanos→micros cast, so both
     engines see identical values.
     """
+    ensure_session_conf(spark)
     key = (id(spark), sf_dir, name)
     if key in _table_cache:
         return _table_cache[key]
     from ght2dm_spark.schemas import TESTDATA
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    schema = TESTDATA.get(name)
-    df = (spark.read.schema(schema) if schema is not None else spark.read).parquet(path)
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        schema, ns_ts = events_read_schema(path)
+    else:
+        schema, ns_ts = TESTDATA.get(name), False
+    df = (spark.read.schema(schema) if schema is not None else spark.read).parquet(path)
+    if ns_ts:
+        df = df.withColumn("ts", normalize_ns_ts("ts"))
     _table_cache[key] = df
     return df
+
+
+def events_read_schema(path: str):
+    """Schema to read the events parquet with, plus whether ``ts`` needs
+    the nanos-long → timestamp conversion afterwards.  Shared by the batch
+    and streaming readers so both see identical rows."""
+    from pyspark.sql import types as T
+
+    from ght2dm_spark.schemas import TESTDATA
+
+    schema = TESTDATA["events"]
+    if _events_ts_is_nanos(path):
+        return schema, True
+    # ts is plain parquet TIMESTAMP (micros) — read it natively as NTZ.
+    return (
+        T.StructType(
+            [
+                T.StructField("ts", T.TimestampNTZType(), f.nullable)
+                if f.name == "ts"
+                else f
+                for f in schema.fields
+            ]
+        ),
+        False,
+    )
+
+
+def normalize_ns_ts(col_name: str):
+    """TIMESTAMP(NANOS)-as-long → TIMESTAMP_NTZ, truncating to micros
+    exactly like DuckDB's nanos→micros cast.  Integer ``div`` (never
+    float division — ns epochs exceed double's 2^53 exact range); NTZ
+    (not LTZ) so collected values don't shift with the verifying
+    process's time zone."""
+    return F.expr(f"timestamp_micros({col_name} div 1000)").cast("timestamp_ntz")
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """One footer read deciding how ``events.ts`` is physically encoded.
+
+    The driver's generator has shipped it both as TIMESTAMP(NANOS) (which
+    Spark can only read as a long, via ``nanosAsLong``) and as plain
+    TIMESTAMP(MICROS); guessing wrong shifts every timestamp by 1000x, so
+    ask the file instead of assuming.  Footer-only — no data IO.
+    """
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow.types as pt
+
+        f = ds.dataset(path, format="parquet").schema.field("ts")
+        return pt.is_timestamp(f.type) and f.type.unit == "ns"
+    except Exception:
+        return False
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

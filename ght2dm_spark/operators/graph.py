@@ -167,34 +167,42 @@ def pagerank(
     localCheckpoint-ed (eager) to cut lineage before plan
     size/optimizer time blows up — same pattern as connected_components.
     """
+    # Pre-partition the cached edge list BY THE JOIN KEY: ``.distinct()``
+    # alone leaves it hash-partitioned on (a, b), so every iteration's
+    # edges⋈ranks join would re-shuffle all |E| rows; partitioned on
+    # ``a`` the cached scan's output partitioning satisfies the join and
+    # only the |V|-row rank frame moves per round.
     both = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .repartition("a")
         .cache()
     )
+    # deg ⋈ ranks pre-join: both are |V|-row frames keyed on the node,
+    # fusing them means ONE small frame joins the edges each round
     deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("od")).cache()
-    nodes = both.select("a").distinct()
-    n_df = nodes.agg(F.count(F.lit(1)).alias("nn"))
+    # |V| is a scalar — resolve it once driver-side instead of grafting a
+    # crossJoin(broadcast(count)) subtree into every iteration's plan
+    # (which re-aggregated the cached edges 1 + iterations times).
+    nn = deg.count()
     base_num = (damp_den - damp_num) * PAGERANK_SCALE
-    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+    init_r = PAGERANK_SCALE // nn
+    base_term = base_num // (damp_den * nn)
+    ranks = deg.select(
         F.col("a").alias("node"),
-        F.expr(f"CAST({PAGERANK_SCALE} AS BIGINT) div nn").alias("r"),
+        F.lit(init_r).cast("long").alias("r"),
     )
 
     for i in range(1, iterations + 1):
-        contrib = (
-            both.join(ranks, both.a == F.col("node"))
-            .join(deg, "a")
-            .select(F.col("b"), F.expr("r div od").alias("c"))
+        rd = ranks.join(deg, ranks.node == deg.a).select(
+            F.col("node"), F.expr("r div od").alias("c")
         )
+        contrib = both.join(rd, both.a == rd.node).select("b", "c")
         s = contrib.groupBy("b").agg(F.sum("c").alias("sc"))
-        ranks = s.crossJoin(F.broadcast(n_df)).select(
+        ranks = s.select(
             F.col("b").alias("node"),
-            F.expr(
-                f"CAST({base_num} AS BIGINT) div ({damp_den} * nn)"
-                f" + (sc * {damp_num}) div {damp_den}"
-            ).alias("r"),
+            (F.lit(base_term).cast("long") + F.expr(f"(sc * {damp_num}) div {damp_den}")).alias("r"),
         )
         if materialize_every and i % materialize_every == 0 and i < iterations:
             ranks = ranks.localCheckpoint(eager=True)

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ght2dm_spark.functions import trunc_ntz
 from ght2dm_spark.io import load_table
 from ght2dm_spark.queries.registry import register
 
@@ -227,7 +228,7 @@ def t1_mom_growth(spark, sf_dir):
     the WAU query).  Multi-entity variants partition the window by the
     entity key and stay fully distributed."""
     o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+    m = o.groupBy(trunc_ntz("month", "o_orderdate").alias("month")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("revenue")

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ght2dm_spark.functions import epoch_us
 from ght2dm_spark.io import load_table
 from ght2dm_spark.queries.registry import register
 
@@ -106,7 +107,7 @@ def t1_sessionize_gap(spark, sf_dir):
     prev = F.lag("ts").over(w)
     boundary = F.when(
         prev.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 1_800_000_000),
+        | ((epoch_us(F.col("ts")) - epoch_us(prev)) > 1_800_000_000),
         1,
     ).otherwise(0)
     sessions = (
@@ -415,9 +416,14 @@ def t1_pagerank(spark, sf_dir):
     from ght2dm_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
+    # every iteration joins + aggregates on the node id, so keep it a
+    # LONG through the whole computation (suppkey→2k, partkey→2k+1 —
+    # the bipartite sides can't collide) and decode to the oracle's
+    # 's<k>'/'p<k>' labels only in the final projection: long hash keys
+    # shuffle/compare measurably faster than strings at every scale
     edges = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     ).distinct()
     out = pagerank(
         edges,
@@ -425,7 +431,11 @@ def t1_pagerank(spark, sf_dir):
         damp_num=_PR_DAMP_NUM,
         damp_den=_PR_DAMP_DEN,
     )
-    return out.select("node", F.col("r").alias("rank_e12"))
+    label = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("s")).otherwise(F.lit("p")),
+        F.expr("node div 2"),
+    )
+    return out.select(label.alias("node"), F.col("r").alias("rank_e12"))
 
 
 @register(
@@ -499,7 +509,7 @@ def t1_user_feature_pipeline(spark, sf_dir):
     sess = s.groupBy("user_id", "sid").agg(
         F.count(F.lit(1)).alias("n_events"),
         (
-            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            epoch_us(F.max("ts")) - epoch_us(F.min("ts"))
         ).alias("dur_us"),
         F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ght2dm_spark.functions import epoch_us
 from ght2dm_spark.io import load_table
 from ght2dm_spark.queries.registry import register
 from ght2dm_spark.streaming import read_events_stream, run_to_completion
@@ -150,7 +151,10 @@ def t1_stream_tumbling(spark, sf_dir):
     final state exactly equals the batch result (same oracle)."""
     stream = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     return run_to_completion(_tumbling_agg(stream), output_mode="complete").select(
-        "window_start", "event_type", "n_events", "total_value"
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
     )
 
 
@@ -230,8 +234,8 @@ def t1_stream_session_append(spark, sf_dir):
         )
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
             "n_events",
             F.col("_tv").cast("double").alias("total_value"),
         )
@@ -394,7 +398,7 @@ def t1_stream_ohlc(spark, sf_dir):
     metrics pipeline keeps running."""
     stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 day")
     ord_key = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(epoch_us("ts").cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
     bars = (
@@ -410,7 +414,7 @@ def t1_stream_ohlc(spark, sf_dir):
     )
     return run_to_completion(bars, output_mode="complete").select(
         "event_type",
-        F.col("w.start").alias("window_start"),
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
         "open_v",
         "high_v",
         "low_v",

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ght2dm_spark.functions import epoch_us
 from ght2dm_spark.io import load_table
 from ght2dm_spark.operators.neardup import hex2int_sql
 from ght2dm_spark.operators.sampling import hash_bucket
@@ -185,12 +186,12 @@ def t1_linear_attribution(spark, sf_dir):
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pid"),
         "user_id",
-        F.unix_micros("ts").alias("p_us"),
+        epoch_us("ts").alias("p_us"),
     )
     c = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         "user_id",
-        F.unix_micros("ts").alias("c_us"),
+        epoch_us("ts").alias("c_us"),
     )
     pairs = p.join(c, "user_id").filter(
         (F.col("c_us") >= F.col("p_us") - F.lit(604800000000))

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ght2dm_spark.functions import trunc_ntz
 from ght2dm_spark.io import load_table
 from ght2dm_spark.operators.topk import top_k, top_k_per_group
 from ght2dm_spark.queries.registry import register
@@ -379,8 +380,8 @@ def t1_datetime_funcs(spark, sf_dir):
         F.dayofmonth("ts").alias("d"),
         F.hour("ts").alias("h"),
         F.minute("ts").alias("mi"),
-        F.date_trunc("day", F.col("ts")).alias("day_bucket"),
-        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        trunc_ntz("day", F.col("ts")).alias("day_bucket"),
+        trunc_ntz("hour", F.col("ts")).alias("hour_bucket"),
         F.dayofweek("ts").alias("dow"),
     )
 

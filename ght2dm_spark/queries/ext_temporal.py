@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ght2dm_spark.functions import trunc_ntz
 from ght2dm_spark.io import load_table
 from ght2dm_spark.operators.temporal import asof_join, range_join_binned, salted_agg
 from ght2dm_spark.queries.registry import register
@@ -152,8 +153,8 @@ def t1_time_rollup(spark, sf_dir):
     separately — partial aggregation handles both levels in the same
     shuffle."""
     ev = load_table(spark, sf_dir, "events").select(
-        F.date_trunc("day", "ts").alias("day"),
-        F.date_trunc("hour", "ts").alias("hour"),
+        trunc_ntz("day", "ts").alias("day"),
+        trunc_ntz("hour", "ts").alias("hour"),
         "value",
     )
     out = (

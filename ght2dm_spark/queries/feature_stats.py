@@ -69,7 +69,7 @@ def t1_regression_per_group(spark, sf_dir):
     this is how regression features are computed over 100 TB of events
     per entity."""
     ev = load_table(spark, sf_dir, "events")
-    sec = F.expr("unix_micros(ts) div 1000000")
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
     b = ev.groupBy("event_type").agg(F.min(sec).alias("t0"))
     s = ev.join(F.broadcast(b), "event_type").select(
         "event_type",

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ght2dm_spark.functions import epoch_us
 from ght2dm_spark.io import load_table
 from ght2dm_spark.operators.temporal import asof_join
 from ght2dm_spark.queries.registry import register
@@ -75,7 +76,7 @@ def t1_funnel_constrained(spark, sf_dir):
     def dedup(etype, idname):
         return (
             ev.filter(F.col("event_type") == etype)
-            .groupBy("user_id", F.unix_micros("ts").alias(f"{idname}_us"))
+            .groupBy("user_id", epoch_us("ts").alias(f"{idname}_us"))
             .agg(F.max("event_id").alias(idname))
         )
     clicks = dedup("click", "click_id").withColumn(
@@ -85,7 +86,7 @@ def t1_funnel_constrained(spark, sf_dir):
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
-        F.unix_micros("ts").alias("p_us"),
+        epoch_us("ts").alias("p_us"),
     )
     pc = asof_join(
         p,
@@ -186,7 +187,7 @@ def t1_rfm_segments(spark, sf_dir):
     anchor_us = 1706659200000000  # 2024-01-31 00:00:00 UTC
     u = ev.groupBy("user_id").agg(
         (
-            (F.lit(anchor_us) - F.max(F.unix_micros("ts")))
+            (F.lit(anchor_us) - F.max(epoch_us("ts")))
             / F.lit(86400000000)
         )
         .cast("bigint")

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ght2dm_spark.functions import epoch_us, trunc_ntz
 from ght2dm_spark.io import load_table
 from ght2dm_spark.operators.temporal import asof_join
 from ght2dm_spark.queries.registry import register
@@ -140,12 +141,12 @@ def t1_nearest_event_join(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     clicks = (
         ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", F.unix_micros("ts").alias("c_us"))
+        .groupBy("user_id", epoch_us("ts").alias("c_us"))
         .agg(F.max("event_id").alias("b_id"))
     )
     purch = (
         ev.filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", F.unix_micros("ts").alias("p_us"))
+        .select("event_id", "user_id", epoch_us("ts").alias("p_us"))
         .withColumn("np_us", -F.col("p_us"))
     )
     back = asof_join(
@@ -228,8 +229,8 @@ def t1_twap(spark, sf_dir):
     s = ev.select(
         "user_id",
         F.col("value").cast("decimal(19,6)").alias("v"),
-        F.unix_micros("ts").alias("t_us"),
-        F.lead(F.unix_micros("ts")).over(w).alias("nxt_us"),
+        epoch_us("ts").alias("t_us"),
+        F.lead(epoch_us("ts")).over(w).alias("nxt_us"),
     ).filter(F.col("nxt_us").isNotNull())
     dur = (F.col("nxt_us") - F.col("t_us")).cast("decimal(19,0)")
     return (
@@ -282,13 +283,13 @@ def t1_ohlc(spark, sf_dir):
     combine; no window, no sort of the raw series."""
     ev = load_table(spark, sf_dir, "events")
     ord_key = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(epoch_us("ts").cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
     return (
         ev.select(
             "event_type",
-            F.date_trunc("day", "ts").alias("day"),
+            trunc_ntz("day", "ts").alias("day"),
             "value",
             ord_key.alias("ord_key"),
         )
@@ -351,9 +352,9 @@ def t1_interval_union(spark, sf_dir):
     iv = ev.select(
         "user_id",
         "event_id",
-        F.unix_micros("ts").alias("s_us"),
+        epoch_us("ts").alias("s_us"),
         (
-            F.unix_micros("ts")
+            epoch_us("ts")
             + (F.col("value").cast("decimal(19,6)") * 1000000)
             .cast("bigint")
         ).alias("e_us"),

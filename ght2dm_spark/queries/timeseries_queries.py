@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ght2dm_spark.functions import trunc_ntz
 from ght2dm_spark.io import load_table
 from ght2dm_spark.queries.registry import register
 
@@ -90,13 +91,13 @@ def t1_time_gapfill(spark, sf_dir):
         .filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
         .select("ts", "value")
     )
-    m = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+    m = ev.groupBy(trunc_ntz("minute", "ts").alias("minute")).agg(
         F.count(F.lit(1)).alias("n_raw"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
     )
     bounds = ev.agg(
-        F.date_trunc("minute", F.min("ts")).alias("lo"),
-        F.date_trunc("minute", F.max("ts")).alias("hi"),
+        trunc_ntz("minute", F.min("ts")).alias("lo"),
+        trunc_ntz("minute", F.max("ts")).alias("hi"),
     )
     spine = bounds.select(
         F.explode(
@@ -163,14 +164,14 @@ def t1_time_gapfill_series(spark, sf_dir):
         .select("event_type", "ts", "value")
     )
     m = ev.groupBy(
-        "event_type", F.date_trunc("minute", "ts").alias("minute")
+        "event_type", trunc_ntz("minute", "ts").alias("minute")
     ).agg(
         F.count(F.lit(1)).alias("n_raw"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
     )
     bounds = ev.groupBy("event_type").agg(
-        F.date_trunc("minute", F.min("ts")).alias("lo"),
-        F.date_trunc("minute", F.max("ts")).alias("hi"),
+        trunc_ntz("minute", F.min("ts")).alias("lo"),
+        trunc_ntz("minute", F.max("ts")).alias("hi"),
     )
     spine = bounds.select(
         "event_type",

@@ -26,9 +26,10 @@ DATE = T.DateType()
 
 # ---------------------------------------------------------------------------
 # Driver testdata tables (FIXTURES.md §B).  Timestamps in the testdata
-# parquet are isAdjustedToUTC=false → TIMESTAMP_NTZ; events.ts is
-# TIMESTAMP(NANOS) which Spark reads as long under
-# spark.sql.legacy.parquet.nanosAsLong (converted in io.load_table).
+# parquet are isAdjustedToUTC=false → TIMESTAMP_NTZ; events.ts has shipped
+# both as TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across driver rounds —
+# io.load_table sniffs the footer and adapts (long+convert vs native read),
+# so the LongType here is just the NANOS-era default.
 # ---------------------------------------------------------------------------
 
 TESTDATA: dict[str, T.StructType] = {

@@ -22,26 +22,40 @@ import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet with the same declared schema
-    + nanos→micros normalization as the batch reader (io.load_table), so
-    batch and stream see identical rows."""
-    from pyspark.sql import functions as F
+    """``readStream`` over the events parquet with the same schema
+    adaptation as the batch reader (io.load_table) — footer-sniffed
+    nanos-vs-micros ``ts``, normalized to TIMESTAMP_NTZ — so batch and
+    stream see identical rows."""
+    import os
 
-    from ght2dm_spark.schemas import TESTDATA
+    from ght2dm_spark.io import (
+        ensure_session_conf,
+        events_read_schema,
+        normalize_ns_ts,
+    )
 
+    ensure_session_conf(spark)
+    schema, ns_ts = events_read_schema(os.path.join(sf_dir, "events.parquet"))
     # The file source requires a DIRECTORY; events.parquet is a single
     # file, so stream the parent dir with a glob filter selecting it.
     stream = (
-        spark.readStream.schema(TESTDATA["events"])
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ns_ts:
+        stream = stream.withColumn("ts", normalize_ns_ts("ts"))
+    # withWatermark demands TIMESTAMP (LTZ); with the session zone pinned
+    # to UTC the cast is an identity reinterpretation.  Streaming queries
+    # cast timestamp OUTPUT columns back to NTZ so collected values don't
+    # shift with the verifying process's zone.
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_completion(
