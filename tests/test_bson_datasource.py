@@ -1,0 +1,66 @@
+"""Python DataSource API form of the BSON dump source: register
+``format("ght2dm_bson")``, read the same fixture directory as
+test_bson_source, and expect identical semantics — per-file partitions,
+date-regex file filter (S2), provenance columns (S3), nested flatten,
+corrupt-frame rejects (E1).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.test_bson_source import dump_dir  # noqa: F401  (fixture reuse)
+
+SCHEMA = (
+    "id bigint, login string, type string, hireable boolean, "
+    "owner_login string, file_date date, file_pos bigint, _corrupt string"
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from ght2dm_spark.sources.bson_datasource import BsonDataSource
+
+    spark.dataSource.register(BsonDataSource)
+    return spark
+
+
+def _read(spark, path):
+    return (
+        spark.read.format("ght2dm_bson")
+        .schema(SCHEMA)
+        .option("flatten", "owner_login=owner.login")
+        .load(path)
+    )
+
+
+def test_datasource_matches_mapinpandas_semantics(registered, dump_dir):  # noqa: F811
+    df = _read(registered, dump_dir)
+    rows = {
+        (r["id"], str(r["file_date"])): r
+        for r in df.filter("_corrupt IS NULL").collect()
+    }
+    assert rows[(1, "2014-01-02")]["file_pos"] == 0
+    assert rows[(2, "2014-01-02")]["file_pos"] == 1
+    assert rows[(1, "2014-01-01")]["login"] == "old_alice"
+    assert rows[(1, "2014-01-02")]["owner_login"] == "nested_owner"
+    assert rows[(2, "2014-01-02")]["hireable"] is None
+    # misnamed notes.bson skipped entirely
+    assert not any(r["id"] == 99 for r in rows.values())
+    # corrupt tail → one reject row, good doc in the same file survives
+    rejects = df.filter("_corrupt IS NOT NULL").collect()
+    assert len(rejects) == 1 and rejects[0]["file_pos"] == -1
+    assert rows[(3, "2014-01-03")]["login"] == "carol"
+
+
+def test_datasource_partitioning_is_per_file(registered, dump_dir):  # noqa: F811
+    # 3 dated files → 3 input partitions (the reference's per-file unit
+    # of work, S8); undated files contribute none.
+    df = _read(registered, dump_dir)
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_datasource_default_schema_is_provenance_only(registered, dump_dir):  # noqa: F811
+    df = registered.read.format("ght2dm_bson").load(dump_dir)
+    assert df.columns == ["file_date", "file_pos", "_corrupt"]
+    assert df.count() == 5  # 2 + 1 + (1 good + 1 reject)
