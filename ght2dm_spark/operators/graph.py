@@ -186,6 +186,11 @@ def pagerank(
     # crossJoin(broadcast(count)) subtree into every iteration's plan
     # (which re-aggregated the cached edges 1 + iterations times).
     nn = deg.count()
+    if nn == 0:
+        # empty graph → empty rank frame with the right schema
+        return deg.select(
+            F.col("a").alias("node"), F.lit(0).cast("long").alias("r")
+        )
     base_num = (damp_den - damp_num) * PAGERANK_SCALE
     init_r = PAGERANK_SCALE // nn
     base_term = base_num // (damp_den * nn)

@@ -50,5 +50,6 @@ from ght2dm_spark.queries import feature_stats  # noqa: E402,F401
 from ght2dm_spark.queries import experiment_queries  # noqa: E402,F401
 from ght2dm_spark.queries import audit_queries  # noqa: E402,F401
 from ght2dm_spark.queries import marketing_queries  # noqa: E402,F401
+from ght2dm_spark.queries import spark4_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "register"]

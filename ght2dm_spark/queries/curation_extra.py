@@ -189,13 +189,13 @@ def t1_char_entropy(spark, sf_dir):
     summed as DECIMAL so shuffle order can't perturb the total — the
     same exact-moment discipline as t1_stat_moments.
 
-    Scale: the per-character histogram never explodes through a shuffle —
-    each document's counts come from sorting ITS OWN char array with
-    ``array_sort`` and diffing run boundaries, all inside one projection
-    (whole-stage codegen, zero extra rows).  The only shuffle left is the
-    final ≤alphabet-size-per-doc aggregation; an earlier explode +
-    groupBy(doc_id, ch) + join-back formulation moved ×n_chars rows
-    through two exchanges and ran 4× slower at sf0.1."""
+    Scale: shuffle-free — each document's histogram comes from sorting
+    ITS OWN char array with ``array_sort`` and diffing run boundaries,
+    all inside one projection over the scan (zero extra rows, no
+    exchange anywhere).  An earlier explode + groupBy(doc_id, ch) +
+    join-back formulation moved ×n_chars rows through two exchanges and
+    ran ~2× slower at sf0.1.  Decimal terms fold in array order — exact,
+    so the sum can't drift with evaluation order."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     # sorted char array → run-length boundaries → per-char counts, no explode
     chars = F.array_sort(

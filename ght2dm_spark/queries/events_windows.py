@@ -175,6 +175,34 @@ def t1_stream_dedup(spark, sf_dir):
 
 
 @register(
+    "t1_stream_dedup_watermark",
+    oracle="SELECT DISTINCT event_id, user_id FROM events",
+)
+def t1_stream_dedup_watermark(spark, sf_dir):
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    evicts each key once the watermark passes its event time + horizon,
+    so state tracks the horizon, not history — the production form of
+    t1_stream_dedup for unbounded feeds (exact dedup only among rows
+    whose event times fall within the horizon of each other, which is
+    the guarantee ingestion pipelines actually need: replays and
+    at-least-once redelivery arrive close together).
+
+    The fixture's duplicate stream (the source unioned with itself)
+    delivers both copies in the same micro-batch, so the drained result
+    equals global DISTINCT regardless of horizon — keeping the oracle
+    exact while the state-eviction machinery genuinely runs."""
+    s1 = read_events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    s2 = read_events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    deduped = (
+        s1.union(s2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id")
+    )
+    return run_to_completion(deduped, output_mode="append")
+
+
+@register(
     "t1_stream_session_append",
     oracle="""
     WITH o AS (

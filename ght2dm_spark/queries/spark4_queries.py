@@ -1,0 +1,58 @@
+"""Spark-4-era extension queries: a cross-engine-deterministic corpus
+shuffle for reproducible training-data ordering.
+
+These have no reference citation (SURVEY §2.9 extension surface) — they
+are idioms a 100 TB training-data pipeline standardizes on.  (VARIANT is
+covered by t1_variant_extract in udf_surface.py.  transformWithStateInPandas
+— Spark 4's successor to applyInPandasWithState — was tried and works
+API-wise, but its state server requires a functional google.protobuf,
+absent in this environment; the applyInPandasWithState form of custom
+keyed state is t1_stream_stateful_counts.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.queries.registry import register
+
+
+@register(
+    "t1_deterministic_shuffle",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS hk
+               FROM documents)
+    SELECT doc_id,
+           row_number() OVER (ORDER BY hk, doc_id) AS shuffle_pos,
+           (row_number() OVER (ORDER BY hk, doc_id) - 1) % 8 AS shard
+    FROM h
+    """,
+)
+def t1_deterministic_shuffle(spark, sf_dir):
+    """Reproducible corpus shuffle: global training order = rank of
+    md5(doc_id || seed) — the standard trick for a shuffle that is (a)
+    stable across runs/engines/partitionings (md5 is bit-identical
+    everywhere, unlike engine-native hash()), (b) re-derivable from the
+    seed alone, and (c) uniformly mixing.  Shards are round-robin over
+    the shuffled order so every shard sees an unbiased sample.
+
+    Scale: the global rank uses the range-partitioned two-pass scheme
+    (operators.keys.add_surrogate_key) — range-repartition on the digest,
+    per-partition counts broadcast as offsets, local row_number — so no
+    single-task window anywhere; at 100 TB you'd persist (hk, doc_id)
+    range-clustered as the manifest and read shards by digest range."""
+    from ght2dm_spark.operators.keys import add_surrogate_key
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    hk = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    ranked = add_surrogate_key(
+        d.select("doc_id", hk.alias("hk")),
+        order_by=["hk", "doc_id"],
+        name="shuffle_pos",
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("shuffle_pos").cast("long").alias("shuffle_pos"),
+        ((F.col("shuffle_pos") - 1) % 8).cast("long").alias("shard"),
+    )

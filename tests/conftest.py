@@ -64,6 +64,16 @@ def canonicalize(cols, rows):
 
 
 def assert_oracle_match(spark_df, duck_con, oracle_sql, name=""):
+    # No TIMESTAMP (LTZ) output columns, ever: an LTZ value shifts at
+    # collect() with the verifying PROCESS's time zone, so a query can be
+    # value-correct in-plan yet hash-mismatch when the driver's harness
+    # runs outside UTC.  All testdata timestamps are NTZ; results must
+    # stay NTZ (functions.to_ts / trunc_ntz / epoch_us).
+    from pyspark.sql.types import TimestampType
+
+    ltz = [f.name for f in spark_df.schema.fields if isinstance(f.dataType, TimestampType)]
+    assert not ltz, f"{name}: TIMESTAMP (LTZ) output columns {ltz} — use TIMESTAMP_NTZ"
+
     srows = [tuple(r) for r in spark_df.collect()]
     scols = list(spark_df.columns)
     res = duck_con.sql(oracle_sql)
