@@ -52,4 +52,68 @@ from ght2dm_spark.queries import audit_queries  # noqa: E402,F401
 from ght2dm_spark.queries import marketing_queries  # noqa: E402,F401
 from ght2dm_spark.queries import spark4_queries  # noqa: E402,F401
 
+# Names with a green driver CORRECTNESS row in rounds 1–2.  The driver's
+# correctness harness is time-budgeted (~50 queries/round, walked in registry
+# order), so each round must put never-driver-verified queries at the head of
+# the walk and already-verified ones at the tail — cumulative coverage, not
+# re-checking.  A few T0 rows stay in-window as regression canaries.
+_DRIVER_VERIFIED = frozenset({
+    "q10_returned_items", "q11_important_parts", "q12_shipmode_priority",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_supplier_relation", "q17_small_quantity", "q18_large_volume_customer",
+    "q19_disjunctive_predicates", "q1_pricing_summary", "q20_promo_suppliers",
+    "q21_waiting_suppliers", "q22_dormant_customers", "q2_min_acctbal_supplier",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "t0_anti_join_new_only", "t0_broadcast_lookup",
+    "t0_clone_path_derive", "t0_distinct", "t0_extremal_row",
+    "t0_newest_wins_dedup", "t0_or_lookup", "t0_ri_rejects", "t0_string_clean",
+    "t0_surrogate_key", "t0_ts_cast", "t0_type_split", "t1_agg_suite",
+    "t1_ann_bruteforce_topk", "t1_ann_euclidean_topk", "t1_ann_ivf_topk",
+    "t1_ann_lsh_multiprobe", "t1_ann_lsh_topk", "t1_approx_aggs", "t1_cube",
+    "t1_dedup_exact", "t1_embedding_neardup", "t1_json_map", "t1_line_dedup",
+    "t1_minhash_lsh_pairs", "t1_minhash_signature", "t1_multimodal_decode",
+    "t1_multimodal_features", "t1_multimodal_frames", "t1_ngram_jaccard_pairs",
+    "t1_pandas_udf_scalar", "t1_pivot", "t1_rollup", "t1_session_window",
+    "t1_set_ops", "t1_simhash", "t1_sliding_window", "t1_sql_api",
+    "t1_sql_parameterized", "t1_stream_dedup", "t1_stream_dedup_watermark",
+    "t1_stream_ohlc", "t1_stream_session_append", "t1_stream_stateful_counts",
+    "t1_stream_stream_join", "t1_stream_tumbling", "t1_text_fingerprint",
+    "t1_text_lang_id", "t1_text_quality", "t1_text_token_counts",
+    "t1_token_pmi", "t1_topk_global", "t1_topk_per_group", "t1_tumbling_window",
+    "t1_union_evolved", "t1_window_range_frame", "t1_window_ranking",
+    "t1_window_running",
+})
+
+# Head of the round-3 walk: flagship never-verified queries users hit first,
+# then T0 regression canaries, then the rest of the never-verified set.
+_LEAD = [
+    "t1_corpus_build_pipeline", "t1_asof_join", "t1_range_join", "t1_pit_join",
+    "t1_pagerank", "t1_bfs_levels", "t1_neardup_components",
+    "t1_kmeans_clusters", "t1_event_funnel", "t1_sessionize_gap",
+    "t1_salted_join",
+    # regression canaries (already verified, kept in-window deliberately)
+    "t0_newest_wins_dedup", "t0_ts_cast", "t0_broadcast_lookup",
+    "t0_extremal_row", "t0_ri_rejects",
+]
+
+
+def _reorder() -> None:
+    lead_rank = {n: i for i, n in enumerate(_LEAD)}
+
+    def bucket(name: str) -> tuple[int, int]:
+        if name in lead_rank:
+            return (0, lead_rank[name])
+        return (1, 0) if name not in _DRIVER_VERIFIED else (2, 0)
+
+    items = sorted(QUERIES.items(), key=lambda kv: bucket(kv[0]))  # stable
+    QUERIES.clear()
+    QUERIES.update(items)
+    oracle_items = [(n, ORACLE[n]) for n, _ in items if n in ORACLE]
+    ORACLE.clear()
+    ORACLE.update(oracle_items)
+
+
+_reorder()
+
 __all__ = ["QUERIES", "ORACLE", "register"]
