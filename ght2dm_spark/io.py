@@ -10,10 +10,14 @@ and incremental).
 
 from __future__ import annotations
 
+import logging
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 TABLES = (
     "region",
@@ -36,9 +40,14 @@ FILE_DATE_PATTERN = r"(\d{4}-\d{2}-\d{2})"
 
 #: per-session DataFrame cache — a DataFrame is a plan, not data, so caching
 #: the object just avoids re-running footer/schema jobs per query build.
-_table_cache: dict[tuple[int, str, str], DataFrame] = {}
+#: Keyed on the live session via weakref (not id(): recycled ids after GC
+#: could hand a new session a plan bound to a dead one).
+_table_cache: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
-_conf_ensured: set[int] = set()
+# Weak set, not id()-keyed: CPython recycles ids after GC, so an id memo
+# could mistake a brand-new session for an already-configured dead one and
+# skip the UTC pin that every NTZ identity-reinterpretation depends on.
+_conf_ensured: weakref.WeakSet = weakref.WeakSet()
 
 
 def ensure_session_conf(spark: SparkSession) -> None:
@@ -49,14 +58,13 @@ def ensure_session_conf(spark: SparkSession) -> None:
     semantics must not depend on ambient config — in particular the session
     time zone (TIMESTAMP_NTZ vs timestamp-literal comparisons shift by the
     TZ offset otherwise) — and small-SF latency should not pay for a default
-    200-partition shuffle.  Every conf here is runtime-settable; anything the
-    session refuses is skipped.
+    200-partition shuffle.  Performance confs are best-effort; the time zone
+    is load-bearing for correctness, so failure to pin it is an error, not a
+    silent skip.
     """
-    sid = id(spark)
-    if sid in _conf_ensured:
+    if spark in _conf_ensured:
         return
     for k, v in (
-        ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
@@ -67,8 +75,17 @@ def ensure_session_conf(spark: SparkSession) -> None:
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass
-    _conf_ensured.add(sid)
+            _log.warning("could not set %s=%s on external session", k, v)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception as exc:
+        raise RuntimeError(
+            "cannot pin spark.sql.session.timeZone=UTC — timestamp results "
+            "would depend on the hosting process's zone"
+        ) from exc
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        raise RuntimeError("spark.sql.session.timeZone did not stick at UTC")
+    _conf_ensured.add(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -81,9 +98,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     engines see identical values.
     """
     ensure_session_conf(spark)
-    key = (id(spark), sf_dir, name)
-    if key in _table_cache:
-        return _table_cache[key]
+    per_session = _table_cache.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in per_session:
+        return per_session[key]
     from ght2dm_spark.schemas import TESTDATA
 
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -94,7 +112,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = (spark.read.schema(schema) if schema is not None else spark.read).parquet(path)
     if ns_ts:
         df = df.withColumn("ts", normalize_ns_ts("ts"))
-    _table_cache[key] = df
+    per_session[key] = df
     return df
 
 
@@ -139,15 +157,24 @@ def _events_ts_is_nanos(path: str) -> bool:
     Spark can only read as a long, via ``nanosAsLong``) and as plain
     TIMESTAMP(MICROS); guessing wrong shifts every timestamp by 1000x, so
     ask the file instead of assuming.  Footer-only — no data IO.
-    """
-    try:
-        import pyarrow.dataset as ds
-        import pyarrow.types as pt
 
+    pyarrow missing is a real environment problem, not a "file is micros"
+    signal — re-raise it so the operator sees the cause, not a downstream
+    PARQUET_TYPE_ILLEGAL.  Only a failed footer read (corrupt file, path a
+    stream source will materialize later, schema without ``ts``) falls back
+    to the declared-micros schema, and loudly.
+    """
+    import pyarrow.dataset as ds
+    import pyarrow.types as pt
+
+    try:
         f = ds.dataset(path, format="parquet").schema.field("ts")
-        return pt.is_timestamp(f.type) and f.type.unit == "ns"
-    except Exception:
+    except Exception as exc:
+        _log.warning(
+            "events footer probe failed for %s (%s); assuming micros ts", path, exc
+        )
         return False
+    return pt.is_timestamp(f.type) and f.type.unit == "ns"
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -190,7 +190,10 @@ def t1_stream_dedup_watermark(spark, sf_dir):
     The fixture's duplicate stream (the source unioned with itself)
     delivers both copies in the same micro-batch, so the drained result
     equals global DISTINCT regardless of horizon — keeping the oracle
-    exact while the state-eviction machinery genuinely runs."""
+    exact while the state-eviction machinery genuinely runs.
+    ``expect_single_batch`` turns that assumption into an assertion: a
+    future maxFilesPerTrigger/multi-file source that split the copies
+    across batches would fail loudly here, not flake the oracle."""
     s1 = read_events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
     s2 = read_events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
     deduped = (
@@ -199,7 +202,7 @@ def t1_stream_dedup_watermark(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id")
     )
-    return run_to_completion(deduped, output_mode="append")
+    return run_to_completion(deduped, output_mode="append", expect_single_batch=True)
 
 
 @register(

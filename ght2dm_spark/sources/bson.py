@@ -70,6 +70,29 @@ def split_frames(buf: bytes) -> Iterator[bytes]:
         off += size
 
 
+def stream_frames(fh) -> Iterator[bytes]:
+    """:func:`split_frames` over a binary file handle, reading one frame at
+    a time — a multi-GB dump never materializes in memory.  Same error
+    surface: a partial length prefix or a frame the file can't satisfy is
+    a :class:`BsonError` (the reference fails only the bad read,
+    ``ght2dm.go:212-236``)."""
+    off = 0
+    while True:
+        head = fh.read(4)
+        if not head:
+            return
+        if len(head) < 4:
+            raise BsonError(f"trailing {len(head)} bytes, not a frame")
+        (size,) = struct.unpack_from("<i", head, 0)
+        if size < 5:
+            raise BsonError(f"bad frame size {size} at offset {off}")
+        body = fh.read(size - 4)
+        if len(body) < size - 4:
+            raise BsonError(f"bad frame size {size} at offset {off}")
+        yield head + body
+        off += size
+
+
 def decode_doc(doc: bytes) -> dict:
     """Decode one BSON document to a dict (subset decoder: the types the
     GHTorrent entities use; unknown fields of other types are skipped,

@@ -38,7 +38,7 @@ from ght2dm_spark.sources.bson import (
     FILE_DATE_RE,
     BsonError,
     decode_doc,
-    split_frames,
+    stream_frames,
 )
 
 _META = ("file_date", "file_pos", "_corrupt")
@@ -99,14 +99,16 @@ class BsonDumpReader(DataSourceReader):
 
     def read(self, partition: BsonFilePartition) -> Iterator[tuple]:
         fields = [f.name for f in self.schema.fields]
-        with open(partition.path, "rb") as fh:
-            buf = fh.read()
 
         def emit(row: dict) -> tuple:
             return tuple(row.get(f) for f in fields)
 
+        with open(partition.path, "rb") as fh:
+            yield from self._read_frames(fh, partition, fields, emit)
+
+    def _read_frames(self, fh, partition, fields, emit) -> Iterator[tuple]:
         pos = 0
-        gen = split_frames(buf)
+        gen = stream_frames(fh)
         while True:
             try:
                 frame = next(gen)

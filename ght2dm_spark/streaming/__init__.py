@@ -61,9 +61,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_to_completion(
     transformed: DataFrame,
     output_mode: str,
+    expect_single_batch: bool = False,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion (AvailableNow) into a
-    uniquely-named memory sink; return the sink contents as a batch DF."""
+    uniquely-named memory sink; return the sink contents as a batch DF.
+
+    ``expect_single_batch`` asserts (from the query's progress events)
+    that every input row was processed in ONE micro-batch — for queries
+    whose exact-DISTINCT oracle is only valid while duplicate copies
+    can't straddle a state-eviction boundary.  A fixture or trigger
+    change that splits the input then fails loudly instead of flaking
+    the oracle."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="ght2dm-ckpt-")
     q = (
@@ -75,6 +83,13 @@ def run_to_completion(
         .start()
     )
     q.awaitTermination()
+    if expect_single_batch:
+        fed = [p for p in q.recentProgress if (p.numInputRows or 0) > 0]
+        if len(fed) != 1:
+            raise AssertionError(
+                f"expected all input in one micro-batch, got {len(fed)} "
+                f"data-bearing batches: {[p.numInputRows for p in fed]}"
+            )
     return transformed.sparkSession.table(name)
 
 
