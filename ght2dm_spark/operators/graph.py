@@ -2,18 +2,61 @@
 components via iterative DataFrame joins" — the dedup-cluster step after
 near-dup pair generation).
 
-hash-to-min connected components: every node repeatedly adopts the
-minimum label in its closed neighborhood; converges in O(diameter)
-rounds.  Each round is one join + one groupBy — at 100 TB both shuffle
-on node id (uniform), and the label frame shrinks to |V| rows
-regardless of |E|.  The driver loop is control flow only (a convergence
-counter), never data.
+Connected components use alternating large-star/small-star contraction
+(Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+Components in MapReduce and Beyond", SOCC'14): O(log n) rounds
+regardless of graph diameter.  The previous hash-to-min formulation was
+O(diameter) rounds — a 10 M-node chain (pathological but real in
+near-dup graphs, where each doc overlaps only its neighbors) meant
+10 M joins; the star operations collapse the same chain in ~log₂ n
+rounds.  Each round is two join+groupBy passes shuffled on node id, the
+edge frame only ever shrinks toward |V| star edges, and the driver loop
+is control flow only (a convergence counter), never data.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every node u connects its strictly-larger neighbors to
+    m(u) = min(N(u) ∪ {u}).  Keeps all inter-component links while
+    shortcutting tall chains (SOCC'14 §3, Algorithm 2)."""
+    bidir = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = (
+        bidir.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select("a", F.least("mn", "a").alias("m"))
+    )
+    return (
+        bidir.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: every node u links its not-larger neighborhood
+    (parents) to its minimum — with u itself — turning chains of parents
+    into stars (SOCC'14 §3, Algorithm 3)."""
+    directed = e.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    )
+    mins = directed.groupBy("a").agg(F.min("b").alias("m"))
+    pairs = (
+        directed.join(mins, "a")
+        .select(F.col("b").alias("v"), "m")
+        .unionByName(mins.select(F.col("a").alias("v"), "m"))
+    )
+    return (
+        pairs.filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
 
 
 def connected_components(
@@ -23,44 +66,60 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label each node with the min node id of its connected component.
 
     ``nodes``: one column ``node_col`` (singletons allowed); ``edges``:
-    undirected pairs (src, dst).  Returns (node_col, component).
+    undirected pairs (src, dst).  Returns (node_col, comp).
     Deterministic: the component id is the component's minimum node id.
-    """
-    both = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    labels = nodes.select(
-        F.col(node_col).alias("a"), F.col(node_col).alias("comp")
-    ).cache()
-    labels.count()
 
-    for _ in range(max_iter):
-        # candidate labels: my own + each neighbor's current label
-        neighbor = both.join(
-            labels.withColumnRenamed("a", "b2"), both.b == F.col("b2")
-        ).select("a", "comp")
-        new_labels = (
-            labels.unionByName(neighbor)
-            .groupBy("a")
-            .agg(F.min("comp").alias("comp"))
-            .cache()
-        )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("comp", "old"), "a"
+    Alternating large-star/small-star rounds until the edge set reaches
+    its fixed point (stars pointing at each component's minimum) —
+    O(log n) rounds, so ``max_iter=25`` covers any graph that fits on
+    disk; hitting it anyway raises rather than returning a wrong
+    labeling.  ``stats``, if given, receives ``{"rounds": n}`` so tests
+    can bound convergence.
+    """
+    # localCheckpoint (eager), not cache: each star op references the edge
+    # frame TWICE, so an uncheckpointed plan doubles per round and the
+    # optimizer/plan-string work goes exponential long before the data
+    # does.  Checkpointing truncates lineage to the materialized blocks.
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    rounds = 0
+    while n_edges > 0:
+        if rounds >= max_iter:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
             )
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_n = new_e.count()
+        # fixed point: same edge set (both are distinct sets, so equal
+        # counts + empty anti-join ⇒ equality)
+        if new_n == n_edges and new_e.join(e, ["a", "b"], "left_anti").isEmpty():
             break
-    return labels.select(F.col("a").alias(node_col), "comp")
+        e, n_edges = new_e, new_n
+        rounds += 1
+    if stats is not None:
+        stats["rounds"] = rounds
+    # At the fixed point every non-minimum node carries exactly one star
+    # edge (node, component-min); singletons label themselves.
+    labels = e.groupBy("a").agg(F.min("b").alias("comp"))
+    out = (
+        nodes.select(F.col(node_col).alias("a"))
+        .join(labels, "a", "left")
+        .select(
+            F.col("a").alias(node_col),
+            F.coalesce("comp", F.col("a")).alias("comp"),
+        )
+    )
+    return out
 
 
 def bfs_levels(

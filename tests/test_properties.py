@@ -264,3 +264,54 @@ def test_asof_join_matches_model(spark, data):
         ]
         expect[i] = max(cands)[1] if cands else None
     assert got == expect
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for i in range(n_nodes):
+        comp.setdefault(find(i), []).append(i)
+    return {i: min(ms) for ms in comp.values() for i in ms}
+
+
+@given(edges=edges_strategy)
+@_slow
+def test_connected_components_matches_union_find(spark, edges):
+    from ght2dm_spark.operators.graph import connected_components
+
+    n = 13
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ndf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        r["id"]: r["comp"] for r in connected_components(ndf, edf).collect()
+    }
+    assert got == _union_find_components(n, edges)
+
+
+def test_connected_components_logarithmic_rounds(spark):
+    """The SOCC'14 star-contraction bound, measured: a path graph of
+    diameter n−1 must converge in O(log n) alternation rounds — the case
+    where the old hash-to-min formulation needed n−1 rounds (and silently
+    returned a WRONG labeling once past max_iter)."""
+    from ght2dm_spark.operators.graph import connected_components
+
+    n = 128  # diameter 127; log2(n) = 7
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    ndf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    stats: dict = {}
+    out = connected_components(ndf, edf, stats=stats).collect()
+    assert all(r["comp"] == 0 for r in out) and len(out) == n
+    assert stats["rounds"] <= 10, f"expected O(log n) rounds, got {stats['rounds']}"
