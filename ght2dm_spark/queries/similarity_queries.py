@@ -332,6 +332,89 @@ def t1_embedding_neardup(spark, sf_dir):
     )
 
 
+def _recall_oracle() -> str:
+    """Recall@3 oracle built by splicing the ALREADY-REGISTERED ANN oracle
+    SQL in as derived tables — the oracle measures recall over byte-for-byte
+    the same candidate definitions the per-method queries are checked
+    against, so the two stay in lockstep by construction."""
+    from ght2dm_spark.queries.registry import ORACLE
+
+    bf = ORACLE["t1_ann_bruteforce_topk"]
+    lsh = ORACLE["t1_ann_lsh_topk"]
+    mp = ORACLE["t1_ann_lsh_multiprobe"]
+    ivf = ORACLE["t1_ann_ivf_topk"]
+    return f"""
+    WITH exact AS (SELECT q_id, c_id FROM ({bf}) t WHERE rank <= 3),
+    exact_n AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id),
+    cand AS (
+        SELECT 'lsh' AS method, q_id, c_id FROM ({lsh}) t
+        UNION ALL
+        SELECT 'multiprobe' AS method, q_id, c_id FROM ({mp}) t
+        UNION ALL
+        SELECT 'ivf' AS method, q_id, c_id FROM ({ivf}) t
+    ),
+    hits AS (SELECT method, c.q_id, count(*) AS n_hits
+             FROM cand c JOIN exact e USING (q_id, c_id)
+             GROUP BY 1, 2),
+    base AS (SELECT m.method, e.q_id, e.n_exact
+             FROM exact_n e
+             CROSS JOIN (SELECT unnest(['lsh', 'multiprobe', 'ivf']) AS method) m)
+    SELECT b.method, b.q_id, coalesce(h.n_hits, 0) AS n_hits, b.n_exact,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_exact, 4) AS recall
+    FROM base b LEFT JOIN hits h ON b.method = h.method AND b.q_id = h.q_id
+    """
+
+
+@register("t1_ann_recall", oracle=_recall_oracle())
+def t1_ann_recall(spark, sf_dir):
+    """ANN recall@3 self-audit (VERDICT r2 #4): per query and method, how
+    many of the exact cosine top-3 the approximate candidate set recovered.
+    Reuses the registered query callables themselves, so the audit measures
+    the production operators, not a re-derivation; the oracle splices the
+    same methods' oracle SQL (see :func:`_recall_oracle`).
+
+    Scale: each branch keeps its own scale shape (corpus never shuffles);
+    the recall join itself is tiny (Q×k rows).  Queries a method misses
+    entirely still appear, at recall 0, via the left join from the exact
+    base — silent no-candidate buckets would otherwise inflate recall."""
+    from ght2dm_spark.queries.registry import QUERIES
+
+    exact = (
+        QUERIES["t1_ann_bruteforce_topk"](spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id")
+    )
+    exact_n = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    parts = []
+    for method in ("lsh", "multiprobe", "ivf"):
+        qname = {
+            "lsh": "t1_ann_lsh_topk",
+            "multiprobe": "t1_ann_lsh_multiprobe",
+            "ivf": "t1_ann_ivf_topk",
+        }[method]
+        cand = QUERIES[qname](spark, sf_dir).select("q_id", "c_id")
+        hits = (
+            cand.join(exact, ["q_id", "c_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        parts.append(
+            exact_n.join(hits, "q_id", "left").select(
+                F.lit(method).alias("method"),
+                "q_id",
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                "n_exact",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "recall",
+        F.round(F.col("n_hits").cast("double") / F.col("n_exact"), 4),
+    )
+
+
 @register(
     "t1_ann_euclidean_topk",
     oracle=f"""
