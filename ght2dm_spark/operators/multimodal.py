@@ -20,6 +20,8 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -27,32 +29,108 @@ from pyspark.sql import DataFrame
 
 #: schema of the decoded-metadata struct produced by decode_meta
 META_SCHEMA = (
-    "content_len long, header_w int, header_h int, digest string"
+    "content_len long, format string, width int, height int, digest string"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: JPEG start-of-frame markers carrying dimensions (C0–CF minus DHT C4,
+#: JPG C8, DAC CC — ITU T.81 table B.1)
+_JPEG_SOF = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 )
 
 
-def _decode_stub(payload: bytes) -> tuple[int, int]:
-    """Deterministic fake codec: "width"/"height" from the first two
-    payload bytes.  The real implementation calls PIL/libav here; the
-    import is gated so environments with the libs swap it in."""
-    try:  # pragma: no cover - the container has no PIL by design
-        import PIL.Image  # noqa: F401
+def parse_image_header(b: bytes) -> tuple[str, int | None, int | None]:
+    """Container-header image decode — (format, width, height) from raw
+    bytes, pure Python, no codec library.  PNG reads the IHDR chunk
+    (spec: first chunk, big-endian dims at fixed offsets); JPEG walks the
+    marker stream to the first SOF segment (dims live after the segment
+    length + sample precision); GIF reads the logical screen descriptor
+    (little-endian).  Anything unrecognized or truncated before its
+    dimension fields is ("unknown"/format, None, None) — reject data, not
+    a task failure (E1 discipline).
+    """
+    if b[:8] == _PNG_SIG:
+        if len(b) >= 24 and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return "png", w, h
+        return "png", None, None
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        n = len(b)
+        while i + 4 <= n and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker, no length field
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if marker in _JPEG_SOF:
+                if i + 9 <= n:
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return "jpeg", w, h
+                break
+            if marker == 0xDA:  # SOS — entropy-coded data follows
+                break
+            i += 2 + seg_len
+        return "jpeg", None, None
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return "gif", w, h
+        return "gif", None, None
+    return "unknown", None, None
 
-        raise NotImplementedError(
-            "real image decode not wired up; replace _decode_stub"
+
+def png_bytes(width: int, height: int, value: int = 0) -> bytes:
+    """A complete, spec-valid 8-bit grayscale PNG (signature + IHDR +
+    zlib-compressed IDAT with per-row filter bytes + IEND, CRCs included)
+    filled with ``value`` — a real decodable file, built from stdlib only."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
-    except ImportError:
-        pass
-    w = payload[0] if len(payload) > 0 else 0
-    h = payload[1] if len(payload) > 1 else 0
-    return w, h
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([value % 256]) * width for _ in range(height))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def jpeg_bytes(width: int, height: int) -> bytes:
+    """A structurally valid JPEG marker stream (SOI, JFIF APP0, SOF0
+    declaring ``width``×``height``, minimal SOS, EOI).  The entropy
+    segment is filler — header-complete is what metadata extraction and
+    these fixtures need; a camera JPEG parses identically."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00" + b"\x00\x3f\x00"
+    return b"\xff\xd8" + app0 + sof0 + sos + b"\x00" + b"\xff\xd9"
+
+
+def gif_bytes(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor + trailer."""
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
 
 
 def decode_meta(df: DataFrame, payload_col: str = "payload", keep: list[str] | None = None) -> DataFrame:
     """binary payload → typed metadata via an Arrow-batched pandas map.
 
-    Output: ``keep`` columns + (content_len, header_w, header_h, digest).
-    digest is md5 hex — content addressing for exact media dedup.
+    Output: ``keep`` columns + (content_len, format, width, height,
+    digest).  format/width/height come from :func:`parse_image_header`
+    (real container parsing); digest is md5 hex — content addressing for
+    exact media dedup.
     """
     keep = keep or [c for c in df.columns if c != payload_col]
     out_schema = ", ".join(
@@ -65,11 +143,13 @@ def decode_meta(df: DataFrame, payload_col: str = "payload", keep: list[str] | N
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
+            parsed = payloads.map(parse_image_header)
             meta = pd.DataFrame(
                 {
                     "content_len": payloads.map(len),
-                    "header_w": payloads.map(lambda b: _decode_stub(b)[0]).astype("int32"),
-                    "header_h": payloads.map(lambda b: _decode_stub(b)[1]).astype("int32"),
+                    "format": parsed.map(lambda t: t[0]),
+                    "width": parsed.map(lambda t: t[1]).astype("Int32"),
+                    "height": parsed.map(lambda t: t[2]).astype("Int32"),
                     "digest": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
                 }
             )

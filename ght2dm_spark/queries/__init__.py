@@ -72,7 +72,10 @@ _DRIVER_VERIFIED = frozenset({
     "t1_ann_bruteforce_topk", "t1_ann_euclidean_topk", "t1_ann_ivf_topk",
     "t1_ann_lsh_multiprobe", "t1_ann_lsh_topk", "t1_approx_aggs", "t1_cube",
     "t1_dedup_exact", "t1_embedding_neardup", "t1_json_map", "t1_line_dedup",
-    "t1_minhash_lsh_pairs", "t1_minhash_signature", "t1_multimodal_decode",
+    # t1_multimodal_decode deliberately NOT listed: its codec was upgraded
+    # from stub to real container parsing in round 3 — semantics changed,
+    # so it re-enters the driver-verification window.
+    "t1_minhash_lsh_pairs", "t1_minhash_signature",
     "t1_multimodal_features", "t1_multimodal_frames", "t1_ngram_jaccard_pairs",
     "t1_pandas_udf_scalar", "t1_pivot", "t1_rollup", "t1_session_window",
     "t1_set_ops", "t1_simhash", "t1_sliding_window", "t1_sql_api",

@@ -8,11 +8,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pandas as pd
+
 from ght2dm_spark.io import load_table
 from ght2dm_spark.operators.multimodal import (
     decode_meta,
     extract_features,
     frame_sample,
+    gif_bytes,
+    jpeg_bytes,
+    png_bytes,
 )
 from ght2dm_spark.queries.registry import register
 
@@ -22,30 +27,59 @@ def _with_payload(spark, sf_dir):
     return d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
 
+def synth_image_payload(doc_id: int) -> bytes:
+    """Deterministic REAL image bytes per doc: format cycles
+    png/jpeg/gif by ``doc_id % 3``; dimensions derive from doc_id, so an
+    independent engine can predict what a correct parse must return
+    without being able to build the bytes itself."""
+    w = doc_id % 64 + 1
+    h = doc_id % 48 + 1
+    m = doc_id % 3
+    if m == 0:
+        return png_bytes(w, h, value=doc_id % 251)
+    if m == 1:
+        return jpeg_bytes(w, h)
+    return gif_bytes(w, h)
+
+
+def _with_image_payload(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def make(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(lambda i: synth_image_payload(int(i)))
+
+    return d.select("doc_id", make("doc_id").alias("payload"))
+
+
 @register(
     "t1_multimodal_decode",
     oracle="""
     SELECT doc_id,
-           length(text) AS content_len,
-           ascii(substr(text, 1, 1)) AS header_w,
-           ascii(substr(text, 2, 1)) AS header_h,
-           md5(text) AS digest
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'gif' END AS format,
+           CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 48 + 1 AS INTEGER) AS height
     FROM documents
     """,
 )
 def t1_multimodal_decode(spark, sf_dir):
-    """Binary decode + metadata extraction through mapInPandas (Arrow
-    batch transfer of binary columns).  The payload is the UTF-8 text
-    bytes, so the oracle reproduces the 'decoded header' with ascii() and
-    the digest with md5() over identical bytes (documents are ASCII)."""
-    out = decode_meta(_with_payload(spark, sf_dir), "payload", keep=["doc_id"])
-    return out.select(
-        "doc_id",
-        "content_len",
-        F.col("header_w").cast("int").alias("header_w"),
-        F.col("header_h").cast("int").alias("header_h"),
-        "digest",
-    )
+    """Real image decode through mapInPandas: each doc carries ACTUAL
+    PNG/JPEG/GIF bytes (spec-valid containers built per doc_id —
+    :func:`synth_image_payload`), and ``decode_meta`` recovers
+    format/width/height by parsing the container headers (PNG IHDR, JPEG
+    SOF marker walk, GIF screen descriptor — operators.multimodal.
+    parse_image_header), no codec library.  The oracle predicts the
+    parse output from the generator's doc_id formulas — DuckDB cannot
+    parse the bytes, but it knows exactly what a correct parser must
+    find, so a wrong parse (endianness, offset, marker-walk bug)
+    mismatches immediately.
+
+    Scale: payload synthesis and parsing are one narrow Arrow-batched
+    map over doc splits — no shuffle; only the small typed metadata
+    survives projection downstream."""
+    out = decode_meta(_with_image_payload(spark, sf_dir), "payload", keep=["doc_id"])
+    return out.select("doc_id", "format", "width", "height")
 
 
 @register(

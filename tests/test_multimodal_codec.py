@@ -1,0 +1,71 @@
+"""Real-bytes tests for the pure-Python image container parser
+(operators.multimodal.parse_image_header) and its generators.
+
+The independence check matters: the generators and the parser were
+written against the same specs, so one fixture here is a KNOWN png from
+the wild (a canonical 1×1 PNG, hard-coded bytes) — proving the parser
+reads the format, not just our own writer's output.
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+import zlib
+
+from ght2dm_spark.operators.multimodal import (
+    gif_bytes,
+    jpeg_bytes,
+    parse_image_header,
+    png_bytes,
+)
+
+# The canonical minimal 1×1 transparent PNG (public reference fixture,
+# produced by standard tooling — not by our generator).
+_KNOWN_1X1_PNG = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+    "AAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
+)
+
+
+def test_known_external_png_parses():
+    assert parse_image_header(_KNOWN_1X1_PNG) == ("png", 1, 1)
+
+
+def test_png_roundtrip_and_decodability():
+    b = png_bytes(63, 48, value=200)
+    assert parse_image_header(b) == ("png", 63, 48)
+    # the IDAT really is the declared image: h rows of (filter byte + w
+    # pixels) of the fill value
+    assert b[12:16] == b"IHDR"
+    (idat_len,) = struct.unpack(">I", b[33:37])
+    assert b[37:41] == b"IDAT"
+    raw = zlib.decompress(b[41 : 41 + idat_len])
+    assert raw == (b"\x00" + bytes([200]) * 63) * 48
+
+
+def test_jpeg_sof_parse_skips_prior_segments():
+    b = jpeg_bytes(320, 240)
+    assert parse_image_header(b) == ("jpeg", 320, 240)
+    # progressive marker (SOF2) parses the same way
+    b2 = b.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert parse_image_header(b2) == ("jpeg", 320, 240)
+
+
+def test_gif_little_endian_dims():
+    assert parse_image_header(gif_bytes(500, 7)) == ("gif", 500, 7)
+
+
+def test_truncated_and_unknown_payloads_are_rejects_not_errors():
+    png = png_bytes(10, 10)
+    assert parse_image_header(png[:20]) == ("png", None, None)
+    jpg = jpeg_bytes(10, 10)
+    # cut before SOF: SOI + APP0 only
+    assert parse_image_header(jpg[:10]) == ("jpeg", None, None)
+    assert parse_image_header(b"GIF89a\x01") == ("gif", None, None)
+    assert parse_image_header(b"not an image at all") == ("unknown", None, None)
+    assert parse_image_header(b"") == ("unknown", None, None)
+
+
+def test_jpeg_eoi_before_sof_yields_no_dims():
+    assert parse_image_header(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
