@@ -108,37 +108,44 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
     keys are anti-joined away (F3/F8), surrogate keys continue from the
     existing max (append-only, ids never reused), and new rows APPEND to
     the output tables.  A fresh run overwrites.
+
+    Crash safety (the reference's per-file transactions, S8): every
+    table write goes through the snapshot layer (:mod:`ght2dm_spark.
+    snapshots`) — data + manifest are STAGED per table as the run
+    progresses, and all CURRENT pointers flip together only after every
+    table has staged successfully.  A kill anywhere mid-run leaves every
+    output readable at its previous snapshot; a kill during the final
+    pointer loop leaves each table at exactly the old or the new
+    snapshot, never half-written.  Stale staging from a crashed run is
+    invisible and reclaimed by ``snapshots.vacuum``.
     """
     from pyspark.sql import functions as F
 
-    from ght2dm_spark.io import write_table
     from ght2dm_spark.pipelines import (
         import_org_members,
         import_repo_collaborators,
         import_repos,
         import_users,
     )
+    from ght2dm_spark.snapshots import commit, prepare_commit, read_snapshot
     from ght2dm_spark.sources.bson import read_bson_dumps, split_rejects
 
     out = Path(cfg.output_dir)
     mode = "append" if cfg.incremental else "overwrite"
     written: dict[str, str] = {}
     state: dict = {}
+    prepared = []
 
     def _write(name, df):
         p = str(out / name)
-        if cfg.incremental:
-            # materialize before appending: the new-rows plan reads the
-            # SAME path (anti-join vs existing) it is about to append to
-            df = df.cache()
-            df.count()
-        write_table(df, p, mode=mode)
+        # no self-read hazard on append: the incremental plan reads the
+        # previous snapshot's PINNED file list, never the live directory
+        prepared.append(prepare_commit(df, p, mode=mode))
         written[name] = p
 
     def _existing(name):
-        p = out / name
-        if cfg.incremental and p.exists():
-            return spark.read.parquet(str(p))
+        if cfg.incremental:
+            return read_snapshot(spark, str(out / name))
         return None
 
     def _next_key(df):
@@ -219,4 +226,7 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
                 "rejects_repo_collaborators",
                 res.rejects.unionByName(rej, allowMissingColumns=True),
             )
+    # every table staged — publish all snapshots in one tight loop
+    for p in prepared:
+        commit(p)
     return written

@@ -9,6 +9,7 @@ import json
 import pytest
 
 from ght2dm_spark.config import read_config, run_from_config
+from ght2dm_spark.snapshots import read_snapshot
 from tests.test_bson_source import enc_doc
 
 
@@ -73,13 +74,13 @@ def test_run_from_config(spark, config_path):
         "users", "gh_users", "gh_organizations", "repositories",
         "gh_repositories", "gh_users_organizations", "users_repositories",
     }
-    users = spark.read.parquet(written["users"])
+    users = read_snapshot(spark, written["users"])
     assert {r["username"] for r in users.collect()} == {"alice"}
-    orgs = spark.read.parquet(written["gh_organizations"])
+    orgs = read_snapshot(spark, written["gh_organizations"])
     assert orgs.count() == 1
-    rel = spark.read.parquet(written["gh_users_organizations"])
+    rel = read_snapshot(spark, written["gh_users_organizations"])
     assert rel.count() == 1
-    ur = spark.read.parquet(written["users_repositories"])
+    ur = read_snapshot(spark, written["users_repositories"])
     assert ur.count() == 1
 
 
@@ -94,7 +95,7 @@ def test_incremental_rerun(spark, config_path, tmp_path):
     first = dataclasses.replace(cfg, output_dir=out2)
     run_from_config(spark, first)
     users_v1 = {(r["id"], r["username"]) for r in
-                spark.read.parquet(f"{out2}/users").collect()}
+                read_snapshot(spark, f"{out2}/users").collect()}
 
     # add a later dump with one known + one new user
     users_dir = cfg.folders[0]
@@ -112,7 +113,7 @@ def test_incremental_rerun(spark, config_path, tmp_path):
                                   folders=[users_dir])
         run_from_config(spark, inc)
         users_v2 = {(r["id"], r["username"]) for r in
-                    spark.read.parquet(f"{out2}/users").collect()}
+                    read_snapshot(spark, f"{out2}/users").collect()}
         assert users_v1 < users_v2
         added = users_v2 - users_v1
         assert {u for _, u in added} == {"zoe"}
@@ -123,7 +124,72 @@ def test_incremental_rerun(spark, config_path, tmp_path):
         # third run, nothing new → nothing appended
         run_from_config(spark, inc)
         users_v3 = {(r["id"], r["username"]) for r in
-                    spark.read.parquet(f"{out2}/users").collect()}
+                    read_snapshot(spark, f"{out2}/users").collect()}
         assert users_v3 == users_v2
     finally:
         (pathlib.Path(users_dir) / "2014-02-01.bson").unlink()
+
+
+def test_killed_write_preserves_old_snapshot(spark, tmp_path):
+    """Crash safety: a write that dies mid-job (here: a task that raises
+    halfway through — same observable state as a kill -9 before the
+    pointer flip) leaves CURRENT at the previous snapshot, which still
+    reads completely; staging leftovers are invisible and vacuum
+    reclaims them."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.snapshots import (
+        read_snapshot,
+        snapshot_files,
+        vacuum,
+        write_table_atomic,
+    )
+
+    table = str(tmp_path / "tbl")
+    df1 = spark.range(100).withColumn("v", F.col("id") * 2)
+    write_table_atomic(df1, table)
+    v1_files = snapshot_files(table)
+    assert read_snapshot(spark, table).count() == 100
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("simulated mid-write crash")
+
+    with pytest.raises(Exception):
+        write_table_atomic(spark.range(50).withColumn("v", boom("id")), table)
+
+    # old snapshot intact and fully readable
+    assert snapshot_files(table) == v1_files
+    got = read_snapshot(spark, table)
+    assert got.count() == 100
+    assert got.agg(F.sum("v")).collect()[0][0] == 9900
+
+    # recovery: the next write simply succeeds and becomes current
+    write_table_atomic(df1.filter("id < 10"), table)
+    assert read_snapshot(spark, table).count() == 10
+    vacuum(table, keep_manifests=1)
+    assert read_snapshot(spark, table).count() == 10
+
+
+def test_append_snapshot_pins_parent_files(spark, tmp_path):
+    """Append commits reference the parent's files — no rewrite — and a
+    reader holding the old snapshot keeps seeing exactly the old rows."""
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.snapshots import (
+        read_snapshot,
+        snapshot_files,
+        write_table_atomic,
+    )
+
+    table = str(tmp_path / "tbl_app")
+    write_table_atomic(spark.range(10), table)
+    old_files = set(snapshot_files(table))
+    old_reader = read_snapshot(spark, table)
+
+    write_table_atomic(spark.range(10, 15), table, mode="append")
+    new_files = set(snapshot_files(table))
+    assert old_files < new_files  # parent files reused, not rewritten
+    assert read_snapshot(spark, table).count() == 15
+    assert old_reader.count() == 10  # pinned file list: stable reads
