@@ -68,6 +68,24 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
         )
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Streaming state on RocksDB, not the default in-JVM-heap HashMap:
+        # stateful operators (dedup-within-watermark, session windows,
+        # flatMapGroupsWithState) then hold state off-heap with spill to
+        # disk, so state size is bounded by the watermark horizon × key
+        # width rather than by executor heap.  Changelog checkpointing
+        # ships per-batch deltas to the checkpoint location instead of
+        # full SST snapshots — the production configuration for
+        # long-running streams.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
         # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos
         # timestamp — read as long, io.load_table converts to micros exactly
         # like DuckDB does (truncation), so the oracle compare holds.

@@ -219,3 +219,73 @@ def test_streaming_corpus_ingest_pipeline(spark, sf_dir, tmp_path):
     got = spark.read.parquet(str(target))
     assert got.count() == expect.count()
     assert got.select("h").distinct().count() == expect.count()
+
+
+def test_dedup_watermark_state_bounded_by_horizon(spark, sf_dir, tmp_path):
+    """The claim in t1_stream_dedup_watermark's docstring, MEASURED: with
+    RocksDB state (session.py pins the provider) and a 30-minute
+    watermark horizon, dropDuplicatesWithinWatermark state tracks the
+    horizon, not history.  Events (30 days of data) stream in 5
+    time-ordered files, one per micro-batch; peak state must stay near
+    one batch's window and the final cleanup batch must evict
+    everything older than the horizon."""
+    import shutil
+    import uuid
+
+    from ght2dm_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    total = ev.count()
+    rows_dir = str(tmp_path / "files")
+    os.makedirs(rows_dir)
+    bounds = ev.select(
+        F.percentile_approx("ts", [0.2, 0.4, 0.6, 0.8], 10000).alias("b")
+    ).collect()[0].b
+    edges = [None, *bounds, None]
+    for i in range(5):
+        c = ev
+        if edges[i] is not None:
+            c = c.filter(F.col("ts") > edges[i])
+        if edges[i + 1] is not None:
+            c = c.filter(F.col("ts") <= edges[i + 1])
+        d = str(tmp_path / f"w{i}")
+        c.coalesce(1).write.mode("overwrite").parquet(d)
+        src = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = os.path.join(rows_dir, f"f{i}.parquet")
+        shutil.move(os.path.join(d, src), dst)
+        # file source orders batches by mod time — pin the sequence
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(rows_dir)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"snk_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    progress = [p for p in q.recentProgress if p.stateOperators]
+    assert len(progress) >= 5  # genuinely multi-batch
+    peak = max(p.stateOperators[0].numRowsTotal for p in progress)
+    final = progress[-1].stateOperators[0]
+    # state ≈ one batch window (~total/5 keys), never history
+    assert peak <= total * 0.3, f"state grew like history: peak={peak}/{total}"
+    # the final cleanup batch evicts everything beyond the horizon
+    assert final.numRowsTotal <= total * 0.05, f"final state {final.numRowsTotal}"
+    assert sum(p.stateOperators[0].numRowsRemoved for p in progress) > 0
+    # RocksDB provider really is serving the state store
+    assert any("rocksdb" in k.lower() for k in dict(final.customMetrics))
+    # unique keys → every event emitted exactly once despite eviction
+    assert spark.table(name).count() == total
