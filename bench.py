@@ -92,6 +92,149 @@ HEADLINE = [
 ]
 
 
+#: Scale-point subset: scan/CPU-bound queries where both engines are
+#: compute-bound and Spark's fixed per-query planning constant washes
+#: out — the shape that predicts 100 TB behavior.  Excludes dedup/LSH
+#: queries (the 10× corpus duplicates text, which would explode pair
+#: counts, measuring the fixture rather than the operator).
+SCALE_HEADLINE = [
+    "q1_pricing_summary",
+    "t0_broadcast_lookup",
+    "t0_extremal_row",
+    "t1_text_quality",
+    "t1_char_entropy",
+    "t1_repetition_ratio",
+    "t1_doc_chunking",
+    "t1_unigram_surprisal",
+    "t1_token_pmi",
+    "t1_ohlc",
+    "t1_twap",
+    "t1_sliding_distinct_users",
+]
+
+#: tables replicated with shifted keys in the scale dir; everything else
+#: symlinks to the base SF (dimensions stay small — that is the point:
+#: fact tables grow, dimension joins stay broadcastable)
+_SCALE_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+}
+_SHIFT = 1_000_000_000
+
+
+def ensure_scale_dir(base_dir: str, scale_dir: str, copies: int) -> None:
+    """Materialize a ~``copies``× scale point from ``base_dir``: fact
+    tables unioned ``copies`` times with shifted primary keys (foreign
+    keys into dimensions untouched, so join queries stay valid), other
+    tables symlinked.  DuckDB does the rewrite — it reads the NANOS
+    events timestamp natively and the explicit CAST writes plain micros,
+    which both engines then read identically.  Idempotent via marker."""
+    import duckdb
+
+    root = Path(scale_dir)
+    marker = root / "_READY"
+    if marker.exists():
+        return
+    root.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    for p in sorted(Path(base_dir).glob("*.parquet")):
+        name = p.stem
+        dst = root / p.name
+        if dst.is_symlink() or dst.exists():
+            dst.unlink()
+        if name in _SCALE_KEYS:
+            key = _SCALE_KEYS[name]
+            ts_fix = ", CAST(ts AS TIMESTAMP) AS ts" if name == "events" else ""
+            union = " UNION ALL ".join(
+                f"SELECT * REPLACE ({key} + {i * _SHIFT} AS {key}{ts_fix}) "
+                f"FROM read_parquet('{p}')"
+                for i in range(copies)
+            )
+            con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
+        else:
+            os.symlink(p, dst)
+    marker.touch()
+
+
+def run_scale_point(spark, base_sf: float | None) -> dict:
+    """Spark vs DuckDB on the scale-point subset at ~10× the bench SF.
+    Returns the json-able summary block."""
+    import duckdb
+
+    from ght2dm_spark.queries import ORACLE
+
+    copies = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", "/tmp/ght2dm_scale_bench"
+    )
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    ensure_scale_dir(base_dir, scale_dir, copies)
+
+    spark_t: dict[str, float] = {}
+    for name in SCALE_HEADLINE:
+        if name not in QUERIES:
+            continue
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, scale_dir).count()
+            samples.append(time.perf_counter() - t0)
+        spark_t[name] = round(statistics.median(samples), 4)
+        print(
+            f"# scale spark {name}: p50 {spark_t[name]:.3f}s ({n} rows)",
+            file=sys.stderr,
+        )
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for p in sorted(Path(scale_dir).glob("*.parquet")):
+        con.execute(
+            f"CREATE VIEW {p.stem} AS SELECT * FROM read_parquet('{p}')"
+        )
+    duck_t: dict[str, float] = {}
+    for name in SCALE_HEADLINE:
+        if name not in ORACLE:
+            continue
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            con.execute(ORACLE[name]).fetchall()
+            samples.append(time.perf_counter() - t0)
+        duck_t[name] = round(statistics.median(samples), 4)
+        print(f"# scale duckdb {name}: p50 {duck_t[name]:.3f}s", file=sys.stderr)
+
+    shared = sorted(set(spark_t) & set(duck_t))
+    s_total = round(sum(spark_t[n] for n in shared), 4)
+    d_total = round(sum(duck_t[n] for n in shared), 4)
+    for n in shared:
+        r = spark_t[n] / duck_t[n] if duck_t[n] else float("inf")
+        print(f"# scale ratio {n}: {r:.2f}x", file=sys.stderr)
+    # "heavy" = the query does substantial work in EITHER engine
+    # (engine-agnostic: DuckDB median >= 0.5 s); below that, Spark's
+    # fixed ~0.2-0.3 s planning/scheduling constant is what's measured,
+    # not the plan — the constant amortizes away on a real cluster run.
+    heavy = [n for n in shared if duck_t[n] >= 0.5]
+    hs = round(sum(spark_t[n] for n in heavy), 4)
+    hd = round(sum(duck_t[n] for n in heavy), 4)
+    return {
+        "sf_equivalent": round((base_sf or 0.1) * copies, 3),
+        "copies": copies,
+        "spark": spark_t,
+        "duckdb": duck_t,
+        "spark_total": s_total,
+        "duckdb_total": d_total,
+        "ratio_total": round(s_total / d_total, 3) if d_total else None,
+        "heavy_queries": heavy,
+        "heavy_ratio_total": round(hs / hd, 3) if hd else None,
+        "heavy_ratio_max": (
+            round(max(spark_t[n] / duck_t[n] for n in heavy), 3) if heavy else None
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -127,17 +270,22 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # 10× scale point with a DuckDB head-to-head on the compute-bound
+    # subset — the crossover evidence (Spark's per-query constant
+    # dominates at sf0.1; at ~sf1 both engines are compute-bound).
+    if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
+        try:
+            out["scale_point"] = run_scale_point(spark, sf)
+        except Exception as e:  # scale point is additive — never fail the bench
+            print(f"# scale point skipped: {e!r}", file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
