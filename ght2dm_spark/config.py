@@ -36,6 +36,13 @@ class RunConfig:
     output_dir: str
     nocheck: bool = False  # the reference's -nocheck flag (ght2dm.go:1126)
     incremental: bool = False  # append-only rerun against existing outputs
+    # E3/E4: the reference's -verbose (per-entity import counts) and
+    # -debug (statement-level tracing) flags.  verbose logs a per-table
+    # row count measured IN the write pass via df.observe — never a
+    # second scan; debug additionally logs each table's formatted
+    # physical plan.
+    verbose: bool = False
+    debug: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -44,12 +51,14 @@ def read_config(path: str) -> RunConfig:
     ``extra`` rather than rejected."""
     with open(path) as f:
         raw = json.load(f)
-    known = {"folders", "output_dir", "nocheck", "incremental"}
+    known = {"folders", "output_dir", "nocheck", "incremental", "verbose", "debug"}
     return RunConfig(
         folders=list(raw["folders"]),
         output_dir=raw["output_dir"],
         nocheck=bool(raw.get("nocheck", False)),
         incremental=bool(raw.get("incremental", False)),
+        verbose=bool(raw.get("verbose", False)),
+        debug=bool(raw.get("debug", False)),
         extra={k: v for k, v in raw.items() if k not in known},
     )
 
@@ -130,6 +139,11 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
     from ght2dm_spark.snapshots import commit, prepare_commit, read_snapshot
     from ght2dm_spark.sources.bson import read_bson_dumps, split_rejects
 
+    import logging
+
+    from pyspark.sql import Observation
+
+    log = logging.getLogger(__name__)
     out = Path(cfg.output_dir)
     mode = "append" if cfg.incremental else "overwrite"
     written: dict[str, str] = {}
@@ -138,9 +152,21 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
 
     def _write(name, df):
         p = str(out / name)
+        if cfg.debug:
+            log.debug("plan for %s:\n%s", name, df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        obs = None
+        if cfg.verbose:
+            # E3: per-entity import counts, measured inside the write
+            # job itself (df.observe) — the 100 TB form of the
+            # reference's verbose logging, never a second scan
+            obs = Observation(f"write_{name}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         # no self-read hazard on append: the incremental plan reads the
         # previous snapshot's PINNED file list, never the live directory
         prepared.append(prepare_commit(df, p, mode=mode))
+        if obs is not None:
+            log.info("wrote %s: %d rows (%s)", name, obs.get["n_rows"], mode)
         written[name] = p
 
     def _existing(name):

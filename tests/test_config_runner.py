@@ -193,3 +193,45 @@ def test_append_snapshot_pins_parent_files(spark, tmp_path):
     assert old_files < new_files  # parent files reused, not rewritten
     assert read_snapshot(spark, table).count() == 15
     assert old_reader.count() == 10  # pinned file list: stable reads
+
+
+def test_verbose_logs_per_table_counts(spark, config_path, tmp_path, caplog):
+    """E3: verbose mode logs one observed row count per written table,
+    measured in the write pass itself (df.observe, no second scan), and
+    the logged counts equal what actually landed in the snapshot."""
+    import dataclasses
+    import logging
+    import re
+
+    cfg = dataclasses.replace(
+        read_config(config_path),
+        output_dir=str(tmp_path / "out_verbose"),
+        verbose=True,
+    )
+    with caplog.at_level(logging.INFO, logger="ght2dm_spark.config"):
+        written = run_from_config(spark, cfg)
+    logged = {}
+    for rec in caplog.records:
+        m = re.match(r"wrote (\S+): (\d+) rows", rec.getMessage())
+        if m:
+            logged[m.group(1)] = int(m.group(2))
+    assert set(logged) == set(written)
+    for name, path in written.items():
+        assert logged[name] == read_snapshot(spark, path).count(), name
+
+
+def test_debug_logs_physical_plans(spark, config_path, tmp_path, caplog):
+    """E4: debug mode traces each table's formatted physical plan."""
+    import dataclasses
+    import logging
+
+    cfg = dataclasses.replace(
+        read_config(config_path),
+        output_dir=str(tmp_path / "out_debug"),
+        debug=True,
+    )
+    with caplog.at_level(logging.DEBUG, logger="ght2dm_spark.config"):
+        run_from_config(spark, cfg)
+    plans = [r.getMessage() for r in caplog.records if "plan for " in r.getMessage()]
+    assert len(plans) >= 7  # one per output table
+    assert any("Physical Plan" in p for p in plans)
