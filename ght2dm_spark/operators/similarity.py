@@ -79,10 +79,14 @@ def cosine_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
     )
 
 
-def srp_bucket(vec: Column, planes: int = 8, dim: int = EMB_DIM) -> Column:
+def srp_bucket(
+    vec: Column, planes: int = 8, dim: int = EMB_DIM, seed: str = "srp-v1"
+) -> Column:
     """Sign-random-projection bucket code: one '0'/'1' char per hyperplane
-    (projection ≥ 0 → '1'), concatenated MSB-first."""
-    m = sign_matrix(planes, dim)
+    (projection ≥ 0 → '1'), concatenated MSB-first.  ``seed`` selects an
+    independent hyperplane family — band b of an OR-composed LSH uses its
+    own seed so bands are independent hash functions."""
+    m = sign_matrix(planes, dim, seed)
     bits = []
     for p in range(planes):
         w = F.array(*[F.lit(v) for v in m[p]])
@@ -91,9 +95,11 @@ def srp_bucket(vec: Column, planes: int = 8, dim: int = EMB_DIM) -> Column:
     return F.concat(*bits)
 
 
-def srp_bucket_sql(vec: str, planes: int = 8, dim: int = EMB_DIM) -> str:
+def srp_bucket_sql(
+    vec: str, planes: int = 8, dim: int = EMB_DIM, seed: str = "srp-v1"
+) -> str:
     """DuckDB mirror of :func:`srp_bucket`."""
-    m = sign_matrix(planes, dim)
+    m = sign_matrix(planes, dim, seed)
     bits = []
     for p in range(planes):
         w = "[" + ", ".join(str(v) for v in m[p]) + "]::DOUBLE[]"

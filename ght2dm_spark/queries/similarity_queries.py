@@ -332,6 +332,105 @@ def t1_embedding_neardup(spark, sf_dir):
     )
 
 
+LSH_N_BANDS = 6
+LSH_BAND_BITS = 4
+
+
+def _band_seed(b: int) -> str:
+    return f"srp-band-{b}"
+
+
+def _banded_oracle() -> str:
+    bands_c = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"{srp_bucket_sql('embedding', LSH_BAND_BITS, seed=_band_seed(b))} AS code "
+        f"FROM embeddings"
+        for b in range(LSH_N_BANDS)
+    )
+    bands_q = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"{srp_bucket_sql('embedding', LSH_BAND_BITS, seed=_band_seed(b))} AS code "
+        f"FROM embeddings WHERE vec_id < {N_QUERIES}"
+        for b in range(LSH_N_BANDS)
+    )
+    return f"""
+    WITH cb AS ({bands_c}),
+    qb AS ({bands_q}),
+    cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+             FROM qb q JOIN cb c USING (band, code)
+             WHERE q.vec_id <> c.vec_id),
+    s AS (SELECT cand.q_id, cand.c_id,
+                 {cosine_sql("qe.embedding", "ce.embedding")} AS cos
+          FROM cand
+          JOIN embeddings qe ON qe.vec_id = cand.q_id
+          JOIN embeddings ce ON ce.vec_id = cand.c_id),
+    r AS (SELECT q_id, c_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, c_id ASC) AS rank
+          FROM s)
+    SELECT q_id, c_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 3
+    """
+
+
+@register("t1_ann_lsh_banded", oracle=_banded_oracle())
+def t1_ann_lsh_banded(spark, sf_dir):
+    """OR-composed banded SRP-LSH: 6 independent 4-bit sign codes per
+    vector; a corpus vector is a candidate if it matches the query in ANY
+    band (the MinHash banding construction applied to sign projections).
+    This is the engineered answer to the measured single-bucket recall
+    collapse (`t1_ann_recall` / SCALING.md): one 8-bit AND code gives
+    recall ≈ 0 on weakly-similar neighbors, while OR-ing short bands
+    trades candidate volume back for recall — the band count and width
+    are the recall/cost dials.
+
+    Scale shape: band codes are a narrow map (6 codes per vector, one
+    pass); candidate generation is an equi join on (band, code) with the
+    query side broadcast; candidate pairs dedup BEFORE any vector math,
+    and only then join back to the two embedding tables for exact
+    cosine — the expensive O(dim) scoring runs once per unique pair."""
+    e = load_table(spark, sf_dir, "embeddings")
+    code_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                srp_bucket(
+                    F.col("embedding"), LSH_BAND_BITS, seed=_band_seed(b)
+                ).alias("code"),
+            )
+            for b in range(LSH_N_BANDS)
+        ]
+    )
+    banded = e.select("vec_id", F.explode(code_structs).alias("bc")).select(
+        "vec_id", "bc.band", "bc.code"
+    )
+    qb = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "band", "code"
+    )
+    cand = (
+        banded.join(F.broadcast(qb), ["band", "code"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"))
+        .distinct()
+    )
+    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    ce = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    scored = (
+        cand.join(ce, "c_id")
+        .join(F.broadcast(qe), "q_id")
+        .withColumn(
+            "cos", cosine(as_double(F.col("q_vec")), as_double(F.col("c_vec")))
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def _recall_oracle() -> str:
     """Recall@3 oracle built by splicing the ALREADY-REGISTERED ANN oracle
     SQL in as derived tables — the oracle measures recall over byte-for-byte
@@ -343,6 +442,7 @@ def _recall_oracle() -> str:
     lsh = ORACLE["t1_ann_lsh_topk"]
     mp = ORACLE["t1_ann_lsh_multiprobe"]
     ivf = ORACLE["t1_ann_ivf_topk"]
+    banded = ORACLE["t1_ann_lsh_banded"]
     return f"""
     WITH exact AS (SELECT q_id, c_id FROM ({bf}) t WHERE rank <= 3),
     exact_n AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id),
@@ -352,13 +452,15 @@ def _recall_oracle() -> str:
         SELECT 'multiprobe' AS method, q_id, c_id FROM ({mp}) t
         UNION ALL
         SELECT 'ivf' AS method, q_id, c_id FROM ({ivf}) t
+        UNION ALL
+        SELECT 'lsh_banded' AS method, q_id, c_id FROM ({banded}) t
     ),
     hits AS (SELECT method, c.q_id, count(*) AS n_hits
              FROM cand c JOIN exact e USING (q_id, c_id)
              GROUP BY 1, 2),
     base AS (SELECT m.method, e.q_id, e.n_exact
              FROM exact_n e
-             CROSS JOIN (SELECT unnest(['lsh', 'multiprobe', 'ivf']) AS method) m)
+             CROSS JOIN (SELECT unnest(['lsh', 'multiprobe', 'ivf', 'lsh_banded']) AS method) m)
     SELECT b.method, b.q_id, coalesce(h.n_hits, 0) AS n_hits, b.n_exact,
            round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_exact, 4) AS recall
     FROM base b LEFT JOIN hits h ON b.method = h.method AND b.q_id = h.q_id
@@ -386,11 +488,12 @@ def t1_ann_recall(spark, sf_dir):
     )
     exact_n = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
     parts = []
-    for method in ("lsh", "multiprobe", "ivf"):
+    for method in ("lsh", "multiprobe", "ivf", "lsh_banded"):
         qname = {
             "lsh": "t1_ann_lsh_topk",
             "multiprobe": "t1_ann_lsh_multiprobe",
             "ivf": "t1_ann_ivf_topk",
+            "lsh_banded": "t1_ann_lsh_banded",
         }[method]
         cand = QUERIES[qname](spark, sf_dir).select("q_id", "c_id")
         hits = (
