@@ -155,25 +155,87 @@ def write_table_atomic(df: DataFrame, path: str, mode: str = "overwrite") -> Pre
     return p
 
 
-def snapshot_files(path: str) -> list[str]:
-    """Absolute data-file paths of the live snapshot ([] if none)."""
+def history(path: str) -> list[dict]:
+    """All manifests oldest-first, each with seq/mode/file count — the
+    table's commit log (data files are immutable, so every retained
+    manifest is a readable point-in-time version)."""
+    mdir = Path(path) / _MANIFESTS
+    if not mdir.exists():
+        return []
+    out = []
+    for mf in sorted(mdir.glob("m-*.json")):
+        with open(mf) as f:
+            m = json.load(f)
+        out.append(
+            {
+                "manifest": mf.name,
+                "seq": m["seq"],
+                "mode": m["mode"],
+                "n_files": len(m["files"]),
+            }
+        )
+    return out
+
+
+def _manifest_for(table: Path, version: int | None) -> str | None:
+    if version is None:
+        return _read_current(table)
+    matches = sorted((table / _MANIFESTS).glob(f"m-{version:06d}-*.json"))
+    if not matches:
+        raise FileNotFoundError(
+            f"no manifest for version {version} in {table} (vacuumed?)"
+        )
+    return matches[-1].name
+
+
+def snapshot_files(path: str, version: int | None = None) -> list[str]:
+    """Absolute data-file paths of the live snapshot — or, with
+    ``version``, of that historical seq (time travel; raises if the
+    manifest was vacuumed).  [] if the table has never committed."""
     table = Path(path)
-    name = _read_current(table)
+    name = _manifest_for(table, version)
     if name is None:
         return []
     m = _load_manifest(table, name)
     return [str(table / _DATA / f) for f in m["files"]]
 
 
-def read_snapshot(spark: SparkSession, path: str, schema=None) -> DataFrame | None:
-    """DataFrame over the live snapshot's pinned file list, or None if the
-    table has never committed.  Reading by explicit file names means
-    concurrent staging/appending never changes what this plan sees."""
-    files = snapshot_files(path)
+def read_snapshot(
+    spark: SparkSession, path: str, schema=None, version: int | None = None
+) -> DataFrame | None:
+    """DataFrame over the live snapshot's pinned file list (or a
+    historical ``version``'s), or None if the table has never committed.
+    Reading by explicit file names means concurrent staging/appending
+    never changes what this plan sees."""
+    files = snapshot_files(path, version)
     if not files:
         return None
     reader = spark.read.schema(schema) if schema is not None else spark.read
     return reader.parquet(*files)
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> PreparedCommit:
+    """Rewrite the live snapshot into ~``target_file_bytes`` files as a
+    NEW commit — the small-file answer for incrementally-appended
+    tables.  Readers of the old snapshot are undisturbed (their file
+    list is pinned and data files are immutable); the rewrite becomes
+    visible only at the pointer flip, and :func:`vacuum` reclaims the
+    superseded files once their manifests age out.  Contrast
+    ``io.compact_table``, which rewrites a plain directory in place and
+    needs its own temp-dir dance."""
+    files = snapshot_files(path)
+    if not files:
+        raise FileNotFoundError(f"nothing to compact: {path} has no snapshot")
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(*files).coalesce(n)
+    p = prepare_commit(df, path, mode="overwrite")
+    commit(p)
+    return p
 
 
 def vacuum(path: str, keep_manifests: int = 2) -> int:

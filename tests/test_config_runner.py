@@ -235,3 +235,50 @@ def test_debug_logs_physical_plans(spark, config_path, tmp_path, caplog):
     plans = [r.getMessage() for r in caplog.records if "plan for " in r.getMessage()]
     assert len(plans) >= 7  # one per output table
     assert any("Physical Plan" in p for p in plans)
+
+
+def test_time_travel_and_compaction(spark, tmp_path):
+    """Immutable data files + retained manifests = free time travel; and
+    compaction is just another commit — old versions keep reading while
+    the live snapshot collapses to few files."""
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.snapshots import (
+        compact_snapshot,
+        history,
+        read_snapshot,
+        snapshot_files,
+        vacuum,
+        write_table_atomic,
+    )
+
+    table = str(tmp_path / "tt")
+    write_table_atomic(spark.range(10).withColumn("v", F.lit("a")), table)
+    for i in range(3):
+        write_table_atomic(
+            spark.range(10).withColumn("v", F.lit(f"b{i}")), table, mode="append"
+        )
+    h = history(table)
+    assert [e["seq"] for e in h] == [0, 1, 2, 3]
+    assert h[0]["mode"] == "overwrite" and h[-1]["mode"] == "append"
+    # time travel: every retained version reads at its own row count
+    assert read_snapshot(spark, table, version=0).count() == 10
+    assert read_snapshot(spark, table, version=2).count() == 30
+    assert read_snapshot(spark, table).count() == 40
+
+    # compaction: new commit, fewer files, same rows; old version intact
+    before = len(snapshot_files(table))
+    p = compact_snapshot(spark, table)
+    assert p.seq == 4
+    assert len(snapshot_files(table)) < before
+    assert read_snapshot(spark, table).count() == 40
+    assert read_snapshot(spark, table, version=1).count() == 20
+
+    # vacuum to the last manifest: history trimmed, live snapshot fine,
+    # time travel to a vacuumed version now fails loudly
+    vacuum(table, keep_manifests=1)
+    assert read_snapshot(spark, table).count() == 40
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        snapshot_files(table, version=0)
