@@ -136,7 +136,13 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
         import_repos,
         import_users,
     )
-    from ght2dm_spark.snapshots import commit, prepare_commit, read_snapshot
+    from ght2dm_spark.snapshots import (
+        commit,
+        prepare_commit,
+        read_prepared,
+        snapshot_files,
+        vacuum,
+    )
     from ght2dm_spark.sources.bson import read_bson_dumps, split_rejects
 
     import logging
@@ -149,6 +155,11 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
     written: dict[str, str] = {}
     state: dict = {}
     prepared = []
+    # latest STAGED manifest per table this run — a later folder of the
+    # same entity must read and chain onto the run's own staging, not the
+    # still-unflipped CURRENT (else its anti-join misses the earlier
+    # folder's rows and reissues their surrogate keys)
+    staged: dict[str, object] = {}
 
     def _write(name, df):
         p = str(out / name)
@@ -162,17 +173,27 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
             # reference's verbose logging, never a second scan
             obs = Observation(f"write_{name}")
             df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
-        # no self-read hazard on append: the incremental plan reads the
-        # previous snapshot's PINNED file list, never the live directory
-        prepared.append(prepare_commit(df, p, mode=mode))
+        # no self-read hazard on append: the incremental plan reads a
+        # PINNED file list (previous snapshot or this run's staging),
+        # never the live directory
+        base = staged[name].manifest_name if name in staged else None
+        pc = prepare_commit(df, p, mode=mode, parent=base)
+        prepared.append(pc)
+        staged[name] = pc
         if obs is not None:
             log.info("wrote %s: %d rows (%s)", name, obs.get["n_rows"], mode)
         written[name] = p
 
     def _existing(name):
-        if cfg.incremental:
-            return read_snapshot(spark, str(out / name))
-        return None
+        if not cfg.incremental:
+            return None
+        p = str(out / name)
+        if name in staged:
+            # this run already staged the table — read the staged
+            # manifest's pinned files so later folders see earlier ones
+            return read_prepared(spark, staged[name])
+        files = snapshot_files(p)
+        return spark.read.parquet(*files) if files else None
 
     def _next_key(df):
         if df is None:
@@ -255,4 +276,8 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
     # every table staged — publish all snapshots in one tight loop
     for p in prepared:
         commit(p)
+    # retention: immutable snapshots otherwise accumulate a full dataset
+    # per rerun; keep the current + previous version of each table
+    for p in written.values():
+        vacuum(p, keep_manifests=2)
     return written

@@ -93,28 +93,48 @@ class PreparedCommit:
     n_files: int
 
 
-def prepare_commit(df: DataFrame, path: str, mode: str = "overwrite") -> PreparedCommit:
+def _max_staged_seq(table: Path) -> int:
+    """Highest seq among ALL manifest files, committed or not — new
+    commits number past crashed runs' leftovers so a stale staged
+    manifest can never share a seq with (and be confused for) a real
+    later commit."""
+    mdir = table / _MANIFESTS
+    if not mdir.exists():
+        return -1
+    seqs = [int(p.name.split("-")[1]) for p in mdir.glob("m-*.json")]
+    return max(seqs, default=-1)
+
+
+def prepare_commit(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    parent: str | None = None,
+) -> PreparedCommit:
     """Stage a new snapshot of ``path`` from ``df`` without publishing it.
 
     ``mode="overwrite"``: the new snapshot is exactly ``df``.
-    ``mode="append"``: the new snapshot is the current snapshot's files
+    ``mode="append"``: the new snapshot is the parent snapshot's files
     plus ``df``'s — no data rewrite, and because the manifest pins the
     OLD file list by name, a plan that reads the table while appending to
     it (the incremental runner's anti-join-then-append shape) can never
     see its own output.
+
+    ``parent`` names an explicit base manifest — normally omitted (the
+    CURRENT pointer is the base), but a two-phase multi-table run that
+    stages the same table twice must chain the second staging onto the
+    first STAGED manifest, not onto the still-unflipped CURRENT.
     """
     table = Path(path)
     (table / _MANIFESTS).mkdir(parents=True, exist_ok=True)
     (table / _DATA).mkdir(parents=True, exist_ok=True)
 
-    cur_name = _read_current(table)
+    base_name = parent if parent is not None else _read_current(table)
     parent_files: list[str] = []
-    seq = 0
-    if cur_name is not None:
-        cur = _load_manifest(table, cur_name)
-        seq = int(cur["seq"]) + 1
+    seq = _max_staged_seq(table) + 1
+    if base_name is not None:
         if mode == "append":
-            parent_files = list(cur["files"])
+            parent_files = list(_load_manifest(table, base_name)["files"])
     elif mode == "append":
         mode = "overwrite"  # first commit: append == overwrite
 
@@ -132,7 +152,7 @@ def prepare_commit(df: DataFrame, path: str, mode: str = "overwrite") -> Prepare
 
     manifest = {
         "seq": seq,
-        "parent": cur_name,
+        "parent": base_name,
         "mode": mode,
         "files": parent_files + new_files,
     }
@@ -148,6 +168,21 @@ def commit(prepared: PreparedCommit) -> None:
     _atomic_write(Path(prepared.table) / _CURRENT, prepared.manifest_name)
 
 
+def read_prepared(
+    spark: SparkSession, prepared: PreparedCommit, schema=None
+) -> DataFrame | None:
+    """DataFrame over a staged-but-unpublished snapshot's pinned file
+    list — how a multi-table run reads its OWN earlier staging before
+    the pointers flip (readers elsewhere still see CURRENT)."""
+    table = Path(prepared.table)
+    m = _load_manifest(table, prepared.manifest_name)
+    files = [str(table / _DATA / f) for f in m["files"]]
+    if not files:
+        return None
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(*files)
+
+
 def write_table_atomic(df: DataFrame, path: str, mode: str = "overwrite") -> PreparedCommit:
     """One-table convenience: stage + publish."""
     p = prepare_commit(df, path, mode=mode)
@@ -155,37 +190,49 @@ def write_table_atomic(df: DataFrame, path: str, mode: str = "overwrite") -> Pre
     return p
 
 
+def _committed_chain(table: Path) -> list[tuple[str, dict]]:
+    """(name, manifest) pairs reachable from CURRENT via parent links,
+    newest-first.  This is the COMMITTED lineage — manifests staged by a
+    crashed run are unreachable and never appear here, so time travel
+    and vacuum can't be confused by them."""
+    chain = []
+    name = _read_current(table)
+    seen: set[str] = set()
+    while name is not None and name not in seen:
+        seen.add(name)
+        try:
+            m = _load_manifest(table, name)
+        except FileNotFoundError:
+            break  # chain truncated by vacuum
+        chain.append((name, m))
+        name = m.get("parent")
+    return chain
+
+
 def history(path: str) -> list[dict]:
-    """All manifests oldest-first, each with seq/mode/file count — the
-    table's commit log (data files are immutable, so every retained
-    manifest is a readable point-in-time version)."""
-    mdir = Path(path) / _MANIFESTS
-    if not mdir.exists():
-        return []
-    out = []
-    for mf in sorted(mdir.glob("m-*.json")):
-        with open(mf) as f:
-            m = json.load(f)
-        out.append(
-            {
-                "manifest": mf.name,
-                "seq": m["seq"],
-                "mode": m["mode"],
-                "n_files": len(m["files"]),
-            }
-        )
-    return out
+    """Committed versions oldest-first (the CURRENT parent chain), each
+    with seq/mode/file count — data files are immutable, so every
+    retained entry is a readable point-in-time version."""
+    return [
+        {
+            "manifest": name,
+            "seq": m["seq"],
+            "mode": m["mode"],
+            "n_files": len(m["files"]),
+        }
+        for name, m in reversed(_committed_chain(Path(path)))
+    ]
 
 
 def _manifest_for(table: Path, version: int | None) -> str | None:
     if version is None:
         return _read_current(table)
-    matches = sorted((table / _MANIFESTS).glob(f"m-{version:06d}-*.json"))
-    if not matches:
-        raise FileNotFoundError(
-            f"no manifest for version {version} in {table} (vacuumed?)"
-        )
-    return matches[-1].name
+    for name, m in _committed_chain(table):
+        if int(m["seq"]) == version:
+            return name
+    raise FileNotFoundError(
+        f"no committed manifest for version {version} in {table} (vacuumed?)"
+    )
 
 
 def snapshot_files(path: str, version: int | None = None) -> list[str]:
@@ -239,26 +286,34 @@ def compact_snapshot(
 
 
 def vacuum(path: str, keep_manifests: int = 2) -> int:
-    """Delete data files unreachable from the ``keep_manifests`` most
-    recent manifests (plus stale staging dirs); returns files removed.
-    Safe after a crash: only the live manifest chain is authoritative."""
+    """Retain the ``keep_manifests`` newest COMMITTED versions (the
+    CURRENT parent chain — always including CURRENT itself) and delete
+    everything else: older chain manifests, manifests staged by crashed
+    runs (unreachable from CURRENT), data files referenced by neither,
+    and stale staging dirs.  Returns files/dirs removed.
+
+    Keying retention on the chain rather than on manifest filenames is
+    what makes this safe after a crash: a stale staged manifest can
+    carry a newer seq than CURRENT, and a filename-sorted vacuum would
+    keep the garbage and delete the live snapshot."""
     table = Path(path)
     mdir = table / _MANIFESTS
     if not mdir.exists():
         return 0
-    manifests = sorted(mdir.glob("m-*.json"))
-    keep = manifests[-keep_manifests:] if keep_manifests else manifests
+    chain = _committed_chain(table)
+    keep = chain[: max(keep_manifests, 1)] if chain else []
+    keep_names = {name for name, _ in keep}
     live: set[str] = set()
-    for m in keep:
-        with open(m) as f:
-            live.update(json.load(f)["files"])
+    for _, m in keep:
+        live.update(m["files"])
     removed = 0
     for f in (table / _DATA).glob("*.parquet"):
         if f.name not in live:
             f.unlink()
             removed += 1
-    for m in manifests[: len(manifests) - len(keep)]:
-        m.unlink()
+    for mf in mdir.glob("m-*.json"):
+        if mf.name not in keep_names:
+            mf.unlink()
     for stale in table.glob("_staging-*"):
         shutil.rmtree(stale, ignore_errors=True)
         removed += 1
