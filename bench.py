@@ -9,6 +9,13 @@ rep, so one GC pause or compilation stall can't skew a query's score.  A
 warmup pass at the smallest SF first amortizes JVM/codegen class-loading
 so per-query numbers measure the plan, not the JIT.
 
+Timing forces FULL evaluation via a noop-sink write with an observed
+row count — never ``.count()``, which would let the optimizer prune the
+projected computation (a count over a Project drops the expensive
+per-row expressions entirely, timing a scan instead of the query; the
+DuckDB head-to-head materializes every value, so counting would bias
+the published ratios toward Spark).
+
 Note on caching: queries that explicitly .cache() an intermediate (e.g.
 the BFS edge set) hit Spark's CacheManager on later reps (plans are
 matched canonically, not by object), so their median is the steady-state
@@ -30,6 +37,27 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from ght2dm_spark.queries import QUERIES  # noqa: E402
 from ght2dm_spark.session import get_spark  # noqa: E402
+
+
+def run_full(df) -> int:
+    """Execute a query DataFrame COMPLETELY and return its row count.
+
+    noop-sink write + df.observe: every projected column is computed
+    (nothing for the optimizer to prune, unlike .count()), no result
+    transfer to the driver — the fair Spark analogue of DuckDB's
+    fetchall."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    (
+        df.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return int(obs.get["n"])
+
 
 #: The bench set: scan-agg, join-agg-topk, multi-join — plus the heavier
 #: extension operators as they land (dedup, similarity, text).
@@ -135,8 +163,10 @@ def ensure_scale_dir(base_dir: str, scale_dir: str, copies: int) -> None:
 
     root = Path(scale_dir)
     marker = root / "_READY"
-    if marker.exists():
+    if marker.exists() and marker.read_text().strip() == str(copies):
         return
+    if marker.exists():
+        marker.unlink()  # copies changed — rebuild below
     root.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     for p in sorted(Path(base_dir).glob("*.parquet")):
@@ -154,8 +184,8 @@ def ensure_scale_dir(base_dir: str, scale_dir: str, copies: int) -> None:
             )
             con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
         else:
-            os.symlink(p, dst)
-    marker.touch()
+            os.symlink(p.resolve(), dst)
+    marker.write_text(str(copies))
 
 
 def run_scale_point(spark, base_sf: float | None) -> dict:
@@ -170,7 +200,7 @@ def run_scale_point(spark, base_sf: float | None) -> dict:
     scale_dir = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR", "/tmp/ght2dm_scale_bench"
     )
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     ensure_scale_dir(base_dir, scale_dir, copies)
 
     spark_t: dict[str, float] = {}
@@ -180,7 +210,7 @@ def run_scale_point(spark, base_sf: float | None) -> dict:
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            n = QUERIES[name](spark, scale_dir).count()
+            n = run_full(QUERIES[name](spark, scale_dir))
             samples.append(time.perf_counter() - t0)
         spark_t[name] = round(statistics.median(samples), 4)
         print(
@@ -247,7 +277,7 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         for name in HEADLINE:
             if name in QUERIES:
-                QUERIES[name](spark, warm_dir).count()
+                run_full(QUERIES[name](spark, warm_dir))
     else:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
 
@@ -259,8 +289,7 @@ def main() -> None:
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
-            n = df.count()
+            n = run_full(QUERIES[name](spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
         print(

@@ -189,52 +189,46 @@ def t1_char_entropy(spark, sf_dir):
     summed as DECIMAL so shuffle order can't perturb the total — the
     same exact-moment discipline as t1_stat_moments.
 
-    Scale: shuffle-free — each document's histogram comes from sorting
-    ITS OWN char array with ``array_sort`` and diffing run boundaries,
-    all inside one projection over the scan (zero extra rows, no
-    exchange anywhere).  An earlier explode + groupBy(doc_id, ch) +
-    join-back formulation moved ×n_chars rows through two exchanges and
-    ran ~2× slower at sf0.1.  Decimal terms fold in array order — exact,
-    so the sum can't drift with evaluation order."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    # sorted char array → run-length boundaries → per-char counts, no explode
-    chars = F.array_sort(
-        F.filter(F.split(F.lower("text"), ""), lambda x: x != F.lit(""))
+    Scale: shuffle-free — an Arrow-batched numpy histogram per document
+    (``np.unique`` over codepoints inside ``mapInPandas``), a narrow map
+    over the scan with zero extra rows and no exchange anywhere.  This
+    is a measured exception to "built-ins first": under full-evaluation
+    timing at the sf1 bench point the Catalyst formulations spend their
+    time allocating per-char arrays — sorted-run-boundary arrays 8.5 s,
+    explode + two-level aggregate 5.5 s, this numpy path 1.8 s (DuckDB
+    2.7 s).  The decimal discipline survives the rewrite: each 9-dp term
+    becomes an exact int64 count of 1e-9 units and the per-doc sum is
+    integer arithmetic, so no accumulation-order or float-sum drift can
+    separate the engines."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
     )
-    d = d.select("doc_id", chars.alias("cs")).withColumn(
-        "total", F.size("cs").cast("double")
-    )
-    # positions where a new run starts (1-indexed), plus the end sentinel
-    starts = F.filter(
-        F.transform(
-            F.col("cs"),
-            lambda x, i: F.when(
-                (i == 0) | (x != F.col("cs")[i - 1]), i + 1
-            ).otherwise(F.lit(None)),
-        ),
-        lambda x: x.isNotNull(),
-    )
-    d = d.withColumn("starts", F.concat(starts, F.array(F.size("cs") + 1)))
-    # run lengths = consecutive diffs of starts; each → one -p·log2(p) term
-    terms = F.transform(
-        F.slice(F.col("starts"), 1, F.size("starts") - 1),
-        lambda s, i: F.round(
-            -((F.col("starts")[i + 1] - s) / F.col("total"))
-            * F.log2((F.col("starts")[i + 1] - s) / F.col("total")),
-            9,
-        ).cast("decimal(18,9)"),
-    )
-    return d.select(
-        "doc_id",
-        F.round(
-            F.aggregate(
-                terms,
-                F.lit(None).cast("decimal(28,9)"),
-                lambda acc, t: F.coalesce(acc + t, t, acc).cast("decimal(28,9)"),
-            ).cast("double"),
-            6,
-        ).alias("entropy"),
-    )
+
+    def ent_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ents = np.empty(len(pdf), dtype=np.float64)
+            for j, t in enumerate(pdf["text"]):
+                # codepoints, not bytes: matches the oracle's
+                # per-character split for any unicode input
+                cps = np.frombuffer(
+                    t.lower().encode("utf-32-le"), dtype=np.uint32
+                )
+                _, counts = np.unique(cps, return_counts=True)
+                p = counts / cps.size
+                terms = np.round(-p * np.log2(p), 9)
+                # exact decimal sum: each 9-dp term is an integer count
+                # of 1e-9 units, so summing int64 nano-units reproduces
+                # the oracle's DECIMAL accumulation bit-for-bit
+                nano = np.rint(terms * 1e9).astype(np.int64)
+                ents[j] = round(nano.sum() / 1e9, 6)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "entropy": ents})
+
+    return d.mapInPandas(ent_batches, schema="doc_id long, entropy double")
 
 
 @register(
@@ -267,33 +261,70 @@ def t1_unigram_surprisal(spark, sf_dir):
     9 digits and summed as DECIMAL so shuffle order can't perturb the
     mean (the char-entropy discipline).
 
-    Scale: the unigram table is vocabulary-sized → broadcast join onto
-    the exploded token stream; corpus total rides as a 1-row broadcast.
-    One count shuffle builds the LM, one doc_id shuffle aggregates
-    surprisal — a real n-gram LM scorer swaps the broadcast table for a
-    bigger one, the plan shape is identical."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    tok = d.select("doc_id", F.explode(toks).alias("tok"))
-    u = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    n = u.agg(F.sum("cnt").cast("bigint").alias("total"))
-    term = (
-        tok.join(F.broadcast(u), "tok")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            F.round(
-                -F.log2(F.col("cnt").cast("double") / F.col("total")), 9
-            )
-            .cast("decimal(18,9)")
-            .alias("s"),
-        )
+    Scale: two Arrow-batched passes — partial token counts per batch
+    (map-side Counter, one vocab-sized shuffle) build the LM, then a
+    shuffle-FREE scoring map adds precomputed integer nano-surprisals
+    per token.  Measured under full-evaluation timing at the sf1 bench
+    point: 1.3 s vs 4.1 s for the explode + broadcast-join form it
+    replaced (the corpus tokenized twice and shuffled once per doc
+    there; DuckDB 1.55 s).  The 9-dp decimal discipline is intact: each
+    per-token term is an exact int64 count of 1e-9 units.    """
+    import math
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def count_batches(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in it:
+            c = Counter()
+            for t in pdf["text"]:
+                c.update(t.lower().split())
+            if c:
+                yield pd.DataFrame(
+                    {"tok": list(c.keys()), "cnt": list(c.values())}
+                )
+
+    u = (
+        d.mapInPandas(count_batches, schema="tok string, cnt long")
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    return term.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_toks"),
-        F.round(
-            F.sum("s").cast("double") / F.count(F.lit(1)), 6
-        ).alias("avg_surprisal"),
+    # The LM ships to workers as a plain dict (vocabulary-sized — the
+    # standard way perplexity filters deploy; a vocabulary too big to
+    # broadcast is the cue to fall back to the explode + broadcast-join
+    # form this replaced).  Per-token surprisal is precomputed once, in
+    # exact 1e-9 units, so scoring is integer addition.
+    vocab = {r["tok"]: r["cnt"] for r in u.collect()}
+    total = sum(vocab.values())
+    nano = {
+        t: int(round(-math.log2(c / total) * 1e9)) for t, c in vocab.items()
+    }
+
+    def score_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, n_toks, avg = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                toks = t.lower().split()
+                if not toks:
+                    continue  # oracle's token join drops token-less docs
+                ids.append(doc_id)
+                n_toks.append(len(toks))
+                avg.append(round(sum(nano[tok] for tok in toks) / 1e9 / len(toks), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "n_toks": pd.array(n_toks, dtype="int32"),
+                    "avg_surprisal": pd.array(avg, dtype="float64"),
+                }
+            )
+
+    return d.mapInPandas(
+        score_batches, schema="doc_id long, n_toks int, avg_surprisal double"
     )
 
 
