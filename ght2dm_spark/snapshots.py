@@ -261,6 +261,36 @@ def read_snapshot(
     return reader.parquet(*files)
 
 
+def read_increment(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    schema=None,
+) -> DataFrame | None:
+    """Rows ADDED after ``since_version``: the live snapshot's files
+    minus that version's — how a downstream consumer (feature builder,
+    training-data packer) processes only new data after each
+    incremental run, without any change-tracking column.  Valid because
+    data files are immutable and append commits only ever extend the
+    parent's file list; an overwrite commit breaks the containment, and
+    that case raises rather than silently double-processing.
+    """
+    table = Path(path)
+    cur_files = set(snapshot_files(path))
+    old_files = set(snapshot_files(path, since_version))
+    if not old_files <= cur_files:
+        raise ValueError(
+            f"version {since_version} is not an append-ancestor of the "
+            f"live snapshot (an overwrite or compaction intervened) — "
+            f"consume the full snapshot instead"
+        )
+    new_files = sorted(cur_files - old_files)
+    if not new_files:
+        return None
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(*new_files)
+
+
 def compact_snapshot(
     spark: SparkSession,
     path: str,
@@ -295,7 +325,12 @@ def vacuum(path: str, keep_manifests: int = 2) -> int:
     Keying retention on the chain rather than on manifest filenames is
     what makes this safe after a crash: a stale staged manifest can
     carry a newer seq than CURRENT, and a filename-sorted vacuum would
-    keep the garbage and delete the live snapshot."""
+    keep the garbage and delete the live snapshot.
+
+    Corollary: a snapshot that is PREPARED but not yet committed is
+    indistinguishable from crash garbage — do not vacuum inside a
+    two-phase prepare…commit window (the runner vacuums only after the
+    final pointer flips)."""
     table = Path(path)
     mdir = table / _MANIFESTS
     if not mdir.exists():

@@ -329,3 +329,32 @@ def test_incremental_same_entity_folder_twice(spark, tmp_path):
     assert names == ["alice", "bob"], rows  # alice NOT duplicated
     ids = [i for i, _ in rows]
     assert len(ids) == len(set(ids))  # no reissued surrogate keys
+
+
+def test_read_increment_consumes_only_new_rows(spark, tmp_path):
+    """Downstream incremental consumption: each append's delta reads
+    exactly once; compaction/overwrite breaks append-ancestry loudly
+    instead of double-processing."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.snapshots import (
+        compact_snapshot,
+        read_increment,
+        write_table_atomic,
+    )
+
+    table = str(tmp_path / "inc")
+    write_table_atomic(spark.range(10), table)  # v0
+    write_table_atomic(spark.range(10, 25), table, mode="append")  # v1
+    write_table_atomic(spark.range(25, 30), table, mode="append")  # v2
+
+    d01 = read_increment(spark, table, since_version=0)
+    assert sorted(r["id"] for r in d01.collect()) == list(range(10, 30))
+    d12 = read_increment(spark, table, since_version=1)
+    assert sorted(r["id"] for r in d12.collect()) == list(range(25, 30))
+    assert read_increment(spark, table, since_version=2) is None
+
+    compact_snapshot(spark, table)  # v3 rewrites files
+    with _pytest.raises(ValueError, match="append-ancestor"):
+        read_increment(spark, table, since_version=1)
