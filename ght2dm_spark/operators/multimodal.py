@@ -60,6 +60,9 @@ def parse_image_header(b: bytes) -> tuple[str, int | None, int | None]:
         n = len(b)
         while i + 4 <= n and b[i] == 0xFF:
             marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1  # fill byte (T.81 allows FF padding before markers)
+                continue
             if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone marker, no length field
                 continue

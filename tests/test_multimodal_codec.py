@@ -69,3 +69,10 @@ def test_truncated_and_unknown_payloads_are_rejects_not_errors():
 
 def test_jpeg_eoi_before_sof_yields_no_dims():
     assert parse_image_header(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 allows 0xFF padding before any marker; camera files use it."""
+    b = jpeg_bytes(64, 32)
+    padded = b[:2] + b"\xff\xff\xff" + b[2:]
+    assert parse_image_header(padded) == ("jpeg", 64, 32)
