@@ -116,7 +116,11 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
     ``cfg.incremental``: rerun against existing outputs — already-loaded
     keys are anti-joined away (F3/F8), surrogate keys continue from the
     existing max (append-only, ids never reused), and new rows APPEND to
-    the output tables.  A fresh run overwrites.
+    the output tables.  A fresh run overwrites previous OUTPUTS, but
+    folders within one run always accumulate (a config may list the same
+    entity twice — the reference inserts every folder's rows into the
+    same tables): later folders of an entity dedup against and append to
+    the run's own staging, in either mode.
 
     Crash safety (the reference's per-file transactions, S8): every
     table write goes through the snapshot layer (:mod:`ght2dm_spark.
@@ -140,7 +144,7 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
         commit,
         prepare_commit,
         read_prepared,
-        snapshot_files,
+        read_snapshot,
         vacuum,
     )
     from ght2dm_spark.sources.bson import read_bson_dumps, split_rejects
@@ -151,14 +155,16 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
 
     log = logging.getLogger(__name__)
     out = Path(cfg.output_dir)
-    mode = "append" if cfg.incremental else "overwrite"
     written: dict[str, str] = {}
     state: dict = {}
     prepared = []
     # latest STAGED manifest per table this run — a later folder of the
     # same entity must read and chain onto the run's own staging, not the
     # still-unflipped CURRENT (else its anti-join misses the earlier
-    # folder's rows and reissues their surrogate keys)
+    # folder's rows and reissues their surrogate keys).  This holds for
+    # FRESH runs too: the reference accumulates every folder's inserts
+    # within one import (tables are only reset between runs), so the
+    # second users folder of a fresh run appends to the first's staging.
     staged: dict[str, object] = {}
 
     def _write(name, df):
@@ -176,7 +182,10 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
         # no self-read hazard on append: the incremental plan reads a
         # PINNED file list (previous snapshot or this run's staging),
         # never the live directory
-        base = staged[name].manifest_name if name in staged else None
+        if name in staged:
+            mode, base = "append", staged[name].manifest_name
+        else:
+            mode, base = ("append" if cfg.incremental else "overwrite"), None
         pc = prepare_commit(df, p, mode=mode, parent=base)
         prepared.append(pc)
         staged[name] = pc
@@ -185,15 +194,14 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
         written[name] = p
 
     def _existing(name):
-        if not cfg.incremental:
-            return None
-        p = str(out / name)
         if name in staged:
             # this run already staged the table — read the staged
             # manifest's pinned files so later folders see earlier ones
+            # (applies to fresh runs too: in-run accumulation)
             return read_prepared(spark, staged[name])
-        files = snapshot_files(p)
-        return spark.read.parquet(*files) if files else None
+        if not cfg.incremental:
+            return None
+        return read_snapshot(spark, str(out / name))
 
     def _next_key(df):
         if df is None:
@@ -277,7 +285,13 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
     for p in prepared:
         commit(p)
     # retention: immutable snapshots otherwise accumulate a full dataset
-    # per rerun; keep the current + previous version of each table
-    for p in written.values():
-        vacuum(p, keep_manifests=2)
+    # per rerun.  Keep THIS run's manifests plus one pre-run version per
+    # table — a run that staged a table N times must not let a keep-2
+    # window evict the version downstream consumers diff against
+    # (read_increment since the pre-run seq).
+    stagings: dict[str, int] = {}
+    for p in prepared:
+        stagings[p.table] = stagings.get(p.table, 0) + 1
+    for table_path, n in stagings.items():
+        vacuum(table_path, keep_manifests=n + 1)
     return written

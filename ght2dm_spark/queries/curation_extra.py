@@ -273,6 +273,17 @@ def t1_unigram_surprisal(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
+    # ASCII \s+, NOT str.split(): Java/RE2 \s is ASCII-only, so the
+    # oracle would keep U+00A0-joined words as one token while Python's
+    # unicode split broke them apart.  NULL text tokenizes to nothing,
+    # matching the oracle's unnest over an empty array.
+    import re
+
+    _ws = re.compile(r"\s+", re.ASCII)
+
+    def _toks(t):
+        return [x for x in _ws.split(t.lower()) if x] if t is not None else []
+
     def count_batches(it):
         from collections import Counter
 
@@ -281,7 +292,7 @@ def t1_unigram_surprisal(spark, sf_dir):
         for pdf in it:
             c = Counter()
             for t in pdf["text"]:
-                c.update(t.lower().split())
+                c.update(_toks(t))
             if c:
                 yield pd.DataFrame(
                     {"tok": list(c.keys()), "cnt": list(c.values())}
@@ -309,7 +320,7 @@ def t1_unigram_surprisal(spark, sf_dir):
         for pdf in it:
             ids, n_toks, avg = [], [], []
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
-                toks = t.lower().split()
+                toks = _toks(t)
                 if not toks:
                     continue  # oracle's token join drops token-less docs
                 ids.append(doc_id)

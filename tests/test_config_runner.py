@@ -313,7 +313,6 @@ def test_incremental_same_entity_folder_twice(spark, tmp_path):
         ])
     )
     out = str(tmp_path / "out")
-    base = RunConfig = None  # noqa: F841 - readability
     from ght2dm_spark.config import RunConfig
 
     # seed run creates the tables, then the incremental run lists the
@@ -358,3 +357,40 @@ def test_read_increment_consumes_only_new_rows(spark, tmp_path):
     compact_snapshot(spark, table)  # v3 rewrites files
     with _pytest.raises(ValueError, match="append-ancestor"):
         read_increment(spark, table, since_version=1)
+
+
+def test_fresh_run_same_entity_folder_twice_accumulates(spark, tmp_path):
+    """A FRESH run listing the same entity twice must also accumulate —
+    the reference inserts every folder's rows into the same tables;
+    overwrite semantics apply to previous runs' outputs, not to folders
+    within one run (review finding: batch1 was silently lost and both
+    batches restarted surrogate keys at 1)."""
+    from tests.test_bson_source import enc_doc
+
+    from ght2dm_spark.config import RunConfig
+
+    u1 = tmp_path / "b1" / "users"
+    u2 = tmp_path / "b2" / "users"
+    u1.mkdir(parents=True)
+    u2.mkdir(parents=True)
+    (u1 / "2014-01-01.bson").write_bytes(
+        enc_doc({"id": 1, "login": "alice", "type": "User",
+                 "created_at": "2013-01-01 00:00:00"})
+    )
+    (u2 / "2014-01-02.bson").write_bytes(
+        b"".join(enc_doc(x) for x in [
+            {"id": 1, "login": "alice", "type": "User",
+             "created_at": "2013-01-01 00:00:00"},  # dup of b1 → skipped
+            {"id": 2, "login": "bob", "type": "User",
+             "created_at": "2013-06-01 00:00:00"},
+        ])
+    )
+    out = str(tmp_path / "out")
+    run_from_config(
+        spark, RunConfig(folders=[str(u1), str(u2)], output_dir=out)
+    )
+    users = read_snapshot(spark, f"{out}/users")
+    rows = {(r["id"], r["username"]) for r in users.collect()}
+    assert sorted(u for _, u in rows) == ["alice", "bob"], rows
+    ids = [i for i, _ in rows]
+    assert len(ids) == len(set(ids))  # no colliding surrogate keys

@@ -46,7 +46,6 @@ CROSS_OK = {
     "t1_tfidf_top_terms",  # 1-row corpus-size frame for the IDF term
     "t1_token_pmi",  # 1-row corpus-size frame for the PMI numerator
     "t1_pagerank",  # 1-row node-count frame for the damping base term
-    "t1_unigram_surprisal",  # 1-row corpus-token-total frame for p(tok)
     "t1_negative_sampling",  # 1-row corpus-size frame for the id modulus
     "t1_triangle_count",  # 1-row max-shared frame for the edge threshold
     "t1_kmeans_clusters",  # K-row centroid frame broadcast per round
