@@ -48,8 +48,18 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
     qs, osql = e.queries(), e.oracle_sql()
+    # Default: every query, alphabetical (full audit).  ``--limit N`` walks
+    # the first N in REGISTRY order (what the driver's time-budgeted window
+    # sees); explicit names walk just those.
+    args = sys.argv[1:]
+    if args and args[0] == "--limit":
+        walk = list(qs.items())[: int(args[1])]
+    elif args:
+        walk = [(n, qs[n]) for n in args]
+    else:
+        walk = sorted(qs.items())
     fails = []
-    for name, fn in sorted(qs.items()):
+    for name, fn in walk:
         try:
             sdf = fn(spark, SF)
             srows = [tuple(r) for r in sdf.collect()]
