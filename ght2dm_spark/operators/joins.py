@@ -119,5 +119,11 @@ def salted_join(
             fact.sparkSession.range(n_salt).select(F.col("id").cast("int").alias("__salt"))
         )
     )
-    out = f.join(d, [key, "__salt"], how)
+    # Pin a shuffle-hash strategy: salting exists precisely because neither
+    # side fits a broadcast, so letting AQE "helpfully" broadcast a side
+    # (which it will at test scale — building a HashedRelation from the
+    # whole salted fact on the driver) produces the one plan salting is
+    # meant to avoid.  SHUFFLE_HASH keeps both sides partitioned on
+    # (key, salt) and skips the sort a merge join would add.
+    out = f.hint("shuffle_hash").join(d, [key, "__salt"], how)
     return out.drop("__salt")
