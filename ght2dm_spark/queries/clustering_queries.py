@@ -146,13 +146,17 @@ def t1_tfidf_top_terms(spark, sf_dir):
 _KM_K, _KM_ITERS, _KM_DIM = 4, 2, 64
 
 
-def _kmeans_ctes(k: int, iters: int, dim: int) -> tuple[list, str]:
+def _kmeans_ctes(
+    k: int, iters: int, dim: int, source: str = "embeddings"
+) -> tuple[list, str]:
     """Shared CTE prefix mirroring operators/clustering.kmeans_int (the
     same rounds unrolled in the same BIGINT micro-unit fixed point —
     exact integer distances, lexicographic (d, cid) argmin ties,
     floor-division centroid means; bit-identical iterative state, the
     pagerank discipline).  Returns (ctes, integer-distance expression
-    usable wherever columns ``v``/``c`` are in scope)."""
+    usable wherever columns ``v``/``c`` are in scope).  ``source`` names
+    the (vec_id, embedding) relation to train on — a table or an
+    earlier CTE (t1_semdedup trains on the augmented corpus)."""
     sq = (
         f"list_reduce(list_transform(range(1, {dim + 1}), "
         f"i -> (v[i]-c[i])*(v[i]-c[i])), (x, y) -> x + y)"
@@ -160,7 +164,7 @@ def _kmeans_ctes(k: int, iters: int, dim: int) -> tuple[list, str]:
     ctes = [
         "v AS (SELECT vec_id AS id, list_transform(embedding, "
         "x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v "
-        "FROM embeddings)",
+        f"FROM {source})",
         f"c0 AS (SELECT id AS cid, v AS c FROM v WHERE id < {k})",
     ]
     for t in range(1, iters + 1):

@@ -50,6 +50,8 @@ CROSS_OK = {
     "t1_triangle_count",  # 1-row max-shared frame for the edge threshold
     "t1_kmeans_clusters",  # K-row centroid frame broadcast per round
     "t1_ann_ivf_learned",  # K-row centroid frame broadcast per round
+    "t1_semdedup",  # K-row centroid frame broadcast per round (k-means blocking)
+    "t1_dsir_sample",  # 1-row corpus-prior frame for the keep threshold
     "t1_keyset_pagination",  # 1-row page-anchor frame broadcast
     "t1_heavy_hitters",  # 1-row corpus-token-total frame for the threshold
     "t1_crosstab_chisq",  # marginal-sized grid cross (|types|×|tiers|) + 1-row total
