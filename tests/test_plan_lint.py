@@ -51,6 +51,7 @@ CROSS_OK = {
     "t1_kmeans_clusters",  # K-row centroid frame broadcast per round
     "t1_ann_ivf_learned",  # K-row centroid frame broadcast per round
     "t1_semdedup",  # K-row centroid frame broadcast per round (k-means blocking)
+    "t1_bm25_topk",  # 1-row corpus-stats frame (N, avgdl) for the score
     "t1_dsir_sample",  # 1-row corpus-prior frame for the keep threshold
     "t1_keyset_pagination",  # 1-row page-anchor frame broadcast
     "t1_heavy_hitters",  # 1-row corpus-token-total frame for the threshold
