@@ -1,0 +1,176 @@
+"""Tokenizer-training surface: BPE merge learning (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units") —
+the distributed core of training a subword tokenizer over a corpus.
+
+BPE training never touches the corpus row-by-row: it runs on the WORD-
+FREQUENCY table (|vocab| rows, each with a count), which is a one-pass
+aggregate of the corpus.  Each merge round is then (a) a weighted
+adjacent-pair count over the vocab table, (b) an argmax pick, (c) a
+map-side merge application.  That structure is what this query
+implements — the same shape at 31 distinct words or 31 million.
+
+Greedy-merge encoding trick: a word's symbol sequence is rendered as
+``<s1><s2>…<sn>`` (each symbol bracket-wrapped; symbols are [a-z_]+ so
+the brackets can't collide), and applying merge (a,b)→ab is the plain
+string replace of ``<a><b>`` with ``<ab>`` — SQL ``replace`` is
+left-to-right non-overlapping, which is exactly BPE's greedy semantics
+(``<a><a><a>`` + merge (a,a) → ``<aa><a>``), and the wrapping makes a
+cross-symbol-boundary false match impossible.  Identical in Spark and
+DuckDB, so the learned merge table matches the oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.queries.registry import register
+
+#: merge rounds to learn (unrolled in both engines)
+_BPE_ROUNDS = 3
+#: end-of-word marker appended as its own symbol (GPT-2's Ġ analogue);
+#: '_' never appears inside the [a-z]+ words it marks.
+_EOW = "_"
+
+
+def _bpe_sql(rounds: int) -> str:
+    """Unrolled-CTE oracle mirroring the Spark rounds exactly."""
+    ctes = [
+        # corpus → word-frequency table (the only corpus-sized step)
+        """wc AS (
+          SELECT t.tok AS word, CAST(count(*) AS BIGINT) AS cnt
+          FROM documents,
+               unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+          WHERE regexp_full_match(t.tok, '[a-z]+')
+          GROUP BY 1)""",
+        # initial symbol sequence: chars + end-of-word marker, wrapped
+        f"""s0 AS (
+          SELECT word, cnt,
+                 array_to_string(
+                   list_transform(range(1, length(word) + 1),
+                                  i -> '<' || substr(word, i, 1) || '>'),
+                   '') || '<{_EOW}>' AS sym
+          FROM wc)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""p{r} AS (
+          SELECT u.pr AS pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+          FROM (SELECT cnt,
+                       string_split(substr(sym, 2, length(sym) - 2), '><')
+                         AS l
+                FROM s{p}) t,
+               unnest(list_transform(range(1, len(t.l)),
+                                     i -> t.l[i] || ' ' || t.l[i + 1]))
+                 AS u(pr)
+          WHERE len(t.l) >= 2
+          GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""b{r} AS (
+          SELECT string_split(pair, ' ')[1] AS bl,
+                 string_split(pair, ' ')[2] AS br,
+                 n_occurrences
+          FROM p{r} ORDER BY n_occurrences DESC, pair ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""s{r} AS (
+          SELECT word, cnt,
+                 replace(sym, '<' || bl || '><' || br || '>',
+                         '<' || bl || br || '>') AS sym
+          FROM s{p} CROSS JOIN b{r})"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, bl AS left_sym, br AS right_sym, "
+        f"bl || br AS merged, n_occurrences FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+@register("t1_bpe_merges", oracle=_bpe_sql(_BPE_ROUNDS))
+def t1_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 3 BPE merges over the corpus: word-frequency
+    aggregate → per-round weighted adjacent-symbol-pair counts → argmax
+    pick ((count DESC, pair ASC) tie-break) → greedy merge application
+    via the bracket-wrapped string replace (module docstring).  Output:
+    the learned merge table (round, left, right, merged, occurrences) —
+    the artifact a tokenizer trainer persists.
+
+    Scale: the corpus is touched ONCE (the word-count aggregate with
+    map-side combine); every merge round runs over the |vocab|-row
+    frequency table — pair counting is one small shuffle, the argmax is
+    a 1-row TakeOrdered, and the merge itself is a map-side replace
+    with the 1-row winner broadcast (scalar-subquery pattern,
+    plan-lint allowlisted).  Rounds compose lazily; a production
+    trainer running thousands of merges would localCheckpoint the vocab
+    frame every ~50 rounds (the pagerank lesson, operators/graph)."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sym = wc.withColumn(
+        "sym",
+        F.expr(
+            "concat(array_join(transform(sequence(1, length(word)), "
+            "i -> concat('<', substring(word, i, 1), '>')), ''), "
+            f"'<{_EOW}>')"
+        ),
+    )
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            sym.withColumn(
+                "l", F.split(F.expr("substring(sym, 2, length(sym) - 2)"), "><")
+            )
+            .filter(F.size("l") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(l) - 1), "
+                        "i -> concat(element_at(l, i), ' ', "
+                        "element_at(l, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n_occurrences"))
+        )
+        best = (
+            pairs.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.split("pair", " ").getItem(0).alias("bl"),
+                F.split("pair", " ").getItem(1).alias("br"),
+                "n_occurrences",
+            )
+        )
+        merges.append(
+            best.select(
+                F.lit(r).alias("round"),
+                F.col("bl").alias("left_sym"),
+                F.col("br").alias("right_sym"),
+                F.concat("bl", "br").alias("merged"),
+                "n_occurrences",
+            )
+        )
+        sym = sym.crossJoin(F.broadcast(best.select("bl", "br"))).select(
+            "word",
+            "cnt",
+            F.expr(
+                "replace(sym, concat('<', bl, '><', br, '>'), "
+                "concat('<', bl, br, '>'))"
+            ).alias("sym"),
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -58,6 +58,8 @@ CROSS_OK = {
     "t1_crosstab_chisq",  # marginal-sized grid cross (|types|×|tiers|) + 1-row total
     "t1_benford_audit",  # 1-row digit-total frame for the share math
     "t1_join_cardinality_audit",  # two 1-row audit frames joined into one row
+    "t1_temperature_mix",  # 1-row kept/before-total frame for the share math
+    "t1_bpe_merges",  # 1-row merge-winner frame broadcast per round
 }
 
 # Queries whose plan legitimately contains an unpartitioned ORDERED
