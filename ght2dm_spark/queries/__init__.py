@@ -15,6 +15,7 @@ from ght2dm_spark.queries.registry import ORACLE, QUERIES, register
 # multimodal, text analysis, streaming) register before the TPC-H bulk.
 from ght2dm_spark.queries import t0_core  # noqa: E402,F401
 from ght2dm_spark.queries import dedup_queries  # noqa: E402,F401
+from ght2dm_spark.queries import ann_pq  # noqa: E402,F401 (before similarity_queries: t1_ann_recall splices its oracle)
 from ght2dm_spark.queries import similarity_queries  # noqa: E402,F401
 from ght2dm_spark.queries import text_analysis  # noqa: E402,F401
 from ght2dm_spark.queries import multimodal_queries  # noqa: E402,F401

@@ -60,6 +60,7 @@ CROSS_OK = {
     "t1_join_cardinality_audit",  # two 1-row audit frames joined into one row
     "t1_temperature_mix",  # 1-row kept/before-total frame for the share math
     "t1_bpe_merges",  # 1-row merge-winner frame broadcast per round
+    "t1_pq_ann",  # K-row codebook frames broadcast (training + NQ×M×K LUT)
 }
 
 # Queries whose plan legitimately contains an unpartitioned ORDERED
