@@ -34,8 +34,8 @@ _BPE_ROUNDS = 3
 _EOW = "_"
 
 
-def _bpe_sql(rounds: int) -> str:
-    """Unrolled-CTE oracle mirroring the Spark rounds exactly."""
+def _bpe_ctes(rounds: int) -> list:
+    """Unrolled CTE prefix mirroring the Spark rounds exactly."""
     ctes = [
         # corpus → word-frequency table (the only corpus-sized step)
         """wc AS (
@@ -82,31 +82,21 @@ def _bpe_sql(rounds: int) -> str:
                          '<' || bl || br || '>') AS sym
           FROM s{p} CROSS JOIN b{r})"""
         )
+    return ctes
+
+
+def _bpe_sql(rounds: int) -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT {r} AS round, bl AS left_sym, br AS right_sym, "
         f"bl || br AS merged, n_occurrences FROM b{r}"
         for r in range(1, rounds + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    return "WITH " + ",\n".join(_bpe_ctes(rounds)) + "\n" + unions
 
 
-@register("t1_bpe_merges", oracle=_bpe_sql(_BPE_ROUNDS))
-def t1_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first 3 BPE merges over the corpus: word-frequency
-    aggregate → per-round weighted adjacent-symbol-pair counts → argmax
-    pick ((count DESC, pair ASC) tie-break) → greedy merge application
-    via the bracket-wrapped string replace (module docstring).  Output:
-    the learned merge table (round, left, right, merged, occurrences) —
-    the artifact a tokenizer trainer persists.
-
-    Scale: the corpus is touched ONCE (the word-count aggregate with
-    map-side combine); every merge round runs over the |vocab|-row
-    frequency table — pair counting is one small shuffle, the argmax is
-    a 1-row TakeOrdered, and the merge itself is a map-side replace
-    with the 1-row winner broadcast (scalar-subquery pattern,
-    plan-lint allowlisted).  Rounds compose lazily; a production
-    trainer running thousands of merges would localCheckpoint the vocab
-    frame every ~50 rounds (the pagerank lesson, operators/graph)."""
+def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple:
+    """Shared trainer: returns ([per-round 1-row merge frames], final
+    vocab frame (word, cnt, sym) after all rounds)."""
     d = load_table(spark, sf_dir, "documents")
     wc = (
         d.select(
@@ -170,7 +160,79 @@ def t1_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "concat('<', bl, br, '>'))"
             ).alias("sym"),
         )
+    return merges, sym
+
+
+@register("t1_bpe_merges", oracle=_bpe_sql(_BPE_ROUNDS))
+def t1_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 3 BPE merges over the corpus: word-frequency
+    aggregate → per-round weighted adjacent-symbol-pair counts → argmax
+    pick ((count DESC, pair ASC) tie-break) → greedy merge application
+    via the bracket-wrapped string replace (module docstring).  Output:
+    the learned merge table (round, left, right, merged, occurrences) —
+    the artifact a tokenizer trainer persists.
+
+    Scale: the corpus is touched ONCE (the word-count aggregate with
+    map-side combine); every merge round runs over the |vocab|-row
+    frequency table — pair counting is one small shuffle, the argmax is
+    a 1-row TakeOrdered, and the merge itself is a map-side replace
+    with the 1-row winner broadcast (scalar-subquery pattern,
+    plan-lint allowlisted).  Rounds compose lazily; a production
+    trainer running thousands of merges would localCheckpoint the vocab
+    frame every ~50 rounds (the pagerank lesson, operators/graph)."""
+    merges, _ = _bpe_train(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+@register(
+    "t1_bpe_encode",
+    oracle=(
+        "WITH "
+        + ",\n".join(_bpe_ctes(_BPE_ROUNDS))
+        + f""",
+    enc AS (SELECT word, cnt,
+                   length(word) + 1 AS toks_before,
+                   len(string_split(substr(sym, 2, length(sym) - 2), '><'))
+                     AS toks_after
+            FROM s{_BPE_ROUNDS})
+    SELECT CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(cnt * toks_before) AS BIGINT) AS tokens_before,
+           CAST(sum(cnt * toks_after) AS BIGINT) AS tokens_after,
+           CAST((sum(cnt * toks_before) - sum(cnt * toks_after)) * 1000000
+                // sum(cnt * toks_before) AS BIGINT) AS saved_ppm
+    FROM enc"""
+    ),
+)
+def t1_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the learned BPE merges and report the
+    compression: occurrence-weighted token totals before (chars + the
+    end-of-word marker) and after the 3 merges, with the saving in
+    exact integer ppm — the tokenizer-evaluation counterpart of
+    t1_bpe_merges (fertility/compression is THE metric a tokenizer
+    trainer tracks per candidate vocab).
+
+    Scale: identical to the trainer — the corpus appears only in the
+    word-frequency aggregate; encoding and the report run over the
+    |vocab|-row frame.  Applying a learned tokenizer to the corpus
+    itself (rather than its vocab rollup) is the same map-side replace
+    chain on each document row."""
+    _, sym = _bpe_train(spark, sf_dir)
+    enc = sym.select(
+        "cnt",
+        (F.length("word") + 1).alias("toks_before"),
+        F.size(
+            F.split(F.expr("substring(sym, 2, length(sym) - 2)"), "><")
+        ).alias("toks_after"),
+    )
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("cnt") * F.col("toks_before")).alias("tokens_before"),
+        F.sum(F.col("cnt") * F.col("toks_after")).alias("tokens_after"),
+        F.expr(
+            "(sum(cnt * toks_before) - sum(cnt * toks_after)) * 1000000L"
+            " div sum(cnt * toks_before)"
+        ).alias("saved_ppm"),
+    )
