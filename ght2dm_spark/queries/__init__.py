@@ -102,6 +102,9 @@ _LEAD = [
     "t1_pagerank", "t1_bfs_levels", "t1_neardup_components",
     "t1_kmeans_clusters", "t1_event_funnel", "t1_sessionize_gap",
     "t1_salted_join",
+    # round-3 first-class category heads (new this round, sim-green):
+    "t1_pq_ann", "t1_bpe_merges", "t1_kmv_sketch", "t1_temperature_mix",
+    "t1_pca_power",
     # regression canaries (already verified, kept in-window deliberately)
     "t0_newest_wins_dedup", "t0_ts_cast", "t0_broadcast_lookup",
     "t0_extremal_row", "t0_ri_rejects",

@@ -27,7 +27,7 @@ from ght2dm_spark.queries.registry import register
 
 _PQ_M = 4  # subspaces
 _PQ_SUB = EMB_DIM // _PQ_M  # dims per subspace
-_PQ_K = 4  # centroids per subspace codebook
+_PQ_K = 8  # centroids per subspace codebook (3 bits/subspace)
 _PQ_ITERS = 2  # k-means rounds per codebook
 _PQ_NQ = 10  # vec_id < 10 are the query vectors (house convention)
 _PQ_TOPK = 3

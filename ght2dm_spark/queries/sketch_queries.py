@@ -33,6 +33,9 @@ _KMV_DOMAIN = 2**32  # md5 first 8 hex chars → uniform in [0, 2^32)
 def _kmv_sql() -> str:
     k, dom = _KMV_K, _KMV_DOMAIN
     h = hex2int_sql("md5('kmv:' || CAST(user_id AS VARCHAR))", 1)
+    # A sketch holding fewer than k hashes has seen the WHOLE set — the
+    # estimate is its exact size (the standard KMV small-set branch).
+    est = f"CASE WHEN n < {k} THEN n ELSE ({k} - 1) * {dom} // hk END"
     return f"""
     WITH uh AS (SELECT DISTINCT event_type, user_id, {h} AS h FROM events),
     sk AS (SELECT event_type, h,
@@ -40,24 +43,22 @@ def _kmv_sql() -> str:
                     AS rn
            FROM uh),
     per_type AS (
-      SELECT s.event_type AS scope,
-             ({k} - 1) * {dom} // s.h AS est_distinct,
-             x.exact_distinct
-      FROM sk s
+      SELECT s.event_type AS scope, {est} AS est_distinct, x.exact_distinct
+      FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(h) AS hk
+            FROM sk WHERE rn <= {k} GROUP BY 1) s
       JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
-            FROM uh GROUP BY 1) x ON s.event_type = x.event_type
-      WHERE s.rn = {k}),
+            FROM uh GROUP BY 1) x ON s.event_type = x.event_type),
     gh AS (SELECT DISTINCT user_id, {h} AS h FROM events),
     exact_all AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM gh),
     direct AS (
-      SELECT 'all_direct' AS scope,
-             ({k} - 1) * {dom} // max(h) AS est_distinct
-      FROM (SELECT h FROM gh ORDER BY h LIMIT {k})),
+      SELECT 'all_direct' AS scope, {est} AS est_distinct
+      FROM (SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS hk
+            FROM (SELECT h FROM gh ORDER BY h LIMIT {k}))),
     merged AS (
-      SELECT 'all_merged' AS scope,
-             ({k} - 1) * {dom} // max(h) AS est_distinct
-      FROM (SELECT h FROM (SELECT DISTINCT h FROM sk WHERE rn <= {k})
-            ORDER BY h LIMIT {k})),
+      SELECT 'all_merged' AS scope, {est} AS est_distinct
+      FROM (SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS hk
+            FROM (SELECT h FROM (SELECT DISTINCT h FROM sk WHERE rn <= {k})
+                  ORDER BY h LIMIT {k}))),
     allrows AS (
       SELECT scope, est_distinct, exact_distinct FROM per_type
       UNION ALL
@@ -110,19 +111,20 @@ def t1_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = uh.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= _KMV_K
     )
+    # standard KMV small-set branch: a sketch with < k hashes has seen
+    # the whole set, so the estimate is its exact size
+    est = F.expr(
+        f"CASE WHEN n < {_KMV_K} THEN n "
+        f"ELSE ({_KMV_K} - 1) * {_KMV_DOMAIN}L div hk END"
+    ).alias("est_distinct")
     exact_t = uh.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("exact_distinct")
     )
     per_type = (
-        sk.filter(F.col("rn") == _KMV_K)
+        sk.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk"))
         .join(exact_t, "event_type")
-        .select(
-            F.col("event_type").alias("scope"),
-            F.expr(f"({_KMV_K} - 1) * {_KMV_DOMAIN}L div h").alias(
-                "est_distinct"
-            ),
-            "exact_distinct",
-        )
+        .select(F.col("event_type").alias("scope"), est, "exact_distinct")
     )
     gh = ev.select("user_id").distinct().withColumn("h", h)
     exact_all = gh.agg(F.count(F.lit(1)).alias("exact_distinct"))
@@ -130,13 +132,8 @@ def t1_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         gh.select("h")
         .orderBy("h")
         .limit(_KMV_K)
-        .agg(F.max("h").alias("hk"))
-        .select(
-            F.lit("all_direct").alias("scope"),
-            F.expr(f"({_KMV_K} - 1) * {_KMV_DOMAIN}L div hk").alias(
-                "est_distinct"
-            ),
-        )
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk"))
+        .select(F.lit("all_direct").alias("scope"), est)
         .crossJoin(F.broadcast(exact_all))
     )
     merged = (
@@ -144,13 +141,8 @@ def t1_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("h")
         .limit(_KMV_K)
-        .agg(F.max("h").alias("hk"))
-        .select(
-            F.lit("all_merged").alias("scope"),
-            F.expr(f"({_KMV_K} - 1) * {_KMV_DOMAIN}L div hk").alias(
-                "est_distinct"
-            ),
-        )
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk"))
+        .select(F.lit("all_merged").alias("scope"), est)
         .crossJoin(F.broadcast(exact_all))
     )
     allrows = per_type.unionByName(direct).unionByName(merged)

@@ -105,6 +105,10 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple:
         .filter(F.col("word").rlike("^[a-z]+$"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # Every merge round re-derives from this frame; without a cache
+        # the lazy lineage re-tokenizes the CORPUS once per round.  The
+        # vocab table is the thing BPE training iterates on — pin it.
+        .cache()
     )
     sym = wc.withColumn(
         "sym",

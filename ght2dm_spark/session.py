@@ -68,6 +68,15 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
         )
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Local test/bench data arrives as ONE parquet file per table, so
+        # the default 128 MB split size caps scan parallelism at
+        # ceil(file/128MB) tasks — a 184 MB fact table would scan 2-way
+        # on 32 cores.  Asking for >= 2×cores input partitions makes
+        # Spark shrink the split size (bounded below by openCostInBytes
+        # and row-group alignment), approximating the many-file layout
+        # a real warehouse scan has; on a cluster the file count itself
+        # provides the parallelism and this hint is inert.
+        .config("spark.sql.files.minPartitionNum", str(2 * cores))
         # Streaming state on RocksDB, not the default in-JVM-heap HashMap:
         # stateful operators (dedup-within-watermark, session windows,
         # flatMapGroupsWithState) then hold state off-heap with spill to
