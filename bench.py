@@ -118,6 +118,7 @@ HEADLINE = [
     "t1_linear_attribution",
     "t1_skew_audit",
     "t1_pq_ann",
+    "t1_ivfadc",
     "t1_bpe_merges",
     "t1_kmv_sketch",
     "t1_pca_power",

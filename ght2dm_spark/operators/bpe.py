@@ -1,0 +1,123 @@
+"""BPE merge training over a word-frequency frame (Sennrich et al.
+2016) — the operator core behind queries/tokenizer_queries.
+
+Operates on ``(word, cnt)`` — the corpus never appears here; producing
+that frame is the caller's single corpus-sized aggregate.  See the
+query module docstring for the bracket-wrapped greedy-replace encoding
+and why plain SQL ``replace`` implements BPE's merge semantics exactly.
+
+Words must match ``[a-z_]+`` (no ``<``/``>``) so the bracket encoding
+is unambiguous; the end-of-word marker ``_`` is appended as its own
+symbol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word marker appended as its own symbol (GPT-2's Ġ analogue)
+EOW = "_"
+
+
+def initial_symbols(wc: DataFrame) -> DataFrame:
+    """(word, cnt) → + ``sym``: chars + EOW marker, bracket-wrapped."""
+    return wc.withColumn(
+        "sym",
+        F.expr(
+            "concat(array_join(transform(sequence(1, length(word)), "
+            "i -> concat('<', substring(word, i, 1), '>')), ''), "
+            f"'<{EOW}>')"
+        ),
+    )
+
+
+def train(wc: DataFrame, rounds: int) -> tuple[list, DataFrame]:
+    """Learn ``rounds`` merges; returns ([1-row merge frames], final
+    vocab frame (word, cnt, sym)).  Each round: occurrence-weighted
+    adjacent-pair count → argmax ((count DESC, pair ASC) tie-break) →
+    greedy merge via broadcast 1-row replace."""
+    sym = initial_symbols(wc)
+    merges = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            sym.withColumn(
+                "l", F.split(F.expr("substring(sym, 2, length(sym) - 2)"), "><")
+            )
+            .filter(F.size("l") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(l) - 1), "
+                        "i -> concat(element_at(l, i), ' ', "
+                        "element_at(l, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n_occurrences"))
+        )
+        best = (
+            pairs.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.split("pair", " ").getItem(0).alias("bl"),
+                F.split("pair", " ").getItem(1).alias("br"),
+                "n_occurrences",
+            )
+        )
+        merges.append(
+            best.select(
+                F.lit(r).alias("round"),
+                F.col("bl").alias("left_sym"),
+                F.col("br").alias("right_sym"),
+                F.concat("bl", "br").alias("merged"),
+                "n_occurrences",
+            )
+        )
+        sym = sym.crossJoin(F.broadcast(best.select("bl", "br"))).select(
+            "word",
+            "cnt",
+            F.expr(
+                "replace(sym, concat('<', bl, '><', br, '>'), "
+                "concat('<', bl, br, '>'))"
+            ).alias("sym"),
+        )
+    return merges, sym
+
+
+def reference_train(words: dict[str, int], rounds: int) -> list[tuple]:
+    """Pure-Python reference BPE (the hypothesis-test model): identical
+    semantics — EOW marker, weighted pair counts, (count DESC, pair
+    ASC) tie-break, greedy left-to-right non-overlapping merge.
+    Returns [(round, left, right, merged, count)]."""
+    vocab = {tuple(w) + (EOW,): c for w, c in words.items()}
+    out = []
+    for r in range(1, rounds + 1):
+        counts: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (bl, br), n = best
+        new_vocab: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            merged: list = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == bl and syms[i + 1] == br:
+                    merged.append(bl + br)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            t = tuple(merged)
+            new_vocab[t] = new_vocab.get(t, 0) + c
+        vocab = new_vocab
+        out.append((r, bl, br, bl + br, n))
+    return out

@@ -63,6 +63,7 @@ def kmeans_int(
     vec_col: str,
     k: int = 4,
     iters: int = 2,
+    pre_scaled: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Train k centroids for ``iters`` rounds (init: the vectors whose
     id < k) and return (assignment, centroids): the final assignment
@@ -70,10 +71,14 @@ def kmeans_int(
     centroid table (cid, c) for downstream probing (IVF search).  Empty
     clusters keep their previous centroid only if re-seeded upstream —
     with contiguous-id init and ≥1 round every cluster here retains
-    members (asserted by the caller's oracle)."""
-    v = df.select(
-        F.col(id_col).alias("id"), int_vec(F.col(vec_col)).alias("v")
-    ).cache()
+    members (asserted by the caller's oracle).
+
+    ``pre_scaled=True`` skips the float→micro-unit conversion: the
+    vector column is ALREADY exact BIGINT state (e.g. the residuals
+    IVFADC trains its product codebooks on — converting twice would
+    double-scale)."""
+    vec = F.col(vec_col) if pre_scaled else int_vec(F.col(vec_col))
+    v = df.select(F.col(id_col).alias("id"), vec.alias("v")).cache()
     cents = v.filter(F.col("id") < k).select(
         F.col("id").alias("cid"), F.col("v").alias("c")
     )

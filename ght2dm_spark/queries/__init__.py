@@ -16,6 +16,7 @@ from ght2dm_spark.queries.registry import ORACLE, QUERIES, register
 from ght2dm_spark.queries import t0_core  # noqa: E402,F401
 from ght2dm_spark.queries import dedup_queries  # noqa: E402,F401
 from ght2dm_spark.queries import ann_pq  # noqa: E402,F401 (before similarity_queries: t1_ann_recall splices its oracle)
+from ght2dm_spark.queries import ann_ivfadc  # noqa: E402,F401 (same: recall audit splices it)
 from ght2dm_spark.queries import similarity_queries  # noqa: E402,F401
 from ght2dm_spark.queries import text_analysis  # noqa: E402,F401
 from ght2dm_spark.queries import multimodal_queries  # noqa: E402,F401
@@ -103,8 +104,8 @@ _LEAD = [
     "t1_kmeans_clusters", "t1_event_funnel", "t1_sessionize_gap",
     "t1_salted_join",
     # round-3 first-class category heads (new this round, sim-green):
-    "t1_pq_ann", "t1_bpe_merges", "t1_kmv_sketch", "t1_temperature_mix",
-    "t1_pca_power",
+    "t1_pq_ann", "t1_ivfadc", "t1_bpe_merges", "t1_kmv_sketch",
+    "t1_temperature_mix", "t1_pca_power",
     # regression canaries (already verified, kept in-window deliberately)
     "t0_newest_wins_dedup", "t0_ts_cast", "t0_broadcast_lookup",
     "t0_extremal_row", "t0_ri_rejects",

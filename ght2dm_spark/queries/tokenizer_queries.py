@@ -25,13 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
+from ght2dm_spark.operators.bpe import EOW as _MARKER
 from ght2dm_spark.queries.registry import register
 
 #: merge rounds to learn (unrolled in both engines)
 _BPE_ROUNDS = 3
-#: end-of-word marker appended as its own symbol (GPT-2's Ġ analogue);
-#: '_' never appears inside the [a-z]+ words it marks.
-_EOW = "_"
+#: end-of-word marker — single source of truth in operators.bpe (the
+#: oracle CTEs below must encode with the same marker the trainer uses)
+_EOW = _MARKER
 
 
 def _bpe_ctes(rounds: int) -> list:
@@ -95,8 +96,10 @@ def _bpe_sql(rounds: int) -> str:
 
 
 def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple:
-    """Shared trainer: returns ([per-round 1-row merge frames], final
-    vocab frame (word, cnt, sym) after all rounds)."""
+    """Corpus → word-frequency aggregate → operators.bpe.train.
+    Returns ([per-round 1-row merge frames], final vocab frame)."""
+    from ght2dm_spark.operators.bpe import train
+
     d = load_table(spark, sf_dir, "documents")
     wc = (
         d.select(
@@ -110,61 +113,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple:
         # vocab table is the thing BPE training iterates on — pin it.
         .cache()
     )
-    sym = wc.withColumn(
-        "sym",
-        F.expr(
-            "concat(array_join(transform(sequence(1, length(word)), "
-            "i -> concat('<', substring(word, i, 1), '>')), ''), "
-            f"'<{_EOW}>')"
-        ),
-    )
-    merges = []
-    for r in range(1, _BPE_ROUNDS + 1):
-        pairs = (
-            sym.withColumn(
-                "l", F.split(F.expr("substring(sym, 2, length(sym) - 2)"), "><")
-            )
-            .filter(F.size("l") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(l) - 1), "
-                        "i -> concat(element_at(l, i), ' ', "
-                        "element_at(l, i + 1)))"
-                    )
-                ).alias("pair"),
-            )
-            .groupBy("pair")
-            .agg(F.sum("cnt").alias("n_occurrences"))
-        )
-        best = (
-            pairs.orderBy(F.desc("n_occurrences"), F.asc("pair"))
-            .limit(1)
-            .select(
-                F.split("pair", " ").getItem(0).alias("bl"),
-                F.split("pair", " ").getItem(1).alias("br"),
-                "n_occurrences",
-            )
-        )
-        merges.append(
-            best.select(
-                F.lit(r).alias("round"),
-                F.col("bl").alias("left_sym"),
-                F.col("br").alias("right_sym"),
-                F.concat("bl", "br").alias("merged"),
-                "n_occurrences",
-            )
-        )
-        sym = sym.crossJoin(F.broadcast(best.select("bl", "br"))).select(
-            "word",
-            "cnt",
-            F.expr(
-                "replace(sym, concat('<', bl, '><', br, '>'), "
-                "concat('<', bl, br, '>'))"
-            ).alias("sym"),
-        )
-    return merges, sym
+    return train(wc, _BPE_ROUNDS)
 
 
 @register("t1_bpe_merges", oracle=_bpe_sql(_BPE_ROUNDS))

@@ -315,3 +315,46 @@ def test_connected_components_logarithmic_rounds(spark):
     out = connected_components(ndf, edf, stats=stats).collect()
     assert all(r["comp"] == 0 for r in out) and len(out) == n
     assert stats["rounds"] <= 10, f"expected O(log n) rounds, got {stats['rounds']}"
+
+
+# --------------------------------------------------------------------------
+# BPE trainer vs pure-Python reference model
+
+words_strategy = st.dictionaries(
+    st.text(alphabet="abc", min_size=1, max_size=5),
+    st.integers(1, 5),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=6,  # each example drives ~6 Spark jobs (2 rounds)
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=words_strategy)
+def test_bpe_train_matches_reference(spark, words):
+    """The DataFrame BPE trainer (bracket-wrapped greedy replace) must
+    learn exactly the merges of a direct Python BPE implementation —
+    same pair counts, same (count DESC, pair ASC) tie-break, same
+    greedy non-overlapping application (runs like 'aaaa' are where a
+    wrong replace encoding diverges)."""
+    from ght2dm_spark.operators.bpe import reference_train, train
+
+    wc = spark.createDataFrame(
+        [(w, c) for w, c in words.items()], "word string, cnt long"
+    )
+    merges, _ = train(wc, rounds=2)
+    got = [
+        (
+            r.head().round,
+            r.head().left_sym,
+            r.head().right_sym,
+            r.head().merged,
+            r.head().n_occurrences,
+        )
+        for r in merges
+        if r.head() is not None
+    ]
+    assert got == reference_train(words, rounds=2)
