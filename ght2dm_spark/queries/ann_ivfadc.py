@@ -46,7 +46,9 @@ def _sq(dim: int, v: str = "v", c: str = "c") -> str:
     )
 
 
-def _ivfadc_sql() -> str:
+def _ivfadc_ctes() -> list:
+    """Shared CTE prefix through the ``adc`` frame (q_id, id, adc_dist
+    over probed-list candidates, self excluded downstream)."""
     from ght2dm_spark.queries.clustering_queries import _kmeans_ctes
 
     d, sub, kp = EMB_DIM, _IA_SUB, _IA_KP
@@ -112,16 +114,24 @@ def _ivfadc_sql() -> str:
     luts = " UNION ALL ".join(f"SELECT * FROM lut{m}" for m in range(_IA_M))
     ctes.append(f"codes AS ({codes})")
     ctes.append(f"luts AS ({luts})")
+    ctes.append(
+        "xc AS (SELECT res.id, res.cid AS list_id, cm.m, cm.code "
+        "FROM res JOIN codes cm ON cm.id = res.id)"
+    )
+    ctes.append(
+        "adc AS (SELECT l.q_id, x.id, CAST(sum(l.d) AS BIGINT) AS adc_dist "
+        "FROM xc x JOIN luts l "
+        "ON x.list_id = l.list_id AND x.m = l.m AND x.code = l.code "
+        "GROUP BY 1, 2)"
+    )
+    return ctes
+
+
+def _ivfadc_sql() -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_ivfadc_ctes())
         + f""",
-    xc AS (SELECT res.id, res.cid AS list_id, cm.m, cm.code
-           FROM res JOIN codes cm ON cm.id = res.id),
-    adc AS (SELECT l.q_id, x.id, CAST(sum(l.d) AS BIGINT) AS adc_dist
-            FROM xc x JOIN luts l
-              ON x.list_id = l.list_id AND x.m = l.m AND x.code = l.code
-            GROUP BY 1, 2),
     ranked AS (SELECT q_id, id AS neighbor_id, adc_dist,
                       row_number() OVER (PARTITION BY q_id
                                          ORDER BY adc_dist ASC, id ASC)
@@ -150,6 +160,18 @@ def t1_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     At production bit-widths (8-bit codes, 1024+ lists) this is the
     billion-vector memory layout: 1 coarse id + M code bytes per
     vector."""
+    adc, _ = _ivfadc_adc(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IA_TOPK)
+        .select("q_id", "rank", F.col("id").alias("neighbor_id"), "adc_dist")
+    )
+
+
+def _ivfadc_adc(spark: SparkSession, sf_dir: str) -> tuple:
+    """Shared core: returns (adc frame (q_id, id, adc_dist; self already
+    excluded), the integer-vector assignment frame (id, v, cid, d))."""
     e = load_table(spark, sf_dir, "embeddings")
     asg, cents = kmeans_int(
         e, "vec_id", "embedding", k=_IA_KC, iters=_IA_CI
@@ -210,9 +232,76 @@ def t1_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id", "id")
         .agg(F.sum("d").alias("adc_dist"))
     )
-    w = Window.partitionBy("q_id").orderBy("adc_dist", "id")
+    return adc, asg
+
+
+_IA_RERANK_C = 32  # ADC shortlist size fed to exact re-ranking
+
+
+@register(
+    "t1_ivfadc_rerank",
+    oracle=(
+        "WITH "
+        + ",\n".join(_ivfadc_ctes())
+        + f""",
+    topc AS (SELECT q_id, id FROM (
+               SELECT q_id, id,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY adc_dist ASC, id ASC)
+                        AS rn
+               FROM adc WHERE id <> q_id) WHERE rn <= {_IA_RERANK_C}),
+    rr AS (SELECT t.q_id, t.id AS neighbor_id,
+                  {_sq(EMB_DIM, 'qv.v', 'xv.v')} AS true_dist
+           FROM topc t
+           JOIN v qv ON qv.id = t.q_id
+           JOIN v xv ON xv.id = t.id),
+    ranked AS (SELECT q_id, neighbor_id, true_dist,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY true_dist ASC,
+                                                  neighbor_id ASC) AS rank
+               FROM rr)
+    SELECT q_id, rank, neighbor_id, true_dist FROM ranked
+    WHERE rank <= {_IA_TOPK}"""
+    ),
+)
+def t1_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + exact re-ranking — the production remedy for ADC
+    misranking (SCALING.md): take the ADC top-C (C=32) shortlist, compute
+    EXACT integer L2 against the full vectors for just those C
+    candidates, re-rank, keep top-3.  The recall audit shows the jump
+    this buys over raw t1_ivfadc at ~C/N of brute-force cost.
+
+    Scale: identical to t1_ivfadc until the shortlist; the re-rank then
+    touches C full vectors per query — the expensive O(dim) math runs
+    Q×C times total, not Q×N.  The shortlist join is broadcast (Q×C
+    rows) against the vector table."""
+    adc, asg = _ivfadc_adc(spark, sf_dir)
+    wq = Window.partitionBy("q_id").orderBy("adc_dist", "id")
+    topc = (
+        adc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IA_RERANK_C)
+        .select("q_id", "id")
+    )
+    vecs = asg.select("id", "v")
+    rr = (
+        topc.join(vecs.withColumnRenamed("v", "xv"), "id")
+        .join(
+            F.broadcast(
+                vecs.select(
+                    F.col("id").alias("q_id"), F.col("v").alias("qv")
+                )
+            ),
+            "q_id",
+        )
+        .select(
+            "q_id",
+            F.col("id").alias("neighbor_id"),
+            sqdist_int(F.col("qv"), F.col("xv")).alias("true_dist"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy("true_dist", "neighbor_id")
     return (
-        adc.withColumn("rank", F.row_number().over(w))
+        rr.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= _IA_TOPK)
-        .select("q_id", "rank", F.col("id").alias("neighbor_id"), "adc_dist")
+        .select("q_id", "rank", "neighbor_id", "true_dist")
     )

@@ -445,6 +445,7 @@ def _recall_oracle() -> str:
     banded = ORACLE["t1_ann_lsh_banded"]
     pq = ORACLE["t1_pq_ann"]
     ivfadc = ORACLE["t1_ivfadc"]
+    ivfadc_rr = ORACLE["t1_ivfadc_rerank"]
     return f"""
     WITH exact AS (SELECT q_id, c_id FROM ({bf}) t WHERE rank <= 3),
     exact_n AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id),
@@ -460,13 +461,16 @@ def _recall_oracle() -> str:
         SELECT 'pq' AS method, q_id, neighbor_id AS c_id FROM ({pq}) t
         UNION ALL
         SELECT 'ivfadc' AS method, q_id, neighbor_id AS c_id FROM ({ivfadc}) t
+        UNION ALL
+        SELECT 'ivfadc_rerank' AS method, q_id, neighbor_id AS c_id
+        FROM ({ivfadc_rr}) t
     ),
     hits AS (SELECT method, c.q_id, count(*) AS n_hits
              FROM cand c JOIN exact e USING (q_id, c_id)
              GROUP BY 1, 2),
     base AS (SELECT m.method, e.q_id, e.n_exact
              FROM exact_n e
-             CROSS JOIN (SELECT unnest(['lsh', 'multiprobe', 'ivf', 'lsh_banded', 'pq', 'ivfadc']) AS method) m)
+             CROSS JOIN (SELECT unnest(['lsh', 'multiprobe', 'ivf', 'lsh_banded', 'pq', 'ivfadc', 'ivfadc_rerank']) AS method) m)
     SELECT b.method, b.q_id, coalesce(h.n_hits, 0) AS n_hits, b.n_exact,
            round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_exact, 4) AS recall
     FROM base b LEFT JOIN hits h ON b.method = h.method AND b.q_id = h.q_id
@@ -494,7 +498,10 @@ def t1_ann_recall(spark, sf_dir):
     )
     exact_n = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
     parts = []
-    for method in ("lsh", "multiprobe", "ivf", "lsh_banded", "pq", "ivfadc"):
+    for method in (
+        "lsh", "multiprobe", "ivf", "lsh_banded", "pq", "ivfadc",
+        "ivfadc_rerank",
+    ):
         qname = {
             "lsh": "t1_ann_lsh_topk",
             "multiprobe": "t1_ann_lsh_multiprobe",
@@ -502,9 +509,10 @@ def t1_ann_recall(spark, sf_dir):
             "lsh_banded": "t1_ann_lsh_banded",
             "pq": "t1_pq_ann",
             "ivfadc": "t1_ivfadc",
+            "ivfadc_rerank": "t1_ivfadc_rerank",
         }[method]
         cand = QUERIES[qname](spark, sf_dir)
-        if method in ("pq", "ivfadc"):
+        if method in ("pq", "ivfadc", "ivfadc_rerank"):
             cand = cand.select("q_id", F.col("neighbor_id").alias("c_id"))
         else:
             cand = cand.select("q_id", "c_id")

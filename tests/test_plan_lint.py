@@ -63,6 +63,7 @@ CROSS_OK = {
     "t1_bpe_encode",  # same trainer: 1-row merge-winner frames per round
     "t1_pq_ann",  # K-row codebook frames broadcast (training + NQ×M×K LUT)
     "t1_ivfadc",  # K-row coarse + codebook frames broadcast per round
+    "t1_ivfadc_rerank",  # same core + Q×C shortlist broadcast re-rank
     "t1_kmv_sketch",  # 1-row exact-total frame joined onto 1-row sketch rows
     "t1_pca_power",  # 1-row mean/vector/max-abs frames broadcast per round
 }
