@@ -150,3 +150,112 @@ def t1_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "err_ppm",
         F.expr("abs(est_distinct - exact_distinct) * 1000000L div exact_distinct"),
     )
+
+
+# --------------------------------------------------------------------------
+# t1_cms_sketch — Count-Min (Cormode & Muthukrishnan 2005)
+
+_CMS_D = 3  # hash rows
+_CMS_W = 16  # counters per row (deliberately tiny so collisions happen)
+_CMS_TOPN = 10  # audit the exact top-N tokens against their estimates
+
+
+def _cms_pos_sql(tok_expr: str, j: int) -> str:
+    md5 = "md5('" + str(j) + ":' || " + tok_expr + ")"
+    return f"({hex2int_sql(md5, 1)} % {_CMS_W})"
+
+
+def _cms_sql() -> str:
+    d, n = _CMS_D, _CMS_TOPN
+    counter_sel = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_pos_sql('toks.tok', j)} AS pos, "
+        f"CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 2"
+        for j in range(1, d + 1)
+    )
+    cand_pos = " UNION ALL ".join(
+        f"SELECT token, exact_cnt, {j} AS j, "
+        f"{_cms_pos_sql('cand.token', j)} AS pos FROM cand"
+        for j in range(1, d + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT t.tok FROM documents,
+           unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+      WHERE regexp_full_match(t.tok, '[a-z]+')),
+    counters AS ({counter_sel}),
+    cand AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS exact_cnt
+             FROM toks GROUP BY 1
+             ORDER BY exact_cnt DESC, token ASC LIMIT {n}),
+    cpos AS ({cand_pos}),
+    est AS (SELECT token, exact_cnt, min(counters.c) AS cms_est
+            FROM cpos JOIN counters
+              ON cpos.j = counters.j AND cpos.pos = counters.pos
+            GROUP BY 1, 2)
+    SELECT token, exact_cnt, cms_est,
+           (cms_est - exact_cnt) * 1000000 // exact_cnt AS overest_ppm
+    FROM est
+    """
+
+
+@register("t1_cms_sketch", oracle=_cms_sql())
+def t1_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min token-frequency sketch: d=3 md5 hash rows × w=16
+    counters (deliberately tiny so collisions are visible), point
+    queries for the exact top-10 tokens, each estimate next to its
+    exact count with the overestimate in integer ppm.  CMS guarantees
+    est ≥ exact (counters only ever add) — the semantic test asserts
+    it for every token; the oracle checks the exact estimate values.
+
+    Scale: the sketch is d×w counters regardless of input — built in
+    one pass with map-side combine (d rows per token, 48 groups), and
+    MERGEABLE by plain counter addition (linearity), so per-partition /
+    per-source sketches roll up with a groupBy sum exactly like the
+    KMV top-k merge.  Point queries join a broadcast candidate list
+    against the broadcast counter table — no corpus rescan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+        .cache()
+    )
+
+    def pos(tok, j):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), tok)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    counters = None
+    for j in range(1, _CMS_D + 1):
+        c_j = toks.groupBy(pos(F.col("tok"), j).alias("pos")).agg(
+            F.count(F.lit(1)).alias("c")
+        ).select(F.lit(j).alias("j"), "pos", "c")
+        counters = c_j if counters is None else counters.unionByName(c_j)
+    cand = (
+        toks.groupBy(F.col("tok").alias("token"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(_CMS_TOPN)
+    )
+    cpos = None
+    for j in range(1, _CMS_D + 1):
+        p_j = cand.select(
+            "token",
+            "exact_cnt",
+            F.lit(j).alias("j"),
+            pos(F.col("token"), j).alias("pos"),
+        )
+        cpos = p_j if cpos is None else cpos.unionByName(p_j)
+    est = (
+        cpos.join(F.broadcast(counters), ["j", "pos"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.withColumn(
+        "overest_ppm",
+        F.expr("(cms_est - exact_cnt) * 1000000L div exact_cnt"),
+    )

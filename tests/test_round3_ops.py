@@ -164,3 +164,19 @@ def test_pq_adc_approximates_true_distance(spark, sf_dir):
         true.append(float(d @ d))
     corr = np.corrcoef(adc, true)[0, 1]
     assert corr > 0.5, corr
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """The CMS guarantee: counters only ever add, so every point-query
+    estimate is >= the exact count; with w=16 buckets over the corpus
+    vocabulary at least the structure allows collisions, and any
+    underestimate means the hash rows / min-reduction are wrong."""
+    rows = QUERIES["t1_cms_sketch"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt, r
+        assert r.overest_ppm >= 0
