@@ -161,6 +161,97 @@ def decode_meta(df: DataFrame, payload_col: str = "payload", keep: list[str] | N
     return df.mapInPandas(batches, schema=out_schema)
 
 
+#: schema of the decoded-audio struct produced by decode_audio_meta
+AUDIO_META_SCHEMA = (
+    "content_len long, format string, channels int, sample_rate int, "
+    "duration_ms long"
+)
+
+
+def parse_wav_header(b: bytes) -> tuple[str, int | None, int | None, int | None]:
+    """RIFF/WAVE container decode — (format, channels, sample_rate,
+    duration_ms) from raw bytes, pure Python.  Walks the chunk list
+    (word-aligned, little-endian sizes), reads channels / sample rate /
+    byte rate from the ``fmt `` chunk and derives duration from the
+    ``data`` chunk size over the byte rate — integer division, no float.
+    Anything non-RIFF or truncated is ("unknown"/"wav", None, ...) —
+    reject data, not a task failure (E1 discipline)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return "unknown", None, None, None
+    i, n = 12, len(b)
+    channels = rate = byte_rate = data_size = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        (sz,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"fmt " and i + 8 + 12 <= n:
+            _, channels, rate, byte_rate = struct.unpack(
+                "<HHII", b[i + 8 : i + 8 + 12]
+            )
+        elif cid == b"data":
+            data_size = sz
+        i += 8 + sz + (sz & 1)  # RIFF chunks are 2-byte aligned
+    if channels is None:
+        return "wav", None, None, None
+    dur = (
+        data_size * 1000 // byte_rate
+        if data_size is not None and byte_rate
+        else None
+    )
+    return "wav", channels, rate, dur
+
+
+def wav_bytes(channels: int, rate: int, n_samples: int, bits: int = 16) -> bytes:
+    """A complete, spec-valid PCM WAV (RIFF + fmt + data chunks, silence
+    samples) — a real decodable file, stdlib only."""
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    data = b"\x00" * (n_samples * block)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio_meta(
+    df: DataFrame, payload_col: str = "payload", keep: list[str] | None = None
+) -> DataFrame:
+    """binary audio payload → typed metadata via an Arrow-batched pandas
+    map — the audio twin of :func:`decode_meta`, same narrow-map scale
+    shape (payloads pruned away after the parse)."""
+    keep = keep or [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keep
+    )
+    out_schema = (
+        f"{out_schema}, {AUDIO_META_SCHEMA}" if out_schema else AUDIO_META_SCHEMA
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            parsed = payloads.map(parse_wav_header)
+            meta = pd.DataFrame(
+                {
+                    "content_len": payloads.map(len),
+                    "format": parsed.map(lambda t: t[0]),
+                    "channels": parsed.map(lambda t: t[1]).astype("Int32"),
+                    "sample_rate": parsed.map(lambda t: t[2]).astype("Int32"),
+                    "duration_ms": parsed.map(lambda t: t[3]).astype("Int64"),
+                }
+            )
+            yield pd.concat([pdf[keep].reset_index(drop=True), meta], axis=1)
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 #: schema of the feature struct produced by extract_features
 FEATURES_SCHEMA = (
     "n_bytes long, byte_sum long, byte_mean double, byte_var double"

@@ -145,3 +145,63 @@ def t1_multimodal_features(spark, sf_dir):
         F.round("byte_mean", 6).alias("byte_mean"),
         F.round("byte_var", 6).alias("byte_var"),
     )
+
+
+# --------------------------------------------------------------------------
+# t1_multimodal_audio
+
+_WAV_RATES = (8000, 16000, 32000)  # all divisible by 20 → exact durations
+
+
+def synth_audio_payload(doc_id: int) -> bytes:
+    """Deterministic REAL WAV bytes per doc: channels/rate/length derive
+    from doc_id, so the oracle can predict what a correct RIFF parse
+    must return without being able to build the bytes itself."""
+    from ght2dm_spark.operators.multimodal import wav_bytes
+
+    channels = 1 + doc_id % 2
+    rate = _WAV_RATES[doc_id % 3]
+    n_samples = rate * (doc_id % 5 + 1) // 20  # 50–250 ms, exact
+    return wav_bytes(channels, rate, n_samples)
+
+
+@register(
+    "t1_multimodal_audio",
+    oracle=f"""
+    SELECT doc_id,
+           'wav' AS format,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 32000 END AS INTEGER) AS sample_rate,
+           CAST((doc_id % 5 + 1) * 50 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def t1_multimodal_audio(spark, sf_dir):
+    """Real audio-container decode through mapInPandas: each doc carries
+    ACTUAL PCM WAV bytes (RIFF + fmt + data, built per doc_id), and
+    ``decode_audio_meta`` walks the chunk list to recover channels /
+    sample rate / duration (operators.multimodal.parse_wav_header — no
+    audio library).  The oracle predicts the parse from the generator's
+    doc_id formulas, so an endianness / chunk-walk / alignment bug
+    mismatches immediately; duration is integer-exact because every
+    rate divides the sample-count formula.
+
+    Scale: same narrow-map shape as the image decode — Arrow-batched
+    payload stream, metadata-only output, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def make(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(lambda i: synth_audio_payload(int(i)))
+
+    from ght2dm_spark.operators.multimodal import decode_audio_meta
+
+    out = decode_audio_meta(
+        d.select("doc_id", make("doc_id").alias("payload")),
+        "payload",
+        keep=["doc_id"],
+    )
+    return out.select(
+        "doc_id", "format", "channels", "sample_rate", "duration_ms"
+    )

@@ -76,3 +76,41 @@ def test_jpeg_fill_bytes_before_marker():
     b = jpeg_bytes(64, 32)
     padded = b[:2] + b"\xff\xff\xff" + b[2:]
     assert parse_image_header(padded) == ("jpeg", 64, 32)
+
+
+# --------------------------------------------------------------------------
+# WAV / RIFF
+
+
+def test_wav_roundtrip():
+    from ght2dm_spark.operators.multimodal import parse_wav_header, wav_bytes
+
+    b = wav_bytes(channels=2, rate=16000, n_samples=8000)
+    assert parse_wav_header(b) == ("wav", 2, 16000, 500)
+    mono = wav_bytes(channels=1, rate=8000, n_samples=400)
+    assert parse_wav_header(mono) == ("wav", 1, 8000, 50)
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    """Real WAVs carry LIST/INFO/fact chunks before data — the walker
+    must skip them by size (including the odd-size alignment pad)."""
+    import struct
+
+    from ght2dm_spark.operators.multimodal import parse_wav_header, wav_bytes
+
+    b = wav_bytes(channels=1, rate=8000, n_samples=800)
+    # splice an odd-sized junk chunk between WAVE and fmt
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad to even
+    spliced = b[:12] + junk + b[12:]
+    fixed = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert parse_wav_header(fixed) == ("wav", 1, 8000, 100)
+
+
+def test_wav_rejects_not_errors():
+    from ght2dm_spark.operators.multimodal import parse_wav_header, wav_bytes
+
+    assert parse_wav_header(b"RIFFxxxxNOPE")[0] == "unknown"
+    assert parse_wav_header(b"")[0] == "unknown"
+    # RIFF/WAVE but truncated before fmt: wav with no decodable params
+    b = wav_bytes(1, 8000, 100)
+    assert parse_wav_header(b[:12]) == ("wav", None, None, None)
