@@ -252,6 +252,121 @@ def decode_audio_meta(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+#: schema of the decoded-video struct produced by decode_video_meta
+VIDEO_META_SCHEMA = (
+    "content_len long, format string, timescale int, duration_ms long, "
+    "brand string"
+)
+
+
+def parse_mp4_header(b: bytes) -> tuple[str, int | None, int | None, str | None]:
+    """ISO BMFF (MP4) box-walk decode — (format, timescale, duration_ms,
+    major_brand) from raw bytes, pure Python.  Boxes are length-prefixed
+    big-endian (size 1 ⇒ 64-bit largesize); ``ftyp`` carries the brand,
+    ``moov``→``mvhd`` carries the movie timescale and duration (v0:
+    32-bit fields at fixed offsets, v1: 64-bit).  duration_ms =
+    duration·1000 // timescale, integer exact.  Non-BMFF or truncated
+    input is ("unknown"/"mp4", None, ...) — reject data, not a task
+    failure (E1 discipline)."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return "unknown", None, None, None
+    brand = b[8:12].decode("latin-1")
+
+    def walk(lo: int, hi: int, path: tuple) -> tuple | None:
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack(">I", b[i : i + 4])
+            typ = b[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:  # 64-bit largesize follows the type
+                if i + 16 > hi:
+                    return None
+                (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+                body = i + 16
+            if size < 8 or i + size > hi:
+                return None
+            if typ == path[0]:
+                if len(path) == 1:
+                    return body, i + size
+                return walk(body, i + size, path[1:])
+            i += size
+        return None
+
+    span = walk(0, len(b), (b"moov", b"mvhd"))
+    if span is None:
+        return "mp4", None, None, brand
+    lo, hi = span
+    if lo + 1 > len(b):
+        return "mp4", None, None, brand
+    version = b[lo]
+    try:
+        if version == 1:  # 64-bit creation/modification times + duration
+            timescale, duration = struct.unpack(">IQ", b[lo + 20 : lo + 32])
+        else:
+            timescale, duration = struct.unpack(">II", b[lo + 12 : lo + 20])
+    except struct.error:
+        return "mp4", None, None, brand
+    if not timescale:
+        return "mp4", None, None, brand
+    return "mp4", timescale, duration * 1000 // timescale, brand
+
+
+def mp4_bytes(timescale: int, duration: int, brand: str = "isom") -> bytes:
+    """A minimal spec-valid ISO BMFF file: ftyp + moov(mvhd v0) — the
+    header-complete shape metadata extraction needs; a camera MP4's
+    moov parses identically."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", brand.encode("latin-1") + struct.pack(">I", 0) + b"isom")
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification time
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + b"\x00" * 36  # identity matrix slot (zeros fine for fixtures)
+        + b"\x00" * 24  # pre-defined
+        + struct.pack(">I", 2)  # next track id
+    )
+    return ftyp + box(b"moov", box(b"mvhd", mvhd_body))
+
+
+def decode_video_meta(
+    df: DataFrame, payload_col: str = "payload", keep: list[str] | None = None
+) -> DataFrame:
+    """binary video payload → typed metadata via an Arrow-batched pandas
+    map — same narrow-map shape as the image/audio decoders."""
+    keep = keep or [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keep
+    )
+    out_schema = (
+        f"{out_schema}, {VIDEO_META_SCHEMA}" if out_schema else VIDEO_META_SCHEMA
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            parsed = payloads.map(parse_mp4_header)
+            meta = pd.DataFrame(
+                {
+                    "content_len": payloads.map(len),
+                    "format": parsed.map(lambda t: t[0]),
+                    "timescale": parsed.map(lambda t: t[1]).astype("Int32"),
+                    "duration_ms": parsed.map(lambda t: t[2]).astype("Int64"),
+                    "brand": parsed.map(lambda t: t[3]),
+                }
+            )
+            yield pd.concat([pdf[keep].reset_index(drop=True), meta], axis=1)
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 #: schema of the feature struct produced by extract_features
 FEATURES_SCHEMA = (
     "n_bytes long, byte_sum long, byte_mean double, byte_var double"

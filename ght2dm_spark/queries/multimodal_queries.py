@@ -205,3 +205,61 @@ def t1_multimodal_audio(spark, sf_dir):
     return out.select(
         "doc_id", "format", "channels", "sample_rate", "duration_ms"
     )
+
+
+# --------------------------------------------------------------------------
+# t1_multimodal_video
+
+_MP4_SCALES = (600, 1000, 90000)  # QuickTime / ms / MPEG-TS-style clocks
+
+
+def synth_video_payload(doc_id: int) -> bytes:
+    """Deterministic REAL ISO-BMFF bytes per doc (ftyp + moov/mvhd):
+    timescale / duration / brand derive from doc_id so the oracle can
+    predict the parse."""
+    from ght2dm_spark.operators.multimodal import mp4_bytes
+
+    ts = _MP4_SCALES[doc_id % 3]
+    dur_ms = (doc_id % 10 + 1) * 500
+    return mp4_bytes(ts, ts * dur_ms // 1000, brand=("isom", "mp42")[doc_id % 2])
+
+
+@register(
+    "t1_multimodal_video",
+    oracle="""
+    SELECT doc_id,
+           'mp4' AS format,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                ELSE 90000 END AS INTEGER) AS timescale,
+           CAST((doc_id % 10 + 1) * 500 AS BIGINT) AS duration_ms,
+           CASE doc_id % 2 WHEN 0 THEN 'isom' ELSE 'mp42' END AS brand
+    FROM documents
+    """,
+)
+def t1_multimodal_video(spark, sf_dir):
+    """Real video-container decode through mapInPandas: each doc carries
+    ACTUAL ISO BMFF bytes (ftyp + moov/mvhd built per doc_id), and
+    ``decode_video_meta`` walks the box tree — length-prefixed
+    big-endian boxes, 64-bit largesize handling, nested moov→mvhd — to
+    recover timescale / duration / brand (operators.multimodal.
+    parse_mp4_header, no media library).  The oracle predicts the parse
+    from the generator's formulas; every duration is integer-exact
+    because each timescale divides its duration formula.
+
+    With this the image / audio / video triple all run the same
+    pattern: opaque binary column → Arrow-batched pure-Python container
+    parse → typed metadata, payloads pruned after the map."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def make(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(lambda i: synth_video_payload(int(i)))
+
+    from ght2dm_spark.operators.multimodal import decode_video_meta
+
+    out = decode_video_meta(
+        d.select("doc_id", make("doc_id").alias("payload")),
+        "payload",
+        keep=["doc_id"],
+    )
+    return out.select("doc_id", "format", "timescale", "duration_ms", "brand")

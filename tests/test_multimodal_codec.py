@@ -114,3 +114,48 @@ def test_wav_rejects_not_errors():
     # RIFF/WAVE but truncated before fmt: wav with no decodable params
     b = wav_bytes(1, 8000, 100)
     assert parse_wav_header(b[:12]) == ("wav", None, None, None)
+
+
+# --------------------------------------------------------------------------
+# MP4 / ISO BMFF
+
+
+def test_mp4_roundtrip_v0():
+    from ght2dm_spark.operators.multimodal import mp4_bytes, parse_mp4_header
+
+    assert parse_mp4_header(mp4_bytes(600, 1500)) == ("mp4", 600, 2500, "isom")
+    assert parse_mp4_header(mp4_bytes(90000, 630000, "mp42")) == (
+        "mp4", 90000, 7000, "mp42",
+    )
+
+
+def test_mp4_box_walk_skips_siblings_and_handles_largesize():
+    """mvhd must be found after unrelated sibling boxes, and a 64-bit
+    largesize box header must advance the walk correctly."""
+    import struct
+
+    from ght2dm_spark.operators.multimodal import mp4_bytes, parse_mp4_header
+
+    import struct as _s
+
+    b = mp4_bytes(1000, 4000)
+    ftyp_len = _s.unpack(">I", b[:4])[0]
+    ftyp, moov = b[:ftyp_len], b[ftyp_len:]
+    free = struct.pack(">I", 16) + b"free" + b"\x00" * 8
+    # same free box re-encoded with size=1 + 64-bit largesize
+    big = struct.pack(">I", 1) + b"free" + struct.pack(">Q", 24) + b"\x00" * 8
+    assert parse_mp4_header(ftyp + free + moov) == ("mp4", 1000, 4000, "isom")
+    assert parse_mp4_header(ftyp + big + moov) == ("mp4", 1000, 4000, "isom")
+
+
+def test_mp4_rejects_not_errors():
+    from ght2dm_spark.operators.multimodal import mp4_bytes, parse_mp4_header
+
+    assert parse_mp4_header(b"")[0] == "unknown"
+    assert parse_mp4_header(b"\x00\x00\x00\x08mdat")[0] == "unknown"
+    import struct as _s
+
+    b = mp4_bytes(600, 600)
+    # ftyp intact but moov truncated away: brand recovered, no duration
+    ftyp_len = _s.unpack(">I", b[:4])[0]
+    assert parse_mp4_header(b[:ftyp_len]) == ("mp4", None, None, "isom")
