@@ -104,8 +104,10 @@ _LEAD = [
     "t1_kmeans_clusters", "t1_event_funnel", "t1_sessionize_gap",
     "t1_salted_join",
     # round-3 first-class category heads (new this round, sim-green):
-    "t1_pq_ann", "t1_ivfadc", "t1_bpe_merges", "t1_kmv_sketch",
-    "t1_temperature_mix", "t1_pca_power",
+    "t1_pq_ann", "t1_ivfadc", "t1_ivfadc_rerank", "t1_bpe_merges",
+    "t1_bpe_encode", "t1_kmv_sketch", "t1_cms_sketch",
+    "t1_temperature_mix", "t1_bloom_membership", "t1_pca_power",
+    "t1_multimodal_audio", "t1_multimodal_video", "t1_ann_recall",
     # regression canaries (already verified, kept in-window deliberately)
     "t0_newest_wins_dedup", "t0_ts_cast", "t0_broadcast_lookup",
     "t0_extremal_row", "t0_ri_rejects",

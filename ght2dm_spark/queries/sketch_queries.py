@@ -259,3 +259,109 @@ def t1_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overest_ppm",
         F.expr("(cms_est - exact_cnt) * 1000000L div exact_cnt"),
     )
+
+
+# --------------------------------------------------------------------------
+# t1_loghist_quantiles — log₂-histogram quantile sketch
+
+_LH_QS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def _lh_sql() -> str:
+    qvals = ", ".join(f"('{p}', {pn}, {pd})" for p, pn, pd in _LH_QS)
+    exacts = " UNION ALL ".join(
+        f"SELECT '{p}' AS p, quantile_cont(v, {pn}/{pd}.0) AS e FROM v"
+        for p, pn, pd in _LH_QS
+    )
+    return f"""
+    WITH v AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v
+               FROM events),
+    hist AS (SELECT length(bin(v)) AS b, CAST(count(*) AS BIGINT) AS c
+             FROM v GROUP BY 1),
+    cum AS (SELECT b, CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cum
+            FROM hist),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    q AS (SELECT * FROM (VALUES {qvals}) AS t(p, pn, pd)),
+    pick AS (SELECT q.p, min(cum.b) AS b
+             FROM q CROSS JOIN n
+             JOIN cum ON cum.cum >= (n.n * q.pn + q.pd - 1) // q.pd
+             GROUP BY 1),
+    ex AS ({exacts})
+    SELECT pick.p,
+           CAST((1 << pick.b) - 1 AS BIGINT) AS est_hi,
+           round(ex.e, 4) AS exact_v,
+           CAST((1 << pick.b) - 1 AS BIGINT) * 1000000
+             // CAST(round(ex.e, 0) AS BIGINT) AS ratio_ppm
+    FROM pick JOIN ex ON pick.p = ex.p
+    """
+
+
+@register("t1_loghist_quantiles", oracle=_lh_sql())
+def t1_loghist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-histogram quantile sketch over event values (scaled to
+    integer cents): ~16 power-of-two buckets via the integer-exact
+    ``length(bin(v))`` trick (no floating log — a value near a bucket
+    boundary buckets identically on every engine), cumulative counts
+    pick the ceil(p·n) bucket, the estimate is the bucket's upper bound,
+    and each row carries the EXACT interpolated percentile beside it
+    with the overestimate ratio in ppm.  The ±2× bucket-width error bound
+    is the sketch's contract — visible in ratio_ppm, not hidden.
+
+    This completes the mergeable-sketch trio (KMV cardinality, CMS
+    frequency, log-histogram quantiles): all three keep O(1)-size
+    integer state, merge by plain addition / top-k, and run under the
+    exact-match oracle because the state is a deterministic function of
+    the data.  Scale: one map-side-combined pass builds the ≤16-row
+    histogram; everything downstream (cumsum window, quantile pick) is
+    sketch-sized.  The exact companion column is the only full-data
+    aggregate (sort-based percentile, the t1_percentile_exact
+    precedent) — a production rollup would drop it and keep only the
+    sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("v")
+    )
+    hist = v.groupBy(F.expr("length(bin(v))").alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(wb)).select("b", "cum")
+    n = v.agg(F.count(F.lit(1)).alias("n"))
+    q = spark.createDataFrame(list(_LH_QS), "p string, pn long, pd long")
+    pick = (
+        q.crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(cum),
+            F.col("cum") >= F.expr("(n * pn + pd - 1) div pd"),
+        )
+        .groupBy("p")
+        .agg(F.min("b").alias("b"))
+    )
+    exact = v.agg(
+        *[
+            F.expr(f"percentile(v, {pn}/{pd})").alias(p)
+            for p, pn, pd in _LH_QS
+        ]
+    ).select(
+        F.expr(
+            "stack("
+            + str(len(_LH_QS))
+            + ", "
+            + ", ".join(f"'{p}', {p}" for p, _, _ in _LH_QS)
+            + ") AS (p, e)"
+        )
+    )
+    return (
+        pick.join(F.broadcast(exact), "p")
+        .select(
+            "p",
+            F.expr("CAST(shiftleft(1L, CAST(b AS INT)) - 1 AS BIGINT)").alias(
+                "est_hi"
+            ),
+            F.round("e", 4).alias("exact_v"),
+            F.expr(
+                "(shiftleft(1L, CAST(b AS INT)) - 1) * 1000000L "
+                "div CAST(round(e, 0) AS BIGINT)"
+            ).alias("ratio_ppm"),
+        )
+    )

@@ -65,6 +65,7 @@ CROSS_OK = {
     "t1_ivfadc",  # K-row coarse + codebook frames broadcast per round
     "t1_ivfadc_rerank",  # same core + Q×C shortlist broadcast re-rank
     "t1_kmv_sketch",  # 1-row exact-total frame joined onto 1-row sketch rows
+    "t1_loghist_quantiles",  # 3-row quantile spec × ≤16-row histogram pick
     "t1_pca_power",  # 1-row mean/vector/max-abs frames broadcast per round
 }
 
@@ -79,6 +80,7 @@ GLOBAL_WINDOW_OK = {
     "t1_top_n_other",  # row_number over the |categories|-row aggregate
     "t1_rfm_segments",  # quintile windows over the |users|-row aggregate;
     # 100 TB form broadcasts approx-quantile cut points (docstring)
+    "t1_loghist_quantiles",  # cumsum over the ≤16-row log histogram
 }
 
 # Streaming queries drive a memory sink; their final plan is the sink
