@@ -118,7 +118,9 @@ HEADLINE = [
     "t1_linear_attribution",
     "t1_skew_audit",
     "t1_pq_ann",
-    "t1_ivfadc",
+    # t1_ivfadc is registry+correctness only: ~9 s of fixed stage-count
+    # overhead at sf0.1 (5 trainings × rounds on 5k vectors) would be
+    # 20% of the bench total while measuring scheduling, not plans.
     "t1_bpe_merges",
     "t1_kmv_sketch",
     "t1_pca_power",
