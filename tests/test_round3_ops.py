@@ -180,3 +180,70 @@ def test_cms_never_underestimates(spark, sf_dir):
     for r in rows:
         assert r.cms_est >= r.exact_cnt, r
         assert r.overest_ppm >= 0
+
+
+# --------------------------------------------------------------------------
+# Streaming sketch rollup (mergeability across micro-batches)
+
+
+def test_streaming_kmv_rollup_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Sketch mergeability THROUGH the streaming engine: a foreachBatch
+    sink maintains a KMV sketch table (append each micro-batch's k
+    smallest user hashes, truncation deferred to read time); the final
+    merged estimate must EQUAL the batch KMV estimate — the telemetry
+    rollup pattern where per-batch sketch state, not history, persists.
+    Deterministic because the sketch is a pure function of the data
+    (md5), however the stream happens to batch it."""
+    from ght2dm_spark.queries.sketch_queries import _KMV_DOMAIN, _KMV_K
+    from ght2dm_spark.streaming import read_events_stream
+
+    out = str(tmp_path / "sketch_out")
+
+    def h(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kmv:"), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
+
+    def sink(batch_df, batch_id):
+        (
+            batch_df.select(h(F.col("user_id")).alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(_KMV_K)
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def estimate(df):
+        sk = df.select("hv").distinct().orderBy("hv").limit(_KMV_K)
+        row = sk.agg(
+            F.count(F.lit(1)).alias("n"), F.max("hv").alias("hk")
+        ).head()
+        if row.n < _KMV_K:
+            return row.n
+        return (_KMV_K - 1) * _KMV_DOMAIN // row.hk
+
+    streamed = estimate(spark.read.parquet(out))
+    from ght2dm_spark.io import load_table
+
+    batch = estimate(
+        load_table(spark, sf_dir, "events")
+        .select(h(F.col("user_id")).alias("hv"))
+        .distinct()
+    )
+    assert streamed == batch
