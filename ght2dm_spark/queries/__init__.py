@@ -59,6 +59,7 @@ from ght2dm_spark.queries import mixing_queries  # noqa: E402,F401
 from ght2dm_spark.queries import tokenizer_queries  # noqa: E402,F401
 from ght2dm_spark.queries import sketch_queries  # noqa: E402,F401
 from ght2dm_spark.queries import linalg_queries  # noqa: E402,F401
+from ght2dm_spark.queries import layout_queries  # noqa: E402,F401
 
 # Names with a green driver CORRECTNESS row in rounds 1–2.  The driver's
 # correctness harness is time-budgeted (~50 queries/round, walked in registry

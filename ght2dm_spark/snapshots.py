@@ -32,6 +32,17 @@ files is a ~10 MB json read once per query plan by the driver; data
 files never move or rewrite on commit.  (On an object store, ``rename``
 becomes a copy-free pointer write the same way; the fsync discipline is
 the POSIX equivalent of a conditional PUT.)
+
+Manifests additionally carry per-file column MIN/MAX taken from the
+parquet footers at commit time (a footer read, no data IO — the same
+idea as Iceberg's manifest column stats).  :func:`snapshot_files` /
+:func:`read_snapshot` accept a ``prune`` range predicate and drop files
+whose [min, max] cannot intersect it BEFORE Spark ever plans the scan —
+on a 100 TB table laid out by key (or Z-ordered via
+``operators.layout``), a point-range query plans over the handful of
+files that can contain it instead of listing 100 k.  Files without
+stats for a pruned column are conservatively kept, so stats are an
+optimization, never a correctness dependency.
 """
 
 from __future__ import annotations
@@ -66,6 +77,64 @@ def _atomic_write(path: Path, text: str) -> None:
         os.fsync(f.fileno())
     os.replace(tmp, path)
     _fsync_file(path.parent)
+
+
+def _footer_stats(path: Path) -> dict[str, list]:
+    """Per-column [min, max] merged across a parquet file's row groups,
+    read from the footer only.  Columns whose physical min/max aren't
+    JSON-representable (or absent) are skipped — pruning treats a
+    missing column entry as "could be anything" and keeps the file.
+
+    Truncation caveat baked into the merge: parquet writers may store
+    TRUNCATED string min/max; min stays a valid lower bound and max a
+    valid upper bound either way, which is exactly what range pruning
+    needs (never tighter than the data, possibly looser)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
+    seen_all: set[str] = set()  # columns with stats in EVERY row group
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        present: set[str] = set()
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                continue
+            name = c.path_in_schema
+            present.add(name)
+            lo[name] = mn if name not in lo else min(lo[name], mn)
+            hi[name] = mx if name not in hi else max(hi[name], mx)
+        seen_all = present if g == 0 else (seen_all & present)
+    return {k: [lo[k], hi[k]] for k in seen_all}
+
+
+def _file_survives(stats: dict[str, list] | None, prune: dict) -> bool:
+    """Can a file with these footer stats contain a row matching the
+    conjunctive range predicate ``prune`` ({col: (lo, hi)})?  Missing
+    stats (old manifest, un-stat-able column type) ⇒ keep."""
+    if not stats:
+        return True
+    for col, (plo, phi) in prune.items():
+        s = stats.get(col)
+        if s is None:
+            continue
+        mn, mx = s
+        if plo is not None and mx < plo:
+            return False
+        if phi is not None and mn > phi:
+            return False
+    return True
 
 
 def _read_current(table: Path) -> str | None:
@@ -131,10 +200,18 @@ def prepare_commit(
 
     base_name = parent if parent is not None else _read_current(table)
     parent_files: list[str] = []
+    parent_stats: dict[str, dict] = {}
     seq = _max_staged_seq(table) + 1
     if base_name is not None:
         if mode == "append":
-            parent_files = list(_load_manifest(table, base_name)["files"])
+            pm = _load_manifest(table, base_name)
+            parent_files = list(pm["files"])
+            # carry parent stats forward — files are immutable, so their
+            # footers (and thus stats) never change; re-reading them here
+            # would be wasted IO at every append
+            parent_stats = {
+                f: s for f, s in pm.get("stats", {}).items() if f in set(parent_files)
+            }
     elif mode == "append":
         mode = "overwrite"  # first commit: append == overwrite
 
@@ -143,10 +220,14 @@ def prepare_commit(
     df.write.mode("overwrite").parquet(str(staging))
 
     new_files: list[str] = []
+    stats = dict(parent_stats)
     for i, part in enumerate(sorted(staging.glob("*.parquet"))):
         dest = table / _DATA / f"{commit_id}-{i:05d}.parquet"
+        fstats = _footer_stats(part)  # footer-only read, before the move
         os.replace(part, dest)
         new_files.append(dest.name)
+        if fstats:
+            stats[dest.name] = fstats
     shutil.rmtree(staging)
     _fsync_file(table / _DATA)
 
@@ -155,6 +236,7 @@ def prepare_commit(
         "parent": base_name,
         "mode": mode,
         "files": parent_files + new_files,
+        "stats": stats,
     }
     mname = f"m-{seq:06d}-{commit_id}.json"
     _atomic_write(table / _MANIFESTS / mname, json.dumps(manifest, indent=1))
@@ -235,26 +317,47 @@ def _manifest_for(table: Path, version: int | None) -> str | None:
     )
 
 
-def snapshot_files(path: str, version: int | None = None) -> list[str]:
+def snapshot_files(
+    path: str,
+    version: int | None = None,
+    prune: dict | None = None,
+) -> list[str]:
     """Absolute data-file paths of the live snapshot — or, with
     ``version``, of that historical seq (time travel; raises if the
-    manifest was vacuumed).  [] if the table has never committed."""
+    manifest was vacuumed).  [] if the table has never committed.
+
+    ``prune`` is a conjunctive range predicate ``{col: (lo, hi)}``
+    (either bound may be None): files whose manifest min/max prove no
+    row can match are dropped from the list — manifest-level data
+    skipping, decided driver-side from the json before Spark plans any
+    scan.  It is a SUPERSET guarantee: surviving files may still hold
+    no matching rows, so callers apply the real filter too."""
     table = Path(path)
     name = _manifest_for(table, version)
     if name is None:
         return []
     m = _load_manifest(table, name)
-    return [str(table / _DATA / f) for f in m["files"]]
+    files = m["files"]
+    if prune:
+        stats = m.get("stats", {})
+        files = [f for f in files if _file_survives(stats.get(f), prune)]
+    return [str(table / _DATA / f) for f in files]
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, schema=None, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    version: int | None = None,
+    prune: dict | None = None,
 ) -> DataFrame | None:
     """DataFrame over the live snapshot's pinned file list (or a
-    historical ``version``'s), or None if the table has never committed.
-    Reading by explicit file names means concurrent staging/appending
-    never changes what this plan sees."""
-    files = snapshot_files(path, version)
+    historical ``version``'s), or None if the table has never committed
+    (or ``prune`` eliminated every file).  Reading by explicit file
+    names means concurrent staging/appending never changes what this
+    plan sees.  ``prune`` as in :func:`snapshot_files` — it narrows the
+    file list, the caller still applies the row-level filter."""
+    files = snapshot_files(path, version, prune=prune)
     if not files:
         return None
     reader = spark.read.schema(schema) if schema is not None else spark.read
