@@ -296,18 +296,17 @@ def zorder_key(a, b, bits: int = 16):
     non-negative int columns — bit i of ``a`` lands at position 2i+1,
     bit i of ``b`` at 2i.  Locality in the key ⇒ locality in BOTH
     dimensions, which is what makes multi-column min/max pruning work
-    (a linear sort clusters only its leading column).  Pure integer
-    expression — deterministic, engine-portable, codegen-friendly."""
+    (a linear sort clusters only its leading column).  Delegates to the
+    magic-mask spread in ``operators.layout`` (the single Morton
+    implementation — the DuckDB-oracle-checked ``t1_zorder_cluster``
+    runs the same arithmetic)."""
+    if bits > 16:
+        raise ValueError("zorder_key interleaves at most 16 bits per column")
+    from ght2dm_spark.operators.layout import zorder_key_cols
+
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    key = F.lit(0).cast("long")
-    for i in range(bits):
-        key = (
-            key
-            .bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i + 1))
-            .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i))
-        )
-    return key
+    return zorder_key_cols(b, a)
 
 
 def write_zorder_clustered(

@@ -75,6 +75,24 @@ def zorder_key(cols: list[str]) -> Column:
     return F.expr(zorder_sql(cols, "shiftleft({x}, {n})")).alias("z_key")
 
 
+def _spread16_col(col: Column) -> Column:
+    """Column-expression form of :func:`_spread16_sql` — same magic
+    masks, for callers interleaving computed Columns (e.g. min-max
+    scaled keys in ``io.write_zorder_clustered``) rather than column
+    names."""
+    x = col.cast("long").bitwiseAND(F.lit(65535))
+    for n, mask in _SPREAD16:
+        x = x.bitwiseOR(F.shiftleft(x, n)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_key_cols(even: Column, odd: Column) -> Column:
+    """Morton key of two Column expressions: ``even``'s bits at even
+    positions, ``odd``'s at odd.  4 shift/mask rounds per side vs the
+    16-iteration per-bit construction this replaced."""
+    return _spread16_col(even).bitwiseOR(F.shiftleft(_spread16_col(odd), 1))
+
+
 def zorder_layout(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
     """Return ``df`` re-clustered for writing: range-partitioned and
     sorted by the Morton key of ``cols``, key dropped.  Feed straight to

@@ -399,8 +399,8 @@ _OHLC_STREAM_SQL = """
         SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
                  AS window_start,
                value,
-               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+               CAST(epoch_us(ts) AS HUGEINT) * 18446744073709551616
+                 + event_id AS ord_key
         FROM events
     )
     SELECT event_type, window_start,
@@ -421,17 +421,17 @@ def t1_stream_ohlc(spark, sf_dir):
     the interesting case for streaming state: each partial carries one
     candidate (ord_key, value) pair per extreme and merges across
     micro-batches — the final bars exactly equal the batch/DuckDB
-    arg_min/arg_max result (same total ordering key as t1_ohlc).
+    arg_min/arg_max result (same total order as t1_ohlc: struct key in
+    Spark, HUGEINT-packed in the oracle).
 
     Scale: state per (series, day) key is O(1) — four candidate pairs
     and two counters; the watermark lets the store evict closed days.
     This is the standing-query form of the bar builder a market-data /
     metrics pipeline keeps running."""
     stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 day")
-    ord_key = F.concat(
-        F.lpad(epoch_us("ts").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
+    # struct ordering key, HUGEINT-packed in the oracle — same total
+    # order, same rationale as t1_ohlc (string build measured 1.6x slower)
+    ord_key = F.struct(epoch_us("ts").alias("us"), F.col("event_id").alias("eid"))
     bars = (
         stream.select("event_type", "ts", "value", ord_key.alias("ord_key"))
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")

