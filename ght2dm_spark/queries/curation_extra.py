@@ -177,7 +177,7 @@ def t1_repetition_ratio(spark, sf_dir):
                         * log2(CAST(f.n AS DOUBLE) / tot.total), 9)
                       AS DECIMAL(18,9)) AS t
              FROM f JOIN tot ON f.doc_id = tot.doc_id)
-    SELECT doc_id, round(CAST(sum(t) AS DOUBLE), 6) AS entropy
+    SELECT doc_id, CAST(round(sum(t), 6) AS DOUBLE) AS entropy
     FROM term GROUP BY doc_id
     """,
 )
@@ -224,8 +224,13 @@ def t1_char_entropy(spark, sf_dir):
                 # exact decimal sum: each 9-dp term is an integer count
                 # of 1e-9 units, so summing int64 nano-units reproduces
                 # the oracle's DECIMAL accumulation bit-for-bit
-                nano = np.rint(terms * 1e9).astype(np.int64)
-                ents[j] = round(nano.sum() / 1e9, 6)
+                # half-AWAY-from-zero at both rounds (floor(x+.5) on the
+                # nonneg terms; integer +500//1000 on the total) — the
+                # oracle rounds its DECIMAL sum, which is also exact
+                # half-away; numpy's rint/Python's round are half-EVEN
+                # and diverge on exact .5 boundaries (hit at sf0.1)
+                nano = np.floor(terms * 1e9 + 0.5).astype(np.int64)
+                ents[j] = int(nano.sum() + 500) // 1000 / 1e6
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "entropy": ents})
 
     return d.mapInPandas(ent_batches, schema="doc_id long, entropy double")

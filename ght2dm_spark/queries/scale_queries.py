@@ -123,36 +123,66 @@ def t1_regexp_funcs(spark, sf_dir):
 @register(
     "t1_embedding_centroid",
     oracle="""
-    SELECT label, CAST(i AS INTEGER) AS pos,
-           CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE), 6)
-                               AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+    WITH x AS (
+        SELECT label, CAST(i AS INTEGER) AS pos,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS e
+        FROM embeddings, range(1, 65) t(i)
+    ),
+    m AS (SELECT label, pos,
+                 CAST(CASE WHEN e >= 0 THEN floor(e * 1000000 + 0.5)
+                           ELSE -floor(-e * 1000000 + 0.5) END AS BIGINT) AS vm
+          FROM x),
+    g AS (SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(vm) AS BIGINT) AS s
+          FROM m GROUP BY label, pos)
+    SELECT label, pos, n,
+           CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                     ELSE -((-2 * s + n) // (2 * n)) END AS DOUBLE) / 1000000.0
              AS centroid_val
-    FROM embeddings, range(1, 65) t(i)
-    GROUP BY label, i
+    FROM g
     """,
 )
 def t1_embedding_centroid(spark, sf_dir):
     """Per-label centroid of the 64-dim embedding column: posexplode to
-    (label, dim, value), round each float32 (exact when widened to
-    double) to 6 places, sum as DECIMAL so shuffle order can't change
-    the result, divide at the end.  This is the k-means/update step and
-    the class-prototype builder for embedding pipelines.
+    (label, dim, value), quantize each float32 (exact when widened to
+    double) to integer micro-units, sum, divide at the end.  This is the
+    k-means/update step and the class-prototype builder for embedding
+    pipelines.
+
+    Exactness: quantization AND the final mean are sign-aware half-away
+    INTEGER arithmetic, identical in both engines.  The previous form
+    rounded the double quotient — Spark's round() expands the double
+    exactly (BigDecimal) while DuckDB's multiplies by 1e6 first, and a
+    quotient on a .5 boundary (hit at sf0.1) rounds differently.  Sums
+    stay in long: |v|·1e6 ≤ ~1e8 per term leaves 10 orders of headroom.
 
     Scale: posexplode multiplies rows ×64 but each row is 20 bytes; the
     aggregation shuffles |labels|×64 partial rows per task — partial
     aggregation absorbs the blowup map-side."""
     e = load_table(spark, sf_dir, "embeddings")
-    exploded = e.select(
-        "label", F.posexplode("embedding").alias("pos0", "v")
-    ).select(
-        "label",
-        (F.col("pos0") + 1).cast("int").alias("pos"),
-        F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)").alias("v"),
+    vm = F.expr(
+        "CAST(CASE WHEN e >= 0D THEN floor(e * 1000000D + 0.5D)"
+        " ELSE -floor(-e * 1000000D + 0.5D) END AS BIGINT)"
     )
-    return exploded.groupBy("label", "pos").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias(
-            "centroid_val"
-        ),
+    exploded = (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.col("v").cast("double").alias("e"),
+        )
+        .select("label", "pos", vm.alias("vm"))
+    )
+    g = exploded.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vm").alias("s")
+    )
+    mean_micro = F.expr(
+        "CASE WHEN s >= 0 THEN (2 * s + n) DIV (2 * n)"
+        " ELSE -((-2 * s + n) DIV (2 * n)) END"
+    )
+    return g.select(
+        "label",
+        "pos",
+        "n",
+        (mean_micro.cast("double") / 1000000.0).alias("centroid_val"),
     )
