@@ -71,7 +71,7 @@ def t1_cohort_retention(spark, sf_dir):
     "t1_sessionize_gap",
     oracle="""
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events),
     s AS (
@@ -79,7 +79,7 @@ def t1_cohort_retention(spark, sf_dir):
              sum(CASE WHEN prev_ts IS NULL
                         OR date_diff('microsecond', prev_ts, ts) > 1800000000
                       THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM o),
@@ -94,13 +94,19 @@ def t1_sessionize_gap(spark, sf_dir):
     via lag + running-sum-of-boundaries — the batch equivalent of
     session_window(ts, '30 minutes') but assigning explicit session ids.
     Gap test is integer microseconds (unix_micros vs date_diff
-    'microsecond'), exact on both engines.
+    'microsecond'), exact on both engines; every window orders by
+    (ts, event_id) so duplicate timestamps cannot make the running
+    boundary sum engine-dependent.
 
     Scale: ONE shuffle on user_id serves both window functions and the
     two-level aggregation (same partitioning reused by Catalyst); state
     per user is a single running counter."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # ts alone is not a total order once timestamps collide (first seen
+    # at the 10x replicated scale point); the event_id tiebreak makes
+    # the running boundary sum deterministic AND keeps every same-ts
+    # row in one session (the flagged row sorts first in its tie group)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
@@ -441,13 +447,15 @@ def t1_pagerank(spark, sf_dir):
 @register(
     "t1_user_feature_pipeline",
     oracle="""
-    WITH o AS (SELECT user_id, ts, value, event_type,
-                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    WITH o AS (SELECT user_id, ts, event_id, value, event_type,
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
                FROM events),
     m AS (SELECT *, CASE WHEN prev IS NULL
                               OR epoch(ts) - epoch(prev) >= 14400
                          THEN 1 ELSE 0 END AS new_s FROM o),
-    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
                                      ROWS UNBOUNDED PRECEDING) AS sid
           FROM m),
     sess AS (SELECT user_id, sid,
@@ -487,8 +495,12 @@ def t1_user_feature_pipeline(spark, sf_dir):
     the window's own).  Running each feature as its own job would cost
     N scans and N shuffles instead."""
     ev = load_table(spark, sf_dir, "events")
-    wu = Window.partitionBy("user_id").orderBy("ts")
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts alone is not a total order once timestamps collide (first seen
+    # at the 10x replicated scale point); the event_id tiebreak makes
+    # the running boundary sum deterministic AND keeps every same-ts
+    # row in one session (the flagged row sorts first in its tie group)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     s = (

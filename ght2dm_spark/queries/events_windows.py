@@ -96,19 +96,20 @@ def t1_sliding_window(spark, sf_dir):
     "t1_session_window",
     oracle="""
     WITH o AS (
-        SELECT user_id, ts, value,
-               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        SELECT user_id, ts, event_id, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev
         FROM events
     ),
     m AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= 14400
                     THEN 1 ELSE 0 END AS new_s
         FROM o
     ),
     s AS (
         SELECT user_id, ts, value,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM m
     )
@@ -209,19 +210,20 @@ def t1_stream_dedup_watermark(spark, sf_dir):
     "t1_stream_session_append",
     oracle="""
     WITH o AS (
-        SELECT user_id, ts, value,
-               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        SELECT user_id, ts, event_id, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev
         FROM events
     ),
     m AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= 14400
                     THEN 1 ELSE 0 END AS new_s
         FROM o
     ),
     s AS (
         SELECT user_id, ts, value,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM m
     ),

@@ -22,13 +22,17 @@ from ght2dm_spark.queries.registry import register
 @register(
     "t1_winsorize_bounds",
     oracle="""
-    WITH b AS (SELECT event_type,
-                      quantile_cont(value, 0.05) AS lo,
-                      quantile_cont(value, 0.95) AS hi
-               FROM events GROUP BY event_type)
+    WITH r AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM events),
+    b AS (SELECT event_type,
+                 min(CASE WHEN rn = (5 * n + 99) // 100 THEN value END) AS lo,
+                 min(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS hi
+          FROM r GROUP BY event_type)
     SELECT e.event_type,
-           round(b.lo, 6) AS lo,
-           round(b.hi, 6) AS hi,
+           b.lo, b.hi,
            count(*) AS n,
            count(*) FILTER (e.value < b.lo) AS n_below,
            count(*) FILTER (e.value > b.hi) AS n_above
@@ -37,19 +41,34 @@ from ght2dm_spark.queries.registry import register
     """,
 )
 def t1_winsorize_bounds(spark, sf_dir):
-    """Winsorization audit per event_type: exact p05/p95 clip bounds and
-    how many values each tail would clamp — the compute-stats /
-    broadcast-back / apply pattern for outlier control.
+    """Winsorization audit per event_type: discrete p05/p95 clip bounds
+    (the value at rank ceil(p·n) — integer rank arithmetic, so the
+    bound IS a data value) and how many values each tail would clamp —
+    the compute-stats / broadcast-back / apply pattern for outlier
+    control.  Discrete, not interpolated: engine percentile
+    interpolations (Spark ``percentile`` vs DuckDB ``quantile_cont``)
+    agree only to ~1 ulp, and at the 10x scale point that ulp flipped
+    ``value < lo`` for a tie-run of rows sitting exactly on the bound.
 
     Scale: the bounds table is |event_type| rows, so the apply join is a
     BROADCAST against the fact scan — the expensive part is the exact
-    per-group percentile (per-group sort), whose 100 TB path is the
+    per-group rank (per-group sort), whose 100 TB path is the
     approx_percentile sketch (t1_approx_aggs); this exact form is the
     correctness anchor, same split as t1_percentile_exact."""
     ev = load_table(spark, sf_dir, "events")
-    b = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("lo"),
-        F.percentile("value", F.lit(0.95)).alias("hi"),
+    win = Window.partitionBy("event_type").orderBy("value")
+    part = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(win).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    k_lo = F.expr("(5 * n + 99) div 100")
+    k_hi = F.expr("(95 * n + 99) div 100")
+    b = r.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == k_lo, F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("rn") == k_hi, F.col("value"))).alias("hi"),
     )
     return (
         ev.join(F.broadcast(b), "event_type")
@@ -59,14 +78,7 @@ def t1_winsorize_bounds(spark, sf_dir):
             F.count_if(F.col("value") < F.col("lo")).alias("n_below"),
             F.count_if(F.col("value") > F.col("hi")).alias("n_above"),
         )
-        .select(
-            "event_type",
-            F.round("lo", 6).alias("lo"),
-            F.round("hi", 6).alias("hi"),
-            "n",
-            "n_below",
-            "n_above",
-        )
+        .select("event_type", "lo", "hi", "n", "n_below", "n_above")
     )
 
 
@@ -86,12 +98,14 @@ def t1_winsorize_bounds(spark, sf_dir):
                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT event_id, user_id, ts,
-           round((value - s1 / n)
-                   / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+           round(CASE WHEN (s2 - s1 * s1 / n) / (n - 1) > 0
+                      THEN (value - s1 / n)
+                             / sqrt((s2 - s1 * s1 / n) / (n - 1)) END, 6) AS z
     FROM w
     WHERE n = 20
-      AND abs((value - s1 / n)
-                / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 2.5
+      AND abs(CASE WHEN (s2 - s1 * s1 / n) / (n - 1) > 0
+                   THEN (value - s1 / n)
+                          / sqrt((s2 - s1 * s1 / n) / (n - 1)) END) > 2.5
     """,
 )
 def t1_rolling_zscore(spark, sf_dir):
@@ -100,7 +114,8 @@ def t1_rolling_zscore(spark, sf_dir):
     window flags the row.  Moments come from DECIMAL sums of value and
     value² over the frame (exact, order-independent); mean/σ/z then run
     the identical IEEE double expression on both engines, so round(6)
-    only guards the last bit.
+    only guards the last bit.  Constant frames (variance 0, where z is
+    undefined) are CASE-guarded out identically in both engines.
 
     Scale: one shuffle on user_id, per-user sort, single window pass
     computing all three frame aggregates together; state per task is
@@ -126,7 +141,12 @@ def t1_rolling_zscore(spark, sf_dir):
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
         F.col("n") - 1
     )
-    z = (F.col("value") - mean) / F.sqrt(var)
+    # CASE-guard the zero/negative-variance frames (constant windows --
+    # first hit at the 10x replicated scale point): an unguarded double
+    # division by exact 0.0 is an ANSI error in Spark, and z is
+    # undefined there anyway.  The guard lives INSIDE the expression
+    # (not a separate conjunct) so neither engine can reorder it away.
+    z = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var))
     return (
         w.filter((F.col("n") == 20) & (F.abs(z) > 2.5))
         .select("event_id", "user_id", "ts", F.round(z, 6).alias("z"))
@@ -208,19 +228,23 @@ def t1_weighted_median(spark, sf_dir):
     ),
     d AS (
         SELECT e.user_id, e.ts, e.event_id,
-               CAST(round(e.value - m.mu, 9) AS DECIMAL(28,9)) AS dev
+               CAST(CASE WHEN e.value - m.mu >= 0
+                         THEN floor((e.value - m.mu) * 1000000000 + 0.5)
+                         ELSE -floor(-(e.value - m.mu) * 1000000000 + 0.5)
+                    END AS BIGINT) AS dev_n
         FROM events e JOIN m USING (user_id)
     ),
     c AS (
         SELECT user_id,
-               sum(dev) OVER (PARTITION BY user_id
-                              ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                                       AND CURRENT ROW) AS cusum
+               sum(dev_n) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cusum_n
         FROM d
     )
     SELECT user_id, count(*) AS n,
-           round(CAST(max(abs(cusum)) AS DOUBLE), 6) AS max_abs_cusum
+           CAST((max(abs(cusum_n)) + 500) // 1000 AS DOUBLE) / 1000000.0
+             AS max_abs_cusum
     FROM c GROUP BY user_id
     """,
 )
@@ -230,8 +254,11 @@ def t1_cusum_drift(spark, sf_dir):
     the classic change-point signal (a series that switches regime
     mid-stream accumulates a large excursion even when its global mean
     looks normal; rolling z-scores miss slow drifts).  Deviations are
-    quantized to 9 digits and cumulated as DECIMAL so the running sum
-    is exact at every prefix on both engines.
+    quantized to integer nano-units with sign-aware half-away rounding
+    (engine round() on a .5 boundary diverges between engines — caught
+    at the 10x-scale sweep) and cumulated in LONG, so the running sum
+    is exact at every prefix on both engines; the final 6-digit round
+    is integer arithmetic too.
 
     Scale: one shuffle on user_id feeds the mean, the ordered cumsum
     window, and the final max — same key throughout; window state is a
@@ -243,23 +270,21 @@ def t1_cusum_drift(spark, sf_dir):
             / F.count(F.lit(1)).cast("double")
         ).alias("mu")
     )
-    d = ev.join(m, "user_id").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.round(F.col("value") - F.col("mu"), 9)
-        .cast("decimal(28,9)")
-        .alias("dev"),
+    dev_n = F.expr(
+        "CAST(CASE WHEN value - mu >= 0D"
+        " THEN floor((value - mu) * 1000000000D + 0.5D)"
+        " ELSE -floor(-(value - mu) * 1000000000D + 0.5D) END AS BIGINT)"
     )
+    d = ev.join(m, "user_id").select("user_id", "ts", "event_id", dev_n.alias("dev_n"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = d.select("user_id", F.sum("dev").over(w).alias("cusum"))
+    c = d.select("user_id", F.sum("dev_n").over(w).alias("cusum_n"))
     return c.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.max(F.abs(F.col("cusum"))).cast("double"), 6).alias(
-            "max_abs_cusum"
-        ),
+        F.expr(
+            "CAST((max(abs(cusum_n)) + 500) div 1000 AS DOUBLE) / 1000000.0"
+        ).alias("max_abs_cusum"),
     )
