@@ -104,6 +104,13 @@ _LEAD = [
     "t1_pagerank", "t1_bfs_levels", "t1_neardup_components",
     "t1_kmeans_clusters", "t1_event_funnel", "t1_sessionize_gap",
     "t1_salted_join",
+    # changed THIS round (rewritten money math / ordering keys / rounding
+    # discipline after the ~sf1 sweep) — semantics-bearing code moved, so
+    # they re-enter the window even where a r1/r2 row exists:
+    "q1_pricing_summary", "t1_ohlc", "t1_stream_ohlc", "t1_twap",
+    "t1_session_window", "t1_stream_session_append", "t1_cusum_drift",
+    "t1_rolling_zscore", "t1_winsorize_bounds", "t1_char_entropy",
+    "t1_embedding_centroid", "t1_user_feature_pipeline", "t1_zorder_cluster",
     # round-3 first-class category heads (new this round, sim-green):
     "t1_pq_ann", "t1_ivfadc", "t1_ivfadc_rerank", "t1_bpe_merges",
     "t1_bpe_encode", "t1_kmv_sketch", "t1_cms_sketch",
