@@ -1,0 +1,156 @@
+"""Incrementally-maintained aggregates over snapshot tables (the
+continuous-aggregate / materialized-view-maintenance pattern).
+
+A derived table holds ``source.groupBy(keys).agg(...)`` and is refreshed
+by processing ONLY the source files appended since the last refresh:
+``snapshots.read_increment`` yields the delta (valid because snapshot
+data files are immutable and appends extend the parent's file list), the
+delta's partial aggregate merges with the previous derived state, and
+the result commits atomically with the source version it covers pinned
+in the commit meta.  A crash mid-refresh leaves the old derived state
+(and its recorded version) intact — the next refresh simply re-reads the
+same delta.
+
+Only DECOMPOSABLE aggregates participate (count/sum/min/max, and avg as
+sum+count): their merge is another aggregate of the same shape, which is
+what makes the refresh O(delta) instead of O(history).  At 100 TB this
+is the difference between a nightly full groupBy over the corpus and a
+per-batch merge over |keys| rows — the same partial/final split Spark's
+own map-side combine uses, lifted across refreshes.
+
+Reference scope: the reference's incremental mode skips already-loaded
+dump files (``/root/reference/ght2dm.go`` date-window scan) but
+recomputes derived state from the database; this layer keeps derived
+aggregates current without rescanning loaded data at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ght2dm_spark.snapshots import (
+    commit,
+    history,
+    prepare_commit,
+    read_increment,
+    read_snapshot,
+    snapshot_files,
+)
+
+#: aggregate -> (delta partial, state merge) builders; a merge is the
+#: aggregate that combines two partial rows for the same key.
+_DECOMPOSABLE = {
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "sum": (lambda c: F.sum(c), F.sum),
+    "min": (lambda c: F.min(c), F.min),
+    "max": (lambda c: F.max(c), F.max),
+}
+
+
+def _last_refreshed_version(dest: str) -> int | None:
+    h = history(dest)
+    if not h:
+        return None
+    # meta travels on the manifest; read it off the newest commit
+    from pathlib import Path
+    import json
+
+    table = Path(dest)
+    with open(table / "_manifests" / h[-1]["manifest"]) as f:
+        return json.load(f).get("meta", {}).get("source_version")
+
+
+def refresh_aggregate(
+    spark: SparkSession,
+    source: str,
+    dest: str,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    schema=None,
+) -> bool:
+    """Bring ``dest`` = ``source.groupBy(keys)`` up to date with the
+    source snapshot, reading only files added since the last refresh.
+
+    ``aggs`` maps output column -> (fn, source column), fn one of
+    count/sum/min/max (column ignored for count).  Returns False when
+    the source has nothing new (no commit made).  First call seeds from
+    the full snapshot; later calls merge deltas.  Raises (via
+    ``read_increment``) if the source was overwritten/compacted past the
+    recorded version — rebuild by deleting ``dest``.
+    """
+    for out, (fn, _c) in aggs.items():
+        if fn not in _DECOMPOSABLE:
+            raise ValueError(f"{out}: '{fn}' is not a decomposable aggregate")
+    src_hist = history(source)
+    if not src_hist:
+        return False
+    src_version = src_hist[-1]["seq"]
+
+    last = _last_refreshed_version(dest)
+    if last is None:
+        delta = read_snapshot(spark, source, schema=schema)
+    else:
+        if src_version == last:
+            return False
+        delta = read_increment(spark, source, since_version=last, schema=schema)
+    if delta is None:
+        return False
+
+    partial = delta.groupBy(*keys).agg(
+        *[
+            _DECOMPOSABLE[fn][0](col).alias(out)
+            for out, (fn, col) in aggs.items()
+        ]
+    )
+    state = read_snapshot(spark, dest)
+    if state is not None:
+        merged = (
+            state.select(partial.columns)
+            .unionByName(partial)
+            .groupBy(*keys)
+            .agg(
+                *[
+                    _DECOMPOSABLE[fn][1](out).alias(out)
+                    for out, (fn, _c) in aggs.items()
+                ]
+            )
+        )
+    else:
+        merged = partial
+    p = prepare_commit(
+        merged, dest, mode="overwrite", meta={"source_version": src_version}
+    )
+    commit(p)
+    return True
+
+
+def verify_aggregate(
+    spark: SparkSession,
+    source: str,
+    dest: str,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    schema=None,
+) -> bool:
+    """Cross-check: derived state ≡ a full recompute over the source
+    snapshot (the audit a maintenance pipeline runs on a sample cadence;
+    at scale, run it per key-range).  True when they match exactly."""
+    full = read_snapshot(spark, source, schema=schema)
+    if full is None:
+        return len(snapshot_files(dest)) == 0
+    expect = full.groupBy(*keys).agg(
+        *[
+            _DECOMPOSABLE[fn][0](col).alias(out)
+            for out, (fn, col) in aggs.items()
+        ]
+    )
+    got: DataFrame | None = read_snapshot(spark, dest)
+    if got is None:
+        return False
+    cols = expect.columns
+    a, b = expect.select(cols), got.select(cols)
+    return (
+        a.exceptAll(b).isEmpty()
+        and b.exceptAll(a).isEmpty()
+    )
