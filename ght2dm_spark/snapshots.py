@@ -55,6 +55,7 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _CURRENT = "CURRENT"
 _MANIFESTS = "_manifests"
@@ -409,6 +410,7 @@ def compact_snapshot(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
 ) -> PreparedCommit:
     """Rewrite the live snapshot into ~``target_file_bytes`` files as a
     NEW commit — the small-file answer for incrementally-appended
@@ -417,13 +419,30 @@ def compact_snapshot(
     visible only at the pointer flip, and :func:`vacuum` reclaims the
     superseded files once their manifests age out.  Contrast
     ``io.compact_table``, which rewrites a plain directory in place and
-    needs its own temp-dir dance."""
+    needs its own temp-dir dance.
+
+    ``cluster_by`` re-clusters while compacting (the OPTIMIZE shape):
+    one column → range-partition + in-file sort; two columns → Z-order
+    (``operators.layout``).  Appends arrive in ingestion order, so
+    their manifest min/max spans the whole keyspace and prunes nothing;
+    periodic clustered compaction is what keeps the stats selective on
+    an append-heavy table."""
     files = snapshot_files(path)
     if not files:
         raise FileNotFoundError(f"nothing to compact: {path} has no snapshot")
     total = sum(os.path.getsize(f) for f in files)
     n = max(1, -(-total // target_file_bytes))  # ceil
-    df = spark.read.parquet(*files).coalesce(n)
+    df = spark.read.parquet(*files)
+    if cluster_by is None:
+        df = df.coalesce(n)
+    elif len(cluster_by) == 1:
+        df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        from ght2dm_spark.operators.layout import zorder_layout
+
+        df = zorder_layout(df, cluster_by, n)
     p = prepare_commit(df, path, mode="overwrite")
     commit(p)
     return p
@@ -470,6 +489,75 @@ def snapshot_sink(path: str):
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         commit_stream_batch(batch_df, path, batch_id)
+
+    return _sink
+
+
+def apply_changes(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    op_col: str = "op",
+) -> PreparedCommit:
+    """Merge a CDC change batch into the snapshot table: upserts
+    (``op_col`` ≠ 'D') and deletes ('D'), last-writer-wins by
+    ``order_col`` — the MERGE INTO shape a change-data-capture feed
+    needs, as one atomic snapshot commit.
+
+    Semantics: within the batch, the newest change per key wins
+    (``order_col`` desc, 'U'-over-'D' on exact ties); against existing
+    state, a change applies only if STRICTLY newer than the stored
+    row's ``order_col``.  That makes re-applying a batch a no-op
+    (foreachBatch retry safety) without tombstones; batches must arrive
+    in order (the streaming engine's guarantee) — replay from an older
+    checkpoint must replay the full suffix.
+
+    Scale: one hash shuffle on the key serves the in-batch dedup
+    window, the newer-than-state join, and the survivor anti-join —
+    state never resorts, and the commit is the usual pointer flip."""
+    from pyspark.sql import Window
+
+    payload = [c for c in changes.columns if c != op_col]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    state = read_snapshot(spark, path)
+    if state is None:
+        merged = latest.where(F.col(op_col) != "D").select(*payload)
+    else:
+        newer = latest.join(
+            state.select(*key_cols, F.col(order_col).alias("__sv")),
+            key_cols,
+            "left",
+        ).where(F.col("__sv").isNull() | (F.col(order_col) > F.col("__sv")))
+        untouched = state.join(
+            newer.select(*key_cols), key_cols, "left_anti"
+        )
+        merged = untouched.unionByName(
+            newer.where(F.col(op_col) != "D").select(*payload)
+        )
+    p = prepare_commit(merged, path, mode="overwrite")
+    commit(p)
+    return p
+
+
+def cdc_sink(path: str, key_cols: list[str], order_col: str, op_col: str = "op"):
+    """``foreachBatch`` callable merging each micro-batch of changes
+    into the snapshot table at ``path`` via :func:`apply_changes` —
+    retry-safe because re-applying a batch is a no-op (strictly-newer
+    rule), so exactly-once EFFECTS on at-least-once delivery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_changes(
+            batch_df.sparkSession, path, batch_df, key_cols, order_col, op_col
+        )
 
     return _sink
 
