@@ -84,3 +84,113 @@ def t1_triangle_count(spark, sf_dir):
     return nodes.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tri")
     )
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling over the supplier co-occurrence graph,
+    as the DuckDB oracle.  k-core is CONFLUENT - the fixpoint is unique
+    regardless of removal order (Seidman 1983) - so bounded
+    simultaneous-peel rounds are deterministic.  Every CTE is
+    MATERIALIZED: inlined CTEs re-expand the base self-join once per
+    reference, combinatorially across rounds (measured: both engines
+    hang and DuckDB exhausts file descriptors re-opening the parquet).
+    Spark has no CTE materialization, which is why the Spark side is a
+    driver loop instead of this same text."""
+    parts = [
+        """m0 AS MATERIALIZED (
+          SELECT a.s AS x, b.s AS y, count(*) AS shared
+          FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+          GROUP BY a.s, b.s),
+    e0 AS MATERIALIZED (
+          SELECT x, y FROM m0
+          WHERE shared * 2 >= (SELECT max(shared) FROM m0))"""
+    ]
+    for r in range(1, rounds + 1):
+        q = r - 1
+        parts.append(
+            f"""n{r} AS MATERIALIZED (
+          SELECT node FROM
+            (SELECT x AS node FROM e{q} UNION ALL SELECT y FROM e{q}) u
+          GROUP BY node HAVING count(*) >= {k}),
+    e{r} AS MATERIALIZED (
+          SELECT x, y FROM e{q}
+          WHERE x IN (SELECT node FROM n{r})
+            AND y IN (SELECT node FROM n{r}))"""
+        )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH sp AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    {joined}
+    SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM (SELECT x AS node FROM e{rounds} UNION ALL SELECT y FROM e{rounds}) u
+    GROUP BY node
+    """
+
+
+_KCORE_K, _KCORE_ROUNDS = 3, 8
+
+
+@register("t1_kcore", oracle=_kcore_sql(_KCORE_K, _KCORE_ROUNDS))
+def t1_kcore(spark, sf_dir):
+    """3-core of the supplier co-occurrence graph (edge = pair sharing
+    >= 50% of the max shared-part count): repeatedly peel nodes of
+    degree < 3 until the fixpoint - the standard dense-subgraph
+    extractor (spam/bot subcommunity mining in link graphs; Seidman
+    1983).  Returns each surviving node with its in-core degree.
+
+    The driver loop runs the same simultaneous-peel rounds as the
+    oracle's unrolled MATERIALIZED CTEs; confluence makes the result
+    order-independent, so the comparison is exact.  Convergence within
+    the unroll is asserted in tests (fixpoint with rounds to spare),
+    not hoped for.
+
+    Scale: each round is one degree aggregation + one semi-join pair,
+    hash-partitioned on node ids, with the shrinking edge set
+    localCheckpointed per round so lineage stays flat - the driver-loop
+    pattern of ``operators/graph.py``.  (The alternative - unrolling
+    the rounds into ONE plan - re-expands the base join per CTE
+    reference under Spark's unconditional CTE inlining; measured
+    blowup, see the oracle docstring.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    m0 = (
+        sp.alias("a")
+        .join(
+            sp.alias("b"),
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .cache()
+    )
+    mx = m0.agg(F.max("shared").alias("mx"))
+    e = (
+        m0.crossJoin(F.broadcast(mx))
+        .filter(F.col("shared") * 2 >= F.col("mx"))
+        .select("x", "y")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        nodes = (
+            e.select(F.col("x").alias("node"))
+            .unionAll(e.select(F.col("y").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("node")
+        )
+        e = (
+            e.join(nodes.withColumnRenamed("node", "x"), "x", "leftsemi")
+            .join(nodes.withColumnRenamed("node", "y"), "y", "leftsemi")
+            .select("x", "y")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+    )

@@ -247,3 +247,20 @@ def test_streaming_kmv_rollup_equals_batch_sketch(spark, sf_dir, tmp_path):
         .distinct()
     )
     assert streamed == batch
+
+
+def test_kcore_fixpoint_within_unroll(sf_dir):
+    """The k-core unroll bound is an invariant, not a hope: one extra
+    peel round changes nothing at either test SF."""
+    import duckdb
+
+    from ght2dm_spark.queries.graph_extra import _KCORE_ROUNDS, _kcore_sql
+
+    for d in [sf_dir, "/root/testdata/sf0.01"]:
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{d}/lineitem.parquet'"
+        )
+        at_bound = sorted(con.execute(_kcore_sql(3, _KCORE_ROUNDS)).fetchall())
+        one_more = sorted(con.execute(_kcore_sql(3, _KCORE_ROUNDS + 1)).fetchall())
+        assert at_bound == one_more and at_bound
