@@ -1,7 +1,8 @@
-"""Additional graph analytics: triangle counting over a thresholded
-co-occurrence graph — with BFS (t1_bfs_levels), connected components
-(t1_neardup_components), and PageRank (t1_pagerank) this rounds out the
-distributed-graph-algorithm surface.
+"""Additional graph analytics: triangle counting, k-core peeling,
+label-propagation communities, and weighted shortest paths — with BFS
+(t1_bfs_levels), connected components (t1_neardup_components), and
+PageRank (t1_pagerank) this rounds out the distributed-graph-algorithm
+surface.
 """
 
 from __future__ import annotations
@@ -194,3 +195,183 @@ def t1_kcore(spark, sf_dir):
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_sql(rounds: int) -> str:
+    """Unrolled synchronous label propagation over the supplier↔part
+    bipartite graph, as the DuckDB oracle.  Same MATERIALIZED-CTE
+    discipline as the k-core oracle (inlined CTEs re-expand the base
+    scan once per reference, combinatorially across rounds)."""
+    parts = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT 's' || l_suppkey AS a,"
+        " 'p' || l_partkey AS b FROM lineitem)",
+        "e AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a"
+        " FROM e0)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        q = r - 1
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+          SELECT e.a AS node, l.lbl, count(*) AS cnt
+          FROM e JOIN l{q} l ON e.b = l.node GROUP BY e.a, l.lbl),
+    l{r} AS MATERIALIZED (
+          SELECT node, lbl FROM (
+            SELECT node, lbl, row_number() OVER (
+              PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+            FROM c{r}) t WHERE rn = 1)"""
+        )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT node, lbl AS community FROM l{rounds}
+    """
+
+
+@register("t1_label_propagation", oracle=_lpa_sql(_LPA_ROUNDS))
+def t1_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the supplier↔part bipartite graph: every node
+    starts labelled with its own id; each round every node adopts the
+    most frequent label among its neighbours, ties broken by the
+    lexicographically smallest label.  Fixed synchronous rounds are the
+    deterministic (Pregel-style) variant — asynchronous LPA's result
+    depends on visit order, which no two engines would replicate.
+
+    The per-round argmax is ONE aggregation, not a window:
+    min(struct(-cnt, lbl)) picks (max count, then min label) — so a
+    round is exactly two hash shuffles (neighbour-label count, then
+    per-node argmax), both partitioned on node id.  State is one label
+    per node; the edge list never mutates, so it is cached once and
+    every round reuses the same partitioning.  The oracle unrolls the
+    same rounds as MATERIALIZED CTEs with a row_number argmax."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("a"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("b"),
+    ).distinct()
+    e = e0.unionAll(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            e.join(labels, e["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"), F.col("lbl"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.groupBy(F.col("node2").alias("node"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("lbl").alias("l")
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+_SSSP_ROUNDS = 6
+
+
+def _sssp_sql(rounds: int) -> str:
+    """Unrolled Bellman-Ford rounds over the weighted supplier
+    co-occurrence graph, as the DuckDB oracle.  `//` is DuckDB integer
+    division — identical to Spark's `div` on the all-positive weights."""
+    parts = [
+        "sp AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s,"
+        " l_partkey AS p FROM lineitem)",
+        """m0 AS MATERIALIZED (
+          SELECT a.s AS x, b.s AS y, count(*) AS shared
+          FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+          GROUP BY a.s, b.s)""",
+        "mxv AS MATERIALIZED (SELECT max(shared) AS m FROM m0)",
+        """w0 AS MATERIALIZED (
+          SELECT x, y, 1 + ((m - shared) * 9) // m AS w FROM m0, mxv)""",
+        "e AS MATERIALIZED (SELECT x, y, w FROM w0"
+        " UNION ALL SELECT y, x, w FROM w0)",
+        "d0 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS node,"
+        " CAST(0 AS BIGINT) AS dist)",
+    ]
+    for r in range(1, rounds + 1):
+        q = r - 1
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d{q}
+            UNION ALL
+            SELECT e.y AS node, d.dist + e.w AS dist
+            FROM d{q} d JOIN e ON e.x = d.node) u
+          GROUP BY node)"""
+        )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT node, dist FROM d{rounds}
+    """
+
+
+@register("t1_sssp_weighted", oracle=_sssp_sql(_SSSP_ROUNDS))
+def t1_sssp_weighted(spark, sf_dir):
+    """Single-source weighted shortest paths (Bellman-Ford rounds) from
+    supplier 1 over the supplier co-occurrence graph.  Edge weight is an
+    exact-integer inverse similarity — 1 + ((mx − shared)·9) div mx, so
+    strongly-connected pairs (many shared parts) are "close" (w=1) and
+    weakly-connected pairs are "far" (w→10); all-integer arithmetic is
+    what makes the iterative state bit-identical across engines.
+
+    Each round relaxes every edge leaving the current distance frontier:
+    candidates = dist ⋈ edges (one hash join on the node id) unioned
+    with the carried distances, then min per node (one aggregation).
+    Fixed rounds bound the result to min-cost paths of ≤6 hops —
+    deterministic whether or not the fixpoint is reached, exactly like
+    the unrolled oracle.  The shrinking-lineage driver loop
+    localCheckpoints per round (operators/graph.py pattern); at scale
+    each round shuffles O(|frontier| + |V|) rows, never the edge list,
+    which is cached with its join-key partitioning reused every round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    m0 = (
+        sp.alias("a")
+        .join(
+            sp.alias("b"),
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    mxv = m0.agg(F.max("shared").alias("m"))
+    w0 = m0.crossJoin(F.broadcast(mxv)).select(
+        "x", "y", F.expr("1 + ((m - shared) * 9) div m").alias("w")
+    )
+    e = w0.unionAll(
+        w0.select(F.col("y").alias("x"), F.col("x").alias("y"), "w")
+    ).cache()
+    dist = spark.createDataFrame([(1, 0)], "node bigint, dist bigint")
+    for _ in range(_SSSP_ROUNDS):
+        cand = (
+            dist.join(e, dist["node"] == e["x"])
+            .select(F.col("y").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.select("node", "dist")
+            .unionAll(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", "dist")
