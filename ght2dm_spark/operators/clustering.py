@@ -96,4 +96,73 @@ def kmeans_int(
                 lambda s: s["m"],
             ).alias("c")
         )
-    return _assign(v, cents), cents
+    # cache the returned frames: consumers typically read BOTH (codes
+    # from the assignment, LUTs from the centroids) and each lazy
+    # reference would otherwise re-execute the whole training chain —
+    # the centroid table is K rows and the assignment one row per
+    # vector, so the cache is the index itself, not a copy of the data
+    cents = cents.cache()
+    return _assign(v, cents).cache(), cents
+
+
+def _assign_grouped(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-group nearest centroid: one equi-join on the group key
+    against the broadcast (g, cid, c) centroid table — the grouped form
+    of ``_assign``'s K-way broadcast cross join — with the same exact
+    integer distances and (distance, cid) lexicographic tie-break."""
+    d = sqdist_int(F.col("v"), F.col("c"))
+    w = Window.partitionBy("g", "id").orderBy("d", "cid")
+    return (
+        v.join(F.broadcast(cents), "g")
+        .select("g", "id", "v", "cid", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def kmeans_int_grouped(
+    df: DataFrame,
+    grp_col: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+    pre_scaled: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Train an INDEPENDENT k-means per group in ONE shared pass —
+    bit-identical to calling :func:`kmeans_int` once per group (same
+    init: the group's vectors with id < k; same integer updates; same
+    tie-breaks), but the corpus is scanned once per iteration instead
+    of once per group per iteration.
+
+    This is the product-quantization training shape (t1_pq_ann,
+    t1_ivfadc): M subspace codebooks are M independent k-means over
+    slices of the same corpus — trained separately, every iteration
+    re-reads the corpus M times and serializes M stage chains; trained
+    grouped, each iteration is ONE broadcast join on the group key (the
+    centroid table is M×K rows — still tiny) plus ONE (g, cid, dim)
+    aggregation.  Returns (assignment (g, id, v, cid, d), centroids
+    (g, cid, c))."""
+    vec = F.col(vec_col) if pre_scaled else int_vec(F.col(vec_col))
+    v = df.select(
+        F.col(grp_col).alias("g"), F.col(id_col).alias("id"), vec.alias("v")
+    ).cache()
+    cents = v.filter(F.col("id") < k).select(
+        "g", F.col("id").alias("cid"), F.col("v").alias("c")
+    )
+    for _ in range(iters):
+        asg = _assign_grouped(v, cents)
+        dims = asg.select("g", "cid", F.posexplode("v").alias("i", "val"))
+        per_dim = dims.groupBy("g", "cid", "i").agg(
+            F.expr("sum(val) div count(1)").alias("m")
+        )
+        cents = per_dim.groupBy("g", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    # same consumer-sharing cache as kmeans_int (see note there)
+    cents = cents.cache()
+    return _assign_grouped(v, cents).cache(), cents

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
-from ght2dm_spark.operators.clustering import kmeans_int, sqdist_int
+from ght2dm_spark.operators.clustering import (
+    kmeans_int,
+    kmeans_int_grouped,
+    sqdist_int,
+)
 from ght2dm_spark.operators.similarity import EMB_DIM
 from ght2dm_spark.queries.registry import register
 
@@ -196,35 +200,52 @@ def _ivfadc_adc(spark: SparkSession, sf_dir: str) -> tuple:
         .filter(F.col("rn") <= _IA_NPROBE)
         .select("q_id", F.col("cid").alias("list_id"), "v", "c")
     )
-    codes = None
-    luts = None
-    for m in range(_IA_M):
-        lo = m * _IA_SUB + 1
-        sub = res.select("id", F.slice("rv", lo, _IA_SUB).alias("rv"))
-        pasg, pcents = kmeans_int(
-            sub, "id", "rv", k=_IA_KP, iters=_IA_PI, pre_scaled=True
-        )
-        code_m = pasg.select(
-            "id", F.lit(m).alias("m"), F.col("cid").alias("code")
-        )
-        qr_m = qp.select(
-            "q_id",
-            "list_id",
-            F.zip_with(
-                F.slice("v", lo, _IA_SUB),
-                F.slice("c", lo, _IA_SUB),
-                lambda a, b: a - b,
-            ).alias("qr"),
-        )
-        lut_m = qr_m.crossJoin(F.broadcast(pcents)).select(
-            "q_id",
-            "list_id",
-            F.lit(m).alias("m"),
-            F.col("cid").alias("code"),
-            sqdist_int(F.col("qr"), F.col("c")).alias("d"),
-        )
-        codes = code_m if codes is None else codes.unionByName(code_m)
-        luts = lut_m if luts is None else luts.unionByName(lut_m)
+    # All M residual codebooks train in ONE shared pass (group =
+    # subspace id): one residual-corpus scan per iteration instead of
+    # one per subspace per iteration — see kmeans_int_grouped.
+    subs_res = res.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("rv", m * _IA_SUB + 1, _IA_SUB)
+                    for m in range(_IA_M)
+                ]
+            )
+        ).alias("m", "srv"),
+    )
+    pasg, pcents = kmeans_int_grouped(
+        subs_res, "m", "id", "srv", k=_IA_KP, iters=_IA_PI, pre_scaled=True
+    )
+    codes = pasg.select("id", F.col("g").alias("m"), F.col("cid").alias("code"))
+    qr = qp.select(
+        "q_id",
+        "list_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.zip_with(
+                        F.slice("v", m * _IA_SUB + 1, _IA_SUB),
+                        F.slice("c", m * _IA_SUB + 1, _IA_SUB),
+                        lambda a, b: a - b,
+                    )
+                    for m in range(_IA_M)
+                ]
+            )
+        ).alias("m", "qr"),
+    )
+    luts = qr.join(
+        F.broadcast(
+            pcents.select(F.col("g").alias("m"), F.col("cid").alias("kc"), "c")
+        ),
+        "m",
+    ).select(
+        "q_id",
+        "list_id",
+        "m",
+        F.col("kc").alias("code"),
+        sqdist_int(F.col("qr"), F.col("c")).alias("d"),
+    )
     xc = res.select("id", F.col("cid").alias("list_id")).join(codes, "id")
     adc = (
         xc.join(F.broadcast(luts), ["list_id", "m", "code"])

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
-from ght2dm_spark.operators.clustering import int_vec, kmeans_int, sqdist_int
+from ght2dm_spark.operators.clustering import kmeans_int_grouped, sqdist_int
 from ght2dm_spark.operators.similarity import EMB_DIM
 from ght2dm_spark.queries.registry import register
 
@@ -113,37 +113,48 @@ def t1_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast M×K lookup table; top-3 per query, (distance, id)
     tie-break, self excluded.
 
-    Scale: training reads the corpus once per subspace over K-row
-    broadcast centroids (no corpus shuffle — kmeans_int's shape);
-    encoding is a narrow map emitting M code rows per vector (at scale:
-    one M-byte column); search joins the code table to a broadcast
-    NQ×M×K LUT and aggregates (q, id) partial sums map-side.  The
-    corpus-sized frames never shuffle on anything wider than the
-    M-way code join key.  A production variant composes this with the
-    IVF coarse quantizer (t1_ann_ivf_learned) for IVFADC."""
+    Scale: all M codebooks train in ONE shared pass
+    (kmeans_int_grouped, group = subspace id): the corpus explodes once
+    to (m, id, subvector) rows and each iteration is a single broadcast
+    join against the M×K centroid table — one corpus scan per
+    iteration, not one per subspace per iteration, and the M stage
+    chains collapse into one.  Encoding falls out of the final
+    assignment (at scale: one M-byte column); search joins the code
+    table to a broadcast NQ×M×K LUT and aggregates (q, id) partial
+    sums map-side.  The corpus-sized frames never shuffle on anything
+    wider than the M-way code join key.  A production variant composes
+    this with the IVF coarse quantizer (t1_ann_ivf_learned) for
+    IVFADC."""
     e = load_table(spark, sf_dir, "embeddings")
-    codes = None
-    luts = None
-    for m in range(_PQ_M):
-        sub = e.select(
-            "vec_id", F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB).alias("embedding")
-        )
-        asg, cents = kmeans_int(sub, "vec_id", "embedding", k=_PQ_K, iters=_PQ_ITERS)
-        code_m = asg.select(
-            "id", F.lit(m).alias("m"), F.col("cid").alias("code")
-        )
-        q = sub.filter(F.col("vec_id") < _PQ_NQ).select(
-            F.col("vec_id").alias("q_id"),
-            int_vec(F.col("embedding")).alias("qv"),
-        )
-        lut_m = q.crossJoin(F.broadcast(cents)).select(
-            "q_id",
-            F.lit(m).alias("m"),
-            F.col("cid").alias("code"),
-            sqdist_int(F.col("qv"), F.col("c")).alias("d"),
-        )
-        codes = code_m if codes is None else codes.unionByName(code_m)
-        luts = lut_m if luts is None else luts.unionByName(lut_m)
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB)
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("m", "sub"),
+    )
+    asg, cents = kmeans_int_grouped(
+        subs, "m", "vec_id", "sub", k=_PQ_K, iters=_PQ_ITERS
+    )
+    codes = asg.select("id", F.col("g").alias("m"), F.col("cid").alias("code"))
+    q = asg.filter(F.col("id") < _PQ_NQ).select(
+        F.col("g").alias("m"), F.col("id").alias("q_id"), F.col("v").alias("qv")
+    )
+    luts = q.join(
+        F.broadcast(
+            cents.select(F.col("g").alias("m"), F.col("cid").alias("kc"), "c")
+        ),
+        "m",
+    ).select(
+        "q_id",
+        "m",
+        F.col("kc").alias("code"),
+        sqdist_int(F.col("qv"), F.col("c")).alias("d"),
+    )
     adc = (
         codes.join(F.broadcast(luts), ["m", "code"])
         .groupBy("q_id", "id")

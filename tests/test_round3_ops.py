@@ -264,3 +264,86 @@ def test_kcore_fixpoint_within_unroll(sf_dir):
         at_bound = sorted(con.execute(_kcore_sql(3, _KCORE_ROUNDS)).fetchall())
         one_more = sorted(con.execute(_kcore_sql(3, _KCORE_ROUNDS + 1)).fetchall())
         assert at_bound == one_more and at_bound
+
+
+def test_kmeans_grouped_equals_per_group_training(spark, sf_dir):
+    """kmeans_int_grouped must be BIT-IDENTICAL to training each group
+    separately with kmeans_int — same init, same integer updates, same
+    tie-breaks — because the PQ/IVFADC oracles were written against the
+    per-group formulation and only the pass structure changed."""
+    from ght2dm_spark.io import load_table
+    from ght2dm_spark.operators.clustering import kmeans_int, kmeans_int_grouped
+
+    # filter, not limit: every plan referencing `e` recomputes it, and
+    # limit's row choice is not a contract — a filter is deterministic
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    m_slices = [(0, 4), (1, 4)]
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("embedding", lo * 4 + 1, n) for lo, n in m_slices]
+            )
+        ).alias("m", "sub"),
+    )
+    gasg, gcents = kmeans_int_grouped(
+        subs, "m", "vec_id", "sub", k=4, iters=2
+    )
+    got_asg = {
+        (r["g"], r["id"]): (r["cid"], r["d"]) for r in gasg.collect()
+    }
+    got_cents = {(r["g"], r["cid"]): r["c"] for r in gcents.collect()}
+    for g, (lo, n) in enumerate(m_slices):
+        sub = e.select(
+            "vec_id", F.slice("embedding", lo * 4 + 1, n).alias("sub")
+        )
+        asg, cents = kmeans_int(sub, "vec_id", "sub", k=4, iters=2)
+        for r in asg.collect():
+            assert got_asg[(g, r["id"])] == (r["cid"], r["d"])
+        for r in cents.collect():
+            assert got_cents[(g, r["cid"])] == r["c"]
+
+
+def test_label_propagation_converges_to_stable_labels(spark, sf_dir):
+    """On the bipartite supplier↔part graph the synchronous-LPA output
+    must be a pure function of the graph — run twice (fresh plans) and
+    compare, catching any nondeterminism in the argmax tie-break."""
+    a = {(r["node"], r["community"])
+         for r in QUERIES["t1_label_propagation"](spark, sf_dir).collect()}
+    b = {(r["node"], r["community"])
+         for r in QUERIES["t1_label_propagation"](spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_sssp_distances_satisfy_triangle_inequality_on_edges(spark, sf_dir):
+    """Bellman-Ford sanity: source dist 0; for every edge (x, y, w)
+    with both ends settled, dist(y) ≤ dist(x) + w must hold at the
+    fixpoint (6 rounds settle the sf0.001/0.01 graphs — the supplier
+    co-part graph's weighted diameter is small because it is dense)."""
+    rows = QUERIES["t1_sssp_weighted"](spark, sf_dir).collect()
+    dist = {r["node"]: r["dist"] for r in rows}
+    assert dist[1] == 0
+    from ght2dm_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    m0 = (
+        sp.alias("a")
+        .join(
+            sp.alias("b"),
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    mx = m0.agg(F.max("shared")).head()[0]
+    edges = [
+        (r["x"], r["y"], 1 + ((mx - r["shared"]) * 9) // mx)
+        for r in m0.collect()
+    ]
+    for x, y, w in edges:
+        if x in dist and y in dist:
+            assert dist[y] <= dist[x] + w
+            assert dist[x] <= dist[y] + w
