@@ -141,6 +141,129 @@ def t1_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "t1_ssjoin_prefix",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    t AS (SELECT doc_id, {_TOKS} AS toks, lower(text) AS ltext FROM aug),
+    tk AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_distinct({shingle_sql("toks", "ltext", 3)}))
+                 AS tok
+        FROM t),
+    sz AS MATERIALIZED (
+        SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM tk a JOIN tk b USING (tok) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+           CAST(sa.n + sb.n - inter AS BIGINT) AS uni,
+           CAST((inter * 1000000) // (sa.n + sb.n - inter) AS BIGINT)
+             AS jacc_ppm
+    FROM p
+    JOIN sz sa ON p.id_a = sa.doc_id
+    JOIN sz sb ON p.id_b = sb.doc_id
+    WHERE 2 * inter >= sa.n + sb.n - inter
+    """,
+)
+def t1_ssjoin_prefix(spark, sf_dir):
+    """EXACT set-similarity join with prefix filtering (Vernica et al.,
+    SIGMOD'10 "Efficient Parallel Set-Similarity Joins Using
+    MapReduce"; Bayardo et al., WWW'07): all document pairs whose
+    3-gram-shingle-set Jaccard ≥ 0.5 — the same near-dup relation as
+    t1_ngram_jaccard_pairs — found WITHOUT joining on every shingle.
+    Shingles are globally ordered by ascending document frequency (ties
+    by shingle); a doc with s shingles contributes only its first
+    s − ⌈s/2⌉ + 1 under that order as candidate keys.  The prefix
+    guarantee: two sets with Jaccard ≥ t MUST share at least one prefix
+    element, so candidate generation has NO false negatives and the
+    oracle can be the naive all-pairs definition — unlike MinHash/LSH
+    this is an exact algorithm, merely with a pruned candidate space.
+    A length filter (2·min(sa,sb) ≥ max(sa,sb), implied by J ≥ ½)
+    prunes further before verification.
+
+    Scale: the all-pairs inverted-index join explodes on stop-elements
+    (df² pairs per element); prefix elements are by construction the
+    RAREST of each doc, so the candidate join keys live in the low-df
+    tail and hot keys never become join keys — this is the exact-
+    result complement to lsh_candidate_pairs' bucket cap (which drops
+    hot buckets and reports them).  Verification touches only
+    candidate pairs (O(|cand| · avg set size), partitioned by pair).
+    Everything downstream of shingling is exact BIGINT (similarity in
+    integer ppm via truncating division — identical in both engines on
+    positive values).  The df table shuffles on the element
+    (vocabulary-sized, NOT broadcast — at 100 TB a shingle vocabulary
+    doesn't fit one executor)."""
+    aug = _aug_docs(spark, sf_dir)
+    toks = (
+        shingle_df(aug, "doc_id", "text", 3)
+        .withColumnRenamed("shingle", "tok")
+        .cache()
+    )
+    df_cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        toks.join(df_cnt, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("tok")))
+            ).alias("ord"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    # prefix length for t = 1/2: s - ceil(s/2) + 1
+    plen = F.col("sz") - F.expr("(sz + 1) div 2") + 1
+    pre = ordered.select(
+        "doc_id",
+        "sz",
+        F.explode(
+            F.transform(F.slice("ord", F.lit(1), plen), lambda s: s["tok"])
+        ).alias("tok"),
+    )
+    a = pre.select(
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("sa"), "tok"
+    )
+    b = pre.select(
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("sb"), "tok"
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (2 * F.least("sa", "sb") >= F.greatest("sa", "sb"))
+        )
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"), "tok")
+    tb = toks.select(
+        F.col("doc_id").alias("id_b2"), F.col("tok").alias("tok_b")
+    )
+    inter = (
+        cand.join(ta, "id_a")
+        .join(
+            tb,
+            (F.col("id_b") == F.col("id_b2"))
+            & (F.col("tok") == F.col("tok_b")),
+        )
+        .groupBy("id_a", "id_b", "sa", "sb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    uni = F.col("sa") + F.col("sb") - F.col("inter")
+    return (
+        inter.filter(2 * F.col("inter") >= uni)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            uni.cast("bigint").alias("uni"),
+            F.expr("inter * 1000000 div (sa + sb - inter)")
+            .cast("bigint")
+            .alias("jacc_ppm"),
+        )
+    )
+
+
 def _minhash_sql_cte(source: str = "documents") -> str:
     """CTEs computing h0..h{k-1} per doc over ``source`` (mirrors
     operators.neardup.minhash_signature: one md5 per shingle, k slots via

@@ -347,3 +347,17 @@ def test_sssp_distances_satisfy_triangle_inequality_on_edges(spark, sf_dir):
         if x in dist and y in dist:
             assert dist[y] <= dist[x] + w
             assert dist[x] <= dist[y] + w
+
+
+def test_ssjoin_prefix_matches_inverted_index_join(spark, sf_dir):
+    """Two independent exact algorithms over the same similarity
+    relation must agree: the prefix-filtered set-similarity join and
+    the all-pairs inverted-index join (t1_ngram_jaccard_pairs) find
+    the SAME (id_a, id_b) pairs at the same threshold — the mutual
+    cross-check that would catch a prefix-length off-by-one (too short
+    = false negatives) on either side."""
+    pf = {(r["id_a"], r["id_b"])
+          for r in QUERIES["t1_ssjoin_prefix"](spark, sf_dir).collect()}
+    ii = {(r["id_a"], r["id_b"])
+          for r in QUERIES["t1_ngram_jaccard_pairs"](spark, sf_dir).collect()}
+    assert pf == ii and len(pf) > 0
