@@ -193,3 +193,59 @@ def t1_time_gapfill_series(spark, sf_dir):
             F.round(F.last("v", ignorenulls=True).over(w), 2).alias("v_ff"),
         )
     )
+
+
+@register(
+    "t1_ewma",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS v
+        FROM events GROUP BY 1, 2),
+    arr AS (SELECT event_type, list(v ORDER BY d) AS vs FROM daily GROUP BY 1)
+    SELECT event_type,
+           CAST(len(vs) AS BIGINT) AS n_days,
+           vs[len(vs)] AS last_micro,
+           CAST(list_reduce(vs, (acc, x) -> (3 * x + 7 * acc) // 10)
+                AS BIGINT) AS ewma_micro
+    FROM arr
+    """,
+)
+def t1_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average (α = 0.3) of the daily
+    value total per event type — the smoothing step feeding alerting /
+    forecasting baselines.  EWMA is a sequential recurrence
+    (sₜ = α·xₜ + (1−α)·sₜ₋₁), which no distributive aggregate
+    expresses; here it runs as an IN-ROW left fold over the per-series
+    ordered day array (``F.aggregate`` ≡ DuckDB ``list_reduce``, both
+    seeded with the first element), so the engine-portability problem
+    reduces to one deterministic fold.  All state is exact BIGINT
+    micro-units with truncating division (α as the rational 3/10) —
+    the pagerank/kmeans fixed-point discipline, because a float
+    recurrence drifts by an ulp per step between engines.
+
+    Scale: one (event_type, day) aggregation — partial map-side sums,
+    the only corpus-sized shuffle — then one O(days) array per series.
+    A series' history must fit a row (fine for daily grains: 10 years
+    ≈ 3.7k elements); an unbounded-grain EWMA would instead use the
+    segmented scan over range-partitioned prefix products."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", trunc_ntz("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("v")
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
+        ).alias("vs")
+    )
+    return arr.select(
+        "event_type",
+        F.size("vs").cast("bigint").alias("n_days"),
+        F.element_at("vs", -1).alias("last_micro"),
+        F.expr(
+            "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1),"
+            " (acc, x) -> (3 * x + 7 * acc) div 10)"
+        ).alias("ewma_micro"),
+    )
