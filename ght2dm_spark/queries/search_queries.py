@@ -229,3 +229,149 @@ def t1_graph_jaccard(spark, sf_dir):
     return top_k(
         j, [F.col("jac_fp").desc(), F.col("x").asc(), F.col("y").asc()], _JAC_K
     )
+
+
+# --------------------------------------------------------------------------
+# t1_hybrid_rrf — lexical + dense retrieval fused by reciprocal rank
+
+_RRF_NQ = 5  # doc_id/vec_id < 5 are the query documents
+_RRF_LEG_K = 10  # depth of each retrieval leg
+_RRF_K = 5  # fused results per query
+_RRF_C = 60  # the standard RRF damping constant (Cormack et al. 2009)
+
+
+def _rrf_sql() -> str:
+    from ght2dm_spark.operators.neardup import TOKS_SQL, shingle_sql
+    from ght2dm_spark.operators.similarity import cosine_sql
+
+    toks = TOKS_SQL.format(text="text")
+    sh = shingle_sql("toks", "ltext", 3)
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks, lower(text) AS ltext
+               FROM documents),
+    ct AS MATERIALIZED (
+        SELECT doc_id, unnest(list_distinct({sh})) AS tok FROM t),
+    qt AS MATERIALIZED (
+        SELECT doc_id, tok FROM ct WHERE doc_id < {_RRF_NQ}),
+    csz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM ct GROUP BY 1),
+    i AS (SELECT qt.doc_id AS q_id, ct.doc_id AS c_id, count(*) AS inter
+          FROM ct JOIN qt USING (tok) WHERE ct.doc_id <> qt.doc_id
+          GROUP BY 1, 2),
+    lex AS (SELECT q_id, c_id, rnk FROM (
+              SELECT q_id, c_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY
+                       (inter * 1000000) // (qs.n + cs.n - inter) DESC,
+                       c_id ASC) AS rnk
+              FROM i
+              JOIN csz qs ON qs.doc_id = q_id
+              JOIN csz cs ON cs.doc_id = c_id) x
+            WHERE rnk <= {_RRF_LEG_K}),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+          WHERE vec_id < {_RRF_NQ}),
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+    den AS (SELECT q_id, c_id, rnk FROM (
+              SELECT q_id, c_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY
+                       {cosine_sql("q_vec", "c_vec")} DESC, c_id ASC) AS rnk
+              FROM c CROSS JOIN q WHERE q_id <> c_id) x
+            WHERE rnk <= {_RRF_LEG_K}),
+    fused AS (SELECT coalesce(l.q_id, d.q_id) AS q_id,
+                     coalesce(l.c_id, d.c_id) AS c_id,
+                     coalesce(1000000000 // ({_RRF_C} + l.rnk), 0)
+                   + coalesce(1000000000 // ({_RRF_C} + d.rnk), 0) AS rrf
+              FROM lex l FULL OUTER JOIN den d
+                ON l.q_id = d.q_id AND l.c_id = d.c_id)
+    SELECT q_id, c_id, CAST(rrf AS BIGINT) AS rrf,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT q_id, c_id, rrf,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY rrf DESC, c_id ASC) AS rank
+          FROM fused) f
+    WHERE rank <= {_RRF_K}
+    """
+
+
+@register("t1_hybrid_rrf", oracle=_rrf_sql())
+def t1_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009): for each query document, a LEXICAL leg (exact 3-gram
+    shingle Jaccard top-10 via the inverted-index join) and a DENSE leg
+    (exact cosine top-10 over the aligned embedding) are fused by
+    RRF(d) = Σ_legs 1/(60 + rank_leg(d)) — the standard trick that
+    needs no score calibration between incomparable ranking functions.
+    Contributions are exact integers (1e9 div (60+rank)); a document
+    missing from a leg contributes 0 via the full-outer join, so each
+    leg's evidence is optional, never required.
+
+    Scale: the lexical leg broadcasts only the QUERY shingle index
+    (contamination_check's shape) while the corpus token stream streams
+    past it; the dense leg broadcasts query vectors over one corpus
+    scan (bruteforce baseline's shape — swap in the LSH/IVF leg at
+    billion-vector scale, RRF is agnostic to where ranks come from).
+    Fusion is a full-outer join on (q_id, c_id) bounded by
+    |queries|·leg_k rows — driver-scale, shuffled on q_id."""
+    from pyspark.sql import Window
+
+    from ght2dm_spark.operators.neardup import shingle_df
+    from ght2dm_spark.operators.similarity import topk_neighbors
+
+    d = load_table(spark, sf_dir, "documents")
+    csh = shingle_df(d, "doc_id", "text", 3)
+    qsh = csh.filter(F.col("doc_id") < _RRF_NQ).select(
+        F.col("doc_id").alias("q_id"), "shingle"
+    )
+    csz = csh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        csh.join(F.broadcast(qsh), "shingle")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("doc_id").alias("c_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    qs = csz.select(F.col("doc_id").alias("q_id"), F.col("n").alias("qn"))
+    cs = csz.select(F.col("doc_id").alias("c_id"), F.col("n").alias("cn"))
+    wl = Window.partitionBy("q_id").orderBy(
+        F.col("ppm").desc(), F.col("c_id").asc()
+    )
+    lex = (
+        inter.join(F.broadcast(qs), "q_id")
+        .join(cs, "c_id")
+        .withColumn("ppm", F.expr("inter * 1000000 div (qn + cn - inter)"))
+        .withColumn("rnk", F.row_number().over(wl))
+        .filter(F.col("rnk") <= _RRF_LEG_K)
+        .select("q_id", "c_id", "rnk")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _RRF_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    den = topk_neighbors(q, c, k=_RRF_LEG_K).select(
+        "q_id", "c_id", F.col("rank").alias("rnk")
+    )
+    contrib = lambda col: F.coalesce(  # noqa: E731
+        F.expr(f"1000000000 div ({_RRF_C} + {col})"), F.lit(0)
+    ).cast("bigint")
+    fused = (
+        lex.withColumnRenamed("rnk", "lr")
+        .join(
+            den.withColumnRenamed("rnk", "dr"),
+            ["q_id", "c_id"],
+            "full_outer",
+        )
+        .select(
+            "q_id",
+            "c_id",
+            (contrib("lr") + contrib("dr")).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(
+        F.col("rrf").desc(), F.col("c_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _RRF_K)
+        .select("q_id", "c_id", F.col("rrf").cast("bigint").alias("rrf"),
+                F.col("rank").cast("int").alias("rank"))
+    )
