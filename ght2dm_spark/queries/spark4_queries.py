@@ -56,3 +56,45 @@ def t1_deterministic_shuffle(spark, sf_dir):
         F.col("shuffle_pos").cast("long").alias("shuffle_pos"),
         ((F.col("shuffle_pos") - 1) % 8).cast("long").alias("shard"),
     )
+
+
+@register(
+    "t1_sql_pipe",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2))
+                       - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def t1_sql_pipe(spark, sf_dir):
+    """SQL pipe syntax (Spark 4 `|>` operators): the query reads as a
+    top-to-bottom pipeline — FROM |> WHERE |> AGGREGATE ... GROUP BY —
+    and compiles to the SAME Catalyst logical plan as the nested-SELECT
+    form, so filters still push into the parquet scan and the aggregate
+    is still one partial+final pair.  The money math keeps the house
+    DECIMAL discipline (exact accumulation, one final cast to double).
+
+    Scale: identical plan to t1_sql_api's classic form — pipe syntax is
+    front-end sugar, not a different execution path."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_pipe_v"
+    )
+    return spark.sql(
+        """
+        FROM lineitem_pipe_v
+        |> WHERE l_quantity < 25
+        |> AGGREGATE
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(3,2))
+                         - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue,
+             count(*) AS n
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
