@@ -103,11 +103,16 @@ def t1_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     xc = x.crossJoin(F.broadcast(marr)).select(
         "vec_id", F.zip_with("v", "ma", lambda a, b: a - b).alias("v")
     )
+    # cache: cov is dim² rows but its plan contains the ONLY corpus
+    # pass; every round's lazy broadcast subplans (w, mx, vi, varr)
+    # would otherwise re-execute that pass, and the round tree nests so
+    # the replays compound per round
     cov = (
         xc.select("v", F.posexplode("v").alias("i", "xi"))
         .select("i", "xi", F.posexplode("v").alias("j", "xj"))
         .groupBy("i", "j")
         .agg(F.expr("sum(xi * xj) div count(1)").alias("c"))
+        .cache()
     )
     varr = spark.range(1).select(
         F.expr(
@@ -115,6 +120,13 @@ def t1_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"i -> CASE WHEN i = 1 THEN {_PI_SC}L ELSE 0L END)"
         ).alias("va")
     )
+    # per-round localCheckpoint (the kcore/LPA driver-loop pattern):
+    # each round's plan references w twice (mx and vi) and the next
+    # round nests the whole tree, so lazy composition doubles the
+    # broadcast-subplan count per round — eager dim-row checkpoints
+    # keep every round one flat tiny job (measured 2.7 s → 1.7 s at
+    # sf0.1; the residue is the irreducible per-round scheduling floor
+    # of a fixed-round iterative plan, cf. t1_ivfadc)
     w = None
     for _ in range(_PI_ROUNDS):
         w = (
@@ -122,6 +134,7 @@ def t1_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("i", (F.col("c") * F.expr("element_at(va, j + 1)")).alias("p"))
             .groupBy("i")
             .agg(F.expr(f"sum(p) div {_PI_SC}").alias("wi"))
+            .localCheckpoint(eager=True)
         )
         mx = w.agg(F.max(F.abs("wi")).alias("mx"))
         vi = w.crossJoin(F.broadcast(mx)).select(

@@ -361,3 +361,45 @@ def test_ssjoin_prefix_matches_inverted_index_join(spark, sf_dir):
     ii = {(r["id_a"], r["id_b"])
           for r in QUERIES["t1_ngram_jaccard_pairs"](spark, sf_dir).collect()}
     assert pf == ii and len(pf) > 0
+
+
+def test_hybrid_rrf_scores_decompose_into_leg_contributions(spark, sf_dir):
+    """Every fused score must be expressible as c1 + c2 with each ci in
+    {0} ∪ {1e9 div (60+r) : 1 ≤ r ≤ 10} and at least one leg present —
+    the decomposition a wrong join type (inner instead of full-outer)
+    or a wrong damping constant would break."""
+    legal = {10**9 // (60 + r) for r in range(1, 11)}
+    rows = QUERIES["t1_hybrid_rrf"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert any(
+            (r.rrf - c1) in legal or (r.rrf - c1) == 0
+            for c1 in legal | {0}
+            if r.rrf - c1 >= 0
+        ), r
+        assert r.rrf > 0  # at least one leg contributed
+
+
+def test_ewma_lies_within_the_daily_range(spark, sf_dir):
+    """EWMA is a convex combination of observations, so each series'
+    smoothed value must lie within [min, max] of its daily totals
+    (up to the -1 truncation slack per fold step)."""
+    from ght2dm_spark.functions import trunc_ntz
+    from ght2dm_spark.io import load_table
+
+    out = {r.event_type: r for r in QUERIES["t1_ewma"](spark, sf_dir).collect()}
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", trunc_ntz("day", F.col("ts")).alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("v")
+        )
+        .groupBy("event_type")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+             F.count(F.lit(1)).alias("nd"))
+        .collect()
+    )
+    for r in daily:
+        o = out[r.event_type]
+        assert o.n_days == r.nd
+        assert r.lo - o.n_days <= o.ewma_micro <= r.hi, (r, o)
