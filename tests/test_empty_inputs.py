@@ -70,3 +70,32 @@ def test_asof_join_empty_right(spark, sf_dir):
     )
     assert out.count() == ev.count()
     assert out.filter(F.col("o_orderkey").isNotNull()).count() == 0
+
+
+def test_grouped_kmeans_empty(spark, sf_dir):
+    from ght2dm_spark.operators.clustering import kmeans_int_grouped
+
+    e = _empty(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.lit(0).alias("m"), F.col("embedding").alias("sub")
+    )
+    asg, cents = kmeans_int_grouped(e, "m", "vec_id", "sub", k=4, iters=1)
+    assert asg.count() == 0 and cents.count() == 0
+
+
+def test_ewma_fold_empty_series_frame(spark, sf_dir):
+    """Zero events → zero series rows out (the fold never sees an empty
+    array because series only exist where a day aggregated, but the
+    query as a whole must pass empty frames through cleanly)."""
+    from ght2dm_spark.queries import QUERIES  # noqa: F401  (registry import)
+    from ght2dm_spark.functions import trunc_ntz
+
+    ev = _empty(load_table(spark, sf_dir, "events"))
+    daily = ev.groupBy(
+        "event_type", trunc_ntz("day", F.col("ts")).alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).alias("v"))
+    arr = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
+        ).alias("vs")
+    )
+    assert arr.count() == 0
