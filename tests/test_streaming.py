@@ -289,3 +289,88 @@ def test_dedup_watermark_state_bounded_by_horizon(spark, sf_dir, tmp_path):
     assert any("rocksdb" in k.lower() for k in dict(final.customMetrics))
     # unique keys → every event emitted exactly once despite eviction
     assert spark.table(name).count() == total
+
+
+def test_streaming_incremental_lsh_neardup_index(spark, sf_dir, tmp_path):
+    """Incremental NEAR-dup index maintenance — the 'dedup tonight's
+    crawl against the corpus so far' pattern: documents arrive over
+    micro-batches; each batch MinHashes its docs, probes the
+    accumulated band-bucket store for cross-batch candidates, finds its
+    within-batch candidates, then appends its own bands to the store.
+    No batch ever re-signatures old documents, yet the accumulated
+    candidate-pair set must EQUAL the batch-mode LSH candidate pairs
+    over the full corpus: a pair (a, b) shares a band bucket whether
+    the two docs arrive together or apart, so incremental delivery
+    loses nothing (LSH banding is arrival-order-independent)."""
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.operators.neardup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from ght2dm_spark.queries.dedup_queries import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_K,
+        _aug_docs,
+    )
+
+    aug = _aug_docs(spark, sf_dir)
+    src = str(tmp_path / "docs_src")
+    aug.repartition(3).write.parquet(src)
+    band_store = tmp_path / "band_store"
+    pair_store = tmp_path / "pair_store"
+
+    def index_batch(batch_df, batch_id):
+        sig = minhash_signature(batch_df, "doc_id", "text", k=MINHASH_K)
+        bands = lsh_bands(sig, "doc_id", LSH_BANDS, LSH_ROWS)
+        within = lsh_candidate_pairs(bands, "doc_id")
+        if band_store.exists():
+            prev = spark.read.parquet(str(band_store))
+            cross = (
+                bands.join(prev, ["band", "band_key"])
+                .select(
+                    F.least("doc_id", "prev_id").alias("id_a"),
+                    F.greatest("doc_id", "prev_id").alias("id_b"),
+                )
+                .distinct()
+            )
+            pairs = within.unionByName(cross).distinct()
+        else:
+            pairs = within
+        pairs.write.mode("append").parquet(str(pair_store))
+        bands.withColumnRenamed("doc_id", "prev_id").write.mode(
+            "append"
+        ).parquet(str(band_store))
+
+    stream = (
+        spark.readStream.schema(aug.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1  # genuinely incremental
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(str(pair_store)).distinct().collect()
+    }
+    ref_bands = lsh_bands(
+        minhash_signature(aug, "doc_id", "text", k=MINHASH_K),
+        "doc_id",
+        LSH_BANDS,
+        LSH_ROWS,
+    )
+    want = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(ref_bands, "doc_id").collect()
+    }
+    assert len(want) > 0
+    assert got == want
