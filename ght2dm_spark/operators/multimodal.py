@@ -448,3 +448,172 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", every: int = 2, ke
             yield pd.DataFrame(rows, columns=[*keep, "frame_idx", "frame"])
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def png_pattern_bytes(width: int, height: int, seed: int) -> bytes:
+    """A real 8-bit grayscale PNG whose pixel (r, c) = (31r + 17c +
+    7·seed) mod 256, with rows FILTER-ENCODED cycling through types
+    0 (None), 1 (Sub), 2 (Up) — so recovering the pixels requires a
+    decoder that actually reverses the per-row filters (PNG spec §9),
+    not just an inflate.  The pixel formula is what lets an engine with
+    no PNG codec (the DuckDB oracle) predict the decoded content."""
+    import numpy as np
+
+    r = np.arange(height, dtype=np.int64).reshape(-1, 1)
+    c = np.arange(width, dtype=np.int64).reshape(1, -1)
+    img = ((31 * r + 17 * c + 7 * seed) % 256).astype(np.uint8)
+    rows = []
+    prev = np.zeros(width, dtype=np.int16)
+    for y in range(height):
+        cur = img[y].astype(np.int16)
+        ft = y % 3
+        if ft == 0:
+            enc = cur
+        elif ft == 1:  # Sub: minus reconstructed left neighbor
+            left = np.concatenate(([0], cur[:-1]))
+            enc = (cur - left) % 256
+        else:  # Up: minus reconstructed row above
+            enc = (cur - prev) % 256
+        rows.append(bytes([ft]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    raw = b"".join(rows)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(b: bytes):
+    """FULL pixel decode for 8-bit grayscale non-interlaced PNG, stdlib
+    + numpy only: chunk walk (IDATs concatenated per spec), zlib
+    inflate, then per-row reversal of all five filter types (None/Sub/
+    Up/Average/Paeth, bpp=1).  Returns an (h, w) uint8 array, or None
+    for anything that is not an 8-bit grayscale PNG (reject data, not a
+    task failure — E1 discipline)."""
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        return None
+    i, idat, w, h = 8, b"", None, None
+    while i + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[i : i + 4])
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            if len(data) < 13:
+                return None
+            w, h, bd, ct, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+            if bd != 8 or ct != 0 or inter != 0:
+                return None
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if not w or not h or not idat:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = w + 1
+    if len(raw) < stride * h:
+        return None
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        ft = row[0]
+        cur = np.frombuffer(row[1:], dtype=np.uint8).astype(np.int32)
+        if ft == 0:
+            rec = cur
+        elif ft == 1:  # Sub — cumulative sum reverses the left-delta
+            rec = np.cumsum(cur) % 256
+        elif ft == 2:  # Up
+            rec = (cur + prev) % 256
+        elif ft == 3:  # Average — left term forces the sequential loop
+            rec = np.zeros(w, dtype=np.int32)
+            for x in range(w):
+                left = rec[x - 1] if x else 0
+                rec[x] = (cur[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth predictor (spec §9.4)
+            rec = np.zeros(w, dtype=np.int32)
+            for x in range(w):
+                a = rec[x - 1] if x else 0
+                bb = prev[x]
+                cc = prev[x - 1] if x else 0
+                p = a + bb - cc
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def ahash64(img) -> str | None:
+    """64-bit average hash over an (h, w) uint8 image, all-integer:
+    each pixel maps to pooling cell (r·8 div h, c·8 div w); cell value =
+    pixel-sum div count; bit = cell ≥ (sum of cells div 64).  Emitted as
+    a 64-char '0'/'1' string in (cell_row, cell_col) order — the
+    SimHash house form, exactly reproducible by integer SQL.  None for
+    images smaller than the 8×8 grid."""
+    import numpy as np
+
+    h, w = img.shape
+    if h < 8 or w < 8:
+        return None
+    ci = (np.arange(h, dtype=np.int64) * 8) // h
+    cj = (np.arange(w, dtype=np.int64) * 8) // w
+    cell = ci.reshape(-1, 1) * 8 + cj.reshape(1, -1)
+    sums = np.bincount(cell.ravel(), weights=None, minlength=64).astype(np.int64)
+    psums = np.bincount(
+        cell.ravel(), weights=img.astype(np.int64).ravel(), minlength=64
+    ).astype(np.int64)
+    means = psums // sums
+    g = means.sum() // 64
+    return "".join("1" if m >= g else "0" for m in means)
+
+
+def image_ahash(
+    df: DataFrame, payload_col: str = "payload", keep: list[str] | None = None
+) -> DataFrame:
+    """binary PNG payload → (keep cols, ahash string) through the
+    Arrow-batched pandas map — the perceptual-fingerprint step of an
+    image near-dup pipeline (content-addressing that survives
+    re-encoding, unlike the md5 digest).  Non-decodable payloads and
+    sub-8×8 images yield NULL ahash (reject data)."""
+    keep = keep or [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keep
+    )
+    out_schema = f"{out_schema}, ahash string" if out_schema else "ahash string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def one(b: bytes):
+                img = decode_png_gray(b)
+                return ahash64(img) if img is not None else None
+
+            meta = pd.DataFrame({"ahash": pdf[payload_col].map(one)})
+            yield pd.concat([pdf[keep].reset_index(drop=True), meta], axis=1)
+
+    return df.mapInPandas(batches, schema=out_schema)

@@ -263,3 +263,74 @@ def t1_multimodal_video(spark, sf_dir):
         keep=["doc_id"],
     )
     return out.select("doc_id", "format", "timescale", "duration_ms", "brand")
+
+
+_AHASH_SQL = """
+    WITH d AS (SELECT doc_id,
+                      CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+                      CAST(doc_id % 48 + 1 AS BIGINT) AS h
+               FROM documents
+               WHERE doc_id % 64 >= 7 AND doc_id % 48 >= 7),
+    rws AS (SELECT doc_id, w, h, unnest(range(0, h)) AS r FROM d),
+    px AS MATERIALIZED (
+        SELECT doc_id, w, h, r, unnest(range(0, w)) AS c FROM rws),
+    cells AS MATERIALIZED (
+        SELECT doc_id, (r * 8) // h AS ci, (c * 8) // w AS cj,
+               sum((31 * r + 17 * c + 7 * doc_id) % 256) AS s,
+               count(*) AS n
+        FROM px GROUP BY 1, 2, 3),
+    means AS (SELECT doc_id, ci, cj, s // n AS m FROM cells),
+    g AS (SELECT doc_id, sum(m) // 64 AS gm FROM means GROUP BY 1),
+    bits AS (SELECT doc_id,
+                    string_agg(CASE WHEN m >= gm THEN '1' ELSE '0' END, ''
+                               ORDER BY ci, cj) AS ahash
+             FROM means JOIN g USING (doc_id) GROUP BY doc_id),
+    cl AS (SELECT ahash, count(*) AS n_same FROM bits GROUP BY 1)
+    SELECT b.doc_id, b.ahash, CAST(cl.n_same AS BIGINT) AS n_same
+    FROM bits b JOIN cl USING (ahash)
+"""
+
+
+@register("t1_image_ahash", oracle=_AHASH_SQL)
+def t1_image_ahash(spark, sf_dir):
+    """PIXEL-level image fingerprinting: each doc carries a real
+    zlib-compressed grayscale PNG whose rows cycle through filter types
+    None/Sub/Up (operators.multimodal.png_pattern_bytes); the engine
+    inflates the IDAT, reverses the per-row filters (all five types
+    supported), integer-pools the pixels to an 8×8 grid and emits the
+    64-bit average hash — the perceptual near-dup fingerprint that
+    survives re-encoding, joined back to its hash-cluster size.
+
+    The oracle cannot decode PNGs; it PREDICTS the pixels from the
+    generator's (31r + 17c + 7·doc_id) mod 256 formula and replays the
+    identical integer pooling in SQL — so any decode defect (wrong
+    filter reversal, offset, stride, pooling boundary) mismatches
+    bit-for-bit.  Images below the 8×8 grid are filtered on both sides.
+
+    Scale: synthesis, decode, and hashing are ONE narrow Arrow-batched
+    map over doc splits — media bytes never shuffle, only the 64-char
+    fingerprint does (the multimodal posture: move hashes, not media);
+    the cluster-size join shuffles fingerprints, uniform by
+    construction."""
+    from ght2dm_spark.operators.multimodal import image_ahash, png_pattern_bytes
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") % 64 >= 7) & (F.col("doc_id") % 48 >= 7))
+    )
+
+    @F.pandas_udf("binary")
+    def make(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(
+            lambda i: png_pattern_bytes(
+                int(i) % 64 + 1, int(i) % 48 + 1, int(i)
+            )
+        )
+
+    pay = d.select("doc_id", make("doc_id").alias("payload"))
+    hashed = image_ahash(pay, "payload", keep=["doc_id"])
+    cl = hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_same")
+    )
+    return hashed.join(cl, "ahash").select("doc_id", "ahash", "n_same")

@@ -159,3 +159,83 @@ def test_mp4_rejects_not_errors():
     # ftyp intact but moov truncated away: brand recovered, no duration
     ftyp_len = _s.unpack(">I", b[:4])[0]
     assert parse_mp4_header(b[:ftyp_len]) == ("mp4", None, None, "isom")
+
+
+def test_png_pixel_roundtrip_filters_none_sub_up():
+    """png_pattern_bytes encodes rows with filters 0/1/2; the decoder
+    must reverse all of them to reproduce the generator formula."""
+    import numpy as np
+
+    from ght2dm_spark.operators.multimodal import (
+        decode_png_gray,
+        png_pattern_bytes,
+    )
+
+    for (w, h, s) in [(8, 8, 0), (13, 9, 5), (64, 48, 123), (40, 11, 7)]:
+        img = decode_png_gray(png_pattern_bytes(w, h, s))
+        r = np.arange(h).reshape(-1, 1)
+        c = np.arange(w).reshape(1, -1)
+        want = ((31 * r + 17 * c + 7 * s) % 256).astype(np.uint8)
+        assert img is not None and (img == want).all(), (w, h, s)
+
+
+def test_png_pixel_decode_average_and_paeth_filters():
+    """Filters 3 (Average) and 4 (Paeth) aren't produced by the
+    generator, so exercise them with hand-encoded rows: encode a known
+    image per spec §9, decode, compare."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ght2dm_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png_gray,
+    )
+
+    rng = np.random.RandomState(42)
+    w, h = 11, 6
+    img = rng.randint(0, 256, size=(h, w)).astype(np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    rows = []
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        cur = img[y]
+        ft = 3 if y % 2 == 0 else 4
+        enc = np.zeros(w, dtype=np.int32)
+        for x in range(w):
+            left = cur[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            pred = (left + up) // 2 if ft == 3 else paeth(left, up, ul)
+            enc[x] = (cur[x] - pred) % 256
+        rows.append(bytes([ft]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    raw = b"".join(rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    b = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png_gray(b)
+    assert got is not None and (got == img.astype(np.uint8)).all()
+
+
+def test_ahash_rejects_small_and_nonpng():
+    from ght2dm_spark.operators.multimodal import (
+        ahash64,
+        decode_png_gray,
+        png_pattern_bytes,
+    )
+
+    assert decode_png_gray(b"not a png at all") is None
+    small = decode_png_gray(png_pattern_bytes(4, 4, 1))
+    assert small is not None and ahash64(small) is None
