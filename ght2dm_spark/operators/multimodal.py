@@ -617,3 +617,102 @@ def image_ahash(
             yield pd.concat([pdf[keep].reset_index(drop=True), meta], axis=1)
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def wav_pattern_bytes(rate: int, n_samples: int, seed: int) -> bytes:
+    """A real mono 16-bit PCM WAV whose sample i = ((13i² + 17i +
+    31·seed) mod 65536) − 32768 — decodable audio with analytically
+    predictable content, the audio twin of :func:`png_pattern_bytes`."""
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    raw = (13 * i * i + 17 * i + 31 * seed) % 65536
+    data = (raw - 32768).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_samples(b: bytes):
+    """FULL sample decode for mono 16-bit PCM WAV: RIFF chunk walk
+    (odd-size chunks padded per spec), fmt validation, data chunk →
+    int16 numpy array.  None for anything not mono/16-bit/PCM (reject
+    data, not a task failure)."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    channels = bits = audio_fmt = None
+    data = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (ln,) = struct.unpack("<I", b[i + 4 : i + 8])
+        body = b[i + 8 : i + 8 + ln]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt, channels, _rate, _bps, _block, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+        elif cid == b"data":
+            data = body
+        i += 8 + ln + (ln & 1)  # odd chunks are padded to even offsets
+    if audio_fmt != 1 or channels != 1 or bits != 16 or data is None:
+        return None
+    return np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(
+        np.int64
+    )
+
+
+def audio_fingerprint64(samples) -> str | None:
+    """64-bit energy fingerprint over a PCM sample array, all-integer:
+    sample i maps to window (i·64 div n); window value = Σ|s| div count;
+    bit = window ≥ (Σ windows div 64).  Same integer-pooling contract as
+    :func:`ahash64`, reproducible by SQL.  None below 64 samples."""
+    import numpy as np
+
+    n = len(samples)
+    if n < 64:
+        return None
+    wi = (np.arange(n, dtype=np.int64) * 64) // n
+    cnts = np.bincount(wi, minlength=64).astype(np.int64)
+    sums = np.bincount(wi, weights=np.abs(samples), minlength=64).astype(
+        np.int64
+    )
+    means = sums // cnts
+    g = means.sum() // 64
+    return "".join("1" if m >= g else "0" for m in means)
+
+
+def audio_ahash(
+    df: DataFrame, payload_col: str = "payload", keep: list[str] | None = None
+) -> DataFrame:
+    """binary WAV payload → (keep cols, afp string) through the
+    Arrow-batched pandas map — perceptual-ish audio fingerprinting over
+    DECODED samples (the content-level near-dup step; the md5 digest
+    only catches byte-identical files)."""
+    keep = keep or [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keep
+    )
+    out_schema = f"{out_schema}, afp string" if out_schema else "afp string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def one(b: bytes):
+                s = decode_wav_samples(b)
+                return audio_fingerprint64(s) if s is not None else None
+
+            meta = pd.DataFrame({"afp": pdf[payload_col].map(one)})
+            yield pd.concat([pdf[keep].reset_index(drop=True), meta], axis=1)
+
+    return df.mapInPandas(batches, schema=out_schema)

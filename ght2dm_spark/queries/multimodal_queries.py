@@ -334,3 +334,62 @@ def t1_image_ahash(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_same")
     )
     return hashed.join(cl, "ahash").select("doc_id", "ahash", "n_same")
+
+
+_AUDIO_FP_SQL = """
+    WITH d AS (SELECT doc_id,
+                      CAST(doc_id % 500 + 64 AS BIGINT) AS n
+               FROM documents),
+    sm AS MATERIALIZED (
+        SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    wn AS MATERIALIZED (
+        SELECT doc_id, (i * 64) // n AS wi,
+               sum(abs((13 * i * i + 17 * i + 31 * doc_id) % 65536
+                       - 32768)) AS s,
+               count(*) AS cnt
+        FROM sm GROUP BY 1, 2),
+    means AS (SELECT doc_id, wi, s // cnt AS m FROM wn),
+    g AS (SELECT doc_id, sum(m) // 64 AS gm FROM means GROUP BY 1),
+    fp AS (SELECT doc_id,
+                  string_agg(CASE WHEN m >= gm THEN '1' ELSE '0' END, ''
+                             ORDER BY wi) AS afp
+           FROM means JOIN g USING (doc_id) GROUP BY doc_id)
+    SELECT doc_id, afp FROM fp
+"""
+
+
+@register("t1_audio_fingerprint", oracle=_AUDIO_FP_SQL)
+def t1_audio_fingerprint(spark, sf_dir):
+    """SAMPLE-level audio fingerprinting: each doc carries a real mono
+    16-bit PCM WAV (patterned samples, operators.multimodal.
+    wav_pattern_bytes); the engine walks the RIFF chunks, validates the
+    fmt block, decodes the int16 samples and emits a 64-bit integer
+    energy fingerprint (|sample| pooled into 64 windows, bit = window ≥
+    global mean) — the content-level near-dup key that, unlike the md5
+    digest, survives container-level changes.
+
+    Oracle: DuckDB cannot parse WAV; it predicts the samples from the
+    generator's (13i² + 17i + 31·doc_id) mod 65536 − 32768 formula and
+    replays the identical integer pooling — any decode defect (chunk
+    alignment, endianness, signedness) mismatches bit-for-bit.  Same
+    predictive-oracle pattern as t1_image_ahash.
+
+    Scale: synthesis, decode and pooling are one narrow Arrow-batched
+    map; audio bytes never shuffle — only the 64-char fingerprint
+    column survives projection."""
+    from ght2dm_spark.operators.multimodal import audio_ahash, wav_pattern_bytes
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def make(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(
+            lambda i: wav_pattern_bytes(
+                8000 + (int(i) % 5) * 1000, int(i) % 500 + 64, int(i)
+            )
+        )
+
+    pay = d.select("doc_id", make("doc_id").alias("payload"))
+    return audio_ahash(pay, "payload", keep=["doc_id"]).select(
+        "doc_id", "afp"
+    )
