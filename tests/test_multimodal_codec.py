@@ -239,3 +239,40 @@ def test_ahash_rejects_small_and_nonpng():
     assert decode_png_gray(b"not a png at all") is None
     small = decode_png_gray(png_pattern_bytes(4, 4, 1))
     assert small is not None and ahash64(small) is None
+
+
+def test_wav_sample_decode_skips_padded_unknown_chunks():
+    """A LIST chunk with an odd size before data must be skipped with
+    its pad byte (RIFF chunks align to even offsets); the sample decode
+    must still find the data chunk."""
+    import struct
+
+    import numpy as np
+
+    from ght2dm_spark.operators.multimodal import decode_wav_samples
+
+    samples = np.array([100, -200, 300], dtype="<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    odd = b"x" * 3  # odd-size chunk → 1 pad byte follows
+    body = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", len(odd)) + odd + b"\x00"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", samples.nbytes) + samples.tobytes()
+    )
+    b = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = decode_wav_samples(b)
+    assert got is not None and (got == [100, -200, 300]).all()
+
+
+def test_wav_sample_decode_rejects_stereo_and_8bit():
+    import struct
+
+    from ght2dm_spark.operators.multimodal import (
+        decode_wav_samples,
+        wav_bytes,
+    )
+
+    assert decode_wav_samples(wav_bytes(2, 8000, 10)) is None  # stereo
+    assert decode_wav_samples(wav_bytes(1, 8000, 10, bits=8)) is None
+    assert decode_wav_samples(b"RIFFxxxxNOPE") is None
