@@ -716,3 +716,101 @@ def audio_ahash(
             yield pd.concat([pdf[keep].reset_index(drop=True), meta], axis=1)
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def _bmff_box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def mp4_samples_bytes(seed: int, brand: str = "isom") -> bytes:
+    """A spec-valid ISO BMFF file whose moov carries a REAL sample
+    table: stbl(stsz + stts) with per-sample sizes
+    (7·seed + 5i²) mod 1000 + 100 and two stts duration runs
+    (⌊n/2⌋ × (1000 + seed mod 100), rest × 2000) — demux-level content
+    an engine can predict analytically, the video twin of
+    :func:`png_pattern_bytes`."""
+    n = seed % 30 + 8
+    sizes = [(7 * seed + 5 * i * i) % 1000 + 100 for i in range(n)]
+    stsz = (
+        b"\x00\x00\x00\x00"  # version + flags
+        + struct.pack(">I", 0)  # sample_size 0 ⇒ per-sample table
+        + struct.pack(">I", n)
+        + b"".join(struct.pack(">I", sz) for sz in sizes)
+    )
+    n1 = n // 2
+    d1 = 1000 + seed % 100
+    stts = (
+        b"\x00\x00\x00\x00"
+        + struct.pack(">I", 2)  # entry_count
+        + struct.pack(">II", n1, d1)
+        + struct.pack(">II", n - n1, 2000)
+    )
+    stbl = _bmff_box(b"stbl", _bmff_box(b"stsz", stsz) + _bmff_box(b"stts", stts))
+    minf = _bmff_box(b"minf", stbl)
+    mdia = _bmff_box(b"mdia", minf)
+    trak = _bmff_box(b"trak", mdia)
+    ftyp = _bmff_box(
+        b"ftyp", brand.encode("latin-1") + struct.pack(">I", 0) + b"isom"
+    )
+    return ftyp + _bmff_box(b"moov", trak)
+
+
+def parse_mp4_samples(b: bytes):
+    """Demux-level MP4 parse: walk moov→trak→mdia→minf→stbl, read the
+    stsz sample-size table and the stts decoding-time runs, and return
+    (n_samples, total_bytes, max_sample, duration_ticks) — the numbers
+    a frame-extraction pipeline needs before it ever touches a codec.
+    None when the sample tables are absent/truncated (reject data)."""
+
+    def walk(lo: int, hi: int, path: tuple):
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack(">I", b[i : i + 4])
+            typ = b[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:
+                if i + 16 > hi:
+                    return None
+                (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+                body = i + 16
+            if size < 8 or i + size > hi:
+                return None
+            if typ == path[0]:
+                if len(path) == 1:
+                    return body, i + size
+                return walk(body, i + size, path[1:])
+            i += size
+        return None
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    stbl = walk(
+        0, len(b), (b"moov", b"trak", b"mdia", b"minf", b"stbl")
+    )
+    if stbl is None:
+        return None
+    lo, hi = stbl
+
+    def leaf(typ: bytes):
+        span = walk(lo, hi, (typ,))
+        return None if span is None else b[span[0] : span[1]]
+
+    sz = leaf(b"stsz")
+    tt = leaf(b"stts")
+    if sz is None or tt is None or len(sz) < 12 or len(tt) < 8:
+        return None
+    fixed, n = struct.unpack(">II", sz[4:12])
+    if fixed:
+        sizes = [fixed] * n
+    else:
+        if len(sz) < 12 + 4 * n:
+            return None
+        sizes = list(struct.unpack(f">{n}I", sz[12 : 12 + 4 * n]))
+    (entries,) = struct.unpack(">I", tt[4:8])
+    if len(tt) < 8 + 8 * entries:
+        return None
+    dur = 0
+    for e in range(entries):
+        cnt, delta = struct.unpack(">II", tt[8 + 8 * e : 16 + 8 * e])
+        dur += cnt * delta
+    return n, sum(sizes), max(sizes) if sizes else None, dur

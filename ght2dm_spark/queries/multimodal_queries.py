@@ -393,3 +393,82 @@ def t1_audio_fingerprint(spark, sf_dir):
     return audio_ahash(pay, "payload", keep=["doc_id"]).select(
         "doc_id", "afp"
     )
+
+
+_VIDEO_SAMPLES_SQL = """
+    WITH d AS (SELECT doc_id, CAST(doc_id % 30 + 8 AS BIGINT) AS n
+               FROM documents),
+    sm AS MATERIALIZED (
+        SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    agg AS (SELECT doc_id,
+                   count(*) AS n_samples,
+                   sum((7 * doc_id + 5 * i * i) % 1000 + 100) AS total_bytes,
+                   max((7 * doc_id + 5 * i * i) % 1000 + 100) AS max_sample
+            FROM sm GROUP BY 1)
+    SELECT a.doc_id,
+           CAST(a.n_samples AS BIGINT) AS n_samples,
+           CAST(a.total_bytes AS BIGINT) AS total_bytes,
+           CAST(a.max_sample AS BIGINT) AS max_sample,
+           CAST((d.n // 2) * (1000 + d.doc_id % 100)
+                + (d.n - d.n // 2) * 2000 AS BIGINT) AS duration_ticks
+    FROM agg a JOIN d USING (doc_id)
+"""
+
+
+@register("t1_video_sample_table", oracle=_VIDEO_SAMPLES_SQL)
+def t1_video_sample_table(spark, sf_dir):
+    """DEMUX-level video parse: each doc carries a real ISO-BMFF file
+    whose moov holds an actual sample table (stbl: per-sample stsz
+    sizes + two stts duration runs); the engine walks
+    moov→trak→mdia→minf→stbl and reports per-file sample count, byte
+    total, largest sample and total tick duration — the numbers a
+    frame-extraction pipeline needs before touching any codec (which
+    samples to fetch, how much I/O they cost).
+
+    Oracle: DuckDB predicts the tables from the generator formulas
+    ((7·doc_id + 5i²) mod 1000 + 100 sizes; split duration runs) — a
+    box-walk or table-stride defect mismatches immediately.  Same
+    predictive pattern as t1_image_ahash / t1_audio_fingerprint; with
+    them, all three modalities are decoded at CONTENT depth, not just
+    header depth.
+
+    Scale: one narrow Arrow-batched map; only the 4-column summary
+    survives, media bytes never shuffle."""
+    from ght2dm_spark.operators.multimodal import (
+        mp4_samples_bytes,
+        parse_mp4_samples,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def make(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(lambda i: mp4_samples_bytes(int(i)))
+
+    pay = d.select("doc_id", make("doc_id").alias("payload"))
+    schema = (
+        "doc_id bigint, n_samples bigint, total_bytes bigint, "
+        "max_sample bigint, duration_ticks bigint"
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                p = parse_mp4_samples(bytes(b))
+                if p is None:
+                    rows.append((did, None, None, None, None))
+                else:
+                    rows.append((did, p[0], p[1], p[2], p[3]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "total_bytes",
+                    "max_sample",
+                    "duration_ticks",
+                ],
+            )
+
+    return pay.mapInPandas(batches, schema=schema)
