@@ -265,18 +265,23 @@ def t1_multimodal_video(spark, sf_dir):
     return out.select("doc_id", "format", "timescale", "duration_ms", "brand")
 
 
-_AHASH_SQL = """
-    WITH d AS (SELECT doc_id,
-                      CAST(doc_id % 64 + 1 AS BIGINT) AS w,
-                      CAST(doc_id % 48 + 1 AS BIGINT) AS h
-               FROM documents
-               WHERE doc_id % 64 >= 7 AND doc_id % 48 >= 7),
-    rws AS (SELECT doc_id, w, h, unnest(range(0, h)) AS r FROM d),
+def _ahash_bits_ctes(docs_cte: str) -> str:
+    """The analytic pixel→8×8-pool→bits CTE chain over a docs CTE that
+    must expose (doc_id, seed); shared by t1_image_ahash and
+    t1_media_dedup so both oracles predict the identical generator."""
+    return f"""
+    {docs_cte},
+    d AS (SELECT doc_id, seed,
+                 CAST(seed % 64 + 1 AS BIGINT) AS w,
+                 CAST(seed % 48 + 1 AS BIGINT) AS h
+          FROM src
+          WHERE seed % 64 >= 7 AND seed % 48 >= 7),
+    rws AS (SELECT doc_id, seed, w, h, unnest(range(0, h)) AS r FROM d),
     px AS MATERIALIZED (
-        SELECT doc_id, w, h, r, unnest(range(0, w)) AS c FROM rws),
+        SELECT doc_id, seed, w, h, r, unnest(range(0, w)) AS c FROM rws),
     cells AS MATERIALIZED (
         SELECT doc_id, (r * 8) // h AS ci, (c * 8) // w AS cj,
-               sum((31 * r + 17 * c + 7 * doc_id) % 256) AS s,
+               sum((31 * r + 17 * c + 7 * seed) % 256) AS s,
                count(*) AS n
         FROM px GROUP BY 1, 2, 3),
     means AS (SELECT doc_id, ci, cj, s // n AS m FROM cells),
@@ -284,7 +289,13 @@ _AHASH_SQL = """
     bits AS (SELECT doc_id,
                     string_agg(CASE WHEN m >= gm THEN '1' ELSE '0' END, ''
                                ORDER BY ci, cj) AS ahash
-             FROM means JOIN g USING (doc_id) GROUP BY doc_id),
+             FROM means JOIN g USING (doc_id) GROUP BY doc_id)"""
+
+
+_AHASH_SQL = f"""
+    WITH {_ahash_bits_ctes(
+        "src AS (SELECT doc_id, doc_id AS seed FROM documents)"
+    ).lstrip()},
     cl AS (SELECT ahash, count(*) AS n_same FROM bits GROUP BY 1)
     SELECT b.doc_id, b.ahash, CAST(cl.n_same AS BIGINT) AS n_same
     FROM bits b JOIN cl USING (ahash)
@@ -472,3 +483,63 @@ def t1_video_sample_table(spark, sf_dir):
             )
 
     return pay.mapInPandas(batches, schema=schema)
+
+
+_MEDIA_SRC_CTE = """src AS (
+        SELECT doc_id, doc_id AS seed FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, doc_id AS seed
+        FROM documents WHERE doc_id % 10 = 0)"""
+
+_MEDIA_DEDUP_SQL = f"""
+    WITH {_ahash_bits_ctes(_MEDIA_SRC_CTE).lstrip()},
+    canon AS (SELECT ahash, min(doc_id) AS canonical FROM bits GROUP BY 1)
+    SELECT b.doc_id, c.canonical, b.ahash
+    FROM bits b JOIN canon c USING (ahash)
+    WHERE b.doc_id <> c.canonical
+"""
+
+
+@register("t1_media_dedup", oracle=_MEDIA_DEDUP_SQL)
+def t1_media_dedup(spark, sf_dir):
+    """Perceptual MEDIA dedup end-to-end: the corpus plus planted
+    re-uploads (every 10th image appears again under a new doc_id but
+    the same pixels) is pixel-decoded and average-hashed; images
+    sharing a fingerprint collapse to the lowest-doc_id canonical, and
+    the query emits the redundant→canonical mapping — what a dedup job
+    applies before training.  The fingerprint (not the byte digest) is
+    the key, so the same pipeline also collapses re-encoded copies.
+
+    Oracle: the same planted-duplicate frame predicted analytically
+    (seed stays the ORIGINAL doc_id for re-uploads, so both engines
+    agree on which pixels repeat).
+
+    Scale: decode+hash is the one narrow map over media splits; the
+    canonical pick is a min-aggregation on the 64-char fingerprint —
+    uniform keys, one shuffle; mapping join is fingerprint-keyed."""
+    from ght2dm_spark.operators.multimodal import image_ahash, png_pattern_bytes
+
+    d0 = load_table(spark, sf_dir, "documents").select("doc_id")
+    aug = d0.select("doc_id", F.col("doc_id").alias("seed")).unionByName(
+        d0.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.col("doc_id").alias("seed"),
+        )
+    ).filter((F.col("seed") % 64 >= 7) & (F.col("seed") % 48 >= 7))
+
+    @F.pandas_udf("binary")
+    def make(seed: pd.Series) -> pd.Series:
+        return seed.map(
+            lambda i: png_pattern_bytes(
+                int(i) % 64 + 1, int(i) % 48 + 1, int(i)
+            )
+        )
+
+    pay = aug.select("doc_id", make("seed").alias("payload"))
+    hashed = image_ahash(pay, "payload", keep=["doc_id"])
+    canon = hashed.groupBy("ahash").agg(F.min("doc_id").alias("canonical"))
+    return (
+        hashed.join(canon, "ahash")
+        .filter(F.col("doc_id") != F.col("canonical"))
+        .select("doc_id", "canonical", "ahash")
+    )
