@@ -122,6 +122,11 @@ HEADLINE = [
     # overhead at sf0.1 (5 trainings × rounds on 5k vectors) would be
     # 20% of the bench total while measuring scheduling, not plans.
     "t1_bpe_merges",
+    # t1_audio_fingerprint represents the content-level media-decode
+    # path (Arrow map + numpy PCM decode) in the headline; its image
+    # twin t1_image_ahash (~3.6 s of pure-Python per-row PNG unfilter
+    # at sf0.1) stays registry+correctness only, like t1_ivfadc.
+    "t1_audio_fingerprint",
     "t1_kmv_sketch",
     "t1_pca_power",
     "t1_temperature_mix",
