@@ -265,3 +265,85 @@ def test_foreach_batch_exactly_once_upsert(spark, sf_dir, tmp_path):
     replay = spark.read.parquet(str(target)).limit(500)
     upsert(replay.withColumn("x", F.lit(1)).drop("x"), 99)
     assert spark.read.parquet(str(target)).count() == expect.count()
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: when the fact partition key is only
+    constrained THROUGH a join (a literal filter on the dim side),
+    Spark must inject a runtime pruning subquery instead of scanning
+    every fact partition — at 100 TB this is the difference between
+    reading one month's files and all of history for 'revenue for
+    urgent orders'.  Asserted structurally: the fact scan's partition
+    filters carry a dynamicpruningexpression."""
+    out = str(tmp_path / "li_by_month")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    li.write.mode("overwrite").partitionBy("l_month").parquet(out)
+    o = load_table(spark, sf_dir, "orders")
+    dim = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("l_month"))
+        .distinct()
+    )
+    fact = spark.read.parquet(out)
+    joined = fact.join(dim, "l_month").groupBy("l_month").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() > 0
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew handling: a join where one key holds 80% of the rows
+    must be re-planned at runtime with the hot partition split — the
+    `SortMergeJoin(skew=true)` / `AQEShuffleRead ... skewed` markers —
+    under thresholds scaled to the fixture.  This is the first-resort
+    answer to hot keys that `operators/joins.salted_join` documents as
+    its fallback order (AQE first, salting when AQE can't apply).
+
+    The skewed frame is range-generated with an incompressible md5
+    payload: AQE's skew detection works on SHUFFLE BYTES, so a
+    constant-key frame whose payload compresses to nothing never
+    crosses the byte threshold — the payload keeps the measured sizes
+    honest (the same reason real skew shows up at all in production:
+    rows carry data, not just keys)."""
+    skew_conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in skew_conf:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in skew_conf.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(0, 200_000)
+            .select((F.col("id") % 20).alias("k0"), "id")
+            .select(
+                F.when(F.col("k0") < 16, 0).otherwise(F.col("k0")).alias("k"),
+                F.md5(F.concat_ws("-", "id")).alias("payload"),
+            )
+        )
+        right = spark.range(0, 20).select(
+            F.col("id").alias("k"), F.lit(1).alias("p")
+        )
+        j = (
+            left.join(right, "k")
+            .groupBy()
+            .agg(F.sum(F.length("payload")).alias("n"))
+        )
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final or "skewed" in final, final[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
