@@ -77,3 +77,29 @@ def read_csv(
         .option("sep", delimiter)
         .csv(path)
     )
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    row_tag: str = "row",
+) -> DataFrame:
+    """Read XML (native in Spark 4 — the spark-xml package merged into
+    core) with the same reject contract: records under ``row_tag``
+    parse against the declared schema, malformed elements land in
+    ``_corrupt`` with the raw snippet preserved, missing child elements
+    get NULLs (the P1 missing-tag policy verbatim — XML is the format
+    the policy was originally about).
+
+    Scale: same native-reader properties as JSONL — schema declared
+    (never inferred), gzip transparent by extension, file count = the
+    parallelism, and multi-record files split on the row tag."""
+    return (
+        spark.read.format("xml")
+        .schema(_with_corrupt(schema))
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .load(path)
+    )

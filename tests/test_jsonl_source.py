@@ -68,3 +68,24 @@ def test_csv_rejects_routed(spark, tmp_path):
     assert {r.doc_id for r in good.collect()} == {1, 3}
     rej = rejects.collect()
     assert len(rej) == 1 and rej[0]._corrupt.startswith("not_a_number")
+
+
+def test_xml_rejects_routed(spark, tmp_path):
+    from ght2dm_spark.sources.jsonl import read_xml
+
+    p = tmp_path / "dump.xml"
+    p.write_text(
+        "<rows>"
+        "<row><doc_id>1</doc_id><text>hello</text><lang>en</lang></row>"
+        "<row><doc_id>2</doc_id><text>bonjour</text><lang>fr</lang></row>"
+        "<row><doc_id>3</doc_id><text>missing lang</text></row>"
+        "<row><doc_id>not-a-number</doc_id><text>bad</text><lang>xx</lang></row>"
+        "</rows>"
+    )
+    good, rejects = split_rejects(read_xml(spark, str(p), SCHEMA))
+    g = {r.doc_id: r for r in good.collect()}
+    assert set(g) == {1, 2, 3}
+    assert g[3].lang is None  # missing element -> NULL, P1 policy
+    rej = rejects.collect()
+    assert len(rej) == 1 and "not-a-number" in rej[0]._corrupt
+    assert [f.name for f in good.schema.fields] == ["doc_id", "text", "lang"]
