@@ -51,6 +51,7 @@ NAIVE_ORACLES = {
     "t1_corpus_build_pipeline",  # composes the md5-nibble machinery
     "t1_triangle_count",  # relies on engine join order for the threshold
     "t1_ann_lsh_topk",  # signature build via generated strpos-nibble hex parsing
+    "t1_audio_fingerprint",  # oracle PREDICTS samples analytically; Spark decodes real WAV bytes — not equivalent work
 }
 
 
