@@ -119,7 +119,7 @@ _LEAD = [
     "t1_kcore", "t1_label_propagation", "t1_sssp_weighted",
     "t1_ssjoin_prefix", "t1_ewma", "t1_hybrid_rrf", "t1_sql_pipe",
     "t1_image_ahash", "t1_audio_fingerprint", "t1_video_sample_table",
-    "t1_media_dedup",
+    "t1_media_dedup", "t1_theilsen_slope",
     # codec upgraded stub→real this round (see note in _DRIVER_VERIFIED):
     # must land inside the ~50-query budget, not at its edge
     "t1_multimodal_decode",

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ght2dm_spark.functions import trunc_ntz
 from ght2dm_spark.io import load_table
 from ght2dm_spark.queries.registry import register
 
@@ -287,4 +288,82 @@ def t1_cusum_drift(spark, sf_dir):
         F.expr(
             "CAST((max(abs(cusum_n)) + 500) div 1000 AS DOUBLE) / 1000000.0"
         ).alias("max_abs_cusum"),
+    )
+
+
+@register(
+    "t1_theilsen_slope",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS d,
+               sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS v
+        FROM events GROUP BY 1, 2),
+    arr AS (SELECT event_type,
+                   list(struct_pack(d := d, v := v) ORDER BY d) AS a
+            FROM daily GROUP BY 1),
+    sl AS (SELECT event_type, len(a) AS n_days,
+                  flatten(list_transform(range(1, len(a)), i ->
+                    list_transform(range(i + 1, len(a) + 1), j ->
+                      (a[j].v - a[i].v) // (a[j].d - a[i].d)))) AS slopes
+           FROM arr)
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(len(slopes) AS BIGINT) AS n_pairs,
+           CAST(list_sort(slopes)[(len(slopes) + 1) // 2] AS BIGINT)
+             AS ts_slope
+    FROM sl
+    """,
+)
+def t1_theilsen_slope(spark, sf_dir):
+    """Theil–Sen robust trend estimator (Sen 1968) per event type: the
+    MEDIAN of all pairwise day-to-day slopes of the daily value total —
+    ~29% breakdown point, so a burst of outlier days cannot drag the
+    trend the way it drags the OLS fit (t1_regression_per_group's
+    estimator).  Slopes are exact-integer micro-units/day (truncating
+    division, identical in both engines for all signs); the median is
+    the lower-median element of the SORTED slope array, picked in-row —
+    value-determined, so slope ties cannot make it ambiguous.
+
+    Scale: one (series, day) aggregation is the only corpus-sized
+    shuffle; the O(days²) pair enumeration and the median pick are
+    in-row array work over the per-series day array (t1_token_pmi's
+    comprehension pattern — daily grains keep days² small; a
+    minute-grain series would sample pairs instead, the standard
+    Theil–Sen scaling fallback)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            trunc_ntz("day", F.col("ts")).cast("date"), F.lit("1970-01-01")
+        ).alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("v")
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "v"))).alias("a")
+    )
+    slopes = F.expr(
+        """flatten(transform(sequence(1, size(a) - 1), i ->
+             transform(sequence(i + 1, size(a)), j ->
+               (element_at(a, j).v - element_at(a, i).v)
+               div (element_at(a, j).d - element_at(a, i).d))))"""
+    )
+    out = arr.select(
+        "event_type",
+        F.size("a").cast("bigint").alias("n_days"),
+        slopes.alias("slopes"),
+    )
+    n = F.size("slopes")
+    return out.select(
+        "event_type",
+        "n_days",
+        n.cast("bigint").alias("n_pairs"),
+        F.when(
+            n > 0,
+            F.element_at(F.array_sort("slopes"), ((n + 1) / 2).cast("int")),
+        )
+        .cast("bigint")
+        .alias("ts_slope"),
     )
