@@ -151,6 +151,15 @@ def _load_manifest(table: Path, name: str) -> dict:
         return json.load(f)
 
 
+class SnapshotConflictError(RuntimeError):
+    """Raised by :func:`commit` when CURRENT moved after this snapshot
+    was prepared — another writer published first.  The optimistic-
+    concurrency retry is the caller's: re-prepare the SAME LOGICAL
+    CHANGE against the new CURRENT and commit again (what Delta/Iceberg
+    writers do); blindly re-flipping would silently drop the other
+    writer's rows."""
+
+
 @dataclass
 class PreparedCommit:
     """A fully-staged snapshot: data + manifest durable on disk, but not
@@ -161,6 +170,7 @@ class PreparedCommit:
     manifest_name: str
     seq: int
     n_files: int
+    parent: str | None = None
 
 
 def _max_staged_seq(table: Path) -> int:
@@ -245,13 +255,38 @@ def prepare_commit(
     mname = f"m-{seq:06d}-{commit_id}.json"
     _atomic_write(table / _MANIFESTS / mname, json.dumps(manifest, indent=1))
     return PreparedCommit(
-        table=str(table), manifest_name=mname, seq=seq, n_files=len(manifest["files"])
+        table=str(table),
+        manifest_name=mname,
+        seq=seq,
+        n_files=len(manifest["files"]),
+        parent=base_name,
     )
 
 
-def commit(prepared: PreparedCommit) -> None:
-    """Publish a prepared snapshot: one atomic CURRENT pointer flip."""
-    _atomic_write(Path(prepared.table) / _CURRENT, prepared.manifest_name)
+def commit(prepared: PreparedCommit, force: bool = False) -> None:
+    """Publish a prepared snapshot: one atomic CURRENT pointer flip,
+    guarded by an optimistic-concurrency check — if CURRENT no longer
+    names the base this snapshot was prepared against, another writer
+    won the race and flipping would LOSE its committed rows, so
+    :class:`SnapshotConflictError` is raised instead (``force=True``
+    restores last-writer-wins for callers that genuinely replace the
+    whole table).
+
+    Single-process discipline: the check-then-flip pair is not itself
+    atomic across hosts — a multi-driver deployment puts the flip
+    behind a coordination service (the same reason Delta needs a
+    commit service on S3); within one driver (this engine's runner,
+    streams via foreachBatch) the check is sufficient."""
+    table = Path(prepared.table)
+    if not force:
+        cur = _read_current(table)
+        if cur != prepared.parent:
+            raise SnapshotConflictError(
+                f"{prepared.table}: prepared against "
+                f"{prepared.parent!r} but CURRENT is {cur!r} — "
+                "re-prepare against the new snapshot and retry"
+            )
+    _atomic_write(table / _CURRENT, prepared.manifest_name)
 
 
 def read_prepared(

@@ -394,3 +394,46 @@ def test_fresh_run_same_entity_folder_twice_accumulates(spark, tmp_path):
     assert sorted(u for _, u in rows) == ["alice", "bob"], rows
     ids = [i for i, _ in rows]
     assert len(ids) == len(set(ids))  # no colliding surrogate keys
+
+
+def test_concurrent_commit_conflict_detected_and_retry_merges(
+    spark, sf_dir, tmp_path
+):
+    """Optimistic concurrency: two writers prepare appends against the
+    same base; the first flip wins, the second must get
+    SnapshotConflictError instead of silently DROPPING the winner's
+    rows, and the standard re-prepare-and-retry lands both deltas."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.io import load_table
+    from ght2dm_spark.snapshots import (
+        SnapshotConflictError,
+        commit,
+        prepare_commit,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "region")
+    commit(prepare_commit(base, table))
+
+    a = base.limit(1).withColumn("r_name", F.lit("WRITER-A"))
+    b = base.limit(1).withColumn("r_name", F.lit("WRITER-B"))
+    pa = prepare_commit(a, table, mode="append")
+    pb = prepare_commit(b, table, mode="append")  # same base as pa
+
+    commit(pa)
+    with pytest.raises(SnapshotConflictError):
+        commit(pb)
+
+    # loser retries: re-prepare the SAME logical change on the new base
+    commit(prepare_commit(b, table, mode="append"))
+    names = [
+        r.r_name for r in read_snapshot(spark, table).collect()
+    ]
+    assert names.count("WRITER-A") == 1 and names.count("WRITER-B") == 1
+    assert len(names) == base.count() + 2
+
+    # force=True restores last-writer-wins for whole-table replacement
+    commit(prepare_commit(base, table), force=False)
