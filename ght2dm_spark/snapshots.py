@@ -213,6 +213,8 @@ def prepare_commit(
     base_name = parent if parent is not None else _read_current(table)
     parent_files: list[str] = []
     parent_stats: dict[str, dict] = {}
+    parent_deletes: list[str] = []
+    parent_delete_keys: list[str] | None = None
     seq = _max_staged_seq(table) + 1
     if base_name is not None:
         if mode == "append":
@@ -224,6 +226,10 @@ def prepare_commit(
             parent_stats = {
                 f: s for f, s in pm.get("stats", {}).items() if f in set(parent_files)
             }
+            # merge-on-read deletes survive appends: the delete files are
+            # part of the snapshot's logical state, not of any one commit
+            parent_deletes = list(pm.get("delete_files", []))
+            parent_delete_keys = pm.get("delete_keys")
     elif mode == "append":
         mode = "overwrite"  # first commit: append == overwrite
 
@@ -250,6 +256,9 @@ def prepare_commit(
         "files": parent_files + new_files,
         "stats": stats,
     }
+    if parent_deletes:
+        manifest["delete_files"] = parent_deletes
+        manifest["delete_keys"] = parent_delete_keys
     if meta:
         manifest["meta"] = meta
     mname = f"m-{seq:06d}-{commit_id}.json"
@@ -287,6 +296,62 @@ def commit(prepared: PreparedCommit, force: bool = False) -> None:
                 "re-prepare against the new snapshot and retry"
             )
     _atomic_write(table / _CURRENT, prepared.manifest_name)
+
+
+def delete_rows(
+    df_keys: DataFrame, path: str, parent: str | None = None
+) -> PreparedCommit:
+    """Stage a MERGE-ON-READ delete: the rows whose key columns match
+    ``df_keys`` disappear from subsequent reads WITHOUT rewriting any
+    data file — the commit adds only a small key file (the
+    deletion-vector idea at key granularity).  O(deleted keys) write
+    cost instead of O(table); :func:`compact_snapshot` later
+    materializes the deletes and drops the key files.
+
+    The key columns are ``df_keys.columns`` and must match any deletes
+    already carried by the parent snapshot (one key contract per
+    table).  Time travel is preserved: older versions never reference
+    the new key file, so they still show the rows."""
+    table = Path(path)
+    base_name = parent if parent is not None else _read_current(table)
+    if base_name is None:
+        raise ValueError(f"{path}: cannot delete from a never-committed table")
+    pm = _load_manifest(table, base_name)
+    key_cols = list(df_keys.columns)
+    prev_keys = pm.get("delete_keys")
+    if prev_keys is not None and list(prev_keys) != key_cols:
+        raise ValueError(
+            f"{path}: delete key columns {key_cols} != existing {prev_keys}"
+        )
+    commit_id = uuid.uuid4().hex[:12]
+    staging = table / f"_staging-{commit_id}"
+    df_keys.write.mode("overwrite").parquet(str(staging))
+    new_dels: list[str] = []
+    for i, part in enumerate(sorted(staging.glob("*.parquet"))):
+        dest = table / _DATA / f"{commit_id}-del-{i:05d}.parquet"
+        os.replace(part, dest)
+        new_dels.append(dest.name)
+    shutil.rmtree(staging)
+    _fsync_file(table / _DATA)
+    seq = _max_staged_seq(table) + 1
+    manifest = {
+        "seq": seq,
+        "parent": base_name,
+        "mode": "delete",
+        "files": list(pm["files"]),
+        "stats": pm.get("stats", {}),
+        "delete_files": list(pm.get("delete_files", [])) + new_dels,
+        "delete_keys": key_cols,
+    }
+    mname = f"m-{seq:06d}-{commit_id}.json"
+    _atomic_write(table / _MANIFESTS / mname, json.dumps(manifest, indent=1))
+    return PreparedCommit(
+        table=str(table),
+        manifest_name=mname,
+        seq=seq,
+        n_files=len(manifest["files"]),
+        parent=base_name,
+    )
 
 
 def read_prepared(
@@ -408,7 +473,18 @@ def read_snapshot(
     reader = spark.read.schema(schema) if schema is not None else spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    df = reader.parquet(*files)
+    # merge-on-read deletes: anti-join the manifest's key files — a
+    # broadcast hash anti at scale (delete sets are delta-sized), and
+    # only for snapshots that actually carry deletes
+    table = Path(path)
+    name = _manifest_for(table, version)
+    m = _load_manifest(table, name)
+    dels = m.get("delete_files")
+    if dels:
+        keys = spark.read.parquet(*[str(table / _DATA / f) for f in dels])
+        df = df.join(keys, on=list(m["delete_keys"]), how="left_anti")
+    return df
 
 
 def read_increment(
@@ -467,7 +543,11 @@ def compact_snapshot(
         raise FileNotFoundError(f"nothing to compact: {path} has no snapshot")
     total = sum(os.path.getsize(f) for f in files)
     n = max(1, -(-total // target_file_bytes))  # ceil
-    df = spark.read.parquet(*files)
+    # read through the snapshot (NOT the raw files): merge-on-read
+    # deletes must be applied here, or the overwrite would resurrect
+    # deleted rows — compaction is exactly where deletes materialize
+    # and their key files age out of the manifest
+    df = read_snapshot(spark, path)
     if cluster_by is None:
         df = df.coalesce(n)
     elif len(cluster_by) == 1:
@@ -623,6 +703,7 @@ def vacuum(path: str, keep_manifests: int = 2) -> int:
     live: set[str] = set()
     for _, m in keep:
         live.update(m["files"])
+        live.update(m.get("delete_files", []))
     removed = 0
     for f in (table / _DATA).glob("*.parquet"):
         if f.name not in live:

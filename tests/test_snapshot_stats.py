@@ -157,3 +157,65 @@ def test_two_dim_prune_conjunction(spark, tmp_path):
         (F.col("x").between(10, 17)) & (F.col("y").between(10, 17))
     ).count()
     assert got == 64
+
+
+def test_merge_on_read_deletes(spark, sf_dir, tmp_path):
+    """Row deletes without data rewrite: delete_rows stages only a key
+    file; reads anti-join it, appends carry it forward, time travel
+    still shows the rows, compaction materializes and clears it, and
+    vacuum never reclaims a live delete file."""
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.io import load_table
+    from ght2dm_spark.snapshots import (
+        commit,
+        compact_snapshot,
+        delete_rows,
+        history,
+        prepare_commit,
+        read_snapshot,
+        snapshot_files,
+        vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    commit(prepare_commit(base, table))
+    v0 = history(table)[0]["seq"]
+    n0 = base.count()
+    files_before = sorted(snapshot_files(table))
+
+    # delete two keys — data files must be untouched
+    keys = spark.createDataFrame([(0,), (5,)], "n_nationkey bigint")
+    commit(delete_rows(keys, table))
+    assert sorted(snapshot_files(table)) == files_before  # no rewrite
+    live = read_snapshot(spark, table)
+    got = {r.n_nationkey for r in live.collect()}
+    assert 0 not in got and 5 not in got and len(got) == n0 - 2
+
+    # time travel: the pre-delete version still shows the rows
+    old = read_snapshot(spark, table, version=v0)
+    assert {r.n_nationkey for r in old.collect()} >= {0, 5}
+
+    # appends carry the deletes forward (schema matches the base files)
+    extra = spark.createDataFrame([(900, "NEWLAND")], base.schema)
+    commit(prepare_commit(extra, table, mode="append"))
+    got2 = {r.n_nationkey for r in read_snapshot(spark, table).collect()}
+    assert 900 in got2 and 0 not in got2 and len(got2) == n0 - 2 + 1
+
+    # compaction materializes: same rows, delete files cleared
+    compact_snapshot(spark, table, target_file_bytes=1 << 20)
+    from ght2dm_spark.snapshots import _load_manifest, _read_current
+    from pathlib import Path
+
+    m = _load_manifest(Path(table), _read_current(Path(table)))
+    assert not m.get("delete_files")
+    got3 = {r.n_nationkey for r in read_snapshot(spark, table).collect()}
+    assert got3 == got2
+
+    # vacuum after the delete-era manifests age out still reads clean
+    vacuum(table, keep_manifests=1)
+    got4 = {r.n_nationkey for r in read_snapshot(spark, table).collect()}
+    assert got4 == got2
