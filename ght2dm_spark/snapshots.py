@@ -517,6 +517,40 @@ def read_increment(
     return reader.parquet(*new_files)
 
 
+def read_delete_increment(
+    spark: SparkSession, path: str, since_version: int
+) -> DataFrame | None:
+    """Keys DELETED after ``since_version`` — the other half of the
+    incremental contract once merge-on-read deletes exist: a consumer
+    mirroring the table applies :func:`read_increment`'s added rows AND
+    retracts these keys (delete commits add no data files, so the
+    row-increment alone would silently keep deleted rows alive
+    downstream).  None if no deletes landed in the window.  Same
+    append-ancestry requirement as read_increment: compaction
+    materializes deletes into the data files and clears the key-file
+    list, which breaks delta containment — full-snapshot consumption is
+    the answer there too."""
+    table = Path(path)
+    cur_name = _manifest_for(table, None)
+    old_name = _manifest_for(table, since_version)
+    if cur_name is None or old_name is None:
+        return None
+    cur_m = _load_manifest(table, cur_name)
+    old_m = _load_manifest(table, old_name)
+    cur_d = list(cur_m.get("delete_files", []))
+    old_d = set(old_m.get("delete_files", []))
+    if not old_d <= set(cur_d):
+        raise ValueError(
+            f"version {since_version} is not a delete-ancestor of the "
+            f"live snapshot (compaction materialized deletes) — "
+            f"consume the full snapshot instead"
+        )
+    new_d = sorted(set(cur_d) - old_d)
+    if not new_d:
+        return None
+    return spark.read.parquet(*[str(table / _DATA / f) for f in new_d])
+
+
 def compact_snapshot(
     spark: SparkSession,
     path: str,

@@ -219,3 +219,44 @@ def test_merge_on_read_deletes(spark, sf_dir, tmp_path):
     vacuum(table, keep_manifests=1)
     got4 = {r.n_nationkey for r in read_snapshot(spark, table).collect()}
     assert got4 == got2
+
+
+def test_delete_increment_feeds_incremental_consumers(spark, sf_dir, tmp_path):
+    """A consumer that mirrored version v must receive BOTH the added
+    rows (read_increment) and the retracted keys (read_delete_increment)
+    to stay consistent once merge-on-read deletes land."""
+    from ght2dm_spark.io import load_table
+    from ght2dm_spark.snapshots import (
+        commit,
+        delete_rows,
+        history,
+        prepare_commit,
+        read_delete_increment,
+        read_snapshot,
+        read_increment,
+    )
+
+    table = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    commit(prepare_commit(base, table))
+    v0 = history(table)[0]["seq"]
+
+    keys = spark.createDataFrame([(3,), (7,)], "n_nationkey int")
+    commit(delete_rows(keys, table))
+    extra = spark.createDataFrame([(901, "ADDLAND")], base.schema)
+    commit(prepare_commit(extra, table, mode="append"))
+
+    added = read_increment(spark, table, v0)
+    dels = read_delete_increment(spark, table, v0)
+    assert {r.n_nationkey for r in added.collect()} == {901}
+    assert {r.n_nationkey for r in dels.collect()} == {3, 7}
+
+    # mirror replay: base + added − deleted == live snapshot
+    mirrored = (
+        base.unionByName(added)
+        .join(dels, "n_nationkey", "left_anti")
+    )
+    live = read_snapshot(spark, table)
+    assert {tuple(r) for r in mirrored.collect()} == {
+        tuple(r) for r in live.collect()
+    }
