@@ -367,3 +367,100 @@ def t1_theilsen_slope(spark, sf_dir):
         .cast("bigint")
         .alias("ts_slope"),
     )
+
+
+@register(
+    "t1_mann_kendall",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS d,
+               sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS v
+        FROM events GROUP BY 1, 2),
+    arr AS (SELECT event_type, list(v ORDER BY d) AS a FROM daily GROUP BY 1),
+    stat AS (SELECT event_type, len(a) AS n,
+                    list_sum(flatten(list_transform(range(1, len(a)), i ->
+                      list_transform(range(i + 1, len(a) + 1), j ->
+                        CASE WHEN a[j] > a[i] THEN 1
+                             WHEN a[j] < a[i] THEN -1 ELSE 0 END)))) AS s,
+                    a
+             FROM arr),
+    ties AS (SELECT event_type,
+                    coalesce(list_sum(list_transform(
+                      list_distinct(a), x ->
+                        len(list_filter(a, y -> y = x))
+                        * (len(list_filter(a, y -> y = x)) - 1)
+                        * (2 * len(list_filter(a, y -> y = x)) + 5))), 0)
+                      AS tie_term
+             FROM stat)
+    SELECT st.event_type,
+           CAST(st.n AS BIGINT) AS n_days,
+           CAST(coalesce(st.s, 0) AS BIGINT) AS s_stat,
+           CAST(st.n * (st.n - 1) * (2 * st.n + 5) - ti.tie_term
+                AS BIGINT) AS var18,
+           CASE WHEN coalesce(st.s, 0) > 0 THEN 'up'
+                WHEN coalesce(st.s, 0) < 0 THEN 'down'
+                ELSE 'flat' END AS trend
+    FROM stat st JOIN ties ti USING (event_type)
+    """,
+)
+def t1_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test (Mann 1945, Kendall 1975) per event
+    type — the nonparametric significance companion to t1_theilsen_slope:
+    S = Σ_{i<j} sign(vⱼ − vᵢ) over the time-ordered daily totals, with
+    the tie-corrected variance reported as the exact integer
+    18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (the caller divides and
+    square-roots; keeping the statistic integral is what keeps both
+    engines bit-identical).  Trend = sign(S).
+
+    Scale: same shape as Theil–Sen — one (series, day) shuffle, then
+    in-row O(days²) sign pairs and an in-row tie histogram."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            trunc_ntz("day", F.col("ts")).cast("date"), F.lit("1970-01-01")
+        ).alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("v")
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
+        ).alias("a")
+    )
+    s_stat = F.expr(
+        """aggregate(flatten(transform(sequence(1, size(a) - 1), i ->
+             transform(sequence(i + 1, size(a)), j ->
+               CASE WHEN element_at(a, j) > element_at(a, i) THEN 1L
+                    WHEN element_at(a, j) < element_at(a, i) THEN -1L
+                    ELSE 0L END))), 0L, (acc, x) -> acc + x)"""
+    )
+    # tie sizes via per-distinct-value counts (O(n²) in-row over a
+    # daily-grain array — same bound as the sign-pair comprehension)
+    tie_term = F.expr(
+        """aggregate(transform(array_distinct(a), x ->
+             size(filter(a, y -> y = x)) * (size(filter(a, y -> y = x)) - 1)
+             * (2 * size(filter(a, y -> y = x)) + 5)),
+           0L, (acc, x) -> acc + cast(x AS bigint))"""
+    )
+    n = F.size("a").cast("long")
+    out = arr.select(
+        "event_type",
+        n.alias("n"),
+        F.coalesce(s_stat, F.lit(0)).cast("bigint").alias("s_stat"),
+        tie_term.alias("tie_term"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        "s_stat",
+        (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term"))
+        .cast("bigint")
+        .alias("var18"),
+        F.when(F.col("s_stat") > 0, "up")
+        .when(F.col("s_stat") < 0, "down")
+        .otherwise("flat")
+        .alias("trend"),
+    )
