@@ -249,3 +249,93 @@ def t1_ewma(spark, sf_dir):
             " (acc, x) -> (3 * x + 7 * acc) div 10)"
         ).alias("ewma_micro"),
     )
+
+
+@register(
+    "t1_seasonal_decompose",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS d,
+               sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS v
+        FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, d, v,
+                 count(*) OVER win AS cnt,
+                 sum(v) OVER win AS s7
+          FROM daily
+          WINDOW win AS (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    t AS (SELECT event_type, d, v,
+                 CASE WHEN cnt = 7 THEN s7 // 7 END AS trend
+          FROM w),
+    seas AS (SELECT event_type, d % 7 AS dow,
+                    sum(v - trend) // count(v - trend) AS seasonal
+             FROM t WHERE trend IS NOT NULL
+             GROUP BY 1, 2)
+    SELECT t.event_type, CAST(t.d AS BIGINT) AS d, t.v AS v_micro,
+           CAST(t.trend AS BIGINT) AS trend,
+           CAST(s.seasonal AS BIGINT) AS seasonal,
+           CAST(t.v - t.trend - s.seasonal AS BIGINT) AS resid
+    FROM t JOIN seas s
+      ON s.event_type = t.event_type AND s.dow = t.d % 7
+    WHERE t.trend IS NOT NULL
+    """,
+)
+def t1_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition of each event type's daily
+    series (the moving-average form of STL): trend = centered 7-day
+    moving average (full windows only), seasonal = per-day-of-week mean
+    of the detrended values, residual = value − trend − seasonal — the
+    pre-step before anomaly thresholds (a Monday spike is only an
+    anomaly net of the Monday effect).  All state is exact BIGINT
+    micro-units with truncating division, so the decomposition is
+    bit-identical across engines; day-of-week is d mod 7 on the epoch
+    day (calendar-free, same in both).
+
+    Scale: one (series, day) shuffle; the MA is a single 7-row window
+    pass per series; the seasonal table is |series|×7 rows — a
+    broadcast joined back map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            trunc_ntz("day", F.col("ts")).cast("date"), F.lit("1970-01-01")
+        ).alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("v")
+    )
+    win = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    )
+    t = daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.when(
+            F.count(F.lit(1)).over(win) == 7,
+            F.expr("sum(v) over (partition by event_type order by d "
+                   "rows between 3 preceding and 3 following) div 7"),
+        ).alias("trend"),
+    )
+    det = t.filter(F.col("trend").isNotNull()).withColumn(
+        "det", F.col("v") - F.col("trend")
+    )
+    seas = det.groupBy(
+        "event_type", (F.col("d") % 7).alias("dow")
+    ).agg(F.expr("sum(det) div count(det)").alias("seasonal"))
+    return (
+        t.filter(F.col("trend").isNotNull())
+        .withColumn("dow", F.col("d") % 7)
+        .join(F.broadcast(seas), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.col("d").cast("bigint").alias("d"),
+            F.col("v").alias("v_micro"),
+            F.col("trend").cast("bigint").alias("trend"),
+            F.col("seasonal").cast("bigint").alias("seasonal"),
+            (F.col("v") - F.col("trend") - F.col("seasonal"))
+            .cast("bigint")
+            .alias("resid"),
+        )
+    )
