@@ -339,3 +339,91 @@ def t1_seasonal_decompose(spark, sf_dir):
             .alias("resid"),
         )
     )
+
+
+@register(
+    "t1_acf",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS d,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS v
+        FROM events GROUP BY 1, 2),
+    arr AS (SELECT event_type, list(v ORDER BY d) AS a FROM daily GROUP BY 1),
+    m AS (SELECT event_type, a, len(a) AS n,
+                 list_sum(a) // len(a) AS mu
+          FROM arr),
+    base AS (SELECT event_type, a, n, mu,
+                    list_sum(list_transform(a, x ->
+                      (x - mu) * (x - mu))) AS denom
+             FROM m),
+    lags AS (SELECT event_type, n, mu, denom, a,
+                    unnest(range(1, 8)) AS lag
+             FROM base)
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           CAST(list_sum(list_transform(range(1, n - lag + 1), t ->
+                  (a[t + lag] - mu) * (a[t] - mu))) AS BIGINT) AS acov_num,
+           CAST(denom AS BIGINT) AS denom,
+           round(CAST(list_sum(list_transform(range(1, n - lag + 1), t ->
+                  (a[t + lag] - mu) * (a[t] - mu))) AS DOUBLE)
+                 / denom, 6) AS acf
+    FROM lags
+    """,
+)
+def t1_acf(spark, sf_dir):
+    """Autocorrelation function of each event type's daily series, lags
+    1..7 — the forecasting diagnostic that tells you whether yesterday
+    (lag 1) or last week (lag 7) predicts today.  The biased estimator
+    rₖ = Σ(xₜ−x̄)(xₜ₋ₖ−x̄) / Σ(xₜ−x̄)² with an integerized mean
+    (sum div n): numerator and denominator are EXACT BIGINT products —
+    the series is accumulated in cents, not micro-units, precisely so a
+    squared deviation times a year of days stays inside int64 — and
+    only the final ratio is a double, rounded at the output edge (the
+    house decimal discipline).
+
+    Scale: one (series, day) shuffle; the 7 lags are in-row transforms
+    over the per-series array, no self-join against a shifted copy."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            trunc_ntz("day", F.col("ts")).cast("date"), F.lit("1970-01-01")
+        ).alias("d"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"))
+    arr = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
+        ).alias("a")
+    )
+    base = arr.select(
+        "event_type",
+        "a",
+        F.size("a").alias("n"),
+        F.expr("aggregate(a, 0L, (acc, x) -> acc + x) div size(a)").alias(
+            "mu"
+        ),
+    ).withColumn(
+        "denom",
+        F.expr("aggregate(a, 0L, (acc, x) -> acc + (x - mu) * (x - mu))"),
+    )
+    lags = base.select(
+        "event_type",
+        "n",
+        "mu",
+        "denom",
+        "a",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    )
+    num = F.expr(
+        """aggregate(transform(sequence(1, n - lag), t ->
+             (element_at(a, t + lag) - mu) * (element_at(a, t) - mu)),
+           0L, (acc, x) -> acc + x)"""
+    )
+    return lags.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        num.cast("bigint").alias("acov_num"),
+        F.col("denom").cast("bigint").alias("denom"),
+        F.round(num.cast("double") / F.col("denom"), 6).alias("acf"),
+    )
