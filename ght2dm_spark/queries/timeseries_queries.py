@@ -427,3 +427,93 @@ def t1_acf(spark, sf_dir):
         F.col("denom").cast("bigint").alias("denom"),
         F.round(num.cast("double") / F.col("denom"), 6).alias("acf"),
     )
+
+
+@register(
+    "t1_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS d,
+               sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS v
+        FROM events GROUP BY 1, 2),
+    arr AS (SELECT event_type, list(v ORDER BY d) AS a, count(*) AS n
+            FROM daily GROUP BY 1),
+    rec AS (
+        SELECT event_type, n, a, 2 AS i,
+               a[1] AS l, a[2] - a[1] AS b
+        FROM arr WHERE n >= 2
+        UNION ALL
+        SELECT event_type, n, a, i + 1,
+               (3 * a[i + 1] + 7 * (l + b)) // 10 AS l,
+               (2 * ((3 * a[i + 1] + 7 * (l + b)) // 10 - l) + 8 * b) // 10
+                 AS b
+        FROM rec WHERE i < n)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(l AS BIGINT) AS level_micro,
+           CAST(b AS BIGINT) AS trend_micro,
+           CAST(l + b AS BIGINT) AS forecast_micro
+    FROM rec WHERE i = n
+    """,
+)
+def t1_holt_linear(spark, sf_dir):
+    """Holt double exponential smoothing (Holt 1957) per event type —
+    level AND trend state (α = 0.3, β = 0.2 as exact rationals), so
+    unlike t1_ewma the one-step forecast (level + trend) tracks a
+    drifting series instead of lagging it.  The two-variable recurrence
+    runs as an in-row fold with a STRUCT accumulator (init: level = x₁,
+    trend = x₂ − x₁); the oracle replays the identical recurrence as a
+    DuckDB RECURSIVE CTE — the third oracle technique in the repo next
+    to unrolled rounds and list_reduce folds, needed here because
+    list_reduce cannot carry two state variables.  Truncating integer
+    division keeps every step bit-identical (both engines truncate
+    toward zero for all signs; the (a − a mod 10)/10 form below is
+    exactly that in Column arithmetic, which has no div operator
+    inside lambdas).
+
+    Scale: same as t1_ewma — one (series, day) shuffle, then O(days)
+    in-row state per series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            trunc_ntz("day", F.col("ts")).cast("date"), F.lit("1970-01-01")
+        ).alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("v")
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
+        ).alias("vs")
+    ).filter(F.size("vs") >= 2)
+
+    def tdiv10(c):
+        # truncating /10 for either sign: a - (a % 10) is exactly
+        # divisible and Spark's % follows the dividend's sign
+        return ((c - (c % F.lit(10))) / 10).cast("long")
+
+    def step(acc, x):
+        l_new = tdiv10(3 * x + 7 * (acc["l"] + acc["b"]))
+        b_new = tdiv10(2 * (l_new - acc["l"]) + 8 * acc["b"])
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    init = F.struct(
+        F.element_at("vs", 1).alias("l"),
+        (F.element_at("vs", 2) - F.element_at("vs", 1)).alias("b"),
+    )
+    st = arr.select(
+        "event_type",
+        F.size("vs").cast("bigint").alias("n_days"),
+        F.aggregate(
+            F.expr("slice(vs, 3, size(vs) - 2)"), init, step
+        ).alias("st"),
+    )
+    return st.select(
+        "event_type",
+        "n_days",
+        F.col("st.l").cast("bigint").alias("level_micro"),
+        F.col("st.b").cast("bigint").alias("trend_micro"),
+        (F.col("st.l") + F.col("st.b")).cast("bigint").alias("forecast_micro"),
+    )
