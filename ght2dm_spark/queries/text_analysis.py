@@ -251,3 +251,102 @@ def t1_token_pmi(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+_TR_ITERS = 3
+_TR_TOPK = 15
+_TR_MINLEN = 4
+
+
+def _textrank_sql() -> str:
+    """Unrolled-round oracle for TextRank over the word-adjacency graph
+    (the t1_pagerank oracle generalized to a token edge CTE; the
+    undirected expansion is DISTINCT here because word bigrams, unlike
+    the bipartite supplier↔part edges, can appear in both orders)."""
+    from ght2dm_spark.operators.graph import PAGERANK_SCALE
+
+    nn = "(SELECT nn FROM n)"
+    base_num = 15 * PAGERANK_SCALE  # (100 - 85) · scale
+    ctes = [
+        """t AS (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents)""",
+        f"""e0 AS (
+          SELECT DISTINCT pair[1] AS a, pair[2] AS b FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                     i -> [toks[i], toks[i + 1]])) AS pair
+            FROM t) p
+          WHERE length(pair[1]) >= {_TR_MINLEN}
+            AND length(pair[2]) >= {_TR_MINLEN}
+            AND pair[1] <> pair[2])""",
+        "e AS (SELECT DISTINCT a, b FROM ("
+        "SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0) u)",
+        "deg AS (SELECT a, count(*) AS od FROM e GROUP BY a)",
+        "n AS (SELECT count(DISTINCT a) AS nn FROM e)",
+        f"r0 AS (SELECT a AS node, CAST({PAGERANK_SCALE} AS BIGINT) // {nn}"
+        " AS r FROM (SELECT DISTINCT a FROM e))",
+    ]
+    for k in range(1, _TR_ITERS + 1):
+        ctes.append(
+            f"r{k} AS (SELECT e.b AS node, "
+            f"CAST({base_num} AS BIGINT) // (100 * {nn}) "
+            f"+ (sum(r.r // d.od) * 85) // 100 AS r "
+            f"FROM e JOIN r{k - 1} r ON e.a = r.node JOIN deg d ON e.a = d.a "
+            f"GROUP BY e.b)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT node AS keyword, CAST(r AS BIGINT) AS rank_e12
+    FROM r{_TR_ITERS} ORDER BY r DESC, node LIMIT {_TR_TOPK}"""
+    )
+
+
+@register("t1_textrank_keywords", oracle=_textrank_sql())
+def t1_textrank_keywords(spark, sf_dir):
+    """Corpus keyword extraction by TextRank (Mihalcea & Tarau, EMNLP
+    2004): PageRank over the word-adjacency graph — an edge links
+    consecutive tokens when both are ≥4 chars (the cheap deterministic
+    stand-in for a POS filter) — then the top-15 words by rank.  Words
+    that co-occur with many well-connected words rank highest; unlike
+    TF-IDF (t1_tfidf_top_terms) this needs no document frequency model,
+    which is why TextRank is the standard unsupervised keyword
+    baseline.
+
+    Reuses operators/graph.pagerank verbatim (integer fixed-point
+    rounds, one join + one aggregation per round over the cached
+    pre-partitioned edge list); the oracle unrolls the same rounds with
+    a DISTINCT undirected expansion (word bigrams occur in both
+    orders).  The top-k cut is (rank DESC, word) — value-deterministic.
+
+    Scale: edge generation is an in-row bigram comprehension (no
+    self-join); the graph is vocabulary²-bounded but adjacency-sparse;
+    ranking shuffles |V|-row frames per round, never the corpus."""
+    from ght2dm_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+    )
+    pairs = d.select(toks.alias("tk")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), i -> "
+                "struct(element_at(tk, i) AS src, element_at(tk, i + 1) AS dst))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst").filter(
+        (F.length("src") >= _TR_MINLEN)
+        & (F.length("dst") >= _TR_MINLEN)
+        & (F.col("src") != F.col("dst"))
+    )
+    ranks = pagerank(pairs, iterations=_TR_ITERS)
+    return (
+        ranks.orderBy(F.col("r").desc(), F.col("node"))
+        .limit(_TR_TOPK)
+        .select(
+            F.col("node").alias("keyword"),
+            F.col("r").cast("bigint").alias("rank_e12"),
+        )
+    )
