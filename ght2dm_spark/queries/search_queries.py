@@ -375,3 +375,149 @@ def t1_hybrid_rrf(spark, sf_dir):
         .select("q_id", "c_id", F.col("rrf").cast("bigint").alias("rrf"),
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+# --------------------------------------------------------------------------
+# t1_mmr_rerank — diversity-aware reranking (maximal marginal relevance)
+
+_MMR_NQ = 5  # vec_id < 5 are the queries
+_MMR_CAND = 10  # relevance candidates per query
+_MMR_K = 5  # diversity-selected results
+_MMR_LAM_NUM, _MMR_LAM_DEN = 7, 10  # λ = 0.7 as an exact rational
+
+
+def _mmr_sql() -> str:
+    from ght2dm_spark.operators.similarity import cosine_sql
+
+    cos_qc = cosine_sql("q_vec", "c_vec")
+    cos_cs = cosine_sql("c_vec", "s_vec")
+    parts = [
+        f"""q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+          WHERE vec_id < {_MMR_NQ})""",
+        "c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings)",
+        f"""cand AS MATERIALIZED (
+          SELECT q_id, c_id, c_vec, cos FROM (
+            SELECT q_id, c_id, c_vec, {cos_qc} AS cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY {cos_qc} DESC, c_id ASC) AS rnk
+            FROM c CROSS JOIN q WHERE q_id <> c_id) x
+          WHERE rnk <= {_MMR_CAND})""",
+        f"""s1 AS (SELECT q_id, c_id, c_vec, cos, 1 AS pick FROM (
+          SELECT q_id, c_id, c_vec, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, c_id ASC) AS rn
+          FROM cand) x WHERE rn = 1)""",
+    ]
+    for r in range(2, _MMR_K + 1):
+        q = r - 1
+        parts.append(
+            f"""ms{r} AS (
+          SELECT cd.q_id, cd.c_id, cd.c_vec, cd.cos,
+                 max({cos_cs}) AS msim
+          FROM cand cd
+          JOIN (SELECT q_id, c_id, c_vec AS s_vec FROM s{q}) s
+            ON s.q_id = cd.q_id
+          WHERE cd.c_id NOT IN (SELECT c_id FROM s{q} ss
+                                WHERE ss.q_id = cd.q_id)
+          GROUP BY cd.q_id, cd.c_id, cd.c_vec, cd.cos),
+    s{r} AS (
+          SELECT q_id, c_id, c_vec, cos, {r} AS pick FROM (
+            SELECT q_id, c_id, c_vec, cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY
+                     {_MMR_LAM_NUM} * cos
+                       - {_MMR_LAM_DEN - _MMR_LAM_NUM} * msim DESC,
+                     c_id ASC) AS rn
+            FROM ms{r}) x WHERE rn = 1
+          UNION ALL SELECT q_id, c_id, c_vec, cos, pick FROM s{q})"""
+        )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT q_id, c_id, CAST(pick AS INT) AS pick, round(cos, 6) AS cos
+    FROM s{_MMR_K}
+    """
+
+
+@register("t1_mmr_rerank", oracle=_mmr_sql())
+def t1_mmr_rerank(spark, sf_dir):
+    """Diversity-aware reranking by maximal marginal relevance
+    (Carbonell & Goldstein, SIGIR 1998): from each query's cosine
+    top-10, greedily select 5 maximizing λ·cos(q,c) − (1−λ)·max
+    similarity to the already-selected set (λ = 7/10 as an exact
+    rational) — the standard answer to near-duplicate result lists in
+    retrieval-augmented pipelines (the top-k of a deduplicated-but-
+    still-redundant corpus is often five paraphrases of one document).
+
+    The greedy recurrence runs as 5 unrolled selection rounds in BOTH
+    engines (same shape as the oracle's CTEs): each round scores the
+    remaining candidates against the selected set (one bounded join —
+    |selected| ≤ 4 rows per query) and picks the per-query argmax with
+    an id tie-break.  Cosines are the sequential-fold doubles of
+    operators/similarity (bit-identical across engines), and every
+    comparison uses the identical expression, so the selection is
+    exact-match despite float scores.
+
+    Scale: candidates come from the brute-force baseline (broadcast
+    queries, corpus never shuffles — swap in LSH/IVF at scale, MMR only
+    sees the candidate list); the selection rounds touch
+    |queries|·candidates rows — driver-scale frames, shuffled on
+    q_id."""
+    from pyspark.sql import Window
+
+    from ght2dm_spark.operators.similarity import as_double, cosine, topk_neighbors
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    cand = (
+        topk_neighbors(q, c, k=_MMR_CAND)
+        .join(c, "c_id")
+        .select("q_id", "c_id", "c_vec", "cos")
+        .cache()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "c_id", "c_vec", "cos", F.lit(1).alias("pick"))
+    )
+    for r in range(2, _MMR_K + 1):
+        s_vecs = sel.select(
+            F.col("q_id").alias("sq"), F.col("c_id").alias("s_id"),
+            F.col("c_vec").alias("s_vec"),
+        )
+        remaining = cand.join(
+            sel.select(F.col("q_id").alias("sq"), F.col("c_id").alias("s_id")),
+            (F.col("q_id") == F.col("sq")) & (F.col("c_id") == F.col("s_id")),
+            "left_anti",
+        )
+        ms = (
+            remaining.join(s_vecs, remaining.q_id == s_vecs.sq)
+            .withColumn(
+                "sim",
+                cosine(as_double(F.col("c_vec")), as_double(F.col("s_vec"))),
+            )
+            .groupBy("q_id", "c_id", "c_vec", "cos")
+            .agg(F.max("sim").alias("msim"))
+        )
+        score = (
+            _MMR_LAM_NUM * F.col("cos")
+            - (_MMR_LAM_DEN - _MMR_LAM_NUM) * F.col("msim")
+        )
+        wm = Window.partitionBy("q_id").orderBy(score.desc(), F.col("c_id"))
+        picked = (
+            ms.withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1)
+            .select("q_id", "c_id", "c_vec", "cos", F.lit(r).alias("pick"))
+        )
+        sel = sel.unionByName(picked)
+    return sel.select(
+        "q_id",
+        "c_id",
+        F.col("pick").cast("int").alias("pick"),
+        F.round("cos", 6).alias("cos"),
+    )
