@@ -90,3 +90,55 @@ def test_compaction_invalidates_increment_path(spark, sf_dir, tmp_path):
     compact_snapshot(spark, src)
     with pytest.raises(ValueError, match="append-ancestor"):
         refresh_aggregate(spark, src, dst, ["o_orderstatus"], AGGS)
+
+
+def test_refresh_join_is_incremental_and_exact(spark, sf_dir, tmp_path):
+    """dest = orders ⋈ customer maintained via the delta-join identity:
+    appends on BOTH sides are folded in as one append commit of
+    ΔL⋈R₀ ∪ L₀⋈ΔR ∪ ΔL⋈ΔR; the result must equal the full recompute
+    row-for-row, and the refresh commit must be an APPEND (O(delta)),
+    never an overwrite."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.incremental import refresh_join
+    from ght2dm_spark.io import load_table
+    from ght2dm_spark.snapshots import commit, history, prepare_commit, read_snapshot
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    lsrc, rsrc, dest = (
+        str(tmp_path / "o"), str(tmp_path / "c"), str(tmp_path / "j"),
+    )
+    o1 = o.filter(F.col("o_orderkey") % 3 == 0)
+    c1 = c.filter(F.col("o_custkey") % 2 == 0)
+    commit(prepare_commit(o1, lsrc))
+    commit(prepare_commit(c1, rsrc))
+
+    assert refresh_join(spark, lsrc, rsrc, dest, on=["o_custkey"])
+    assert not refresh_join(spark, lsrc, rsrc, dest, on=["o_custkey"])  # no-op
+
+    # append to both sides, refresh, compare vs full recompute
+    commit(prepare_commit(o.filter(F.col("o_orderkey") % 3 == 1), lsrc, mode="append"))
+    commit(prepare_commit(c.filter(F.col("o_custkey") % 2 == 1), rsrc, mode="append"))
+    assert refresh_join(spark, lsrc, rsrc, dest, on=["o_custkey"])
+
+    got = read_snapshot(spark, dest)
+    full = read_snapshot(spark, lsrc).join(read_snapshot(spark, rsrc), "o_custkey")
+    assert got.count() == full.count() > 0
+    cols = sorted(got.columns)
+    assert (
+        got.select(cols).exceptAll(full.select(cols)).isEmpty()
+        and full.select(cols).exceptAll(got.select(cols)).isEmpty()
+    )
+    # the second refresh was an append commit (delta-sized), not a rewrite
+    last = history(dest)[-1]
+    m = json.loads((Path(dest) / "_manifests" / last["manifest"]).read_text())
+    assert m["mode"] == "append"
+    assert m["meta"]["left_version"] == history(lsrc)[-1]["seq"]
