@@ -226,3 +226,35 @@ def split_rejects(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     rejects = df.filter(F.col("_corrupt").isNotNull())
     return good, rejects
+
+
+def encode_doc(d: dict) -> bytes:
+    """Inverse of :func:`decode_doc` for the scalar types the dumps
+    carry (string / int64 / double / bool / null) — what the writer
+    side of the data source frames out.  A dump written here reads
+    back through :func:`decode_doc` value-for-value."""
+    body = b""
+    for k, v in d.items():
+        name = k.encode("utf-8") + b"\x00"
+        if v is None:
+            body += bytes([_T_NULL]) + name
+        elif isinstance(v, bool):  # before int: bool is an int subclass
+            body += bytes([_T_BOOL]) + name + (b"\x01" if v else b"\x00")
+        elif isinstance(v, int):
+            body += bytes([_T_INT64]) + name + v.to_bytes(8, "little", signed=True)
+        elif isinstance(v, float):
+            import struct as _struct
+
+            body += bytes([_T_DOUBLE]) + name + _struct.pack("<d", v)
+        elif isinstance(v, str):
+            sb = v.encode("utf-8") + b"\x00"
+            body += (
+                bytes([_T_STRING])
+                + name
+                + len(sb).to_bytes(4, "little")
+                + sb
+            )
+        else:
+            raise BsonError(f"unsupported type for {k!r}: {type(v).__name__}")
+    total = 4 + len(body) + 1
+    return total.to_bytes(4, "little") + body + b"\x00"

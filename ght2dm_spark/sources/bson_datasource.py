@@ -31,7 +31,13 @@ import os
 from collections.abc import Iterator
 from datetime import date
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 from ght2dm_spark.sources.bson import (
@@ -64,6 +70,9 @@ class BsonDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "BsonDumpReader":
         return BsonDumpReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "BsonDumpWriter":
+        return BsonDumpWriter(schema, self.options, overwrite)
 
 
 class BsonDumpReader(DataSourceReader):
@@ -137,3 +146,60 @@ class BsonDumpReader(DataSourceReader):
                 row["_corrupt"] = str(e)
             yield emit(row)
             pos += 1
+
+
+class BsonWriterCommitMessage(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class BsonDumpWriter(DataSourceWriter):
+    """The WRITE side of the dump format (Spark 4 Python DataSource
+    writer API): each task frames its partition's rows as concatenated
+    BSON documents into one date-named dump file — the reference's own
+    file-per-unit layout (S8), so a dump written here reads back
+    through this source (or the reference's loader) unchanged.
+
+    Meta columns (file_date / file_pos / _corrupt) are provenance the
+    READER synthesizes; they are dropped on write rather than
+    round-tripped as data."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ght2dm_bson requires a save(path)")
+        self.file_date = options.get("file_date", "1970-01-01")
+        self.prefix = options.get("prefix", "dump")
+        self.fields = [f.name for f in schema.fields if f.name not in _META]
+        os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for fname in os.listdir(self.path):
+                if fname.endswith(".bson"):
+                    os.unlink(os.path.join(self.path, fname))
+
+    def write(self, iterator) -> "BsonWriterCommitMessage":
+        import uuid
+
+        from pyspark import TaskContext
+
+        from ght2dm_spark.sources.bson import encode_doc
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        fname = (
+            f"{self.prefix}-{self.file_date}"
+            f"-part{pid:05d}-{uuid.uuid4().hex[:8]}.bson"
+        )
+        out = os.path.join(self.path, fname)
+        n = 0
+        with open(out, "wb") as fh:
+            for row in iterator:
+                d = row.asDict() if hasattr(row, "asDict") else dict(row)
+                fh.write(
+                    encode_doc({k: d.get(k) for k in self.fields})
+                )
+                n += 1
+        if n == 0:
+            os.unlink(out)
+            return BsonWriterCommitMessage("", 0)
+        return BsonWriterCommitMessage(out, n)
