@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
 from ght2dm_spark.snapshots import (
+    commit,
     commit_stream_batch,
     last_streamed_batch,
+    prepare_commit,
     read_snapshot,
     snapshot_sink,
     write_table_atomic,
@@ -151,3 +153,49 @@ def test_compact_snapshot_clustered_restores_pruning(spark, sf_dir, tmp_path):
     assert n_all >= 2 and len(kept) < n_all
     got = read_snapshot(spark, t).count()
     assert got == orders.count()
+
+
+def test_snapshot_table_as_stream_source(spark, sf_dir, tmp_path):
+    """table→stream: a readStream over a snapshot table emits the
+    existing snapshot as batch 0 and each append commit as its own
+    micro-batch — offsets are snapshot versions, so nothing duplicates
+    and nothing is missed (the inverse of snapshot_sink's
+    stream→table)."""
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.io import load_table
+    from ght2dm_spark.sources.snapshot_stream import SnapshotStreamDataSource
+
+    spark.dataSource.register(SnapshotStreamDataSource)
+    table = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    commit(prepare_commit(base, table))
+
+    q = (
+        spark.readStream.format("ght2dm_snapshot")
+        .load(table)
+        .writeStream.format("memory")
+        .queryName("snap_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM snap_stream")
+        assert got.count() == base.count()
+
+        extra = spark.createDataFrame([(901, "NEWREGION")], base.schema)
+        commit(prepare_commit(extra, table, mode="append"))
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM snap_stream")
+        assert got.count() == base.count() + 1
+        assert (
+            got.filter(F.col("r_regionkey") == 901).count() == 1
+        )
+        # append again: only the delta arrives (no re-emission)
+        extra2 = spark.createDataFrame([(902, "OTHER")], base.schema)
+        commit(prepare_commit(extra2, table, mode="append"))
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM snap_stream").count() == base.count() + 2
+    finally:
+        q.stop()
