@@ -199,3 +199,53 @@ def test_snapshot_table_as_stream_source(spark, sf_dir, tmp_path):
         assert spark.sql("SELECT * FROM snap_stream").count() == base.count() + 2
     finally:
         q.stop()
+
+
+def test_multihop_snapshot_pipeline_bronze_to_silver(spark, sf_dir, tmp_path):
+    """Multi-hop streaming on the snapshot format alone: silver =
+    readStream(bronze) → filter/derive → snapshot_sink(silver).  Appends
+    to bronze flow through as exactly-once silver commits; silver equals
+    the batch transform of bronze at every step."""
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.io import load_table
+    from ght2dm_spark.sources.snapshot_stream import SnapshotStreamDataSource
+
+    spark.dataSource.register(SnapshotStreamDataSource)
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    base = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    commit(prepare_commit(base, bronze))
+
+    def xform(df):
+        return df.filter(F.col("n_nationkey") % 2 == 0).withColumn(
+            "name_len", F.length("n_name").cast("int")
+        )
+
+    q = (
+        xform(spark.readStream.format("ght2dm_snapshot").load(bronze))
+        .writeStream.foreachBatch(snapshot_sink(silver))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = read_snapshot(spark, silver)
+        want = xform(read_snapshot(spark, bronze))
+        assert got.count() == want.count() > 0
+
+        extra = spark.createDataFrame(
+            [(900, "EVENLAND"), (901, "ODDLAND")], base.schema
+        )
+        commit(prepare_commit(extra, bronze, mode="append"))
+        q.processAllAvailable()
+        got = read_snapshot(spark, silver)
+        want = xform(read_snapshot(spark, bronze))
+        cols = sorted(want.columns)
+        assert got.count() == want.count()
+        assert (
+            got.select(cols).exceptAll(want.select(cols)).isEmpty()
+            and want.select(cols).exceptAll(got.select(cols)).isEmpty()
+        )
+    finally:
+        q.stop()
