@@ -573,3 +573,84 @@ def t1_ann_euclidean_topk(spark, sf_dir):
         .filter(F.col("rank") <= 5)
     )
     return out.select("q_id", "c_id", F.round("dist", 6).alias("dist"), "rank")
+
+
+_KNN_NQ = 20  # vec_id < 20 are the "unlabeled" queries
+_KNN_K = 5
+
+
+@register(
+    "t1_knn_classify",
+    oracle=f"""
+    WITH lab AS (SELECT doc_id, lang FROM documents),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+          WHERE vec_id < {_KNN_NQ}),
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+          WHERE vec_id >= {_KNN_NQ}),
+    nn AS (SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY {{cos}} DESC, c_id ASC) AS rnk
+             FROM c CROSS JOIN q) x
+           WHERE rnk <= {_KNN_K}),
+    votes AS (SELECT nn.q_id, l.lang, count(*) AS n
+              FROM nn JOIN lab l ON l.doc_id = nn.c_id
+              GROUP BY 1, 2),
+    pred AS (SELECT q_id, lang AS predicted FROM (
+               SELECT q_id, lang,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY n DESC, lang ASC) AS rn
+               FROM votes) v WHERE rn = 1)
+    SELECT p.q_id, p.predicted, t.lang AS actual,
+           CAST(p.predicted = t.lang AS BOOLEAN) AS correct
+    FROM pred p JOIN lab t ON t.doc_id = p.q_id
+    """.format(cos="(list_reduce(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)), (x, y) -> x + y) / sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)), (x, y) -> x + y) * list_reduce(list_transform(range(1, 65), i -> CAST(c_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)), (x, y) -> x + y)))"),
+)
+def t1_knn_classify(spark, sf_dir):
+    """k-NN label prediction in the embedding space (the classic
+    no-training vector classifier): the first 20 docs play "unlabeled"
+    queries; each is assigned the majority language among its 5 nearest
+    labeled neighbors (cosine; vote ties break lexicographically) and
+    compared to its true label — the evaluation every embedding-quality
+    audit runs ("do my vectors cluster by the property I care about?").
+    doc_id ≡ vec_id alignment joins the label table to the corpus.
+
+    Scale: one broadcast-query corpus scan for the neighbor lists (the
+    brute-force baseline's shape — swap in IVF/PQ at scale), then
+    votes/argmax on |queries|·k rows.  The plan-lint note: the cross
+    join is the allowlisted bounded-broadcast baseline."""
+    from pyspark.sql import Window
+
+    from ght2dm_spark.operators.similarity import topk_neighbors
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.filter(F.col("vec_id") >= _KNN_NQ).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    nn = topk_neighbors(q, c, k=_KNN_K).select("q_id", "c_id")
+    votes = (
+        nn.join(
+            F.broadcast(d.withColumnRenamed("doc_id", "c_id")), "c_id"
+        )
+        .groupBy("q_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.col("n").desc(), F.col("lang"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("lang").alias("predicted"))
+    )
+    truth = d.select(
+        F.col("doc_id").alias("q_id"), F.col("lang").alias("actual")
+    )
+    return pred.join(F.broadcast(truth), "q_id").select(
+        "q_id",
+        "predicted",
+        "actual",
+        (F.col("predicted") == F.col("actual")).alias("correct"),
+    )
