@@ -576,6 +576,7 @@ def t1_ann_euclidean_topk(spark, sf_dir):
 
 
 _KNN_NQ = 20  # vec_id < 20 are the "unlabeled" queries
+_KNN_COS_SQL = cosine_sql("q_vec", "c_vec")
 _KNN_K = 5
 
 
@@ -653,4 +654,127 @@ def t1_knn_classify(spark, sf_dir):
         "predicted",
         "actual",
         (F.col("predicted") == F.col("actual")).alias("correct"),
+    )
+
+
+@register(
+    "t1_knn_confusion",
+    oracle=f"""
+    WITH lab AS (SELECT doc_id, lang FROM documents),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+          WHERE vec_id < {_KNN_NQ}),
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+          WHERE vec_id >= {_KNN_NQ}),
+    nn AS (SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY {{cos}} DESC, c_id ASC) AS rnk
+             FROM c CROSS JOIN q) x
+           WHERE rnk <= {_KNN_K}),
+    votes AS (SELECT nn.q_id, l.lang, count(*) AS n
+              FROM nn JOIN lab l ON l.doc_id = nn.c_id
+              GROUP BY 1, 2),
+    pred AS (SELECT q_id, lang AS predicted FROM (
+               SELECT q_id, lang,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY n DESC, lang ASC) AS rn
+               FROM votes) v WHERE rn = 1),
+    pairs AS (SELECT t.lang AS actual, p.predicted, count(*) AS n
+              FROM pred p JOIN lab t ON t.doc_id = p.q_id
+              GROUP BY 1, 2),
+    tp AS (SELECT actual AS cls, n AS n_tp FROM pairs
+           WHERE actual = predicted),
+    act AS (SELECT actual AS cls, sum(n) AS n_actual FROM pairs GROUP BY 1),
+    prd AS (SELECT predicted AS cls, sum(n) AS n_predicted FROM pairs
+            GROUP BY 1)
+    SELECT a.cls,
+           CAST(a.n_actual AS BIGINT) AS n_actual,
+           CAST(coalesce(p.n_predicted, 0) AS BIGINT) AS n_predicted,
+           CAST(coalesce(t.n_tp, 0) AS BIGINT) AS n_tp,
+           CAST(coalesce(t.n_tp, 0) * 1000000
+                // greatest(coalesce(p.n_predicted, 0), 1) AS BIGINT)
+             AS precision_ppm,
+           CAST(coalesce(t.n_tp, 0) * 1000000 // a.n_actual AS BIGINT)
+             AS recall_ppm
+    FROM act a
+    LEFT JOIN prd p ON p.cls = a.cls
+    LEFT JOIN tp t ON t.cls = a.cls
+    """.format(cos=_KNN_COS_SQL),
+)
+def t1_knn_confusion(spark, sf_dir):
+    """Per-class evaluation of the k-NN classifier (t1_knn_classify's
+    companion): actual/predicted counts, true positives, and integer-ppm
+    precision/recall per language — the confusion-matrix rollup every
+    classification audit reports.  All counts exact BIGINT; ratios are
+    truncating integer ppm (div-by-zero guarded with greatest(·,1) —
+    a class never predicted has precision 0, identically in both
+    engines).
+
+    Scale: everything past the neighbor lists is |classes|-sized."""
+    from pyspark.sql import Window
+
+    from ght2dm_spark.operators.similarity import topk_neighbors
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.filter(F.col("vec_id") >= _KNN_NQ).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    nn = topk_neighbors(q, c, k=_KNN_K).select("q_id", "c_id")
+    votes = (
+        nn.join(F.broadcast(d.withColumnRenamed("doc_id", "c_id")), "c_id")
+        .groupBy("q_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.col("n").desc(), F.col("lang"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("lang").alias("predicted"))
+    )
+    pairs = (
+        pred.join(
+            F.broadcast(
+                d.select(
+                    F.col("doc_id").alias("q_id"), F.col("lang").alias("actual")
+                )
+            ),
+            "q_id",
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    tp = pairs.filter(F.col("actual") == F.col("predicted")).select(
+        F.col("actual").alias("cls"), F.col("n").alias("n_tp")
+    )
+    act = pairs.groupBy(F.col("actual").alias("cls")).agg(
+        F.sum("n").alias("n_actual")
+    )
+    prd = pairs.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("n").alias("n_predicted")
+    )
+    return (
+        act.join(prd, "cls", "left")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.col("n_actual").cast("bigint").alias("n_actual"),
+            F.coalesce("n_predicted", F.lit(0))
+            .cast("bigint")
+            .alias("n_predicted"),
+            F.coalesce("n_tp", F.lit(0)).cast("bigint").alias("n_tp"),
+            F.expr(
+                "coalesce(n_tp, 0) * 1000000"
+                " div greatest(coalesce(n_predicted, 0), 1)"
+            )
+            .cast("bigint")
+            .alias("precision_ppm"),
+            F.expr("coalesce(n_tp, 0) * 1000000 div n_actual")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
     )

@@ -44,6 +44,7 @@ CROSS_OK = {
     "t1_hybrid_rrf",  # dense leg composes the brute-force baseline (query×corpus)
     "t1_mmr_rerank",  # candidates compose the brute-force baseline (query×corpus)
     "t1_knn_classify",  # neighbors compose the brute-force baseline (query×corpus)
+    "t1_knn_confusion",  # same neighbor lists as t1_knn_classify
     "t1_embedding_neardup",  # bucketed pairs; tiny bucket self-pairs
     "t1_ann_ivf_topk",  # vectors × K centroids (K bounded), queries × probes
     "t1_tfidf_top_terms",  # 1-row corpus-size frame for the IDF term
