@@ -778,3 +778,64 @@ def t1_knn_confusion(spark, sf_dir):
             .alias("recall_ppm"),
         )
     )
+
+
+@register(
+    "t1_embedding_drift",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+                      list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0)
+                                  AS BIGINT)) AS iv
+               FROM embeddings),
+    dims AS (SELECT half, i, sum(iv[i]) AS s, count(*) AS n
+             FROM v, unnest(range(1, {EMB_DIM} + 1)) AS t(i)
+             GROUP BY 1, 2),
+    cent AS (SELECT half, i, s // n AS c FROM dims),
+    wide AS (SELECT a.i, a.c AS ca, b.c AS cb
+             FROM (SELECT i, c FROM cent WHERE half = 'a') a
+             JOIN (SELECT i, c FROM cent WHERE half = 'b') b USING (i))
+    SELECT CAST(sum((ca - cb) * (ca - cb)) AS BIGINT) AS sq_l2_micro2,
+           CAST(sum(ca * cb) AS BIGINT) AS dot_micro2,
+           CAST(sum(ca * ca) AS BIGINT) AS norm_a_micro2,
+           CAST(sum(cb * cb) AS BIGINT) AS norm_b_micro2
+    FROM wide
+    """,
+)
+def t1_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift monitor: split the corpus into two
+    cohorts (doc parity stands in for before/after a re-embedding or a
+    new crawl), compute each cohort's integer centroid, and report the
+    exact squared L2 distance and the dot/norm components of the
+    centroid cosine — the cheap first-line check that the embedding
+    space did (or did not) move under a model/corpus change.  All
+    micro-unit BIGINT; callers derive cosine = dot/√(na·nb) from the
+    exact components (house discipline: ship exact integers, let the
+    consumer pick float precision).
+
+    Scale: one posexplode aggregation per cohort (dim-keyed, map-side
+    combined — embedding_centroid's shape), then dim-sized frames."""
+    from ght2dm_spark.operators.clustering import int_vec
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("half"),
+        int_vec(F.col("embedding")).alias("iv"),
+    )
+    dims = (
+        v.select("half", F.posexplode("iv").alias("i0", "x"))
+        .groupBy("half", (F.col("i0") + 1).alias("i"))
+        .agg(F.expr("sum(x) div count(1)").alias("c"))
+    )
+    a = dims.filter(F.col("half") == "a").select("i", F.col("c").alias("ca"))
+    b = dims.filter(F.col("half") == "b").select("i", F.col("c").alias("cb"))
+    wide = a.join(b, "i")
+    return wide.agg(
+        F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+        .cast("bigint")
+        .alias("sq_l2_micro2"),
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot_micro2"),
+        F.sum(F.col("ca") * F.col("ca")).cast("bigint").alias("norm_a_micro2"),
+        F.sum(F.col("cb") * F.col("cb")).cast("bigint").alias("norm_b_micro2"),
+    )
