@@ -298,3 +298,92 @@ def t1_k_anonymity(spark, sf_dir):
             .alias("anon_n"),
         )
     )
+
+
+@register(
+    "t1_drift_tvd",
+    oracle="""
+    WITH v AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END
+                        AS cohort,
+                      CAST(round(value * 100, 0) AS BIGINT) AS c
+               FROM events),
+    b AS (SELECT min(c) AS lo, max(c) AS hi FROM v),
+    binned AS (SELECT cohort,
+                      least(CAST(((c - lo) * 10) // (hi - lo + 1) AS BIGINT),
+                            9) AS bin
+               FROM v, b),
+    cnt AS (SELECT cohort, bin, count(*) AS n FROM binned GROUP BY 1, 2),
+    tot AS (SELECT cohort, sum(n) AS t FROM cnt GROUP BY 1),
+    p AS (SELECT bin,
+                 coalesce(max(CASE WHEN cohort = 'a'
+                                   THEN n * 1000000 // t END), 0) AS pa_ppm,
+                 coalesce(max(CASE WHEN cohort = 'b'
+                                   THEN n * 1000000 // t END), 0) AS pb_ppm,
+                 coalesce(max(CASE WHEN cohort = 'a' THEN n END), 0) AS na,
+                 coalesce(max(CASE WHEN cohort = 'b' THEN n END), 0) AS nb
+          FROM cnt JOIN tot USING (cohort) GROUP BY bin)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(pa_ppm AS BIGINT) AS pa_ppm, CAST(pb_ppm AS BIGINT) AS pb_ppm,
+           CAST(abs(pa_ppm - pb_ppm) AS BIGINT) AS abs_diff_ppm
+    FROM p
+    """,
+)
+def t1_drift_tvd(spark, sf_dir):
+    """Feature-distribution drift between two cohorts as per-bin
+    histogram divergence — the production drift monitor in its
+    exact-integer form: events split by id parity (standing in for
+    before/after a pipeline change), values bucketed into 10 equal-width
+    bins over the GLOBAL range, per-cohort bin shares in integer ppm,
+    and |pa − pb| per bin (the consumer sums and halves for total
+    variation distance; TVD is chosen over PSI because PSI's ln makes
+    exact cross-engine matching impossible while TVD is pure integer
+    arithmetic and bounds every f-divergence-based alarm anyway).
+
+    Scale: the bin bounds are one global min/max aggregate broadcast as
+    a 1-row frame; binning is a narrow map; everything after is
+    10-row frames."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("cohort"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    b = v.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+    binned = v.crossJoin(F.broadcast(b)).select(
+        "cohort",
+        F.least(
+            F.expr("((c - lo) * 10) div (hi - lo + 1)"), F.lit(9).cast("long")
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("cohort", "bin").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("cohort").agg(F.sum("n").alias("t"))
+    p = (
+        cnt.join(F.broadcast(tot), "cohort")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("cohort") == "a", F.expr("n * 1000000 div t"))),
+                F.lit(0),
+            ).alias("pa_ppm"),
+            F.coalesce(
+                F.max(F.when(F.col("cohort") == "b", F.expr("n * 1000000 div t"))),
+                F.lit(0),
+            ).alias("pb_ppm"),
+            F.coalesce(
+                F.max(F.when(F.col("cohort") == "a", F.col("n"))), F.lit(0)
+            ).alias("na"),
+            F.coalesce(
+                F.max(F.when(F.col("cohort") == "b", F.col("n"))), F.lit(0)
+            ).alias("nb"),
+        )
+    )
+    return p.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("pa_ppm").cast("bigint").alias("pa_ppm"),
+        F.col("pb_ppm").cast("bigint").alias("pb_ppm"),
+        F.abs(F.col("pa_ppm") - F.col("pb_ppm"))
+        .cast("bigint")
+        .alias("abs_diff_ppm"),
+    )
