@@ -36,6 +36,7 @@ CROSS_OK = {
     "t1_train_test_split",  # 2-row label frame
     "t1_lang_balance_sample",  # 1-row quota frame
     "t1_time_gapfill",  # bounds frame (1 row) feeding sequence()
+    "t1_drift_tvd",  # global min/max bounds frame (1 row) feeding the binning
     "t1_profile_table",  # per-column scalar stats assembled crosswise
     "t1_salted_join",  # deliberate: dim × 8-row salt spine replication
     "t1_ann_bruteforce_topk",  # deliberate brute-force baseline (query×corpus)
