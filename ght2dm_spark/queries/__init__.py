@@ -104,6 +104,9 @@ _LEAD = [
     "t1_pagerank", "t1_bfs_levels", "t1_neardup_components",
     "t1_kmeans_clusters", "t1_event_funnel", "t1_sessionize_gap",
     "t1_salted_join",
+    # codec upgraded stub→real this round (judge item #2) — placed right
+    # after the flagships so a tight driver time budget cannot cut it off:
+    "t1_multimodal_decode",
     # changed THIS round (rewritten money math / ordering keys / rounding
     # discipline after the ~sf1 sweep) — semantics-bearing code moved, so
     # they re-enter the window even where a r1/r2 row exists:
@@ -120,9 +123,6 @@ _LEAD = [
     "t1_ssjoin_prefix", "t1_ewma", "t1_hybrid_rrf", "t1_sql_pipe",
     "t1_image_ahash", "t1_audio_fingerprint", "t1_video_sample_table",
     "t1_media_dedup", "t1_theilsen_slope",
-    # codec upgraded stub→real this round (see note in _DRIVER_VERIFIED):
-    # must land inside the ~50-query budget, not at its edge
-    "t1_multimodal_decode",
     # regression canaries (already verified, kept in-window deliberately;
     # trimmed to three so every round-3 query lands inside the ~50 budget —
     # t0_ts_cast stays because it was round 1's hash failure)
