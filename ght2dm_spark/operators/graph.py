@@ -271,3 +271,93 @@ def pagerank(
         if materialize_every and i % materialize_every == 0 and i < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def kcore_edges(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "x",
+    dst: str = "y",
+) -> DataFrame:
+    """k-core peel (Seidman 1983): drop every node of degree < ``k``,
+    simultaneously, for up to ``rounds`` rounds; return the surviving
+    edge list.  ``edges`` holds one row per undirected edge (src < dst);
+    degree counts both endpoints.
+
+    The peel is monotone — a round that removes no edge is the fixpoint
+    and every later round is a no-op — so the loop exits early when the
+    edge count stops shrinking (the count is free: the frame was just
+    localCheckpointed).  Callers that mirror a fixed-round unrolled
+    oracle stay exact: stopping early never changes the result, it only
+    skips no-ops.
+
+    Scale: each round is one degree aggregation (hash-partitioned on
+    node id) and two semi-joins; the edge frame only shrinks, and the
+    per-round localCheckpoint keeps round N's plan from replaying
+    rounds 1..N-1 (the driver-loop pattern of this module).
+    """
+    e = edges.select(src, dst).localCheckpoint(eager=True)
+    prev = e.count()
+    for _ in range(rounds):
+        nodes = (
+            e.select(F.col(src).alias("node"))
+            .unionAll(e.select(F.col(dst).alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        e = (
+            e.join(nodes.withColumnRenamed("node", src), src, "leftsemi")
+            .join(nodes.withColumnRenamed("node", dst), dst, "leftsemi")
+            .select(src, dst)
+            .localCheckpoint(eager=True)
+        )
+        cnt = e.count()
+        if cnt == prev:
+            break
+        prev = cnt
+    return e
+
+
+def bellman_ford(
+    edges: DataFrame,
+    source: int,
+    rounds: int,
+    src: str = "x",
+    dst: str = "y",
+    weight: str = "w",
+) -> DataFrame:
+    """Single-source shortest paths by ``rounds`` Bellman-Ford
+    relaxations over a DIRECTED weighted edge list (pass both
+    directions for an undirected graph).  Returns (node, dist) for
+    every node reached within ``rounds`` hops — with
+    ``rounds >= |V| - 1`` and non-negative weights that is the exact
+    shortest-path distance.
+
+    All-integer arithmetic: callers supply integer weights, so the
+    iterated min/plus state is bit-identical across engines — the same
+    discipline as :func:`pagerank`'s fixed-point ranks.
+
+    Scale: each round shuffles O(|frontier| + |V|) rows (one hash join
+    of the distance frame against the cached edge list, one min-agg),
+    never the edge list itself; localCheckpoint per round keeps the
+    lineage flat.
+    """
+    spark = edges.sparkSession
+    e = edges.select(src, dst, weight).cache()
+    dist = spark.createDataFrame([(source, 0)], "node bigint, dist bigint")
+    for _ in range(rounds):
+        cand = dist.join(e, dist["node"] == e[src]).select(
+            F.col(dst).alias("node"),
+            (F.col("dist") + F.col(weight)).alias("dist"),
+        )
+        dist = (
+            dist.select("node", "dist")
+            .unionAll(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", "dist")

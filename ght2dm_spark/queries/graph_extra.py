@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
+from ght2dm_spark.operators.graph import bellman_ford, kcore_edges
 from ght2dm_spark.queries.registry import register
 
 
@@ -168,27 +169,11 @@ def t1_kcore(spark, sf_dir):
         .cache()
     )
     mx = m0.agg(F.max("shared").alias("mx"))
-    e = (
-        m0.crossJoin(F.broadcast(mx))
-        .filter(F.col("shared") * 2 >= F.col("mx"))
-        .select("x", "y")
-        .localCheckpoint(eager=True)
+    e = kcore_edges(
+        m0.crossJoin(F.broadcast(mx)).filter(F.col("shared") * 2 >= F.col("mx")),
+        _KCORE_K,
+        _KCORE_ROUNDS,
     )
-    for _ in range(_KCORE_ROUNDS):
-        nodes = (
-            e.select(F.col("x").alias("node"))
-            .unionAll(e.select(F.col("y").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= _KCORE_K)
-            .select("node")
-        )
-        e = (
-            e.join(nodes.withColumnRenamed("node", "x"), "x", "leftsemi")
-            .join(nodes.withColumnRenamed("node", "y"), "y", "leftsemi")
-            .select("x", "y")
-            .localCheckpoint(eager=True)
-        )
     return (
         e.select(F.col("x").alias("node"))
         .unionAll(e.select(F.col("y").alias("node")))
@@ -360,18 +345,5 @@ def t1_sssp_weighted(spark, sf_dir):
     )
     e = w0.unionAll(
         w0.select(F.col("y").alias("x"), F.col("x").alias("y"), "w")
-    ).cache()
-    dist = spark.createDataFrame([(1, 0)], "node bigint, dist bigint")
-    for _ in range(_SSSP_ROUNDS):
-        cand = (
-            dist.join(e, dist["node"] == e["x"])
-            .select(F.col("y").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
-        )
-        dist = (
-            dist.select("node", "dist")
-            .unionAll(cand)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
-    return dist.select("node", "dist")
+    )
+    return bellman_ford(e, source=1, rounds=_SSSP_ROUNDS)

@@ -358,3 +358,142 @@ def test_bpe_train_matches_reference(spark, words):
         if r.head() is not None
     ]
     assert got == reference_train(words, rounds=2)
+
+
+@given(edges=edges_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kcore_matches_peel_fixpoint_model(spark, edges):
+    from ght2dm_spark.operators.graph import kcore_edges
+
+    # canonical undirected edge rows (x < y), no self-loops — the
+    # operator contract t1_kcore establishes upstream
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not canon:
+        return
+    k = 2
+    edf = spark.createDataFrame(sorted(canon), "x long, y long")
+    got = {(r["x"], r["y"]) for r in kcore_edges(edf, k, rounds=20).collect()}
+    # model: peel to the fixpoint (the k-core is the unique maximal
+    # subgraph of min degree >= k, however the peel is ordered)
+    cur = set(canon)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    assert got == cur
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7), st.integers(1, 9)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bellman_ford_matches_dijkstra(spark, edges):
+    import heapq
+
+    from ght2dm_spark.operators.graph import bellman_ford
+
+    # directed weighted edges, positive integer weights; 8 nodes means
+    # 7 relaxation rounds reach every shortest path exactly
+    edf = spark.createDataFrame(edges, "x long, y long, w long")
+    got = {
+        (r["node"], r["dist"])
+        for r in bellman_ford(edf, source=0, rounds=7).collect()
+    }
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+    dist = {0: 0}
+    heap = [(0, 0)]
+    while heap:
+        d, n = heapq.heappop(heap)
+        if d > dist.get(n, 1 << 60):
+            continue
+        for m, w in adj.get(n, ()):
+            nd = d + w
+            if nd < dist.get(m, 1 << 60):
+                dist[m] = nd
+                heapq.heappush(heap, (nd, m))
+    assert got == set(dist.items())
+
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=14), min_size=1, max_size=6
+)
+
+
+def _md5_halves(s: str) -> tuple[int, int]:
+    import hashlib
+
+    h = hashlib.md5(s.encode("utf-8")).hexdigest()
+    return int(h[:8], 16), int(h[8:16], 16)
+
+
+@given(texts=docs_strategy)
+@_slow
+def test_minhash_signature_matches_python_model(spark, texts):
+    from ght2dm_spark.operators.neardup import MINHASH_PRIME, minhash_signature
+
+    k, n = 4, 3
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signature(df, "doc_id", "text", k=k, shingle_n=n).collect()
+    }
+    expect = {}
+    for i, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        if len(toks) >= n:
+            shingles = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+        else:
+            shingles = {text.lower()}
+        halves = [_md5_halves(s) for s in shingles]
+        expect[i] = [
+            min((h1 + j * h2) % MINHASH_PRIME for h1, h2 in halves)
+            for j in range(k)
+        ]
+    assert got == expect
+
+
+@given(texts=docs_strategy)
+@_slow
+def test_simhash_matches_python_model(spark, texts):
+    from ght2dm_spark.operators.neardup import SIMHASH_BITS, simhash64
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash64(df, "doc_id", "text").collect()
+    }
+    expect = {}
+    for i, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            continue  # no tokens -> no votes -> doc absent, like the operator
+        votes = [0] * SIMHASH_BITS
+        for t in toks:
+            h1, h2 = _md5_halves(t)
+            for b in range(SIMHASH_BITS):
+                h, shift = (h1, 31 - b) if b < 32 else (h2, 63 - b)
+                votes[b] += ((h >> shift) & 1) * 2 - 1
+        expect[i] = "".join("1" if v >= 0 else "0" for v in votes)
+    assert got == expect
