@@ -497,3 +497,102 @@ def test_simhash_matches_python_model(spark, texts):
                 votes[b] += ((h >> shift) & 1) * 2 - 1
         expect[i] = "".join("1" if v >= 0 else "0" for v in votes)
     assert got == expect
+
+
+_snap_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=1, max_size=5
+)
+_snap_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), _snap_rows),
+        st.tuples(st.just("overwrite"), _snap_rows),
+        st.tuples(st.just("delete"), st.lists(st.integers(0, 5), min_size=1, max_size=3)),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(first=_snap_rows, ops=_snap_ops)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_table_random_op_sequences(spark, tmp_path_factory, first, ops):
+    """Stateful check of the snapshot table format: any interleaving of
+    append / overwrite / merge-on-read delete / compact / vacuum must
+    keep (a) the live read equal to the model after every op, (b) time
+    travel to every RETAINED version equal to what that version showed
+    when it committed (manifests are immutable), and (c) history()
+    listing exactly the retained chain.
+
+    Model semantics being pinned: appends carry parent delete keys
+    forward (a re-appended deleted key stays invisible until compaction
+    clears the key files); overwrite and compaction reset the delete
+    state; vacuum truncates history but never changes the live view.
+    """
+    from collections import Counter
+
+    from ght2dm_spark.snapshots import (
+        commit,
+        compact_snapshot,
+        delete_rows,
+        history,
+        prepare_commit,
+        read_snapshot,
+        vacuum,
+    )
+
+    table = str(tmp_path_factory.mktemp("snapprop") / "t")
+
+    def live_rows():
+        df = read_snapshot(spark, table, schema="k long, v long")
+        return Counter() if df is None else Counter((r["k"], r["v"]) for r in df.collect())
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    # model: data-file rows + active delete keys; per-version visible sets
+    files_rows = Counter(first)
+    del_keys: set[int] = set()
+    commit(prepare_commit(mkdf(first), table))
+    versions = {history(table)[-1]["seq"]: Counter(files_rows)}
+
+    for op, arg in ops:
+        if op == "append":
+            commit(prepare_commit(mkdf(arg), table, mode="append"))
+            files_rows = files_rows + Counter(arg)
+        elif op == "overwrite":
+            commit(prepare_commit(mkdf(arg), table, mode="overwrite"))
+            files_rows = Counter(arg)
+            del_keys = set()
+        elif op == "delete":
+            commit(delete_rows(spark.createDataFrame([(k,) for k in arg], "k long"), table))
+            del_keys = del_keys | set(arg)
+        elif op == "compact":
+            compact_snapshot(spark, table, target_file_bytes=1 << 20)
+            files_rows = Counter(
+                {r: c for r, c in files_rows.items() if r[0] not in del_keys}
+            )
+            del_keys = set()
+        else:  # vacuum
+            vacuum(table, keep_manifests=arg)
+            keep = sorted(versions)[-max(arg, 1):]
+            versions = {s: versions[s] for s in keep}
+            assert live_rows() == Counter(
+                {r: c for r, c in files_rows.items() if r[0] not in del_keys}
+            )
+            continue
+        visible = Counter({r: c for r, c in files_rows.items() if r[0] not in del_keys})
+        versions[history(table)[-1]["seq"]] = visible
+        assert live_rows() == visible
+
+    # final sweep: time travel to every retained version, exact history
+    assert [h["seq"] for h in history(table)] == sorted(versions)
+    for seq, expect in versions.items():
+        df = read_snapshot(spark, table, schema="k long, v long", version=seq)
+        got = Counter() if df is None else Counter((r["k"], r["v"]) for r in df.collect())
+        assert got == expect, f"version {seq}"
