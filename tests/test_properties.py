@@ -596,3 +596,46 @@ def test_snapshot_table_random_op_sequences(spark, tmp_path_factory, first, ops)
         df = read_snapshot(spark, table, schema="k long, v long", version=seq)
         got = Counter() if df is None else Counter((r["k"], r["v"]) for r in df.collect())
         assert got == expect, f"version {seq}"
+
+
+@given(
+    sigs=st.lists(
+        st.lists(st.integers(0, 3), min_size=6, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    max_bucket=st.integers(1, 8),
+)
+@_slow
+def test_lsh_banding_matches_model(spark, sigs, max_bucket):
+    """lsh_bands + lsh_candidate_pairs vs the definition: ids are a
+    candidate pair iff some band's signature slice is identical, and the
+    bucket-size cap drops exactly the over-limit (band, key) buckets.
+    The tiny value domain forces heavy band collisions on purpose."""
+    from ght2dm_spark.operators.neardup import lsh_bands, lsh_candidate_pairs
+
+    bands, rows = 3, 2
+    df = spark.createDataFrame(
+        list(enumerate(sigs)), "doc_id long, sig array<long>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            lsh_bands(df, "doc_id", bands, rows), "doc_id", max_bucket=max_bucket
+        ).collect()
+    }
+    # model: band membership, bucket cap, then pairs within buckets
+    buckets: dict[tuple[int, tuple[int, ...]], list[int]] = {}
+    for i, sig in enumerate(sigs):
+        for b in range(bands):
+            key = (b, tuple(sig[b * rows : (b + 1) * rows]))
+            buckets.setdefault(key, []).append(i)
+    expect = {
+        (a, b)
+        for members in buckets.values()
+        if len(members) <= max_bucket
+        for a in members
+        for b in members
+        if a < b
+    }
+    assert got == expect
