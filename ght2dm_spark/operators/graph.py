@@ -361,3 +361,72 @@ def bellman_ford(
             .localCheckpoint(eager=True)
         )
     return dist.select("node", "dist")
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "x", dst: str = "y"
+) -> DataFrame:
+    """Per-node triangle counts over a canonically ordered edge list
+    (one row per undirected edge, ``src < dst``).  Each triangle
+    (a<b<c) is enumerated exactly once as e(a,b) ⋈ e(b,c) ⋈ e(a,c) —
+    the ordered-edge two-join whose heaviest key is bounded by max
+    FORWARD degree, not total degree (the orientation trick that keeps
+    hub fan-out survivable; see t1_triangle_count's measured notes on
+    when the self-join vs in-row-pairs trade flips).
+
+    Returns (node, n_tri) for nodes in ≥1 triangle.
+    """
+    ke = edges.select(src, dst)
+    e1 = ke.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e2 = ke.select(F.col(src).alias("b"), F.col(dst).alias("c"))
+    e3 = ke.select(F.col(src).alias("a"), F.col(dst).alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tri")
+    )
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over a
+    deduplicated DIRECTED edge list — pass both directions for an
+    undirected graph.  Every node starts labelled with its own id; each
+    round every node adopts the most frequent neighbour label, ties
+    broken by the smallest label.  Synchronous fixed rounds are the
+    deterministic Pregel-style variant (asynchronous LPA depends on
+    visit order, which no two engines replicate).
+
+    The per-round argmax is ONE aggregation, not a window:
+    min(struct(-cnt, lbl)) picks (max count, then min label), so a
+    round costs two hash shuffles partitioned on node id.  The edge
+    list is cached once; labels localCheckpoint per round (flat
+    lineage).  Returns (node, lbl).
+    """
+    e = edges.select(src, dst).cache()
+    labels = (
+        e.select(F.col(src).alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        cnt = (
+            e.join(labels, e[dst] == labels["node"])
+            .groupBy(F.col(src).alias("node2"), F.col("lbl"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.groupBy(F.col("node2").alias("node"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("lbl").alias("l")
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

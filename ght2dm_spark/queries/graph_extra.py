@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
-from ght2dm_spark.operators.graph import bellman_ford, kcore_edges
+from ght2dm_spark.operators.graph import (
+    bellman_ford,
+    kcore_edges,
+    label_propagation,
+    triangle_counts,
+)
 from ght2dm_spark.queries.registry import register
 
 
@@ -78,14 +83,7 @@ def t1_triangle_count(spark, sf_dir):
         .filter(F.col("shared") * 4 >= F.col("mx") * 3)
         .select("x", "y")
     )
-    e1 = ke.select(F.col("x").alias("a"), F.col("y").alias("b"))
-    e2 = ke.select(F.col("x").alias("b"), F.col("y").alias("c"))
-    e3 = ke.select(F.col("x").alias("a"), F.col("y").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-    return nodes.groupBy("node").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tri")
-    )
+    return triangle_counts(ke)
 
 
 def _kcore_sql(k: int, rounds: int) -> str:
@@ -240,31 +238,8 @@ def t1_label_propagation(spark, sf_dir):
     ).distinct()
     e = e0.unionAll(
         e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).cache()
-    labels = (
-        e.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(_LPA_ROUNDS):
-        cnt = (
-            e.join(labels, e["b"] == labels["node"])
-            .groupBy(F.col("a").alias("node2"), F.col("lbl"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        labels = (
-            cnt.groupBy(F.col("node2").alias("node"))
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("cnt")).alias("nc"), F.col("lbl").alias("l")
-                    )
-                ).alias("m")
-            )
-            .select("node", F.col("m.l").alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
+    labels = label_propagation(e, _LPA_ROUNDS)
     return labels.select("node", F.col("lbl").alias("community"))
 
 

@@ -639,3 +639,57 @@ def test_lsh_banding_matches_model(spark, sigs, max_bucket):
         if a < b
     }
     assert got == expect
+
+
+@given(edges=edges_strategy)
+@_slow
+def test_triangle_counts_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from ght2dm_spark.operators.graph import triangle_counts
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not canon:
+        return
+    edf = spark.createDataFrame(sorted(canon), "x long, y long")
+    got = {(r["node"], r["n_tri"]) for r in triangle_counts(edf).collect()}
+    nodes = {n for e in canon for n in e}
+    per_node: dict[int, int] = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (b, c), (a, c)} <= canon:
+            for n in (a, b, c):
+                per_node[n] = per_node.get(n, 0) + 1
+    assert got == set(per_node.items())
+
+
+@given(edges=edges_strategy, rounds=st.integers(1, 3))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_label_propagation_matches_synchronous_model(spark, edges, rounds):
+    from ght2dm_spark.operators.graph import label_propagation
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not canon:
+        return
+    both = sorted(canon | {(b, a) for a, b in canon})
+    edf = spark.createDataFrame(both, "a long, b long")
+    got = {
+        (r["node"], r["lbl"])
+        for r in label_propagation(edf, rounds).collect()
+    }
+    adj: dict[int, list[int]] = {}
+    for a, b in both:
+        adj.setdefault(a, []).append(b)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt: dict[int, int] = {}
+            for m in nbrs:
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            nxt[n] = min(cnt, key=lambda c: (-cnt[c], c))
+        lbl = nxt
+    assert got == set(lbl.items())
