@@ -693,3 +693,35 @@ def test_label_propagation_matches_synchronous_model(spark, edges, rounds):
             nxt[n] = min(cnt, key=lambda c: (-cnt[c], c))
         lbl = nxt
     assert got == set(lbl.items())
+
+
+@given(edges=edges_strategy, iters=st.integers(1, 3))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pagerank_matches_integer_model(spark, edges, iters):
+    """The integer fixed-point PageRank recurrence replayed in Python
+    must agree EXACTLY (bit-identical ranks) — this is the property the
+    oracle unroll relies on, pinned here on random graphs."""
+    from ght2dm_spark.operators.graph import PAGERANK_SCALE, pagerank
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not canon:
+        return
+    edf = spark.createDataFrame(sorted(canon), "src long, dst long")
+    got = {(r["node"], r["r"]) for r in pagerank(edf, iterations=iters).collect()}
+    both = canon | {(b, a) for a, b in canon}
+    deg: dict[int, int] = {}
+    for a, _ in both:
+        deg[a] = deg.get(a, 0) + 1
+    nn = len(deg)
+    base_term = (15 * PAGERANK_SCALE) // (100 * nn)
+    r = {n: PAGERANK_SCALE // nn for n in deg}
+    for _ in range(iters):
+        s: dict[int, int] = {}
+        for a, b in both:
+            s[b] = s.get(b, 0) + r[a] // deg[a]
+        r = {b: base_term + (sb * 85) // 100 for b, sb in s.items()}
+    assert got == set(r.items())
