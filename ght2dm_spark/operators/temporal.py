@@ -84,9 +84,17 @@ def range_join_binned(
     can hash-partition, instead of an inequality join it cannot.
 
     ``lower``/``upper`` are interval Columns (e.g. ``F.expr("INTERVAL
-    -1 HOUR")``).  The probe side explodes to its candidate buckets; the
-    exact predicate re-filters inside the join condition, so ``how=
-    'left'`` keeps zero-match probe rows (count with count(build col)).
+    -1 HOUR")``).  The probe side explodes to its candidate buckets and
+    the exact predicate re-filters inside an INNER join — a (probe,
+    build) pair can match in at most one bucket (the build row's), so
+    matched multiplicity is exact.  ``how='left'`` adds back ONE row
+    (build columns NULL) per zero-match probe row: a left join on the
+    exploded frame would instead emit a NULL row per non-matching
+    bucket candidate — including for probe rows that DID match in
+    another bucket (caught by the randomized interval-model test).
+    Match status depends only on ``(key, probe_ts)``, so the add-back
+    anti-join on those two columns preserves payload columns and
+    duplicate-row multiplicity exactly.
     """
     lo_b = F.floor(F.unix_timestamp(F.col(probe_ts) + lower) / grain_seconds)
     hi_b = F.floor(F.unix_timestamp(F.col(probe_ts) + upper) / grain_seconds)
@@ -98,8 +106,20 @@ def range_join_binned(
         b[build_ts] <= p[probe_ts] + upper
     )
     cond = (p[key] == b[key]) & (p["__bucket"] == b["__bucket"]) & in_range
-    joined = p.join(b, cond, how)
-    return joined.drop(b[key]).drop(p["__bucket"]).drop(b["__bucket"])
+    matched = (
+        p.join(b, cond, "inner")
+        .drop(b[key])
+        .drop(p["__bucket"])
+        .drop(b["__bucket"])
+    )
+    if how == "inner":
+        return matched
+    if how != "left":
+        raise ValueError(f"range_join_binned supports inner/left, not {how!r}")
+    unmatched = probe.join(
+        matched.select(key, probe_ts).distinct(), [key, probe_ts], "left_anti"
+    )
+    return matched.unionByName(unmatched, allowMissingColumns=True)
 
 
 def salted_agg(

@@ -725,3 +725,162 @@ def test_pagerank_matches_integer_model(spark, edges, iters):
             s[b] = s.get(b, 0) + r[a] // deg[a]
         r = {b: base_term + (sb * 85) // 100 for b, sb in s.items()}
     assert got == set(r.items())
+
+
+@given(
+    fact=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)), min_size=1, max_size=12
+    ),
+    dim=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4), st.integers(0, 20)),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@_slow
+def test_or_lookup_matches_first_match_model(spark, fact, dim):
+    """J4's OR-lookup decomposition: the payload comes from the FIRST
+    key pair (in declaration order) with a dim match, min-payload per
+    key — never a nested-loop OR join."""
+    from ght2dm_spark.operators.joins import or_lookup
+
+    f = spark.createDataFrame(fact, "ka long, kb long")
+    d = spark.createDataFrame(dim, "da long, db long, payload long")
+    got = sorted(
+        (r["ka"], r["kb"], r["payload"])
+        for r in or_lookup(f, d, [("ka", "da"), ("kb", "db")], "payload").collect()
+    )
+    by_da: dict[int, int] = {}
+    by_db: dict[int, int] = {}
+    for da, db, p in dim:
+        by_da[da] = min(by_da.get(da, p), p)
+        by_db[db] = min(by_db.get(db, p), p)
+    expect = sorted(
+        (ka, kb, by_da.get(ka, by_db.get(kb)))
+        for ka, kb in fact
+    )
+    assert got == expect
+
+
+@given(
+    fact=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=1, max_size=12
+    ),
+    dim=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=1, max_size=8
+    ),
+)
+@_slow
+def test_resolve_fk_partitions_rows_exactly(spark, fact, dim):
+    """F9: good ⊎ rejects must partition the fact rows — good carries
+    the inner-join multiplicity, rejects exactly the unresolvable
+    rows, nothing lost or duplicated."""
+    from collections import Counter
+
+    from ght2dm_spark.operators.joins import resolve_fk
+
+    f = spark.createDataFrame(fact, "k long, v long")
+    d = spark.createDataFrame(dim, "k long, t long")
+    res = resolve_fk(f, d, "k")
+    good = Counter((r["k"], r["v"], r["t"]) for r in res.good.collect())
+    rejects = Counter((r["k"], r["v"]) for r in res.rejects.collect())
+    dkeys: dict[int, list[int]] = {}
+    for k, t in dim:
+        dkeys.setdefault(k, []).append(t)
+    exp_good = Counter(
+        (k, v, t) for k, v in fact for t in dkeys.get(k, ())
+    )
+    exp_rej = Counter((k, v) for k, v in fact if k not in dkeys)
+    assert good == exp_good and rejects == exp_rej
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 9), st.integers(0, 30)),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.integers(1, 4),
+)
+@_slow
+def test_top_k_per_group_matches_sorted_model(spark, rows, k):
+    """Per-group top-k under a TOTAL order (score desc, uid asc as the
+    tiebreak — the determinism discipline every registered query
+    follows) equals the Python sorted()[:k] model."""
+    from ght2dm_spark.operators.topk import top_k_per_group
+
+    rows = list({r[2]: r for r in rows}.values())  # unique uid → total order
+    df = spark.createDataFrame(rows, "g long, score long, uid long")
+    got = sorted(
+        (r["g"], r["score"], r["uid"])
+        for r in top_k_per_group(
+            df, ["g"], [F.col("score").desc(), F.col("uid").asc()], k
+        ).collect()
+    )
+    groups: dict[int, list] = {}
+    for g, s, u in rows:
+        groups.setdefault(g, []).append((s, u))
+    expect = sorted(
+        (g, s, u)
+        for g, members in groups.items()
+        for s, u in sorted(members, key=lambda t: (-t[0], t[1]))[:k]
+    )
+    assert got == expect
+
+
+@given(
+    probe=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 120)), min_size=1, max_size=10
+    ),
+    build=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 120), st.integers(0, 9)),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@_slow
+def test_range_join_binned_matches_interval_model(spark, probe, build):
+    """The bucket-exploded range join must equal the naive interval
+    definition — same-key pairs with build_ts in [probe_ts - 10 s,
+    probe_ts + 10 s], left-join keeping zero-match probe rows.  The
+    7-second grain deliberately misaligns with the ±10 s window so
+    bucket-boundary candidates are exercised."""
+    import datetime as dtm
+    from collections import Counter
+
+    from ght2dm_spark.operators.temporal import range_join_binned
+
+    base = dtm.datetime(2021, 1, 1)
+    p = spark.createDataFrame(
+        [(k, base + dtm.timedelta(seconds=s)) for k, s in probe],
+        "k long, pts timestamp",
+    )
+    b = spark.createDataFrame(
+        [(k, base + dtm.timedelta(seconds=s), v) for k, s, v in build],
+        "k long, bts timestamp, v long",
+    )
+    out = range_join_binned(
+        p,
+        b,
+        "k",
+        "pts",
+        "bts",
+        F.expr("INTERVAL -10 SECONDS"),
+        F.expr("INTERVAL 10 SECONDS"),
+        grain_seconds=7,
+    )
+    got = Counter(
+        (r["k"], r["pts"].second + r["pts"].minute * 60, r["v"])
+        for r in out.collect()
+    )
+    expect: Counter = Counter()
+    for pk, ps in probe:
+        matches = [
+            v for bk, bs, v in build if bk == pk and ps - 10 <= bs <= ps + 10
+        ]
+        if matches:
+            for v in matches:
+                expect[(pk, ps, v)] += 1
+        else:
+            expect[(pk, ps, None)] += 1
+    assert got == expect
