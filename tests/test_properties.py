@@ -884,3 +884,59 @@ def test_range_join_binned_matches_interval_model(spark, probe, build):
         else:
             expect[(pk, ps, None)] += 1
     assert got == expect
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(1, 5),  # first component nonzero -> no zero vector
+            st.integers(-5, 5),
+            st.integers(-5, 5),
+            st.integers(-5, 5),
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    k=st.integers(1, 3),
+)
+@_slow
+def test_topk_neighbors_matches_fold_model(spark, vecs, k):
+    """Exact cosine top-k (the brute-force baseline every recall audit
+    trusts) vs a Python replay of the SAME left-to-right fold — scores
+    are bit-identical doubles, so ranks and the (cos desc, id asc) tie
+    order must agree exactly.  Integer-valued vectors still produce
+    plenty of cosine ties (parallel vectors), exercising the tie-break."""
+    import math
+
+    from ght2dm_spark.operators.similarity import topk_neighbors
+
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "c_id long, c_vec array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "q_id long, q_vec array<double>",
+    )
+    got = {
+        (r["q_id"], r["c_id"], r["rank"], r["cos"])
+        for r in topk_neighbors(queries, corpus, k).collect()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos(a, b):
+        return fold_dot(a, b) / math.sqrt(fold_dot(a, a) * fold_dot(b, b))
+
+    expect = set()
+    for qi, qv in enumerate(vecs):
+        scored = sorted(
+            ((-cos(qv, cv), ci) for ci, cv in enumerate(vecs) if ci != qi),
+        )
+        for rank, (negc, ci) in enumerate(scored[:k], start=1):
+            expect.add((qi, ci, rank, -negc))
+    assert got == expect
