@@ -940,3 +940,97 @@ def test_topk_neighbors_matches_fold_model(spark, vecs, k):
         for rank, (negc, ci) in enumerate(scored[:k], start=1):
             expect.add((qi, ci, rank, -negc))
     assert got == expect
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(st.integers(-3, 3), st.integers(-3, 3), st.integers(-3, 3)),
+        min_size=4,
+        max_size=8,
+    ),
+    k=st.integers(2, 3),
+    iters=st.integers(1, 2),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kmeans_int_matches_python_replay(spark, vecs, k, iters):
+    """The integer fixed-point k-means recurrence replayed in Python:
+    micro-unit conversion, exact int squared distances, (d, cid)
+    argmin tie-break, and truncating-division centroid means (Spark's
+    `div` truncates toward zero — NOT Python's flooring //) must yield
+    bit-identical assignments and centroids.  Negative components are
+    generated on purpose to pin the division semantics."""
+    from ght2dm_spark.operators.clustering import KM_SCALE, kmeans_int
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, emb array<double>",
+    )
+    asg, cents = kmeans_int(df, "id", "emb", k=k, iters=iters)
+    got_asg = {(r["id"], r["cid"], r["d"]) for r in asg.collect()}
+    got_cents = {(r["cid"], tuple(r["c"])) for r in cents.collect()}
+
+    def tdiv(s, c):  # truncate toward zero, like Spark's div
+        q = abs(s) // c
+        return q if s >= 0 else -q
+
+    iv = {i: tuple(x * KM_SCALE for x in v) for i, v in enumerate(vecs)}
+    cent = {i: iv[i] for i in range(k)}
+
+    def assign():
+        out = {}
+        for i, v in iv.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, cent[c])), c)
+                for c in cent
+            )
+            out[i] = best  # (d, cid)
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        members: dict[int, list] = {}
+        for i, (_, c) in a.items():
+            members.setdefault(c, []).append(iv[i])
+        cent = {
+            c: tuple(
+                tdiv(sum(v[j] for v in vs), len(vs)) for j in range(len(vecs[0]))
+            )
+            for c, vs in members.items()
+        }
+    final = assign()
+    exp_asg = {(i, c, d) for i, (d, c) in final.items()}
+    exp_cents = {(c, v) for c, v in cent.items()}
+    assert got_asg == exp_asg and got_cents == exp_cents
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 99), st.integers(-50, 50)),
+        min_size=1,
+        max_size=30,
+    ),
+    n_salt=st.integers(1, 8),
+)
+@_slow
+def test_salted_agg_equals_plain_groupby(spark, rows, n_salt):
+    """The two-phase salted aggregation must be row-identical to the
+    plain groupBy for any salt width — salting only reshapes the
+    shuffle (integer sums, so no float reassociation concerns)."""
+    from ght2dm_spark.operators.temporal import salted_agg
+
+    df = spark.createDataFrame(rows, "g long, u long, v long")
+    got = {
+        (r["g"], r["n"], r["total"])
+        for r in salted_agg(
+            df, ["g"], F.col("u"), n_salt, sums={"total": F.sum("v")}
+        ).collect()
+    }
+    model: dict[int, list[int]] = {}
+    for g, _, v in rows:
+        model.setdefault(g, []).append(v)
+    expect = {(g, len(vs), sum(vs)) for g, vs in model.items()}
+    assert got == expect
