@@ -95,6 +95,12 @@ def range_join_binned(
     Match status depends only on ``(key, probe_ts)``, so the add-back
     anti-join on those two columns preserves payload columns and
     duplicate-row multiplicity exactly.
+
+    Cost note for 100 TB callers: ``how='left'`` evaluates the
+    candidate join twice (matches + the anti-join's distinct matched
+    keys).  A caller that aggregates per probe row anyway can use
+    ``how='inner'`` and left-join the aggregate back to the probe
+    frame, paying one candidate join plus a probe-sized join instead.
     """
     lo_b = F.floor(F.unix_timestamp(F.col(probe_ts) + lower) / grain_seconds)
     hi_b = F.floor(F.unix_timestamp(F.col(probe_ts) + upper) / grain_seconds)
