@@ -1,6 +1,7 @@
-"""Temporal join operators Spark lacks as built-ins (SURVEY §2.9; the
-"custom operators" tier): as-of join and binned range join, plus the
-salted two-phase aggregation for skewed keys.
+"""Temporal operators Spark lacks as batch built-ins (SURVEY §2.9; the
+"custom operators" tier): as-of join, binned range join, gap
+sessionization with explicit ids, plus the salted two-phase
+aggregation for skewed keys.
 
 Both joins are expressed as compositions of existing DataFrame ops —
 no Pandas UDF, no per-row Python — chosen for their shuffle shape at
@@ -154,3 +155,42 @@ def salted_agg(
         F.sum("__pc").alias(counts[0]),
         *[F.sum(f"__ps_{name}").alias(name) for name in sums],
     )
+
+
+def sessionize_gap(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    order: Sequence[Column | str],
+    gap_us: int,
+    inclusive: bool = False,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands): append a 1-based
+    ``session_col`` per ``keys`` group — a new session starts when the
+    gap to the previous row exceeds ``gap_us`` microseconds
+    (``inclusive=True`` starts one at gap == gap_us too, the
+    session_window convention).  The batch equivalent of
+    ``session_window(ts, gap)`` that keeps explicit session ids.
+
+    ``order`` must be a TOTAL order (pass a unique tiebreak column
+    after the timestamp): with bare ``ts``, colliding timestamps make
+    the running boundary sum partition-order-dependent and the ids
+    nondeterministic.  The gap test is exact integer microseconds —
+    engine-portable, no float epoch.
+
+    Scale: ONE shuffle on ``keys`` serves both window passes (lag and
+    running sum share the same partitioning and sort), and any
+    downstream aggregate on (keys..., session_col) reuses the exchange
+    — the subset-partitioning rule t1_user_feature_pipeline's plan
+    note documents.
+    """
+    from ght2dm_spark.functions import epoch_us
+
+    w = Window.partitionBy(*keys).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(ts_col).over(w)
+    diff = epoch_us(F.col(ts_col)) - epoch_us(prev)
+    gap_hit = (diff >= gap_us) if inclusive else (diff > gap_us)
+    boundary = F.when(prev.isNull() | gap_hit, 1).otherwise(0)
+    return df.withColumn(session_col, F.sum(boundary).over(run))

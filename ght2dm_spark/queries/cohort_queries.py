@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ght2dm_spark.functions import epoch_us
 from ght2dm_spark.io import load_table
+from ght2dm_spark.operators.temporal import sessionize_gap
 from ght2dm_spark.queries.registry import register
 
 
@@ -101,24 +102,15 @@ def t1_sessionize_gap(spark, sf_dir):
     Scale: ONE shuffle on user_id serves both window functions and the
     two-level aggregation (same partitioning reused by Catalyst); state
     per user is a single running counter."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts alone is not a total order once timestamps collide (first seen
     # at the 10x replicated scale point); the event_id tiebreak makes
     # the running boundary sum deterministic AND keeps every same-ts
     # row in one session (the flagged row sorts first in its tie group)
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    prev = F.lag("ts").over(w)
-    boundary = F.when(
-        prev.isNull()
-        | ((epoch_us(F.col("ts")) - epoch_us(prev)) > 1_800_000_000),
-        1,
-    ).otherwise(0)
     sessions = (
-        ev.withColumn("__b", boundary)
-        .withColumn("session_id", F.sum("__b").over(run))
+        sessionize_gap(
+            ev, ["user_id"], "ts", ["ts", "event_id"], gap_us=1_800_000_000
+        )
         .groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )

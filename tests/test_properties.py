@@ -1034,3 +1034,51 @@ def test_salted_agg_equals_plain_groupby(spark, rows, n_salt):
         model.setdefault(g, []).append(v)
     expect = {(g, len(vs), sum(vs)) for g, vs in model.items()}
     assert got == expect
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 999)),
+        min_size=1,
+        max_size=25,
+    ),
+    gap=st.integers(1, 30),
+    inclusive=st.booleans(),
+)
+@_slow
+def test_sessionize_gap_matches_islands_model(spark, events, gap, inclusive):
+    """Gap sessionization vs the gaps-and-islands model: per key, order
+    by (ts, uid), start a new session when the gap to the previous row
+    exceeds (or, inclusive, reaches) the threshold; ids are 1-based
+    running counts.  Duplicate timestamps exercise the tiebreak."""
+    import datetime as dtm
+
+    from ght2dm_spark.operators.temporal import sessionize_gap
+
+    events = list({e[2]: e for e in events}.values())  # unique uid
+    base = dtm.datetime(2022, 1, 1)
+    df = spark.createDataFrame(
+        [(k, base + dtm.timedelta(seconds=s), u) for k, s, u in events],
+        "k long, ts timestamp, uid long",
+    )
+    got = {
+        (r["k"], r["uid"], r["session_id"])
+        for r in sessionize_gap(
+            df, ["k"], "ts", ["ts", "uid"], gap_us=gap * 1_000_000,
+            inclusive=inclusive,
+        ).collect()
+    }
+    bykey: dict[int, list] = {}
+    for k, s, u in events:
+        bykey.setdefault(k, []).append((s, u))
+    expect = set()
+    for k, rows in bykey.items():
+        rows.sort()
+        sid, prev = 0, None
+        for s, u in rows:
+            d = None if prev is None else s - prev
+            if d is None or (d >= gap if inclusive else d > gap):
+                sid += 1
+            expect.add((k, u, sid))
+            prev = s
+    assert got == expect
