@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
 from ght2dm_spark.operators.neardup import hex2int_sql
+from ght2dm_spark.operators.sketches import kmv_build, kmv_estimate, kmv_merge
 from ght2dm_spark.queries.registry import register
 
 _KMV_K = 32
@@ -93,56 +94,32 @@ def t1_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     k=32 is ~18% 1σ — k is the accuracy dial; HLL++ at the same state
     size is tighter but engine-specific, see t1_approx_aggs.)"""
     ev = load_table(spark, sf_dir, "events")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    uh = (
+    user = F.col("user_id")
+    sk = kmv_build(ev, ["event_type"], user, _KMV_K)
+    exact_t = (
         ev.select("event_type", "user_id")
         .distinct()
-        .withColumn("h", h)
-    )
-    w = Window.partitionBy("event_type").orderBy("h")
-    sk = uh.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= _KMV_K
-    )
-    # standard KMV small-set branch: a sketch with < k hashes has seen
-    # the whole set, so the estimate is its exact size
-    est = F.expr(
-        f"CASE WHEN n < {_KMV_K} THEN n "
-        f"ELSE ({_KMV_K} - 1) * {_KMV_DOMAIN}L div hk END"
-    ).alias("est_distinct")
-    exact_t = uh.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("exact_distinct")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
     )
     per_type = (
-        sk.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk"))
+        kmv_estimate(sk, ["event_type"], _KMV_K)
         .join(exact_t, "event_type")
-        .select(F.col("event_type").alias("scope"), est, "exact_distinct")
+        .select(
+            F.col("event_type").alias("scope"), "est_distinct", "exact_distinct"
+        )
     )
-    gh = ev.select("user_id").distinct().withColumn("h", h)
-    exact_all = gh.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    exact_all = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
     direct = (
-        gh.select("h")
-        .orderBy("h")
-        .limit(_KMV_K)
-        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk"))
-        .select(F.lit("all_direct").alias("scope"), est)
+        kmv_estimate(kmv_build(ev, [], user, _KMV_K), [], _KMV_K)
+        .select(F.lit("all_direct").alias("scope"), "est_distinct")
         .crossJoin(F.broadcast(exact_all))
     )
     merged = (
-        sk.select("h")
-        .distinct()
-        .orderBy("h")
-        .limit(_KMV_K)
-        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk"))
-        .select(F.lit("all_merged").alias("scope"), est)
+        kmv_estimate(kmv_merge(sk, [], _KMV_K), [], _KMV_K)
+        .select(F.lit("all_merged").alias("scope"), "est_distinct")
         .crossJoin(F.broadcast(exact_all))
     )
     allrows = per_type.unionByName(direct).unionByName(merged)

@@ -1082,3 +1082,58 @@ def test_sessionize_gap_matches_islands_model(spark, events, gap, inclusive):
             expect.add((k, u, sid))
             prev = s
     assert got == expect
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=30
+    ),
+    k=st.integers(2, 6),
+)
+@_slow
+def test_kmv_sketch_matches_model_and_merge_theorem(spark, pairs, k):
+    """KMV build/merge/estimate vs a Python replay: per-group sketch =
+    k smallest distinct md5-derived hashes, the merged global sketch
+    equals the directly-built one (merge theorem), and the estimate is
+    the exact small-set branch or (k-1)*DOMAIN div h_k."""
+    import hashlib
+
+    from ght2dm_spark.operators.sketches import (
+        KMV_DOMAIN,
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    df = spark.createDataFrame(pairs, "g long, u long")
+    sk = kmv_build(df, ["g"], F.col("u"), k)
+    got_sk = {(r["g"], r["h"]) for r in sk.collect()}
+    got_est = {
+        (r["g"], r["est_distinct"])
+        for r in kmv_estimate(sk, ["g"], k).collect()
+    }
+    got_merged = tuple(
+        sorted(r["h"] for r in kmv_merge(sk, [], k).collect())
+    )
+    got_direct = tuple(
+        sorted(r["h"] for r in kmv_build(df, [], F.col("u"), k).collect())
+    )
+
+    def h(u):
+        return int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:8], 16)
+
+    groups: dict[int, set] = {}
+    for g, u in pairs:
+        groups.setdefault(g, set()).add(h(u))
+    exp_sk = {(g, hv) for g, hs in groups.items() for hv in sorted(hs)[:k]}
+    exp_est = set()
+    for g, hs in groups.items():
+        smallest = sorted(hs)[:k]
+        if len(smallest) < k:
+            exp_est.add((g, len(smallest)))
+        else:
+            exp_est.add((g, (k - 1) * KMV_DOMAIN // smallest[-1]))
+    exp_global = tuple(sorted({hv for hs in groups.values() for hv in hs})[:k])
+    assert got_sk == exp_sk
+    assert got_est == exp_est
+    assert got_merged == exp_global == got_direct
