@@ -87,3 +87,66 @@ def kmv_estimate(
     if not keys:
         return sketch.agg(*agg).select(est)
     return sketch.groupBy(*keys).agg(*agg).select(*keys, est)
+
+
+def cms_pos(value: Column, j: int, w: int) -> Column:
+    """Counter position of a value in CMS hash row ``j`` (md5-derived,
+    engine-portable)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), value)), 1, 8), 16, 10
+        ).cast("long")
+        % w
+    )
+
+
+def cms_build(df: DataFrame, value: Column, d: int, w: int) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a value
+    column: ``d`` hash rows × ``w`` counters as rows (j, pos, c).  One
+    pass with map-side combine (d·w groups regardless of input size).
+    Sketches MERGE by plain counter addition (linearity):
+    ``union.groupBy(j, pos).sum(c)`` — see :func:`cms_merge`."""
+    counters = None
+    for j in range(1, d + 1):
+        c_j = (
+            df.groupBy(cms_pos(value, j, w).alias("pos"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(j).alias("j"), "pos", "c")
+        )
+        counters = c_j if counters is None else counters.unionByName(c_j)
+    return counters
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS counter tables built with the same (d, w): counters
+    add (linearity), so the merged sketch answers point queries over
+    the combined input exactly as a directly-built one would."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("j", "pos").agg(F.sum("c").alias("c"))
+
+
+def cms_point_query(
+    counters: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    d: int,
+    w: int,
+    est_col: str = "cms_est",
+) -> DataFrame:
+    """Point-query frequency estimates for ``items`` rows: min over the
+    d counters each value hashes to.  CMS guarantees est ≥ exact count.
+    Both sides of the lookup are sketch/candidate-sized — broadcast
+    joins, no rescan of the sketched corpus."""
+    cpos = None
+    for j in range(1, d + 1):
+        p_j = items.withColumn("j", F.lit(j)).withColumn(
+            "pos", cms_pos(F.col(value_col), j, w)
+        )
+        cpos = p_j if cpos is None else cpos.unionByName(p_j)
+    return (
+        cpos.join(F.broadcast(counters), ["j", "pos"])
+        .groupBy(*items.columns)
+        .agg(F.min("c").alias(est_col))
+    )

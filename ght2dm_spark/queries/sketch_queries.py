@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
 from ght2dm_spark.operators.neardup import hex2int_sql
-from ght2dm_spark.operators.sketches import kmv_build, kmv_estimate, kmv_merge
+from ght2dm_spark.operators.sketches import (
+    cms_build,
+    cms_point_query,
+    kmv_build,
+    kmv_estimate,
+    kmv_merge,
+)
 from ght2dm_spark.queries.registry import register
 
 _KMV_K = 32
@@ -196,42 +202,14 @@ def t1_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
 
-    def pos(tok, j):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{j}:"), tok)), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % _CMS_W
-        )
-
-    counters = None
-    for j in range(1, _CMS_D + 1):
-        c_j = toks.groupBy(pos(F.col("tok"), j).alias("pos")).agg(
-            F.count(F.lit(1)).alias("c")
-        ).select(F.lit(j).alias("j"), "pos", "c")
-        counters = c_j if counters is None else counters.unionByName(c_j)
+    counters = cms_build(toks, F.col("tok"), _CMS_D, _CMS_W)
     cand = (
         toks.groupBy(F.col("tok").alias("token"))
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), F.asc("token"))
         .limit(_CMS_TOPN)
     )
-    cpos = None
-    for j in range(1, _CMS_D + 1):
-        p_j = cand.select(
-            "token",
-            "exact_cnt",
-            F.lit(j).alias("j"),
-            pos(F.col("token"), j).alias("pos"),
-        )
-        cpos = p_j if cpos is None else cpos.unionByName(p_j)
-    est = (
-        cpos.join(F.broadcast(counters), ["j", "pos"])
-        .groupBy("token", "exact_cnt")
-        .agg(F.min("c").alias("cms_est"))
-    )
+    est = cms_point_query(counters, cand, "token", _CMS_D, _CMS_W)
     return est.withColumn(
         "overest_ppm",
         F.expr("(cms_est - exact_cnt) * 1000000L div exact_cnt"),

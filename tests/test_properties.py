@@ -1137,3 +1137,59 @@ def test_kmv_sketch_matches_model_and_merge_theorem(spark, pairs, k):
     assert got_sk == exp_sk
     assert got_est == exp_est
     assert got_merged == exp_global == got_direct
+
+
+@given(
+    words=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=40),
+    split=st.integers(0, 40),
+)
+@_slow
+def test_cms_matches_model_and_merges_linearly(spark, words, split):
+    """CMS build/point-query vs a Python counter replay (exact estimate
+    values, est >= true count always), and merge linearity: sketches of
+    two halves merged == sketch of the whole."""
+    import hashlib
+
+    from ght2dm_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+        cms_point_query,
+    )
+
+    d_, w_ = 2, 4  # tiny so collisions are guaranteed
+    df = spark.createDataFrame([(w,) for w in words], "tok string")
+    counters = cms_build(df, F.col("tok"), d_, w_)
+    items = spark.createDataFrame(
+        [(t,) for t in sorted(set(words))], "token string"
+    )
+    got = {
+        (r["token"], r["cms_est"])
+        for r in cms_point_query(counters, items, "token", d_, w_).collect()
+    }
+
+    def pos(t, j):
+        return int(hashlib.md5(f"{j}:{t}".encode()).hexdigest()[:8], 16) % w_
+
+    table = {(j, p): 0 for j in (1, 2) for p in range(w_)}
+    for t in words:
+        for j in (1, 2):
+            table[(j, pos(t, j))] += 1
+    true = {t: words.count(t) for t in set(words)}
+    expect = {
+        (t, min(table[(j, pos(t, j))] for j in (1, 2))) for t in true
+    }
+    assert got == expect
+    assert all(est >= true[t] for t, est in got)
+
+    split = min(split, len(words))
+    if 0 < split < len(words):
+        a = spark.createDataFrame([(w,) for w in words[:split]], "tok string")
+        b = spark.createDataFrame([(w,) for w in words[split:]], "tok string")
+        merged = cms_merge(
+            cms_build(a, F.col("tok"), d_, w_), cms_build(b, F.col("tok"), d_, w_)
+        )
+        whole = {
+            (r["j"], r["pos"], r["c"]) for r in counters.collect()
+        }
+        got_m = {(r["j"], r["pos"], r["c"]) for r in merged.collect()}
+        assert got_m == whole
