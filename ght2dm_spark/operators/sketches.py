@@ -4,14 +4,19 @@ the k smallest hash values of a set; estimate distinct count as
 (k−1)·DOMAIN / h₍ₖ₎, exactly the set size while fewer than k hashes
 have been seen.
 
-Why KMV and not HLL here: the sketch state is plain rows of integer
-hashes, so it is engine-portable (the DuckDB oracle replays it
-bit-identically), MERGEABLE by construction (k smallest of a union =
-k smallest of the pooled sketch rows — the merge theorem
-`t1_kmv_sketch` checks as data), and every estimate is exact integer
-arithmetic.  Spark's own HLL++ (`approx_count_distinct`) is tighter
-per byte but its state is engine-specific — right for live queries,
-wrong for cross-engine-verified pipelines; see t1_approx_aggs.
+KMV first because its state is plain rows of integer hashes — the
+DuckDB oracle replays it bit-identically, it is MERGEABLE by
+construction (k smallest of a union = k smallest of the pooled sketch
+rows — the merge theorem `t1_kmv_sketch` checks as data), and every
+estimate is exact integer arithmetic.  A portable HyperLogLog (Flajolet
+et al., AofA'07) lives below it: integer registers (bucket = first 8
+hash bits, rho = leading-zero run of the next 52 via the integer-exact
+``length(bin())`` trick — no floating log), max-merge, and an estimate
+whose only non-integer step is ONE IEEE division by a Python-prefolded
+double constant, so even the approximate values verify bit-for-bit
+across engines.  Spark's own HLL++ (`approx_count_distinct`) is
+tighter per byte but its state is engine-specific — right for live
+queries, wrong for cross-engine-verified pipelines; see t1_approx_aggs.
 
 Scale: a sketch is ≤ k rows per group regardless of input size; builds
 are one distinct + one per-group top-k, merges and estimates touch
@@ -87,6 +92,114 @@ def kmv_estimate(
     if not keys:
         return sketch.agg(*agg).select(est)
     return sketch.groupBy(*keys).agg(*agg).select(*keys, est)
+
+
+#: HLL geometry: p=8 → m=256 registers; rho is measured over the 52
+#: bits after the bucket byte (13 hex chars — fits a BIGINT exactly).
+HLL_P = 8
+HLL_M = 1 << HLL_P
+HLL_SUFFIX_BITS = 52
+
+#: alpha_m · m² · 2^SUFFIX_BITS+1 as ONE double, prefolded in Python so both
+#: engines see the identical literal: alpha_256 = 0.7213/(1 + 1.079/256)
+#: written as the exact rational 7213·m/(10000·m + 10790).  The estimate
+#: is then a single IEEE division by sum_scaled — deterministic across
+#: engines because IEEE arithmetic (unlike libm transcendentals) is
+#: exactly specified.
+HLL_EST_NUM = (
+    float(7213 * HLL_M * HLL_M * HLL_M)
+    * float(1 << (HLL_SUFFIX_BITS + 1))
+    / float(10000 * HLL_M + 10790)
+)
+
+
+def hll_register_cols(value: Column, salt: str = "hll:") -> tuple[Column, Column]:
+    """(bucket, rho) of a value: bucket = first 8 md5 bits, rho = run of
+    leading zero bits in the next 52 plus one — computed with the
+    integer-exact ``length(bin())`` bit-length trick (a value near a
+    register boundary buckets identically on every engine; no floating
+    log)."""
+    h = F.md5(F.concat(F.lit(salt), value.cast("string")))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    sfx = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    rho = F.when(sfx == 0, F.lit(HLL_SUFFIX_BITS + 1)).otherwise(
+        F.lit(HLL_SUFFIX_BITS + 1) - F.length(F.bin(sfx))
+    )
+    return bucket, rho.cast("int")
+
+
+def hll_build(
+    df: DataFrame, keys: Sequence[str], value: Column, salt: str = "hll:"
+) -> DataFrame:
+    """Per-``keys``-group HLL registers as rows (keys..., bucket, M):
+    M = max rho per bucket.  One map-side-combined pass — ≤ m rows per
+    group regardless of input size; absent buckets mean M=0 and are
+    handled arithmetically at estimate time (no dense 256-row join)."""
+    bucket, rho = hll_register_cols(value, salt)
+    return (
+        df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_merge(sketch: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Merge register rows down to ``keys`` granularity (a subset of the
+    build keys, or [] for one global sketch): registers max-combine, so
+    the merged sketch equals one built directly on the combined set."""
+    return sketch.groupBy(*keys, "bucket").agg(F.max("M").alias("M"))
+
+
+def hll_estimate_cols() -> list[Column]:
+    """Aggregates + projection pieces for an HLL estimate over register
+    rows; returns [n_buckets, sum_scaled] aggregate columns.  Use with
+    :func:`hll_est_expr` on the aggregated frame."""
+    return [
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_SUFFIX_BITS + 1} - M)")).alias(
+            "__s_present"
+        ),
+    ]
+
+
+def hll_est_expr() -> Column:
+    """Estimate column over (n_buckets, __s_present): fold the m −
+    n_buckets absent registers (M=0 ⇒ 2^(SUFFIX_BITS+1) each) into the
+    scaled sum, then ONE IEEE division under floor.  Bit-identical
+    across engines; see HLL_EST_NUM."""
+    sum_scaled = F.expr(
+        f"__s_present + ({HLL_M} - n_buckets) * "
+        f"{1 << (HLL_SUFFIX_BITS + 1)}L"
+    )
+    return F.expr(
+        f"CAST(floor({HLL_EST_NUM!r} / CAST(__s_present + "
+        f"({HLL_M} - n_buckets) * {1 << (HLL_SUFFIX_BITS + 1)}L AS DOUBLE)) "
+        f"AS BIGINT)"
+    ), sum_scaled
+
+
+def hll_estimate(
+    sketch: DataFrame, keys: Sequence[str], est_col: str = "est_distinct"
+) -> DataFrame:
+    """Distinct-count estimate per group from register rows: raw HLL
+    estimator alpha_m·m²/Σ2^(−M) computed as integer-scaled sums plus a
+    single deterministic IEEE division (small-range/linear-counting
+    correction is deliberately NOT applied — it needs ln(), which is not
+    bit-portable across engines; n_buckets is emitted so a consumer can
+    apply it)."""
+    est, sum_scaled = hll_est_expr()
+    proj = [
+        F.col("n_buckets"),
+        sum_scaled.alias("sum_scaled"),
+        est.alias(est_col),
+    ]
+    if not keys:
+        return sketch.agg(*hll_estimate_cols()).select(*proj)
+    return (
+        sketch.groupBy(*keys)
+        .agg(*hll_estimate_cols())
+        .select(*keys, *proj)
+    )
 
 
 def cms_pos(value: Column, j: int, w: int) -> Column:

@@ -127,6 +127,11 @@ _LEAD = [
     # trimmed to three so every round-3 query lands inside the ~50 budget —
     # t0_ts_cast stays because it was round 1's hash failure)
     "t0_newest_wins_dedup", "t0_ts_cast", "t0_broadcast_lookup",
+    # late round-3 additions, placed AFTER the canaries on purpose: the
+    # ~50-query time budget may cut them, and protecting the
+    # never-verified flagships above matters more; they rotate to the
+    # head of round 4's window if the driver doesn't reach them.
+    "t1_hll_sketch", "t1_record_linkage",
 ]
 
 

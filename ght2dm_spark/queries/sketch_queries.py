@@ -25,8 +25,14 @@ from pyspark.sql import functions as F
 from ght2dm_spark.io import load_table
 from ght2dm_spark.operators.neardup import hex2int_sql
 from ght2dm_spark.operators.sketches import (
+    HLL_EST_NUM,
+    HLL_M,
+    HLL_SUFFIX_BITS,
     cms_build,
     cms_point_query,
+    hll_build,
+    hll_estimate,
+    hll_merge,
     kmv_build,
     kmv_estimate,
     kmv_merge,
@@ -126,6 +132,140 @@ def t1_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = (
         kmv_estimate(kmv_merge(sk, [], _KMV_K), [], _KMV_K)
         .select(F.lit("all_merged").alias("scope"), "est_distinct")
+        .crossJoin(F.broadcast(exact_all))
+    )
+    allrows = per_type.unionByName(direct).unionByName(merged)
+    return allrows.withColumn(
+        "err_ppm",
+        F.expr("abs(est_distinct - exact_distinct) * 1000000L div exact_distinct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t1_hll_sketch — engine-portable HyperLogLog (Flajolet et al. 2007)
+
+
+def _hll_sql() -> str:
+    sb = HLL_SUFFIX_BITS  # 52: rho measured over 13 hex chars
+    w = sb + 1
+    from ght2dm_spark.operators.neardup import hex2int_sql
+
+    bucket = hex2int_sql("h", 1, 2)
+    sfx = hex2int_sql("h", 3, 13)
+    est = (
+        f"CAST(floor({HLL_EST_NUM!r} / CAST(s_present + "
+        f"({HLL_M} - n) * {1 << w} AS DOUBLE)) AS BIGINT)"
+    )
+    agg = (
+        f"CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(sum(1::BIGINT << ({w} - M)) AS BIGINT) AS s_present"
+    )
+    return f"""
+    WITH hv AS (SELECT event_type, user_id,
+                       md5('hll:' || CAST(user_id AS VARCHAR)) AS h
+                FROM events),
+    rr AS (SELECT event_type, {bucket} AS bucket,
+                  CASE WHEN {sfx} = 0 THEN {w}
+                       ELSE {w} - length(bin({sfx})) END AS M
+           FROM hv),
+    regs AS (SELECT event_type, bucket, max(M) AS M FROM rr GROUP BY 1, 2),
+    gregs AS (SELECT bucket, max(M) AS M FROM regs GROUP BY 1),
+    per_type AS (
+      SELECT s.event_type AS scope, s.n AS n_buckets,
+             CAST(s.s_present + ({HLL_M} - s.n) * {1 << w} AS BIGINT)
+               AS sum_scaled,
+             {est} AS est_distinct, x.exact_distinct
+      FROM (SELECT event_type, {agg} FROM regs GROUP BY 1) s
+      JOIN (SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events GROUP BY 1) x ON s.event_type = x.event_type),
+    exact_all AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                    AS exact_distinct FROM events),
+    direct AS (
+      SELECT 'all_direct' AS scope, n AS n_buckets,
+             CAST(s_present + ({HLL_M} - n) * {1 << w} AS BIGINT)
+               AS sum_scaled,
+             {est} AS est_distinct
+      FROM (SELECT {agg}
+            FROM (SELECT bucket, max(M) AS M FROM rr GROUP BY 1))),
+    merged AS (
+      SELECT 'all_merged' AS scope, n AS n_buckets,
+             CAST(s_present + ({HLL_M} - n) * {1 << w} AS BIGINT)
+               AS sum_scaled,
+             {est} AS est_distinct
+      FROM (SELECT {agg} FROM gregs)),
+    allrows AS (
+      SELECT scope, n_buckets, sum_scaled, est_distinct, exact_distinct
+      FROM per_type
+      UNION ALL
+      SELECT d.scope, d.n_buckets, d.sum_scaled, d.est_distinct,
+             e.exact_distinct
+      FROM direct d CROSS JOIN exact_all e
+      UNION ALL
+      SELECT m.scope, m.n_buckets, m.sum_scaled, m.est_distinct,
+             e.exact_distinct
+      FROM merged m CROSS JOIN exact_all e)
+    SELECT scope, n_buckets, sum_scaled, est_distinct, exact_distinct,
+           abs(est_distinct - exact_distinct) * 1000000 // exact_distinct
+             AS err_ppm
+    FROM allrows
+    """
+
+
+@register("t1_hll_sketch", oracle=_hll_sql())
+def t1_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct-user sketches per event type
+    (p=8 → 256 integer registers; bucket = first 8 md5 bits, rho =
+    leading-zero run of the next 52 via the integer-exact
+    ``length(bin())`` trick), the global sketch built two ways —
+    directly, and by max-MERGING the per-type register tables — with
+    every estimate beside its exact count and an integer-ppm error.
+    The merged and direct global rows are equal because HLL registers
+    max-combine; the oracle checks that equality as data.  Unlike
+    Spark's HLL++ (t1_approx_aggs, engine-opaque state ⇒ rows-only
+    check), every value here — registers, scaled sums, even the
+    ESTIMATES — verifies bit-for-bit against DuckDB: the only
+    non-integer step is one IEEE division by a Python-prefolded double
+    constant (IEEE ops are exactly specified; libm transcendentals are
+    not, which is why the small-range linear-counting branch is left to
+    consumers — n_buckets is emitted so they can apply it).
+
+    Scale: register state is ≤256 rows per scope regardless of input —
+    one map-side-combined pass builds it, merges and estimates touch
+    register rows only, never the base data.  This is the sketch HLL
+    is used for in production rollups (per-partition/per-source build,
+    max-merge upward); KMV (t1_kmv_sketch) trades 4× state for
+    integer-only estimates, CMS (t1_cms_sketch) covers frequencies,
+    loghist (t1_loghist_quantiles) quantiles — one mergeable-sketch
+    family, all under the exact-match gate."""
+    ev = load_table(spark, sf_dir, "events")
+    user = F.col("user_id")
+    sk = hll_build(ev, ["event_type"], user)
+    exact_t = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    per_type = (
+        hll_estimate(sk, ["event_type"])
+        .join(exact_t, "event_type")
+        .select(
+            F.col("event_type").alias("scope"),
+            "n_buckets",
+            "sum_scaled",
+            "est_distinct",
+            "exact_distinct",
+        )
+    )
+    exact_all = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    direct = (
+        hll_estimate(hll_build(ev, [], user), [])
+        .select(F.lit("all_direct").alias("scope"), "n_buckets",
+                "sum_scaled", "est_distinct")
+        .crossJoin(F.broadcast(exact_all))
+    )
+    merged = (
+        hll_estimate(hll_merge(sk, []), [])
+        .select(F.lit("all_merged").alias("scope"), "n_buckets",
+                "sum_scaled", "est_distinct")
         .crossJoin(F.broadcast(exact_all))
     )
     allrows = per_type.unionByName(direct).unionByName(merged)

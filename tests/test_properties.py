@@ -1193,3 +1193,71 @@ def test_cms_matches_model_and_merges_linearly(spark, words, split):
         }
         got_m = {(r["j"], r["pos"], r["c"]) for r in merged.collect()}
         assert got_m == whole
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60)), min_size=1, max_size=40
+    )
+)
+@_slow
+def test_hll_sketch_matches_model_and_max_merge(spark, pairs):
+    """HLL build/merge/estimate vs a Python replay: registers are the
+    per-bucket max of the leading-zero rank (bucket = first 8 md5 bits,
+    rho over the next 52), the max-merged global register table equals
+    the directly-built one, and every estimate equals the model's —
+    including the IEEE division, because Python floats and both engines
+    share exactly-specified double semantics."""
+    import hashlib
+    import math
+
+    from ght2dm_spark.operators.sketches import (
+        HLL_EST_NUM,
+        HLL_M,
+        HLL_SUFFIX_BITS,
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    w = HLL_SUFFIX_BITS + 1
+    df = spark.createDataFrame(pairs, "g long, u long")
+    sk = hll_build(df, ["g"], F.col("u"))
+    got_regs = {(r["g"], r["bucket"], r["M"]) for r in sk.collect()}
+    got_est = {
+        (r["g"], r["n_buckets"], r["sum_scaled"], r["est_distinct"])
+        for r in hll_estimate(sk, ["g"]).collect()
+    }
+    got_merged = {
+        (r["bucket"], r["M"]) for r in hll_merge(sk, []).collect()
+    }
+    got_direct = {
+        (r["bucket"], r["M"])
+        for r in hll_build(df, [], F.col("u")).collect()
+    }
+
+    def reg(u):
+        hx = hashlib.md5(f"hll:{u}".encode()).hexdigest()
+        sfx = int(hx[2:15], 16)
+        return int(hx[:2], 16), (w if sfx == 0 else w - sfx.bit_length())
+
+    groups: dict[int, dict[int, int]] = {}
+    for g, u in pairs:
+        b, rho = reg(u)
+        regs = groups.setdefault(g, {})
+        regs[b] = max(regs.get(b, 0), rho)
+    exp_regs = {
+        (g, b, m) for g, regs in groups.items() for b, m in regs.items()
+    }
+    exp_est = set()
+    for g, regs in groups.items():
+        n = len(regs)
+        ss = sum(1 << (w - m) for m in regs.values()) + (HLL_M - n) * (1 << w)
+        exp_est.add((g, n, ss, int(math.floor(HLL_EST_NUM / float(ss)))))
+    exp_global: dict[int, int] = {}
+    for regs in groups.values():
+        for b, m in regs.items():
+            exp_global[b] = max(exp_global.get(b, 0), m)
+    assert got_regs == exp_regs
+    assert got_est == exp_est
+    assert got_merged == set(exp_global.items()) == got_direct
