@@ -474,3 +474,129 @@ def t1_line_dedup(spark, sf_dir):
             F.coalesce("scrub_md5", F.md5(F.lit(""))).alias("scrub_md5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t1_record_linkage — blocked fuzzy entity resolution (edit distance)
+
+_RL_HEAD = 48  # normalized comparison key length
+_RL_SEG = 12  # 4 fixed segments of 12 chars each
+_RL_LEV = 4  # match threshold on levenshtein over the heads
+_RL_CAP = 64  # max block size — degenerate blocks are dropped, not paired
+
+_RL_SQL = f"""
+    WITH h AS (SELECT doc_id,
+                      substr(regexp_replace(lower(text), '[^a-z0-9 ]', '',
+                                            'g'), 1, {_RL_HEAD}) AS head
+               FROM documents),
+    planted AS (SELECT doc_id + 3000000 AS doc_id,
+                       substr(head, 1, 5) || 'q' || substr(head, 7, 14)
+                         || 'q' || substr(head, 22) AS head
+                FROM h
+                WHERE doc_id % 10 = 3 AND length(head) >= {_RL_HEAD}),
+    aug AS (SELECT * FROM h UNION ALL SELECT * FROM planted),
+    seg AS (SELECT doc_id, head, s,
+                   substr(head, 1 + {_RL_SEG} * s, {_RL_SEG}) AS blk
+            FROM aug, (VALUES (0), (1), (2), (3)) t(s)),
+    segf AS (SELECT * FROM seg WHERE length(blk) = {_RL_SEG}),
+    keep AS (SELECT s, blk FROM segf
+             GROUP BY 1, 2 HAVING count(*) <= {_RL_CAP}),
+    segk AS (SELECT segf.* FROM segf JOIN keep USING (s, blk)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.head AS head_a, b.head AS head_b
+             FROM segk a JOIN segk b
+               ON a.s = b.s AND a.blk = b.blk AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(head_a, head_b) AS INTEGER) AS lev
+    FROM cand WHERE levenshtein(head_a, head_b) <= {_RL_LEV}
+"""
+
+
+@register("t1_record_linkage", oracle=_RL_SQL)
+def t1_record_linkage(spark, sf_dir):
+    """Blocked record linkage (entity resolution) by edit distance: each
+    document's comparison key is its normalized 48-char head; keys are
+    blocked on 4 FIXED 12-char segments (multi-pass positional blocking,
+    the canopy pattern), candidate pairs are the within-block self-join,
+    and matches are pairs with levenshtein <= 4.  The corpus plants
+    linkage targets inline (docs ≡3 mod 10 re-enter with +3M ids and two
+    same-position character substitutions), so matches provably exist
+    and the blocking is provably lossless for them: substitutions keep
+    length, so by pigeonhole <= 3 substituted chars leave at least one
+    of the 4 segments intact.  (Insert/delete noise shifts segments —
+    that regime is covered by the q-gram prefix-filter join,
+    t1_ssjoin_prefix.)  Both the planted edits and the match filter use
+    only substr/levenshtein, identical in both engines — the oracle is
+    exact.
+
+    Scale: the self-join is a shuffle EQUI-join on (segment#, block
+    key) — never a cross product — and blocks larger than 64 members
+    are dropped from pairing entirely (deterministic, mirrored in the
+    oracle; the LSH bucket-cap precedent), so worst-case pair fan-out
+    is bounded by cap²/2 per block.  Heads ride along through the join,
+    so no join-back to the corpus; distinct collapses pairs found by
+    multiple passes before the (cheap) edit-distance filter runs.
+    Reference parity: the lookups in ght2dm.go:413-447
+    (insertUser/fetchUserID) resolve entities by EXACT id/login keys;
+    this is the fuzzy-key generalization a curation pipeline needs when
+    keys are noisy."""
+    d = load_table(spark, sf_dir, "documents")
+    head = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        1,
+        _RL_HEAD,
+    )
+    h = d.select("doc_id", head.alias("head"))
+    planted = (
+        h.filter(
+            (F.col("doc_id") % 10 == 3)
+            & (F.length("head") >= _RL_HEAD)
+        ).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.expr(
+                "concat(substr(head, 1, 5), 'q', substr(head, 7, 14), "
+                "'q', substr(head, 22))"
+            ).alias("head"),
+        )
+    )
+    aug = h.unionByName(planted)
+    seg = aug.select(
+        "doc_id",
+        "head",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("head", 1 + _RL_SEG * s, _RL_SEG)
+                    for s in range(4)
+                ]
+            )
+        ).alias("s", "blk"),
+    ).filter(F.length("blk") == _RL_SEG)
+    from pyspark.sql import Window
+
+    wcap = Window.partitionBy("s", "blk")
+    segk = (
+        seg.withColumn("__bc", F.count(F.lit(1)).over(wcap))
+        .filter(F.col("__bc") <= _RL_CAP)
+        .drop("__bc")
+    )
+    a = segk.select(
+        "s", "blk", F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a")
+    )
+    b = segk.select(
+        "s", "blk", F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b")
+    )
+    cand = (
+        a.join(b, ["s", "blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "head_a", "head_b")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("head_a", "head_b").alias("lev"),
+        )
+        .filter(F.col("lev") <= _RL_LEV)
+    )
