@@ -60,6 +60,7 @@ from ght2dm_spark.queries import tokenizer_queries  # noqa: E402,F401
 from ght2dm_spark.queries import sketch_queries  # noqa: E402,F401
 from ght2dm_spark.queries import linalg_queries  # noqa: E402,F401
 from ght2dm_spark.queries import layout_queries  # noqa: E402,F401
+from ght2dm_spark.queries import ml_training  # noqa: E402,F401
 
 # Names with a green driver CORRECTNESS row in rounds 1–2.  The driver's
 # correctness harness is time-budgeted (~50 queries/round, walked in registry
@@ -131,7 +132,7 @@ _LEAD = [
     # ~50-query time budget may cut them, and protecting the
     # never-verified flagships above matters more; they rotate to the
     # head of round 4's window if the driver doesn't reach them.
-    "t1_hll_sketch", "t1_record_linkage",
+    "t1_hll_sketch", "t1_record_linkage", "t1_perceptron_quality",
 ]
 
 

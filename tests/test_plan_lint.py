@@ -71,6 +71,7 @@ CROSS_OK = {
     "t1_ivfadc_rerank",  # same core + Q×C shortlist broadcast re-rank
     "t1_kmv_sketch",  # 1-row exact-total frame joined onto 1-row sketch rows
     "t1_hll_sketch",  # same shape: 1-row exact-total × 1-row register rollup
+    "t1_perceptron_quality",  # 1-row weight/mean frames broadcast per epoch
     "t1_loghist_quantiles",  # 3-row quantile spec × ≤16-row histogram pick
     "t1_pca_power",  # 1-row mean/vector/max-abs frames broadcast per round
 }
