@@ -249,6 +249,48 @@ def test_streaming_kmv_rollup_equals_batch_sketch(spark, sf_dir, tmp_path):
     assert streamed == batch
 
 
+def test_streaming_hll_rollup_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """HLL mergeability THROUGH the streaming engine: a foreachBatch sink
+    appends each micro-batch's register table (bucket, M); max-merging
+    the appended rows at read time must reproduce the batch-built
+    registers and estimate exactly — registers max-combine, so per-batch
+    state replaces history.  Deterministic because the registers are a
+    pure function of the data (md5), however the stream batches it."""
+    from ght2dm_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+    from ght2dm_spark.streaming import read_events_stream
+
+    out = str(tmp_path / "hll_out")
+
+    def sink(batch_df, batch_id):
+        hll_build(batch_df, [], F.col("user_id")).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from ght2dm_spark.io import load_table
+
+    streamed = hll_merge(spark.read.parquet(out), [])
+    batch = hll_build(load_table(spark, sf_dir, "events"), [], F.col("user_id"))
+    assert {(r.bucket, r.M) for r in streamed.collect()} == {
+        (r.bucket, r.M) for r in batch.collect()
+    }
+    est_s = hll_estimate(streamed, []).head()
+    est_b = hll_estimate(batch, []).head()
+    assert est_s.asDict() == est_b.asDict()
+
+
 def test_kcore_fixpoint_within_unroll(sf_dir):
     """The k-core unroll bound is an invariant, not a hope: one extra
     peel round changes nothing at either test SF."""
