@@ -529,13 +529,19 @@ def t1_record_linkage(spark, sf_dir):
     only substr/levenshtein, identical in both engines — the oracle is
     exact.
 
-    Scale: the self-join is a shuffle EQUI-join on (segment#, block
-    key) — never a cross product — and blocks larger than 64 members
-    are dropped from pairing entirely (deterministic, mirrored in the
-    oracle; the LSH bucket-cap precedent), so worst-case pair fan-out
-    is bounded by cap²/2 per block.  Heads ride along through the join,
-    so no join-back to the corpus; distinct collapses pairs found by
-    multiple passes before the (cheap) edit-distance filter runs.
+    Scale: ONE groupBy(segment#, block key) shuffle collects each
+    block's members (blocks larger than 64 members are dropped from
+    pairing entirely — deterministic, mirrored in the oracle; the LSH
+    bucket-cap precedent), and candidate pairs are generated IN-ROW as
+    the upper triangle of the sorted member array (the t1_token_pmi
+    pattern) — worst-case fan-out cap²/2 per block, bounded collect
+    size by the cap.  A self-join form was measured first and rejected:
+    Catalyst cannot reuse the exchange across the aliased sides, so the
+    whole scan→explode pipeline ran twice (see EXPLAIN.md history).
+    Heads ride along in the member structs, so no join-back to the
+    corpus; distinct collapses pairs found by multiple passes before
+    the (cheap) edit-distance filter runs.  The oracle keeps the
+    textbook self-join form — different plan, provably same pair set.
     Reference parity: the lookups in ght2dm.go:413-447
     (insertUser/fetchUserID) resolve entities by EXACT id/login keys;
     this is the fuzzy-key generalization a curation pipeline needs when
@@ -572,24 +578,23 @@ def t1_record_linkage(spark, sf_dir):
             )
         ).alias("s", "blk"),
     ).filter(F.length("blk") == _RL_SEG)
-    from pyspark.sql import Window
-
-    wcap = Window.partitionBy("s", "blk")
-    segk = (
-        seg.withColumn("__bc", F.count(F.lit(1)).over(wcap))
-        .filter(F.col("__bc") <= _RL_CAP)
-        .drop("__bc")
-    )
-    a = segk.select(
-        "s", "blk", F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a")
-    )
-    b = segk.select(
-        "s", "blk", F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b")
+    members = (
+        seg.groupBy("s", "blk")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "head"))).alias("ms"))
+        .filter(F.size("ms") <= _RL_CAP)
     )
     cand = (
-        a.join(b, ["s", "blk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "head_a", "head_b")
+        members.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (a, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), b -> "
+                    "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
+                    "a.head AS head_a, b.head AS head_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
         .distinct()
     )
     return (

@@ -41,6 +41,8 @@ PICKS = [
     ("t1_pca_power", "Power-iteration PCA: one corpus pass for mean+covariance (posexplode stream pipelined in codegen, dim² partials map-side combined); rounds touch only the dim×dim frame with 1-row broadcast scalars."),
     ("t1_temperature_mix", "Temperature rebalance: 5-row language-count aggregate broadcast back, map-side integer keep filter, 1-row totals cross-joined for the share math — two scans, no wide shuffle."),
     ("t1_bloom_membership", "Bloom probe: corpus-A set-bit positions distinct (≤m rows) broadcast; corpus B probed map-side; per-doc all-present aggregate is the only B shuffle."),
+    ("t1_record_linkage", "Record linkage: ONE groupBy(segment, block key) shuffle collects capped block members; candidate pairs generate IN-ROW (upper triangle of the sorted member array — no self-join, so the scan pipeline runs once, not twice per aliased side); distinct collapses multi-pass pairs BEFORE the levenshtein filter."),
+    ("t1_perceptron_quality", "In-engine training: each epoch is one HashAggregate over the cached integer feature projection with the 1-row weight frame broadcast (BroadcastNestedLoopJoin on a single row) — the corpus never reshuffles between epochs."),
 ]
 
 
