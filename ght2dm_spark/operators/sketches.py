@@ -162,11 +162,11 @@ def hll_estimate_cols() -> list[Column]:
     ]
 
 
-def hll_est_expr() -> Column:
-    """Estimate column over (n_buckets, __s_present): fold the m −
-    n_buckets absent registers (M=0 ⇒ 2^(SUFFIX_BITS+1) each) into the
-    scaled sum, then ONE IEEE division under floor.  Bit-identical
-    across engines; see HLL_EST_NUM."""
+def hll_est_expr() -> tuple[Column, Column]:
+    """(estimate, sum_scaled) columns over (n_buckets, __s_present):
+    fold the m − n_buckets absent registers (M=0 ⇒ 2^(SUFFIX_BITS+1)
+    each) into the scaled sum, then ONE IEEE division under floor for
+    the estimate.  Bit-identical across engines; see HLL_EST_NUM."""
     sum_scaled = F.expr(
         f"__s_present + ({HLL_M} - n_buckets) * "
         f"{1 << (HLL_SUFFIX_BITS + 1)}L"
