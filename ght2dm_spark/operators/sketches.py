@@ -48,11 +48,17 @@ def kmv_build(
     df: DataFrame, keys: Sequence[str], value: Column, k: int
 ) -> DataFrame:
     """Per-``keys``-group KMV sketch rows (keys..., h): the k smallest
-    distinct hashes of ``value`` in each group.  With ``keys=[]`` builds
-    one global sketch (TakeOrdered over the distinct hashes — no single
-    overloaded partition; Spark plans a per-partition top-k + k-row
-    merge)."""
-    uh = df.select(*keys, kmv_hash(value).alias("h")).distinct()
+    distinct hashes of ``value`` in each group.  NULL values are
+    excluded — count-distinct semantics ignore NULL, and a NULL hash row
+    would also ORDER differently across engines (Spark sorts NULLs
+    first ascending, DuckDB last).  With ``keys=[]`` builds one global
+    sketch (TakeOrdered over the distinct hashes — no single overloaded
+    partition; Spark plans a per-partition top-k + k-row merge)."""
+    uh = (
+        df.select(*keys, kmv_hash(value).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
     if not keys:
         return uh.orderBy("h").limit(k)
     w = Window.partitionBy(*keys).orderBy("h")
@@ -132,12 +138,17 @@ def hll_build(
     df: DataFrame, keys: Sequence[str], value: Column, salt: str = "hll:"
 ) -> DataFrame:
     """Per-``keys``-group HLL registers as rows (keys..., bucket, M):
-    M = max rho per bucket.  One map-side-combined pass — ≤ m rows per
-    group regardless of input size; absent buckets mean M=0 and are
-    handled arithmetically at estimate time (no dense 256-row join)."""
+    M = max rho per bucket.  NULL values are excluded (count-distinct
+    semantics ignore NULL; a NULL would otherwise become a phantom
+    (bucket=NULL, M=NULL) register that inflates n_buckets without
+    contributing to the scaled sum).  One map-side-combined pass — ≤ m
+    rows per group regardless of input size; absent buckets mean M=0
+    and are handled arithmetically at estimate time (no dense 256-row
+    join)."""
     bucket, rho = hll_register_cols(value, salt)
     return (
         df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .filter(F.col("bucket").isNotNull())
         .groupBy(*keys, "bucket")
         .agg(F.max("rho").alias("M"))
     )
@@ -152,13 +163,15 @@ def hll_merge(sketch: DataFrame, keys: Sequence[str]) -> DataFrame:
 
 def hll_estimate_cols() -> list[Column]:
     """Aggregates + projection pieces for an HLL estimate over register
-    rows; returns [n_buckets, sum_scaled] aggregate columns.  Use with
+    rows; returns [n_buckets, sum_scaled] aggregate columns (coalesced
+    so an EMPTY scope aggregates to (0, 0), not NULL).  Use with
     :func:`hll_est_expr` on the aggregated frame."""
     return [
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum(F.expr(f"shiftleft(1L, {HLL_SUFFIX_BITS + 1} - M)")).alias(
-            "__s_present"
-        ),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(1L, {HLL_SUFFIX_BITS + 1} - M)")),
+            F.lit(0).cast("long"),
+        ).alias("__s_present"),
     ]
 
 
@@ -166,16 +179,19 @@ def hll_est_expr() -> tuple[Column, Column]:
     """(estimate, sum_scaled) columns over (n_buckets, __s_present):
     fold the m − n_buckets absent registers (M=0 ⇒ 2^(SUFFIX_BITS+1)
     each) into the scaled sum, then ONE IEEE division under floor for
-    the estimate.  Bit-identical across engines; see HLL_EST_NUM."""
+    the estimate — built FROM the same sum_scaled Column so the two can
+    never desynchronize.  An empty sketch (n_buckets=0) estimates 0
+    (the raw estimator would report alpha·m ≈ 184 for the empty set;
+    the kmv_estimate small-set precedent returns the exact 0 instead).
+    Bit-identical across engines; see HLL_EST_NUM."""
     sum_scaled = F.expr(
         f"__s_present + ({HLL_M} - n_buckets) * "
         f"{1 << (HLL_SUFFIX_BITS + 1)}L"
     )
-    return F.expr(
-        f"CAST(floor({HLL_EST_NUM!r} / CAST(__s_present + "
-        f"({HLL_M} - n_buckets) * {1 << (HLL_SUFFIX_BITS + 1)}L AS DOUBLE)) "
-        f"AS BIGINT)"
-    ), sum_scaled
+    est = F.when(F.col("n_buckets") == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(F.lit(HLL_EST_NUM) / sum_scaled.cast("double")).cast("long")
+    )
+    return est, sum_scaled
 
 
 def hll_estimate(

@@ -489,7 +489,7 @@ _RL_SQL = f"""
                       substr(regexp_replace(lower(text), '[^a-z0-9 ]', '',
                                             'g'), 1, {_RL_HEAD}) AS head
                FROM documents),
-    planted AS (SELECT doc_id + 3000000 AS doc_id,
+    planted AS (SELECT -(doc_id + 1) AS doc_id,
                        substr(head, 1, 5) || 'q' || substr(head, 7, 14)
                          || 'q' || substr(head, 22) AS head
                 FROM h
@@ -519,8 +519,10 @@ def t1_record_linkage(spark, sf_dir):
     blocked on 4 FIXED 12-char segments (multi-pass positional blocking,
     the canopy pattern), candidate pairs are the within-block self-join,
     and matches are pairs with levenshtein <= 4.  The corpus plants
-    linkage targets inline (docs ≡3 mod 10 re-enter with +3M ids and two
-    same-position character substitutions), so matches provably exist
+    linkage targets inline (docs ≡3 mod 10 re-enter under the NEGATIVE
+    mirror id −id−1 — collision-free against real non-negative ids at
+    ANY corpus size, unlike a fixed +N offset — with two same-position
+    character substitutions), so matches provably exist
     and the blocking is provably lossless for them: substitutions keep
     length, so by pigeonhole <= 3 substituted chars leave at least one
     of the 4 segments intact.  (Insert/delete noise shifts segments —
@@ -558,7 +560,7 @@ def t1_record_linkage(spark, sf_dir):
             (F.col("doc_id") % 10 == 3)
             & (F.length("head") >= _RL_HEAD)
         ).select(
-            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            (-(F.col("doc_id") + 1)).alias("doc_id"),
             F.expr(
                 "concat(substr(head, 1, 5), 'q', substr(head, 7, 14), "
                 "'q', substr(head, 22))"

@@ -148,8 +148,6 @@ def t1_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hll_sql() -> str:
     sb = HLL_SUFFIX_BITS  # 52: rho measured over 13 hex chars
     w = sb + 1
-    from ght2dm_spark.operators.neardup import hex2int_sql
-
     bucket = hex2int_sql("h", 1, 2)
     sfx = hex2int_sql("h", 3, 13)
     est = (
