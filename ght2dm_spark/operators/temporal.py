@@ -42,7 +42,12 @@ def asof_join(
     results; pass ``tie_break`` (a payload column) to pre-dedup keeping
     its max.  Implementation: tag both sides, union, sort each key
     partition by (ts, side) with right-before-left at equal ts, carry
-    payloads forward with last(ignorenulls) over an expanding frame.
+    the payload forward with last(ignorenulls) over an expanding frame —
+    as ONE struct, not per column: per-column carries would skip a NULL
+    field in the matched row and resurrect a STALE value from an older
+    right row (and could tear a multi-column payload across different
+    right rows); the struct of the matched row is non-NULL even when
+    every field is, so NULL payload fields come through faithfully.
     """
     if tie_break is not None:
         w = Window.partitionBy(key, right_ts).orderBy(F.col(tie_break).desc())
@@ -55,7 +60,9 @@ def asof_join(
         "__t", F.col(left_ts)
     )
     r_tagged = right.select(
-        F.col(key), F.col(right_ts).alias("__t"), *[F.col(p) for p in payload]
+        F.col(key),
+        F.col(right_ts).alias("__t"),
+        F.struct(*[F.col(p) for p in payload]).alias("__pay"),
     ).withColumn("__src", F.lit(0))
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
@@ -63,9 +70,11 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__src").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("__pay", F.last("__pay", ignorenulls=True).over(w))
+    out = u.filter(F.col("__src") == 1)
     for p in payload:
-        u = u.withColumn(p, F.last(p, ignorenulls=True).over(w))
-    return u.filter(F.col("__src") == 1).drop("__src", "__t")
+        out = out.withColumn(p, F.col("__pay")[p])
+    return out.drop("__src", "__t", "__pay")
 
 
 def range_join_binned(
@@ -103,6 +112,14 @@ def range_join_binned(
     ``how='inner'`` and left-join the aggregate back to the probe
     frame, paying one candidate join plus a probe-sized join instead.
     """
+    shared = (set(probe.columns) & set(build.columns)) - {key}
+    if shared:
+        raise ValueError(
+            "range_join_binned requires disjoint column names outside the "
+            f"join key (alias one side); shared: {sorted(shared)} — a "
+            "shared name would be ambiguous in the exact re-filter and "
+            "duplicated in the output"
+        )
     lo_b = F.floor(F.unix_timestamp(F.col(probe_ts) + lower) / grain_seconds)
     hi_b = F.floor(F.unix_timestamp(F.col(probe_ts) + upper) / grain_seconds)
     p = probe.withColumn("__bucket", F.explode(F.sequence(lo_b, hi_b)))
@@ -192,5 +209,11 @@ def sessionize_gap(
     prev = F.lag(ts_col).over(w)
     diff = epoch_us(F.col(ts_col)) - epoch_us(prev)
     gap_hit = (diff >= gap_us) if inclusive else (diff > gap_us)
-    boundary = F.when(prev.isNull() | gap_hit, 1).otherwise(0)
+    # A NULL ts makes diff NULL; without the explicit isNull() branches a
+    # NULL-ts row would take boundary 0 and glue into the neighboring
+    # session (and, under NULLS-FIRST ordering, shift every later id).
+    # Instead each NULL-ts row opens its own session, deterministically.
+    boundary = F.when(
+        prev.isNull() | F.col(ts_col).isNull() | gap_hit, 1
+    ).otherwise(0)
     return df.withColumn(session_col, F.sum(boundary).over(run))

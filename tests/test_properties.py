@@ -230,16 +230,26 @@ asof_strategy = st.tuples(
 def test_asof_join_matches_model(spark, data):
     """asof_join ≡ the brute-force model: for each left row, the payload
     of the right row with the max right_ts <= left_ts on the same key
-    (ties on right_ts pre-collapsed to max payload via tie_break)."""
+    (ties on right_ts pre-collapsed to max payload via tie_break).  A
+    second payload column is a deterministic function of pay that is
+    often NULL: the matched row's NULL must come through as NULL — a
+    per-column last(ignorenulls) carry would resurrect a stale non-NULL
+    value from an older right row (the torn-payload bug this pins)."""
     from ght2dm_spark.operators.temporal import asof_join
 
     left_rows, right_rows = data
+
+    def p2(p):
+        return None if p % 3 == 0 else p + 1
+
     left = spark.createDataFrame(
         [(i, k, t) for i, (k, t) in enumerate(left_rows)],
         "lid long, key long, lts long",
     )
     right = spark.createDataFrame(
-        right_rows or [(None, None, None)], "key long, rts long, pay long"
+        [(k, t, p, p2(p)) for k, t, p in right_rows]
+        or [(None, None, None, None)],
+        "key long, rts long, pay long, pay2 long",
     ).filter(F.col("key").isNotNull())
     out = asof_join(
         left,
@@ -247,10 +257,10 @@ def test_asof_join_matches_model(spark, data):
         key="key",
         left_ts="lts",
         right_ts="rts",
-        payload=["pay"],
+        payload=["pay", "pay2"],
         tie_break="pay",
     )
-    got = {r["lid"]: r["pay"] for r in out.collect()}
+    got = {r["lid"]: (r["pay"], r["pay2"]) for r in out.collect()}
 
     # brute-force model
     best: dict[tuple[int, int], int] = {}
@@ -262,7 +272,11 @@ def test_asof_join_matches_model(spark, data):
         cands = [
             (rt, p) for (rk, rt), p in best.items() if rk == k and rt <= t
         ]
-        expect[i] = max(cands)[1] if cands else None
+        if cands:
+            p = max(cands)[1]
+            expect[i] = (p, p2(p))
+        else:
+            expect[i] = (None, None)
     assert got == expect
 
 
@@ -1038,7 +1052,11 @@ def test_salted_agg_equals_plain_groupby(spark, rows, n_salt):
 
 @given(
     events=st.lists(
-        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 999)),
+        st.tuples(
+            st.integers(0, 2),
+            st.one_of(st.none(), st.integers(0, 100)),
+            st.integers(0, 999),
+        ),
         min_size=1,
         max_size=25,
     ),
@@ -1050,7 +1068,11 @@ def test_sessionize_gap_matches_islands_model(spark, events, gap, inclusive):
     """Gap sessionization vs the gaps-and-islands model: per key, order
     by (ts, uid), start a new session when the gap to the previous row
     exceeds (or, inclusive, reaches) the threshold; ids are 1-based
-    running counts.  Duplicate timestamps exercise the tiebreak."""
+    running counts.  Duplicate timestamps exercise the tiebreak; NULL
+    timestamps (sorted first by Spark's asc NULLS FIRST) each open their
+    own single-row session and the first real row after them starts
+    fresh — without the explicit isNull branches a NULL row would glue
+    into the neighboring session (the bug this pins)."""
     import datetime as dtm
 
     from ght2dm_spark.operators.temporal import sessionize_gap
@@ -1058,7 +1080,10 @@ def test_sessionize_gap_matches_islands_model(spark, events, gap, inclusive):
     events = list({e[2]: e for e in events}.values())  # unique uid
     base = dtm.datetime(2022, 1, 1)
     df = spark.createDataFrame(
-        [(k, base + dtm.timedelta(seconds=s), u) for k, s, u in events],
+        [
+            (k, None if s is None else base + dtm.timedelta(seconds=s), u)
+            for k, s, u in events
+        ],
         "k long, ts timestamp, uid long",
     )
     got = {
@@ -1073,10 +1098,14 @@ def test_sessionize_gap_matches_islands_model(spark, events, gap, inclusive):
         bykey.setdefault(k, []).append((s, u))
     expect = set()
     for k, rows in bykey.items():
-        rows.sort()
+        rows.sort(key=lambda r: (r[0] is not None, r[0] or 0, r[1]))
         sid, prev = 0, None
-        for s, u in rows:
-            d = None if prev is None else s - prev
+        for i, (s, u) in enumerate(rows):
+            d = (
+                None
+                if i == 0 or s is None or prev is None
+                else s - prev
+            )
             if d is None or (d >= gap if inclusive else d > gap):
                 sid += 1
             expect.add((k, u, sid))
