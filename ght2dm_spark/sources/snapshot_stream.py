@@ -8,7 +8,9 @@ offsets = snapshot versions, so the snapshot layer now closes the loop
 Scale shape: ``latestOffset`` reads one pointer file driver-side;
 ``partitions`` diffs two manifests' file lists (append commits only
 ever extend them — an overwrite/compaction breaks delta containment and
-raises, same contract as ``snapshots.read_increment``); ``read`` opens
+raises, same contract as ``snapshots.read_increment``; a merge-on-read
+DELETE commit likewise raises, because a stream cannot retract rows it
+already emitted — compact to materialize deletes, then restart); ``read`` opens
 ONE parquet file per input partition executor-side and yields Arrow
 record batches — per-file fan-out identical to the batch scan, no
 driver data movement.  Exactly-once follows from offsets being
@@ -40,13 +42,22 @@ class SnapshotFilePartition(InputPartition):
         self.columns = columns
 
 
-def _files_at(table: Path, seq: int) -> list[str]:
+def _manifest_at(table: Path, seq: int) -> dict | None:
+    """Committed manifest for ``seq``, or None for the pre-table seq -1.
+    A vacuumed/unknown version surfaces as ``_manifest_for``'s
+    FileNotFoundError — the error a restarted checkpoint hits when its
+    start version aged out."""
     if seq < 0:
-        return []
-    name = _manifest_for(table, seq)
-    if name is None:
-        raise ValueError(f"{table}: version {seq} not found (vacuumed?)")
-    return list(_load_manifest(table, name)["files"])
+        return None
+    return _load_manifest(table, _manifest_for(table, seq))
+
+
+def _files_at(m: dict | None) -> list[str]:
+    return list(m["files"]) if m is not None else []
+
+
+def _deletes_at(m: dict | None) -> list[str]:
+    return list(m.get("delete_files", [])) if m is not None else []
 
 
 def _current_seq(table: Path) -> int:
@@ -71,7 +82,7 @@ class SnapshotStreamDataSource(DataSource):
         if not path:
             raise ValueError("ght2dm_snapshot requires a load(path)")
         table = Path(path)
-        files = _files_at(table, _current_seq(table))
+        files = _files_at(_manifest_at(table, _current_seq(table)))
         if not files:
             raise ValueError(f"{path}: no committed snapshot to stream")
         import pyarrow.parquet as pq
@@ -100,13 +111,29 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         table = Path(self.path)
-        old = set(_files_at(table, int(start["seq"])))
-        new = _files_at(table, int(end["seq"]))
+        m_old = _manifest_at(table, int(start["seq"]))
+        m_new = _manifest_at(table, int(end["seq"]))
+        old = set(_files_at(m_old))
+        new = _files_at(m_new)
         if not old <= set(new):
             raise ValueError(
                 f"{self.path}: version {start['seq']} is not an "
-                "append-ancestor of {end['seq']} (overwrite/compaction "
+                f"append-ancestor of {end['seq']} (overwrite/compaction "
                 "intervened) — restart the stream from a fresh checkpoint"
+            )
+        # A merge-on-read delete commit bumps seq but leaves `files`
+        # unchanged, so file containment alone would plan an EMPTY batch
+        # and silently keep emitting rows the batch reader anti-joins
+        # away.  Streams cannot retract, so surface it loudly (same
+        # contract as the overwrite case above).  This also catches
+        # batch 0 over a table already carrying delete files.
+        if set(_deletes_at(m_old)) != set(_deletes_at(m_new)):
+            raise ValueError(
+                f"{self.path}: merge-on-read delete files changed between "
+                f"versions {start['seq']} and {end['seq']} — a stream "
+                "cannot retract already-emitted rows (and batch 0 would "
+                "emit logically-deleted ones).  Compact the table to "
+                "materialize deletes, then restart from a fresh checkpoint"
             )
         return [
             SnapshotFilePartition(str(table / _DATA / f), self.columns)

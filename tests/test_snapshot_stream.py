@@ -249,3 +249,59 @@ def test_multihop_snapshot_pipeline_bronze_to_silver(spark, sf_dir, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_snapshot_stream_refuses_delete_commits(spark, sf_dir, tmp_path):
+    """A merge-on-read delete commit bumps seq without touching `files`;
+    file containment alone would plan an empty batch and the stream
+    would silently keep rows the batch reader anti-joins away.  The
+    source must refuse loudly instead (streams cannot retract), both
+    mid-stream and at batch 0 of a table already carrying delete files."""
+    import pytest
+
+    from ght2dm_spark.io import load_table
+    from ght2dm_spark.snapshots import delete_rows
+    from ght2dm_spark.sources.snapshot_stream import SnapshotStreamDataSource
+
+    spark.dataSource.register(SnapshotStreamDataSource)
+    table = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    commit(prepare_commit(base, table))
+
+    q = (
+        spark.readStream.format("ght2dm_snapshot")
+        .load(table)
+        .writeStream.format("memory")
+        .queryName("snap_stream_del")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        commit(
+            delete_rows(
+                spark.createDataFrame([(0,)], "r_regionkey int"), table
+            )
+        )
+        with pytest.raises(Exception, match="delete files changed"):
+            q.processAllAvailable()
+            # surface the terminal state if processAllAvailable returned
+            q.awaitTermination(10)
+    finally:
+        q.stop()
+
+    # batch 0 over a table already carrying delete files: same refusal
+    q2 = (
+        spark.readStream.format("ght2dm_snapshot")
+        .load(table)
+        .writeStream.format("memory")
+        .queryName("snap_stream_del0")
+        .option("checkpointLocation", str(tmp_path / "ckpt0"))
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="delete files changed"):
+            q2.processAllAvailable()
+            q2.awaitTermination(10)
+    finally:
+        q2.stop()
