@@ -28,6 +28,7 @@ rather than failing the task (E1, ``ght2dm.go:281-290``).
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Iterator
 from datetime import date
 
@@ -86,6 +87,11 @@ class BsonDumpReader(DataSourceReader):
         for spec in (options.get("flatten") or "").split(","):
             spec = spec.strip()
             if spec:
+                if "=" not in spec or "." not in spec.split("=", 1)[1]:
+                    raise ValueError(
+                        f"ght2dm_bson: flatten spec {spec!r} must be "
+                        "'out=outer.inner' (comma-separated)"
+                    )
                 out, dotted = spec.split("=", 1)
                 outer, inner = dotted.split(".", 1)
                 self.flatten[out.strip()] = (outer.strip(), inner.strip())
@@ -149,8 +155,9 @@ class BsonDumpReader(DataSourceReader):
 
 
 class BsonWriterCommitMessage(WriterCommitMessage):
-    def __init__(self, path: str, rows: int):
-        self.path = path
+    def __init__(self, temp: str, final: str, rows: int):
+        self.temp = temp
+        self.final = final
         self.rows = rows
 
 
@@ -161,6 +168,15 @@ class BsonDumpWriter(DataSourceWriter):
     file-per-unit layout (S8), so a dump written here reads back
     through this source (or the reference's loader) unchanged.
 
+    Durability contract: tasks write ``*.bson.inprogress`` temp names
+    (invisible to the reader, which lists only ``*.bson``), and
+    ``commit`` renames the successful tasks' files into place — so a
+    task that dies mid-write, or a speculative duplicate, can never
+    surface partial or duplicated rows; ``abort`` removes what the
+    failed job staged.  Overwrite deletes the OLD dump files inside
+    ``commit`` too, not at writer construction: a job that fails before
+    commit leaves the previous data untouched.
+
     Meta columns (file_date / file_pos / _corrupt) are provenance the
     READER synthesizes; they are dropped on write rather than
     round-tripped as data."""
@@ -170,13 +186,23 @@ class BsonDumpWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("ght2dm_bson requires a save(path)")
         self.file_date = options.get("file_date", "1970-01-01")
+        if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", self.file_date):
+            raise ValueError(
+                f"ght2dm_bson: file_date {self.file_date!r} must be "
+                "YYYY-MM-DD — the reader's date filter would silently "
+                "skip a file written under any other shape"
+            )
         self.prefix = options.get("prefix", "dump")
+        if FILE_DATE_RE.search(self.prefix):
+            raise ValueError(
+                f"ght2dm_bson: prefix {self.prefix!r} contains a "
+                "date-like token; the reader takes the FIRST date in the "
+                "filename as file_date, so a dated prefix would shadow "
+                f"file_date={self.file_date}"
+            )
+        self.overwrite = overwrite
         self.fields = [f.name for f in schema.fields if f.name not in _META]
         os.makedirs(self.path, exist_ok=True)
-        if overwrite:
-            for fname in os.listdir(self.path):
-                if fname.endswith(".bson"):
-                    os.unlink(os.path.join(self.path, fname))
 
     def write(self, iterator) -> "BsonWriterCommitMessage":
         import uuid
@@ -190,9 +216,10 @@ class BsonDumpWriter(DataSourceWriter):
             f"{self.prefix}-{self.file_date}"
             f"-part{pid:05d}-{uuid.uuid4().hex[:8]}.bson"
         )
-        out = os.path.join(self.path, fname)
+        final = os.path.join(self.path, fname)
+        temp = final + ".inprogress"
         n = 0
-        with open(out, "wb") as fh:
+        with open(temp, "wb") as fh:
             for row in iterator:
                 d = row.asDict() if hasattr(row, "asDict") else dict(row)
                 fh.write(
@@ -200,6 +227,23 @@ class BsonDumpWriter(DataSourceWriter):
                 )
                 n += 1
         if n == 0:
-            os.unlink(out)
-            return BsonWriterCommitMessage("", 0)
-        return BsonWriterCommitMessage(out, n)
+            os.unlink(temp)
+            return BsonWriterCommitMessage("", "", 0)
+        return BsonWriterCommitMessage(temp, final, n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for fname in os.listdir(self.path):
+                if fname.endswith(".bson"):
+                    os.unlink(os.path.join(self.path, fname))
+        for m in messages:
+            if m is not None and m.rows:
+                os.replace(m.temp, m.final)
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is not None and m.temp:
+                try:
+                    os.unlink(m.temp)
+                except FileNotFoundError:
+                    pass

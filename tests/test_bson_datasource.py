@@ -123,3 +123,63 @@ def test_bson_writer_roundtrip(spark, tmp_path):
         .count()
     )
     assert n2 == 10
+
+
+def test_bson_writer_commit_hygiene_and_option_validation(spark, tmp_path):
+    """Writer durability contract: tasks stage *.bson.inprogress and
+    commit renames them, so a completed write leaves no temp files and a
+    pre-staged orphan temp is never visible to the reader.  Option
+    validation fails fast: malformed file_date (the reader's date filter
+    would silently skip the file), date-like prefix (would shadow
+    file_date on read-back), malformed flatten spec."""
+    import os
+
+    import pytest
+
+    from ght2dm_spark.sources.bson_datasource import BsonDataSource
+
+    spark.dataSource.register(BsonDataSource)
+    df = spark.createDataFrame([(1, "a")], "id bigint, login string")
+    out = str(tmp_path / "dumps")
+
+    # a leaked temp from a hypothetical dead task: invisible to reads
+    os.makedirs(out)
+    orphan = os.path.join(out, "users-2020-05-17-part99999-dead.bson.inprogress")
+    with open(orphan, "wb") as fh:
+        fh.write(b"\x01")  # truncated frame — would be _corrupt if read
+
+    df.write.format("ght2dm_bson").option("file_date", "2020-05-17").option(
+        "prefix", "users"
+    ).mode("append").save(out)
+    names = sorted(os.listdir(out))
+    assert [n for n in names if n.endswith(".bson")] != []
+    # the job's own temps are gone; only the planted orphan remains
+    assert [n for n in names if n.endswith(".inprogress")] == [
+        os.path.basename(orphan)
+    ]
+    n = (
+        spark.read.format("ght2dm_bson")
+        .schema("id bigint, file_date date, file_pos bigint, _corrupt string")
+        .load(out)
+        .count()
+    )
+    assert n == 1  # orphan temp not read
+
+    with pytest.raises(Exception, match="YYYY-MM-DD"):
+        df.write.format("ght2dm_bson").option("file_date", "20200517").mode(
+            "append"
+        ).save(str(tmp_path / "bad1"))
+    with pytest.raises(Exception, match="date-like"):
+        df.write.format("ght2dm_bson").option(
+            "prefix", "backup-2020-01-01"
+        ).option("file_date", "2020-05-17").mode("append").save(
+            str(tmp_path / "bad2")
+        )
+    with pytest.raises(Exception, match="flatten spec"):
+        (
+            spark.read.format("ght2dm_bson")
+            .schema("x string, file_date date, file_pos bigint, _corrupt string")
+            .option("flatten", "x=owner")
+            .load(out)
+            .count()
+        )
