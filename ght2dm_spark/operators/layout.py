@@ -98,11 +98,39 @@ def zorder_layout(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
     sorted by the Morton key of ``cols``, key dropped.  Feed straight to
     ``snapshots.write_table_atomic`` — each output file then covers a
     small hyper-rectangle of the layout columns, and the commit-time
-    footer stats make range predicates on ANY of them prune files."""
-    z = zorder_key(cols)
+    footer stats make range predicates on ANY of them prune files.
+
+    Both columns are min-max scaled onto the full 16-bit interleave
+    width first (one tiny bounds aggregate broadcast back over the
+    scan, integer arithmetic).  Raw low-16-bit interleaving — the io
+    module's measured mistake — would alias any domain wider than
+    65536 mod-65536 (every id column qualifies), making each file's
+    min/max span nearly the whole range so the promised pruning keeps
+    ALL files; negatives would additionally sort above positives.
+    Scaling costs one extra scan of two columns at layout time and is
+    what makes the z-key monotone in each dimension's rank."""
+    if len(cols) != 2:
+        raise ValueError(
+            "z-order interleave is pairwise; got %d cols" % len(cols)
+        )
+    a, b = cols
+    hi = 65535
+    bounds = df.agg(
+        F.min(a).alias("__loa"),
+        F.max(a).alias("__hia"),
+        F.min(b).alias("__lob"),
+        F.max(b).alias("__hib"),
+    )
+    scaled_a = F.expr(
+        f"CAST(({a} - __loa) * {hi} AS BIGINT) div greatest(__hia - __loa, 1)"
+    )
+    scaled_b = F.expr(
+        f"CAST(({b} - __lob) * {hi} AS BIGINT) div greatest(__hib - __lob, 1)"
+    )
     return (
-        df.withColumn("__z", z)
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__z", zorder_key_cols(scaled_a, scaled_b))
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", "__loa", "__hia", "__lob", "__hib")
     )

@@ -260,3 +260,39 @@ def test_delete_increment_feeds_incremental_consumers(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in mirrored.collect()} == {
         tuple(r) for r in live.collect()
     }
+
+
+def test_zorder_layout_prunes_wide_domains(spark, tmp_path):
+    """Wide-domain layout columns (every id column is one): min-max
+    scaling inside zorder_layout is what keeps pruning alive — raw
+    low-16-bit interleaving aliases any domain wider than 65536
+    (value 5 and value 65541 land adjacent), so each file's min/max
+    would span nearly the whole range and keep ALL files.  Same 64×64
+    grid as the narrow test, but both dimensions stretched far past
+    the 16-bit width."""
+    grid = spark.range(64 * 64).select(
+        ((F.col("id") % 64) * 100_003).alias("x"),
+        ((F.col("id") / 64).cast("long") * 250_007).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t = str(tmp_path / "grid_wide")
+    write_table_atomic(zorder_layout(grid, ["x", "y"], 16), t)
+    n_all = len(snapshot_files(t))
+    assert n_all >= 8
+    for col, step in (("x", 100_003), ("y", 250_007)):
+        lo, hi = 10 * step, 17 * step
+        kept = snapshot_files(t, prune={col: (lo, hi)})
+        assert len(kept) <= n_all // 2, f"{col}: kept {len(kept)}/{n_all}"
+        flt = (F.col(col) >= lo) & (F.col(col) <= hi)
+        full = sorted(
+            r[0]
+            for r in read_snapshot(spark, t).where(flt).select("payload").collect()
+        )
+        fast = sorted(
+            r[0]
+            for r in read_snapshot(spark, t, prune={col: (lo, hi)})
+            .where(flt)
+            .select("payload")
+            .collect()
+        )
+        assert len(full) == 8 * 64 and fast == full
