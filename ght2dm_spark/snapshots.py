@@ -123,7 +123,11 @@ def _footer_stats(path: Path) -> dict[str, list]:
 def _file_survives(stats: dict[str, list] | None, prune: dict) -> bool:
     """Can a file with these footer stats contain a row matching the
     conjunctive range predicate ``prune`` ({col: (lo, hi)})?  Missing
-    stats (old manifest, un-stat-able column type) ⇒ keep."""
+    stats (old manifest, un-stat-able column type) ⇒ keep.  Stats are an
+    optimization, never a correctness dependency — so a bound/stat TYPE
+    mismatch (string stats pruned with numeric bounds, mixed-type stats
+    after schema evolution) also keeps the file instead of raising at
+    plan time."""
     if not stats:
         return True
     for col, (plo, phi) in prune.items():
@@ -131,10 +135,13 @@ def _file_survives(stats: dict[str, list] | None, prune: dict) -> bool:
         if s is None:
             continue
         mn, mx = s
-        if plo is not None and mx < plo:
-            return False
-        if phi is not None and mn > phi:
-            return False
+        try:
+            if plo is not None and mx < plo:
+                return False
+            if phi is not None and mn > phi:
+                return False
+        except TypeError:
+            continue
     return True
 
 
@@ -215,21 +222,38 @@ def prepare_commit(
     parent_stats: dict[str, dict] = {}
     parent_deletes: list[str] = []
     parent_delete_keys: list[str] | None = None
+    parent_fseqs: dict[str, int] = {}
+    parent_dseqs: dict[str, int] = {}
+    stream_batch: int | None = None
     seq = _max_staged_seq(table) + 1
     if base_name is not None:
+        pm = _load_manifest(table, base_name)
+        # the last streamed batch id is snapshot-level state: carried
+        # across EVERY commit mode (compaction is an overwrite!), so
+        # exactly-once retry detection survives maintenance commits and
+        # vacuum — see last_streamed_batch
+        stream_batch = pm.get("stream_batch")
         if mode == "append":
-            pm = _load_manifest(table, base_name)
             parent_files = list(pm["files"])
+            pf_set = set(parent_files)
             # carry parent stats forward — files are immutable, so their
             # footers (and thus stats) never change; re-reading them here
             # would be wasted IO at every append
             parent_stats = {
-                f: s for f, s in pm.get("stats", {}).items() if f in set(parent_files)
+                f: s for f, s in pm.get("stats", {}).items() if f in pf_set
             }
             # merge-on-read deletes survive appends: the delete files are
             # part of the snapshot's logical state, not of any one commit
             parent_deletes = list(pm.get("delete_files", []))
             parent_delete_keys = pm.get("delete_keys")
+            # sequence scoping (the Iceberg idea): remember which commit
+            # added each file, so deletes only apply to files that
+            # existed when the delete committed — a key re-inserted
+            # AFTER a delete must stay visible
+            parent_fseqs = {
+                f: s for f, s in pm.get("file_seqs", {}).items() if f in pf_set
+            }
+            parent_dseqs = dict(pm.get("delete_seqs", {}))
     elif mode == "append":
         mode = "overwrite"  # first commit: append == overwrite
 
@@ -255,12 +279,23 @@ def prepare_commit(
         "mode": mode,
         "files": parent_files + new_files,
         "stats": stats,
+        # legacy manifests lack file_seqs; readers default absent files
+        # to seq 0 (every delete applies — the old, conservative rule)
+        "file_seqs": {
+            **{f: parent_fseqs.get(f, 0) for f in parent_files},
+            **{f: seq for f in new_files},
+        },
     }
     if parent_deletes:
         manifest["delete_files"] = parent_deletes
         manifest["delete_keys"] = parent_delete_keys
+        manifest["delete_seqs"] = parent_dseqs
     if meta:
         manifest["meta"] = meta
+        if "batch_id" in meta:
+            stream_batch = int(meta["batch_id"])
+    if stream_batch is not None:
+        manifest["stream_batch"] = stream_batch
     mname = f"m-{seq:06d}-{commit_id}.json"
     _atomic_write(table / _MANIFESTS / mname, json.dumps(manifest, indent=1))
     return PreparedCommit(
@@ -340,9 +375,18 @@ def delete_rows(
         "mode": "delete",
         "files": list(pm["files"]),
         "stats": pm.get("stats", {}),
+        "file_seqs": dict(pm.get("file_seqs", {})),
         "delete_files": list(pm.get("delete_files", [])) + new_dels,
         "delete_keys": key_cols,
+        # scope: this delete applies only to files with file_seq < seq
+        # (rows that existed when it committed) — see read_snapshot
+        "delete_seqs": {
+            **pm.get("delete_seqs", {}),
+            **{d: seq for d in new_dels},
+        },
     }
+    if pm.get("stream_batch") is not None:
+        manifest["stream_batch"] = pm["stream_batch"]
     mname = f"m-{seq:06d}-{commit_id}.json"
     _atomic_write(table / _MANIFESTS / mname, json.dumps(manifest, indent=1))
     return PreparedCommit(
@@ -354,19 +398,71 @@ def delete_rows(
     )
 
 
+def _read_files_with_deletes(
+    spark: SparkSession,
+    table: Path,
+    m: dict,
+    file_paths: list[str],
+    schema=None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read ``file_paths`` applying the manifest's merge-on-read deletes
+    with SEQUENCE SCOPING (the Iceberg rule): a delete key file applies
+    only to data files that existed when the delete committed
+    (file_seq < delete_seq) — so a key re-inserted after its delete
+    stays visible.  Files group by which suffix of the seq-ordered
+    delete list applies to them (≤ #deletes+1 groups); each group is one
+    scan + one broadcast anti-join.  Legacy manifests without the seq
+    maps degrade to the old conservative rule (every delete applies)."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    dels = m.get("delete_files")
+    if not dels:
+        return reader.parquet(*file_paths)
+    import bisect
+
+    key_cols = list(m["delete_keys"])
+    fseq = m.get("file_seqs", {})
+    dseq = m.get("delete_seqs", {})
+    inf = float("inf")
+    dels_sorted = sorted(dels, key=lambda d: dseq.get(d, inf))
+    dvals = [dseq.get(d, inf) for d in dels_sorted]
+    groups: dict[int, list[str]] = {}
+    for p in file_paths:
+        fs = fseq.get(os.path.basename(p), 0)
+        # first delete with delete_seq > file_seq starts the suffix
+        groups.setdefault(bisect.bisect_right(dvals, fs), []).append(p)
+    out: DataFrame | None = None
+    for i in sorted(groups):
+        part = reader.parquet(*groups[i])
+        if dels_sorted[i:]:
+            keys = spark.read.parquet(
+                *[str(table / _DATA / d) for d in dels_sorted[i:]]
+            )
+            part = part.join(keys, on=key_cols, how="left_anti")
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=merge_schema
+        )
+    return out
+
+
 def read_prepared(
     spark: SparkSession, prepared: PreparedCommit, schema=None
 ) -> DataFrame | None:
     """DataFrame over a staged-but-unpublished snapshot's pinned file
     list — how a multi-table run reads its OWN earlier staging before
-    the pointers flip (readers elsewhere still see CURRENT)."""
+    the pointers flip (readers elsewhere still see CURRENT).  Applies
+    the staged manifest's merge-on-read deletes exactly like
+    read_snapshot will after the flip — otherwise a run that stages a
+    delete and then reads its own staging would resurrect the deleted
+    rows and bake them into downstream tables."""
     table = Path(prepared.table)
     m = _load_manifest(table, prepared.manifest_name)
     files = [str(table / _DATA / f) for f in m["files"]]
     if not files:
         return None
-    reader = spark.read.schema(schema) if schema is not None else spark.read
-    return reader.parquet(*files)
+    return _read_files_with_deletes(spark, table, m, files, schema=schema)
 
 
 def write_table_atomic(df: DataFrame, path: str, mode: str = "overwrite") -> PreparedCommit:
@@ -470,21 +566,15 @@ def read_snapshot(
     files = snapshot_files(path, version, prune=prune)
     if not files:
         return None
-    reader = spark.read.schema(schema) if schema is not None else spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*files)
-    # merge-on-read deletes: anti-join the manifest's key files — a
-    # broadcast hash anti at scale (delete sets are delta-sized), and
-    # only for snapshots that actually carry deletes
+    # merge-on-read deletes: seq-scoped anti-joins against the
+    # manifest's key files — broadcast hash antis at scale (delete sets
+    # are delta-sized), and only for snapshots that actually carry
+    # deletes; see _read_files_with_deletes for the scoping rule
     table = Path(path)
-    name = _manifest_for(table, version)
-    m = _load_manifest(table, name)
-    dels = m.get("delete_files")
-    if dels:
-        keys = spark.read.parquet(*[str(table / _DATA / f) for f in dels])
-        df = df.join(keys, on=list(m["delete_keys"]), how="left_anti")
-    return df
+    m = _load_manifest(table, _manifest_for(table, version))
+    return _read_files_with_deletes(
+        spark, table, m, files, schema=schema, merge_schema=merge_schema
+    )
 
 
 def read_increment(
@@ -598,14 +688,26 @@ def compact_snapshot(
 
 
 def last_streamed_batch(path: str) -> int | None:
-    """Highest streaming ``batch_id`` recorded in the committed chain,
-    or None if no stream has committed here.  Walks CURRENT's parent
-    links, so batches staged by a crashed micro-batch (prepared, never
-    flipped) are invisible — exactly the property idempotent retry
-    needs."""
+    """Highest streaming ``batch_id`` recorded in the committed state,
+    or None if no stream has committed here.  Reads the carried
+    ``stream_batch`` field off CURRENT — O(1), and immune to vacuum
+    aging the batch-bearing manifest out of the chain (every commit
+    mode carries it forward, compaction included; a chain walk would
+    truncate at the first vacuumed parent and silently forget the
+    batch, letting a driver restart re-append it).  Falls back to the
+    chain walk for legacy tables without the field; batches staged by a
+    crashed micro-batch (prepared, never flipped) stay invisible either
+    way — exactly the property idempotent retry needs."""
+    table = Path(path)
+    name = _read_current(table)
+    if name is None:
+        return None
+    m = _load_manifest(table, name)
+    if "stream_batch" in m:
+        return int(m["stream_batch"])
     best: int | None = None
-    for _, m in _committed_chain(Path(path)):
-        b = m.get("meta", {}).get("batch_id")
+    for _, mm in _committed_chain(table):
+        b = mm.get("meta", {}).get("batch_id")
         if b is not None and (best is None or int(b) > best):
             best = int(b)
     return best

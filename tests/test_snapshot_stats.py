@@ -296,3 +296,92 @@ def test_zorder_layout_prunes_wide_domains(spark, tmp_path):
             .collect()
         )
         assert len(full) == 8 * 64 and fast == full
+
+
+def test_delete_is_seq_scoped_reinsert_stays_visible(spark, tmp_path):
+    """The Iceberg sequence-scoping rule: a merge-on-read delete applies
+    only to rows that existed when it committed.  Re-inserting a deleted
+    key in a LATER append must stay visible (pre-fix it was silently
+    anti-joined away by the carried delete file), while the original row
+    stays deleted — and time travel to the delete version still shows
+    the key gone."""
+    from ght2dm_spark.snapshots import delete_rows, history
+
+    t = str(tmp_path / "t")
+    write_table_atomic(
+        spark.createDataFrame([(1, "old"), (2, "keep")], "k long, v string"), t
+    )
+    commit(delete_rows(spark.createDataFrame([(1,)], "k long"), t))
+    del_seq = history(t)[-1]["seq"]
+    assert {r.k for r in read_snapshot(spark, t).collect()} == {2}
+
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(1, "new")], "k long, v string"),
+            t,
+            mode="append",
+        )
+    )
+    got = {(r.k, r.v) for r in read_snapshot(spark, t).collect()}
+    assert got == {(2, "keep"), (1, "new")}  # re-insert visible, old gone
+    # time travel: at the delete version the key is absent
+    assert {
+        r.k for r in read_snapshot(spark, t, version=del_seq).collect()
+    } == {2}
+    # a second delete of the same key removes the re-inserted row too
+    commit(delete_rows(spark.createDataFrame([(1,)], "k long"), t))
+    assert {r.k for r in read_snapshot(spark, t).collect()} == {2}
+
+
+def test_read_prepared_applies_staged_deletes(spark, tmp_path):
+    """Reading your own staged (unpublished) snapshot must apply its
+    delete files exactly like read_snapshot will after the flip —
+    otherwise a two-phase run bakes resurrected rows into downstream
+    tables."""
+    from ght2dm_spark.snapshots import delete_rows, read_prepared
+
+    t = str(tmp_path / "t")
+    write_table_atomic(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), t
+    )
+    staged = delete_rows(spark.createDataFrame([(1,)], "k long"), t)
+    assert {r.k for r in read_prepared(spark, staged).collect()} == {2}
+    # CURRENT is unflipped: live readers still see both rows
+    assert {r.k for r in read_snapshot(spark, t).collect()} == {1, 2}
+
+
+def test_vacuum_does_not_break_streaming_exactly_once(spark, tmp_path):
+    """The carried stream_batch field keeps last_streamed_batch correct
+    after maintenance commits age the batch-bearing manifest out of the
+    vacuum horizon — a driver restart must NOT re-append the batch."""
+    from ght2dm_spark.snapshots import (
+        commit_stream_batch,
+        compact_snapshot,
+        last_streamed_batch,
+        vacuum,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert commit_stream_batch(df, t, batch_id=7) is not None
+    compact_snapshot(spark, t)
+    compact_snapshot(spark, t)
+    vacuum(t, keep_manifests=2)
+    assert last_streamed_batch(t) == 7
+    # the retry guard holds: re-delivering batch 7 is a no-op
+    assert commit_stream_batch(df, t, batch_id=7) is None
+    assert read_snapshot(spark, t).count() == 1
+
+
+def test_prune_type_mismatch_keeps_file(spark, tmp_path):
+    """Stats are an optimization, never a correctness dependency: a
+    prune bound whose type cannot compare against the footer stats
+    (numeric bounds on a string column) keeps the file instead of
+    raising TypeError at plan time."""
+    t = str(tmp_path / "t")
+    write_table_atomic(
+        spark.createDataFrame([("x", 1), ("y", 2)], "s string, k long"), t
+    )
+    kept = snapshot_files(t, prune={"s": (10, 20)})
+    assert kept == snapshot_files(t)
+    assert read_snapshot(spark, t, prune={"s": (10, 20)}).count() == 2
