@@ -33,6 +33,63 @@ META_SCHEMA = (
 )
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    """Length + type + data + CRC32 — the PNG chunk envelope."""
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _bmff_box(typ: bytes, payload: bytes) -> bytes:
+    """Size + type + payload — the ISO BMFF box envelope."""
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _bmff_walk(b: bytes, lo: int, hi: int, path: tuple):
+    """Descend the ISO BMFF box tree along ``path``; returns the (body,
+    end) span of the final box or None.  Tries every sibling matching a
+    path segment (a file whose FIRST trak lacks the full chain — e.g. a
+    metadata-only track — must not shadow a later trak that has it);
+    malformed sizes abort the whole walk (reject data)."""
+    i = lo
+    while i + 8 <= hi:
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        typ = b[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize follows the type
+            if i + 16 > hi:
+                return None
+            (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+            body = i + 16
+        if size < 8 or i + size > hi:
+            return None
+        if typ == path[0]:
+            if len(path) == 1:
+                return body, i + size
+            found = _bmff_walk(b, body, i + size, path[1:])
+            if found is not None:
+                return found
+        i += size
+    return None
+
+
+def _wav_wrap(fmt: bytes, data: bytes) -> bytes:
+    """RIFF/WAVE container around a fmt payload and a data chunk."""
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 #: JPEG start-of-frame markers carrying dimensions (C0–CF minus DHT C4,
 #: JPG C8, DAC CC — ITU T.81 table B.1)
 _JPEG_SOF = frozenset(
@@ -47,9 +104,11 @@ def parse_image_header(b: bytes) -> tuple[str, int | None, int | None]:
     marker stream to the first SOF segment (dims live after the segment
     length + sample precision); GIF reads the logical screen descriptor
     (little-endian).  Anything unrecognized or truncated before its
-    dimension fields is ("unknown"/format, None, None) — reject data, not
-    a task failure (E1 discipline).
+    dimension fields — including a NULL payload — is ("unknown"/format,
+    None, None): reject data, not a task failure (E1 discipline).
     """
+    if b is None:
+        return "unknown", None, None
     if b[:8] == _PNG_SIG:
         if len(b) >= 24 and b[12:16] == b"IHDR":
             w, h = struct.unpack(">II", b[16:24])
@@ -90,22 +149,13 @@ def png_bytes(width: int, height: int, value: int = 0) -> bytes:
     """A complete, spec-valid 8-bit grayscale PNG (signature + IHDR +
     zlib-compressed IDAT with per-row filter bytes + IEND, CRCs included)
     filled with ``value`` — a real decodable file, built from stdlib only."""
-
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     raw = b"".join(b"\x00" + bytes([value % 256]) * width for _ in range(height))
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -133,9 +183,12 @@ def decode_meta(df: DataFrame, payload_col: str = "payload", keep: list[str] | N
     Output: ``keep`` columns + (content_len, format, width, height,
     digest).  format/width/height come from :func:`parse_image_header`
     (real container parsing); digest is md5 hex — content addressing for
-    exact media dedup.
+    exact media dedup.  A NULL payload yields format 'unknown' and NULL
+    content_len/digest — one NULL row in 100 TB of media must reject
+    the row, never the task (E1 discipline, all decoders here).
     """
-    keep = keep or [c for c in df.columns if c != payload_col]
+    if keep is None:
+        keep = [c for c in df.columns if c != payload_col]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields
@@ -149,11 +202,17 @@ def decode_meta(df: DataFrame, payload_col: str = "payload", keep: list[str] | N
             parsed = payloads.map(parse_image_header)
             meta = pd.DataFrame(
                 {
-                    "content_len": payloads.map(len),
+                    "content_len": payloads.map(
+                        lambda b: None if b is None else len(b)
+                    ).astype("Int64"),
                     "format": parsed.map(lambda t: t[0]),
                     "width": parsed.map(lambda t: t[1]).astype("Int32"),
                     "height": parsed.map(lambda t: t[2]).astype("Int32"),
-                    "digest": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "digest": payloads.map(
+                        lambda b: None
+                        if b is None
+                        else hashlib.md5(b).hexdigest()
+                    ),
                 }
             )
             yield pd.concat([pdf[keep].reset_index(drop=True), meta], axis=1)
@@ -174,9 +233,9 @@ def parse_wav_header(b: bytes) -> tuple[str, int | None, int | None, int | None]
     (word-aligned, little-endian sizes), reads channels / sample rate /
     byte rate from the ``fmt `` chunk and derives duration from the
     ``data`` chunk size over the byte rate — integer division, no float.
-    Anything non-RIFF or truncated is ("unknown"/"wav", None, ...) —
-    reject data, not a task failure (E1 discipline)."""
-    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+    Anything non-RIFF, truncated, or NULL is ("unknown"/"wav", None, ...)
+    — reject data, not a task failure (E1 discipline)."""
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return "unknown", None, None, None
     i, n = 12, len(b)
     channels = rate = byte_rate = data_size = None
@@ -205,17 +264,7 @@ def wav_bytes(channels: int, rate: int, n_samples: int, bits: int = 16) -> bytes
     samples) — a real decodable file, stdlib only."""
     block = channels * bits // 8
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
-    data = b"\x00" * (n_samples * block)
-    body = (
-        b"WAVE"
-        + b"fmt "
-        + struct.pack("<I", len(fmt))
-        + fmt
-        + b"data"
-        + struct.pack("<I", len(data))
-        + data
-    )
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return _wav_wrap(fmt, b"\x00" * (n_samples * block))
 
 
 def decode_audio_meta(
@@ -224,7 +273,8 @@ def decode_audio_meta(
     """binary audio payload → typed metadata via an Arrow-batched pandas
     map — the audio twin of :func:`decode_meta`, same narrow-map scale
     shape (payloads pruned away after the parse)."""
-    keep = keep or [c for c in df.columns if c != payload_col]
+    if keep is None:
+        keep = [c for c in df.columns if c != payload_col]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields
@@ -240,7 +290,9 @@ def decode_audio_meta(
             parsed = payloads.map(parse_wav_header)
             meta = pd.DataFrame(
                 {
-                    "content_len": payloads.map(len),
+                    "content_len": payloads.map(
+                        lambda b: None if b is None else len(b)
+                    ).astype("Int64"),
                     "format": parsed.map(lambda t: t[0]),
                     "channels": parsed.map(lambda t: t[1]).astype("Int32"),
                     "sample_rate": parsed.map(lambda t: t[2]).astype("Int32"),
@@ -265,34 +317,13 @@ def parse_mp4_header(b: bytes) -> tuple[str, int | None, int | None, str | None]
     big-endian (size 1 ⇒ 64-bit largesize); ``ftyp`` carries the brand,
     ``moov``→``mvhd`` carries the movie timescale and duration (v0:
     32-bit fields at fixed offsets, v1: 64-bit).  duration_ms =
-    duration·1000 // timescale, integer exact.  Non-BMFF or truncated
-    input is ("unknown"/"mp4", None, ...) — reject data, not a task
-    failure (E1 discipline)."""
-    if len(b) < 12 or b[4:8] != b"ftyp":
+    duration·1000 // timescale, integer exact.  Non-BMFF, truncated, or
+    NULL input is ("unknown"/"mp4", None, ...) — reject data, not a
+    task failure (E1 discipline)."""
+    if b is None or len(b) < 12 or b[4:8] != b"ftyp":
         return "unknown", None, None, None
     brand = b[8:12].decode("latin-1")
-
-    def walk(lo: int, hi: int, path: tuple) -> tuple | None:
-        i = lo
-        while i + 8 <= hi:
-            (size,) = struct.unpack(">I", b[i : i + 4])
-            typ = b[i + 4 : i + 8]
-            body = i + 8
-            if size == 1:  # 64-bit largesize follows the type
-                if i + 16 > hi:
-                    return None
-                (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
-                body = i + 16
-            if size < 8 or i + size > hi:
-                return None
-            if typ == path[0]:
-                if len(path) == 1:
-                    return body, i + size
-                return walk(body, i + size, path[1:])
-            i += size
-        return None
-
-    span = walk(0, len(b), (b"moov", b"mvhd"))
+    span = _bmff_walk(b, 0, len(b), (b"moov", b"mvhd"))
     if span is None:
         return "mp4", None, None, brand
     lo, hi = span
@@ -315,10 +346,7 @@ def mp4_bytes(timescale: int, duration: int, brand: str = "isom") -> bytes:
     """A minimal spec-valid ISO BMFF file: ftyp + moov(mvhd v0) — the
     header-complete shape metadata extraction needs; a camera MP4's
     moov parses identically."""
-
-    def box(typ: bytes, payload: bytes) -> bytes:
-        return struct.pack(">I", 8 + len(payload)) + typ + payload
-
+    box = _bmff_box
     ftyp = box(b"ftyp", brand.encode("latin-1") + struct.pack(">I", 0) + b"isom")
     mvhd_body = (
         b"\x00\x00\x00\x00"  # version 0 + flags
@@ -339,7 +367,8 @@ def decode_video_meta(
 ) -> DataFrame:
     """binary video payload → typed metadata via an Arrow-batched pandas
     map — same narrow-map shape as the image/audio decoders."""
-    keep = keep or [c for c in df.columns if c != payload_col]
+    if keep is None:
+        keep = [c for c in df.columns if c != payload_col]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields
@@ -355,7 +384,9 @@ def decode_video_meta(
             parsed = payloads.map(parse_mp4_header)
             meta = pd.DataFrame(
                 {
-                    "content_len": payloads.map(len),
+                    "content_len": payloads.map(
+                        lambda b: None if b is None else len(b)
+                    ).astype("Int64"),
                     "format": parsed.map(lambda t: t[0]),
                     "timescale": parsed.map(lambda t: t[1]).astype("Int32"),
                     "duration_ms": parsed.map(lambda t: t[2]).astype("Int64"),
@@ -387,7 +418,8 @@ def extract_features(
     """
     import numpy as np
 
-    keep = keep or [c for c in df.columns if c != payload_col]
+    if keep is None:
+        keep = [c for c in df.columns if c != payload_col]
     kept_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields
@@ -397,7 +429,9 @@ def extract_features(
         f"{kept_schema}, {FEATURES_SCHEMA}" if kept_schema else FEATURES_SCHEMA
     )
 
-    def feats(b: bytes) -> tuple[int, int, float, float]:
+    def feats(b: bytes | None) -> tuple:
+        if b is None:
+            return None, None, None, None  # NULL payload → NULL features
         arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
         n = arr.size
         if n == 0:
@@ -412,6 +446,8 @@ def extract_features(
             meta = pd.DataFrame(
                 rows, columns=["n_bytes", "byte_sum", "byte_mean", "byte_var"]
             )
+            meta["n_bytes"] = meta["n_bytes"].astype("Int64")
+            meta["byte_sum"] = meta["byte_sum"].astype("Int64")
             yield pd.concat([pdf[keep].reset_index(drop=True), meta], axis=1)
 
     return df.mapInPandas(batches, schema=out_schema)
@@ -421,8 +457,10 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", every: int = 2, ke
     """'Frame sampling' over a binary payload: emit every ``every``-th
     byte-chunk as a row (stand-in for video frame extraction — the chunk
     loop is exactly where a real demuxer would yield frames).  Output:
-    keep cols + (frame_idx int, frame binary)."""
-    keep = keep or [c for c in df.columns if c != payload_col]
+    keep cols + (frame_idx int, frame binary); NULL payloads emit no
+    frames (like zero-length ones)."""
+    if keep is None:
+        keep = [c for c in df.columns if c != payload_col]
     kept_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields
@@ -440,6 +478,8 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", every: int = 2, ke
             rows = []
             for _, r in pdf.iterrows():
                 b = r[payload_col]
+                if b is None:
+                    continue
                 frames = [b[i : i + chunk] for i in range(0, len(b), chunk)]
                 for idx in range(0, len(frames), every):
                     rows.append(
@@ -448,15 +488,6 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", every: int = 2, ke
             yield pd.DataFrame(rows, columns=[*keep, "frame_idx", "frame"])
 
     return df.mapInPandas(batches, schema=out_schema)
-
-
-def _png_chunk(typ: bytes, data: bytes) -> bytes:
-    return (
-        struct.pack(">I", len(data))
-        + typ
-        + data
-        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-    )
 
 
 def png_pattern_bytes(width: int, height: int, seed: int) -> bytes:
@@ -500,11 +531,11 @@ def decode_png_gray(b: bytes):
     + numpy only: chunk walk (IDATs concatenated per spec), zlib
     inflate, then per-row reversal of all five filter types (None/Sub/
     Up/Average/Paeth, bpp=1).  Returns an (h, w) uint8 array, or None
-    for anything that is not an 8-bit grayscale PNG (reject data, not a
-    task failure — E1 discipline)."""
+    for anything that is not an 8-bit grayscale PNG — NULL included
+    (reject data, not a task failure — E1 discipline)."""
     import numpy as np
 
-    if b[:8] != _PNG_SIG:
+    if b is None or b[:8] != _PNG_SIG:
         return None
     i, idat, w, h = 8, b"", None, None
     while i + 8 <= len(b):
@@ -597,9 +628,10 @@ def image_ahash(
     """binary PNG payload → (keep cols, ahash string) through the
     Arrow-batched pandas map — the perceptual-fingerprint step of an
     image near-dup pipeline (content-addressing that survives
-    re-encoding, unlike the md5 digest).  Non-decodable payloads and
-    sub-8×8 images yield NULL ahash (reject data)."""
-    keep = keep or [c for c in df.columns if c != payload_col]
+    re-encoding, unlike the md5 digest).  Non-decodable or NULL payloads
+    and sub-8×8 images yield NULL ahash (reject data)."""
+    if keep is None:
+        keep = [c for c in df.columns if c != payload_col]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields
@@ -629,26 +661,17 @@ def wav_pattern_bytes(rate: int, n_samples: int, seed: int) -> bytes:
     raw = (13 * i * i + 17 * i + 31 * seed) % 65536
     data = (raw - 32768).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
-    body = (
-        b"WAVE"
-        + b"fmt "
-        + struct.pack("<I", len(fmt))
-        + fmt
-        + b"data"
-        + struct.pack("<I", len(data))
-        + data
-    )
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return _wav_wrap(fmt, data)
 
 
 def decode_wav_samples(b: bytes):
     """FULL sample decode for mono 16-bit PCM WAV: RIFF chunk walk
     (odd-size chunks padded per spec), fmt validation, data chunk →
-    int16 numpy array.  None for anything not mono/16-bit/PCM (reject
-    data, not a task failure)."""
+    int16 numpy array.  None for anything not mono/16-bit/PCM — NULL
+    included (reject data, not a task failure)."""
     import numpy as np
 
-    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     i = 12
     channels = bits = audio_fmt = None
@@ -698,7 +721,8 @@ def audio_ahash(
     Arrow-batched pandas map — perceptual-ish audio fingerprinting over
     DECODED samples (the content-level near-dup step; the md5 digest
     only catches byte-identical files)."""
-    keep = keep or [c for c in df.columns if c != payload_col]
+    if keep is None:
+        keep = [c for c in df.columns if c != payload_col]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields
@@ -716,10 +740,6 @@ def audio_ahash(
             yield pd.concat([pdf[keep].reset_index(drop=True), meta], axis=1)
 
     return df.mapInPandas(batches, schema=out_schema)
-
-
-def _bmff_box(typ: bytes, payload: bytes) -> bytes:
-    return struct.pack(">I", 8 + len(payload)) + typ + payload
 
 
 def mp4_samples_bytes(seed: int, brand: str = "isom") -> bytes:
@@ -760,39 +780,25 @@ def parse_mp4_samples(b: bytes):
     stsz sample-size table and the stts decoding-time runs, and return
     (n_samples, total_bytes, max_sample, duration_ticks) — the numbers
     a frame-extraction pipeline needs before it ever touches a codec.
-    None when the sample tables are absent/truncated (reject data)."""
-
-    def walk(lo: int, hi: int, path: tuple):
-        i = lo
-        while i + 8 <= hi:
-            (size,) = struct.unpack(">I", b[i : i + 4])
-            typ = b[i + 4 : i + 8]
-            body = i + 8
-            if size == 1:
-                if i + 16 > hi:
-                    return None
-                (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
-                body = i + 16
-            if size < 8 or i + size > hi:
-                return None
-            if typ == path[0]:
-                if len(path) == 1:
-                    return body, i + size
-                return walk(body, i + size, path[1:])
-            i += size
+    None when the sample tables are absent/truncated or the payload is
+    NULL (reject data).  The trak walk backtracks across siblings
+    (:func:`_bmff_walk`), so a leading metadata-only or audio-only trak
+    without a full stbl chain doesn't shadow a later one that has it;
+    in the fixed-sample-size branch the totals are DERIVED (fixed·n),
+    never a materialized list — a crafted stsz claiming 2³²−1 samples
+    yields arithmetic, not a tens-of-GB Python list OOMing the
+    executor."""
+    if b is None or len(b) < 12 or b[4:8] != b"ftyp":
         return None
-
-    if len(b) < 12 or b[4:8] != b"ftyp":
-        return None
-    stbl = walk(
-        0, len(b), (b"moov", b"trak", b"mdia", b"minf", b"stbl")
+    stbl = _bmff_walk(
+        b, 0, len(b), (b"moov", b"trak", b"mdia", b"minf", b"stbl")
     )
     if stbl is None:
         return None
     lo, hi = stbl
 
     def leaf(typ: bytes):
-        span = walk(lo, hi, (typ,))
+        span = _bmff_walk(b, lo, hi, (typ,))
         return None if span is None else b[span[0] : span[1]]
 
     sz = leaf(b"stsz")
@@ -801,11 +807,12 @@ def parse_mp4_samples(b: bytes):
         return None
     fixed, n = struct.unpack(">II", sz[4:12])
     if fixed:
-        sizes = [fixed] * n
+        total, mx = fixed * n, (fixed if n else None)
     else:
         if len(sz) < 12 + 4 * n:
             return None
-        sizes = list(struct.unpack(f">{n}I", sz[12 : 12 + 4 * n]))
+        sizes = struct.unpack(f">{n}I", sz[12 : 12 + 4 * n])
+        total, mx = sum(sizes), (max(sizes) if sizes else None)
     (entries,) = struct.unpack(">I", tt[4:8])
     if len(tt) < 8 + 8 * entries:
         return None
@@ -813,4 +820,4 @@ def parse_mp4_samples(b: bytes):
     for e in range(entries):
         cnt, delta = struct.unpack(">II", tt[8 + 8 * e : 16 + 8 * e])
         dur += cnt * delta
-    return n, sum(sizes), max(sizes) if sizes else None, dur
+    return n, total, mx, dur

@@ -276,3 +276,64 @@ def test_wav_sample_decode_rejects_stereo_and_8bit():
     assert decode_wav_samples(wav_bytes(2, 8000, 10)) is None  # stereo
     assert decode_wav_samples(wav_bytes(1, 8000, 10, bits=8)) is None
     assert decode_wav_samples(b"RIFFxxxxNOPE") is None
+
+
+def test_null_payloads_are_rejects_not_errors():
+    """One NULL payload in 100 TB of media must reject the ROW, never
+    the task: every parse/decode entry point takes None and returns its
+    reject shape instead of raising."""
+    from ght2dm_spark.operators.multimodal import (
+        decode_png_gray,
+        decode_wav_samples,
+        parse_mp4_header,
+        parse_mp4_samples,
+        parse_wav_header,
+    )
+
+    assert parse_image_header(None) == ("unknown", None, None)
+    assert parse_wav_header(None) == ("unknown", None, None, None)
+    assert parse_mp4_header(None) == ("unknown", None, None, None)
+    assert decode_png_gray(None) is None
+    assert decode_wav_samples(None) is None
+    assert parse_mp4_samples(None) is None
+
+
+def test_mp4_sample_walk_backtracks_to_sibling_trak():
+    """A leading metadata-only trak (no stbl chain) must not shadow the
+    real track: the box walk tries every sibling matching a path
+    segment instead of committing to the first."""
+    from ght2dm_spark.operators.multimodal import (
+        _bmff_box,
+        mp4_samples_bytes,
+        parse_mp4_samples,
+    )
+
+    good = mp4_samples_bytes(seed=5)
+    # rebuild: moov( empty-trak , real-trak )
+    ftyp_len = struct.unpack(">I", good[:4])[0]
+    moov = good[ftyp_len:]
+    real_trak = moov[8:]  # strip the moov envelope → the full trak box
+    empty_trak = _bmff_box(b"trak", _bmff_box(b"mdia", b""))
+    rebuilt = good[:ftyp_len] + _bmff_box(b"moov", empty_trak + real_trak)
+    assert parse_mp4_samples(rebuilt) == parse_mp4_samples(good)
+    assert parse_mp4_samples(rebuilt) is not None
+
+
+def test_mp4_fixed_size_stsz_is_arithmetic_not_a_list():
+    """A crafted stsz with sample_size != 0 and a ~2^32 sample count must
+    yield derived totals (fixed*n), not a tens-of-GB materialized list."""
+    from ght2dm_spark.operators.multimodal import (
+        _bmff_box,
+        parse_mp4_samples,
+    )
+
+    n = 0xFFFFFFF0
+    stsz = b"\x00\x00\x00\x00" + struct.pack(">II", 64, n)
+    stts = b"\x00\x00\x00\x00" + struct.pack(">I", 1) + struct.pack(">II", n, 10)
+    stbl = _bmff_box(b"stbl", _bmff_box(b"stsz", stsz) + _bmff_box(b"stts", stts))
+    moov = _bmff_box(
+        b"moov", _bmff_box(b"trak", _bmff_box(b"mdia", _bmff_box(b"minf", stbl)))
+    )
+    ftyp = _bmff_box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    got = parse_mp4_samples(ftyp + moov)
+    assert got == (n, 64 * n, 64, n * 10)

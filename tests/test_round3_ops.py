@@ -445,3 +445,66 @@ def test_ewma_lies_within_the_daily_range(spark, sf_dir):
         o = out[r.event_type]
         assert o.n_days == r.nd
         assert r.lo - o.n_days <= o.ewma_micro <= r.hi, (r, o)
+
+
+def test_multimodal_ops_tolerate_null_payloads(spark):
+    """A NULL binary payload must flow through every multimodal
+    DataFrame operator as a rejected ROW (NULL metadata / no frames),
+    never a task failure — the E1 discipline at the Arrow batch level."""
+    from ght2dm_spark.operators.multimodal import (
+        decode_audio_meta,
+        decode_meta,
+        decode_video_meta,
+        extract_features,
+        frame_sample,
+        image_ahash,
+        audio_ahash,
+        mp4_bytes,
+        png_bytes,
+        wav_bytes,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png_bytes(16, 16))),
+            (2, None),
+            (3, bytearray(wav_bytes(1, 8000, 100))),
+            (4, bytearray(mp4_bytes(1000, 5000))),
+        ],
+        "id long, payload binary",
+    )
+    m = {r.id: r for r in decode_meta(df).collect()}
+    assert m[1].format == "png" and m[1].width == 16
+    assert m[2].format == "unknown" and m[2].content_len is None
+    assert m[2].digest is None
+
+    a = {r.id: r for r in decode_audio_meta(df).collect()}
+    assert a[3].format == "wav" and a[2].format == "unknown"
+
+    v = {r.id: r for r in decode_video_meta(df).collect()}
+    assert v[4].format == "mp4" and v[2].format == "unknown"
+
+    f = {r.id: r for r in extract_features(df).collect()}
+    assert f[1].n_bytes == len(png_bytes(16, 16)) and f[2].n_bytes is None
+
+    frames = frame_sample(df).groupBy("id").count().collect()
+    assert 2 not in {r.id for r in frames}  # NULL emits no frames
+
+    ah = {r.id: r.ahash for r in image_ahash(df).collect()}
+    assert ah[1] is not None and ah[2] is None
+
+    af = {r.id: r.afp for r in audio_ahash(df).collect()}
+    assert af[3] is not None and af[2] is None
+
+
+def test_multimodal_keep_empty_list_means_no_kept_columns(spark):
+    """keep=[] must mean 'metadata only', not 'all columns' — the falsy
+    empty list previously fell through `keep or default`."""
+    from ght2dm_spark.operators.multimodal import decode_meta, png_bytes
+
+    df = spark.createDataFrame(
+        [(1, "x", bytearray(png_bytes(8, 8)))], "id long, extra string, payload binary"
+    )
+    out = decode_meta(df, keep=[])
+    assert out.columns == ["content_len", "format", "width", "height", "digest"]
+    assert out.count() == 1
