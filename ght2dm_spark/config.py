@@ -203,6 +203,26 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
             return None
         return read_snapshot(spark, str(out / name))
 
+    def _dim(name):
+        """Dimension table for a relation import: the in-run state when
+        an earlier folder produced it, else the COMMITTED snapshot (an
+        incremental run whose config lists only org_members /
+        repo_collaborators is legitimate — the reference resolves
+        relation FKs against the persistent tables, ght2dm.go:814-960).
+        A clear error beats the KeyError this used to raise."""
+        if name in state:
+            return state[name]
+        ex = _existing(name)
+        if ex is None:
+            raise ValueError(
+                f"relation folder needs the {name} dimension, but no "
+                f"folder in this run imports it and no committed "
+                f"snapshot exists at {out / name} — import the "
+                "dimension first (or run incrementally against a "
+                "populated output dir)"
+            )
+        return ex
+
     def _next_key(df):
         if df is None:
             return 1
@@ -259,7 +279,7 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
                 read_bson_dumps(spark, folder, _members_schema())
             )
             res = import_org_members(
-                good, state["gh_users"], state["gh_organizations"],
+                good, _dim("gh_users"), _dim("gh_organizations"),
                 existing=_existing("gh_users_organizations"),
             )
             _write("gh_users_organizations", res.gh_users_organizations)
@@ -272,8 +292,8 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
                 read_bson_dumps(spark, folder, _collabs_schema())
             )
             res = import_repo_collaborators(
-                good, state["gh_users"], state["repositories"],
-                state["gh_repositories"],
+                good, _dim("gh_users"), _dim("repositories"),
+                _dim("gh_repositories"),
                 existing=_existing("users_repositories"),
             )
             _write("users_repositories", res.gh_users_organizations)

@@ -94,12 +94,18 @@ def lang_marker_hits(col: Column | str, lang: str) -> Column:
 
 def lang_id(col: Column | str) -> Column:
     """Heuristic language ID: argmax of marker hits over {en,de,fr}, ties
-    broken in that fixed order; no hits at all → 'und' (undetermined)."""
+    broken in that fixed order; no hits at all — NULL text included →
+    'und' (undetermined).  The NULL branch is explicit: without it every
+    WHEN condition evaluates to NULL and control falls through to the
+    LAST branch ('fr' — or 'en' under spark.sql.legacy.sizeOfNull),
+    silently classifying missing documents as French."""
+    c = F.col(col) if isinstance(col, str) else col
     en = lang_marker_hits(col, "en")
     de = lang_marker_hits(col, "de")
     fr = lang_marker_hits(col, "fr")
     return (
-        F.when((en == 0) & (de == 0) & (fr == 0), F.lit("und"))
+        F.when(c.isNull(), F.lit("und"))
+        .when((en == 0) & (de == 0) & (fr == 0), F.lit("und"))
         .when((en >= de) & (en >= fr), F.lit("en"))
         .when(de >= fr, F.lit("de"))
         .otherwise(F.lit("fr"))
@@ -119,11 +125,16 @@ def rolling_min_fingerprint(col: Column | str, gram: int = 8) -> Column:
     windows of the text (a 1-hash winnowing sketch).  Robust to local
     edits away from the minimizing window; NULL for docs shorter than
     ``gram``.  Same shape DuckDB expresses with
-    ``list_min(list_transform(range(...), i -> md5(substr(...))))``."""
+    ``list_min(list_transform(range(...), i -> md5(substr(...))))`` —
+    but note Spark's ``sequence(1, 0)`` is the DESCENDING array [1, 0],
+    not empty like DuckDB's end-exclusive range, so the short-doc case
+    needs the explicit guard below or a sub-``gram`` document would
+    fingerprint its whole text and diverge from the oracle."""
     name = _name(col, F.col(col) if isinstance(col, str) else col)
     return F.expr(
-        f"array_min(transform(sequence(1, greatest(char_length({name}) - {gram - 1}, 0)),"
-        f" i -> md5(substring({name}, i, {gram}))))"
+        f"CASE WHEN char_length({name}) >= {gram} THEN "
+        f"array_min(transform(sequence(1, char_length({name}) - {gram - 1}),"
+        f" i -> md5(substring({name}, i, {gram})))) END"
     )
 
 

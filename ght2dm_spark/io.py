@@ -195,7 +195,12 @@ def read_dated_dumps(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.parquet(path)
-    fname = F.input_file_name()
+    # The reference's date filter matches the file NAME (ght2dm.go:1023),
+    # so take the basename before the regex: matched against the full
+    # input_file_name() path, a dated ANCESTOR directory would win the
+    # leftmost match and stamp every file under it with the directory's
+    # date — inverting newest-wins precedence for genuinely newer files.
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
     # nullif first: regexp_extract yields '' on no-match, and ANSI mode
     # makes to_date('') an error rather than NULL — undated files must be
     # SKIPPED (ght2dm.go:1027), not crash the job.
@@ -284,8 +289,18 @@ def compact_table(
     reader = spark.read.schema(schema) if schema is not None else spark.read
     tmp = path.rstrip("/") + "__compact_tmp"
     reader.parquet(path).coalesce(n).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    # Two renames, not rmtree-then-rename: a kill after an rmtree would
+    # leave the published path NONEXISTENT with the new data stranded in
+    # the temp dir.  Renaming the old dir aside first narrows the
+    # no-path window to the instant between the two renames, and either
+    # crash outcome leaves a complete directory to recover from.  (The
+    # snapshots layer's pointer flip is the fully atomic answer; this
+    # in-place rewrite is for plain directories outside it.)
+    trash = path.rstrip("/") + "__compact_old"
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(path, trash)
     os.rename(tmp, path)
+    shutil.rmtree(trash)
     return len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )
@@ -325,37 +340,22 @@ def write_zorder_clustered(
     ZORDER layout, built from public Spark primitives.  Compare
     write_range_clustered, which clusters only its leading column.
 
-    Both columns are min-max scaled to the full ``bits`` width before
-    interleaving — otherwise the wider-ranged column's high bits dominate
-    the key and the narrow column ends up unclustered (observed: a
+    Both columns are min-max scaled to the full 16-bit interleave width
+    before the Morton key — otherwise the wider-ranged column's high
+    bits dominate and the narrow column ends up unclustered (observed: a
     200-value dimension next to a 6000-value one got zero locality).
-    Bounds come from one tiny aggregate broadcast back over the scan.
+    The layout itself is ``operators.layout.zorder_layout`` — ONE Morton
+    implementation, not a per-writer copy that drifts.
     """
-    hi = (1 << bits) - 1
-    bounds = df.agg(
-        F.min(col_a).alias("__loa"),
-        F.max(col_a).alias("__hia"),
-        F.min(col_b).alias("__lob"),
-        F.max(col_b).alias("__hib"),
-    )
-    keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
-        "__zkey",
-        zorder_key(
-            F.expr(
-                f"CAST(({col_a} - __loa) * {hi} AS BIGINT)"
-                f" div greatest(__hia - __loa, 1)"
-            ),
-            F.expr(
-                f"CAST(({col_b} - __lob) * {hi} AS BIGINT)"
-                f" div greatest(__hib - __lob, 1)"
-            ),
-            bits,
-        ),
-    )
+    if bits != 16:
+        raise ValueError(
+            "the Morton layout interleaves exactly 16 scaled bits per "
+            "column (operators.layout); pass bits=16"
+        )
+    from ght2dm_spark.operators.layout import zorder_layout
+
     (
-        keyed.repartitionByRange(num_files, "__zkey")
-        .sortWithinPartitions("__zkey")
-        .drop("__zkey", "__loa", "__hia", "__lob", "__hib")
+        zorder_layout(df, [col_a, col_b], num_files)
         .write.mode("overwrite")
         .options(**options)
         .parquet(path)

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ght2dm_spark.functions.cleaning import coalesce_empty, strip_null_bytes, to_ts
-from ght2dm_spark.functions.derive import clone_path
+from ght2dm_spark.functions.derive import clone_path, full_name
 from ght2dm_spark.operators.dedup import dedup_exact, dedup_newest, keep_extremal
 from ght2dm_spark.operators.joins import anti_join, broadcast_lookup
 from ght2dm_spark.operators.keys import add_surrogate_key
@@ -95,8 +95,14 @@ def import_users(
     """
     users_b = raw.filter(F.col("type") == "User")
     orgs_b = raw.filter(F.col("type") == "Organization")
-    # E1: invalid type → reject (ght2dm.go:311-313)
-    rejects = raw.filter(~F.col("type").isin("User", "Organization"))
+    # E1: invalid type → reject (ght2dm.go:311-313).  NULL type is
+    # invalid too: the reference's zero-value policy turns a missing
+    # field into "" which hits the switch default and is rejected —
+    # without the isNull branch, three-valued logic would make the
+    # predicate NULL and the row vanish from every output.
+    rejects = raw.filter(
+        F.col("type").isNull() | ~F.col("type").isin("User", "Organization")
+    )
 
     if not nocheck:
         users_b = dedup_newest(users_b, keys=["id"], order=_newest())
@@ -166,18 +172,6 @@ class ReposResult(NamedTuple):
     gh_repositories: DataFrame
 
 
-#: the 11 string columns null-byte-stripped at staging (ght2dm.go:596-617)
-_REPO_STR_COLS = (
-    "name",
-    "language",
-    "clone_url",
-    "full_name",
-    "description",
-    "homepage",
-    "default_branch",
-    "master_branch",
-    "html_url",
-)
 
 
 def import_repos(
@@ -332,7 +326,7 @@ def import_repo_collaborators(
     with rejects, distinct, anti-join vs existing."""
     coll = raw.select(
         _zs("login").alias("login"),
-        F.concat_ws("/", _zs("owner"), _zs("repo")).alias("full_name"),
+        full_name(_zs("owner"), _zs("repo")).alias("full_name"),
     )
     u = gh_users.select(F.col("id").alias("user_id"), "login")
     r = broadcast_lookup(

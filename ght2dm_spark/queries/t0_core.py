@@ -85,7 +85,8 @@ def t0_extremal_row(spark, sf_dir):
         UNION ALL
         SELECT event_id, event_type, 'reject' AS branch
         FROM events
-        WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
+        WHERE event_type IS NULL
+           OR event_type NOT IN ('click', 'view', 'purchase', 'signup')
     ) t
     """,
 )
@@ -100,8 +101,12 @@ def t0_type_split(spark, sf_dir):
     conversion = ev.filter(F.col("event_type").isin("purchase", "signup")).withColumn(
         "branch", F.lit("conversion")
     )
+    # NULL type routes to rejects explicitly (three-valued logic would
+    # otherwise drop the row from every branch — the E1 contract says
+    # reject it, matching import_users)
     rejects = ev.filter(
-        ~F.col("event_type").isin("click", "view", "purchase", "signup")
+        F.col("event_type").isNull()
+        | ~F.col("event_type").isin("click", "view", "purchase", "signup")
     ).withColumn("branch", F.lit("reject"))
     return interaction.unionByName(conversion).unionByName(rejects)
 

@@ -117,6 +117,7 @@ def _marker_sql(lang: str) -> str:
     )
     SELECT doc_id, lang AS labeled_lang,
            CASE
+               WHEN en_hits IS NULL THEN 'und'
                WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'und'
                WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
                WHEN de_hits >= fr_hits THEN 'de'

@@ -17,6 +17,7 @@ windowed query here sets.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 from collections.abc import Callable
@@ -90,6 +91,14 @@ def run_to_completion(
                 f"expected all input in one micro-batch, got {len(fed)} "
                 f"data-bearing batches: {[p.numInputRows for p in fed]}"
             )
+    # hygiene: the AvailableNow query has terminated — stop it and drop
+    # its checkpoint dir, or a long session (the ~50-query driver walk)
+    # accrues one ght2dm-ckpt-* state-store dir per call.  The memory
+    # sink table itself must outlive this function (it IS the returned
+    # result — bounded aggregate/result-sized by construction); callers
+    # that loop can dropTempView the returned table's name when done.
+    q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
     return transformed.sparkSession.table(name)
 
 

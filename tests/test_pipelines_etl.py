@@ -492,3 +492,25 @@ def test_idempotency(etl):
     assert again.users.count() == 0
     assert again.gh_users.count() == 0
     assert again.gh_organizations.count() == 0
+
+
+def test_null_type_rows_are_rejected_not_dropped(spark):
+    """A row whose BSON 'type' field is missing must land in rejects
+    (the reference's zero-value policy turns a missing type into ''
+    which hits the switch default, ght2dm.go:311-313) — three-valued
+    logic previously made ~isin(...) NULL and the row vanished from
+    users, orgs, AND rejects."""
+    from ght2dm_spark.pipelines.ghtorrent import import_users
+
+    raw = spark.createDataFrame(
+        [
+            _u(1, "u1", type="User"),
+            _u(2, "missing", type=None),
+            _u(3, "o1", type="Organization"),
+        ],
+        _users_schema,
+    )
+    res = import_users(raw)
+    assert res.gh_users.count() == 1
+    assert res.gh_organizations.count() == 1
+    assert [r.id for r in res.rejects.collect()] == [2]

@@ -1,0 +1,46 @@
+"""Edge pins for the text scalar builders — cases the corpus oracles
+never exercise because the driver fixtures contain no short or NULL
+documents, found (and one confirmed live) in review:
+
+- Spark's ``sequence(1, 0)`` is the DESCENDING array [1, 0], not empty
+  like DuckDB's end-exclusive ``range`` — so the rolling fingerprint
+  needed an explicit short-doc guard or sub-gram docs would fingerprint
+  their whole text and hash-mismatch the oracle;
+- a NULL document made every lang-id WHEN condition NULL and fell
+  through to the LAST branch ('fr').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ght2dm_spark.functions.text import lang_id, rolling_min_fingerprint
+
+
+def test_rolling_fingerprint_null_for_short_docs(spark):
+    df = spark.createDataFrame(
+        [("ab",), ("",), (None,), ("abcdefgh",), ("abcdefghi",)],
+        "text string",
+    ).select(
+        "text", rolling_min_fingerprint("text", gram=8).alias("fp")
+    )
+    got = {r.text: r.fp for r in df.collect()}
+    assert got["ab"] is None and got[""] is None and got[None] is None
+    assert got["abcdefgh"] is not None
+    # 9 chars → min over the two 8-gram windows, never the whole text
+    import hashlib
+
+    w1 = hashlib.md5(b"abcdefgh").hexdigest()
+    w2 = hashlib.md5(b"bcdefghi").hexdigest()
+    assert got["abcdefghi"] == min(w1, w2)
+
+
+def test_lang_id_null_text_is_und(spark):
+    df = spark.createDataFrame(
+        [(None,), ("",), ("the and of to",), ("der die das und",)],
+        "text string",
+    ).select("text", lang_id("text").alias("lang"))
+    got = {r.text: r.lang for r in df.collect()}
+    assert got[None] == "und" and got[""] == "und"
+    assert got["the and of to"] == "en"
+    assert got["der die das und"] == "de"
