@@ -49,16 +49,26 @@ _DECOMPOSABLE = {
 
 
 def _last_refreshed_version(dest: str) -> int | None:
-    h = history(dest)
-    if not h:
-        return None
-    # meta travels on the manifest; read it off the newest commit
-    from pathlib import Path
-    import json
+    return _last_meta(dest).get("source_version")
 
-    table = Path(dest)
-    with open(table / "_manifests" / h[-1]["manifest"]) as f:
-        return json.load(f).get("meta", {}).get("source_version")
+
+def _require_no_deletes(spark: SparkSession, source: str, since: int) -> None:
+    """Incremental maintenance is APPEND-only: a merge-on-read delete
+    commit advances the source version without touching its data-file
+    list, so read_increment's containment check passes while the
+    derived state silently keeps the deleted rows forever (retracting a
+    key from a sum needs the deleted rows' VALUES, which the key file
+    doesn't carry).  Surface it loudly — rebuild from the full snapshot
+    (delete dest), or compact the source first."""
+    from ght2dm_spark.snapshots import read_delete_increment
+
+    if read_delete_increment(spark, source, since) is not None:
+        raise ValueError(
+            f"{source}: merge-on-read delete commits landed after version "
+            f"{since} — incremental maintenance cannot retract aggregated "
+            "rows; rebuild the derived table (delete dest) or compact the "
+            "source to materialize deletes first"
+        )
 
 
 def refresh_aggregate(
@@ -93,6 +103,7 @@ def refresh_aggregate(
     else:
         if src_version == last:
             return False
+        _require_no_deletes(spark, source, last)
         delta = read_increment(spark, source, since_version=last, schema=schema)
     if delta is None:
         return False
@@ -135,7 +146,12 @@ def verify_aggregate(
 ) -> bool:
     """Cross-check: derived state ≡ a full recompute over the source
     snapshot (the audit a maintenance pipeline runs on a sample cadence;
-    at scale, run it per key-range).  True when they match exactly."""
+    at scale, run it per key-range).  True when they match exactly.
+    The compare is EXACT (exceptAll) — use integer/decimal aggregate
+    columns, the repo-wide exact-moment discipline: a float sum is
+    accumulated in different orders by the incremental merges vs the
+    recompute, and last-bit drift would fail a perfectly maintained
+    table."""
     full = read_snapshot(spark, source, schema=schema)
     if full is None:
         return len(snapshot_files(dest)) == 0
@@ -217,6 +233,8 @@ def refresh_join(
 
     if lv == last_lv and rv == last_rv:
         return False
+    _require_no_deletes(spark, left_source, last_lv)
+    _require_no_deletes(spark, right_source, last_rv)
     dl = (
         read_increment(spark, left_source, since_version=last_lv, schema=schema_left)
         if lv != last_lv

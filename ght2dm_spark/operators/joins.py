@@ -103,16 +103,32 @@ def salted_join(
     sub-keys and replicate the (smaller) ``dim`` side once per salt, so a
     hot key's rows spread over ``n_salt`` reducers instead of one.
 
-    Result is row-identical to ``fact.join(dim, key, how)`` — salting only
-    reshapes the shuffle.  Use when AQE's skew-join splitting can't help
-    (e.g. the skew is in the build of a shuffle-hash join, or a stable
-    partitioning must be preserved).  The dim side is replicated
-    ``n_salt``× — keep it the bounded side.  Salt comes from a uniform
-    hash of the whole fact row's key ``xxhash64(key, monotonic part)``:
-    we use ``spark_partition_id`` + a per-row hash so rows of one hot key
-    land on distinct salts deterministically within a run.
+    Result is row-identical to ``fact.join(dim, key, how)`` — salting
+    only reshapes the shuffle — for the FACT-preserving join types
+    (inner / left / left_semi / left_anti).  Outer-on-dim types are
+    rejected: dim is replicated ``n_salt``×, so right/full would emit
+    each unmatched dim row once PER SALT.  Use when AQE's skew-join
+    splitting can't help (e.g. the skew is in the build of a
+    shuffle-hash join, or a stable partitioning must be preserved).
+    The dim side is replicated ``n_salt``× — keep it the bounded side.
+
+    The salt must have a PER-ROW component: ``xxhash64(key,
+    monotonically_increasing_id())``.  Hashing the key with only
+    ``spark_partition_id`` (the earlier form) collapses to ONE salt per
+    (key, input partition) — and the docstring's own target case, a
+    fact side already partitioned by the key, then puts every row of
+    the hot key in one partition, one salt, one reducer: zero
+    mitigation while still paying the dim replication.
     """
-    salt = (F.xxhash64(F.col(key), F.spark_partition_id()) % n_salt + n_salt) % n_salt
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only, not {how!r}: "
+            "dim is replicated per salt, so right/full outer would emit "
+            "each unmatched dim row n_salt times"
+        )
+    salt = F.pmod(
+        F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salt)
+    )
     f = fact.withColumn("__salt", salt.cast("int"))
     d = dim.crossJoin(
         F.broadcast(
@@ -124,6 +140,11 @@ def salted_join(
     # (which it will at test scale — building a HashedRelation from the
     # whole salted fact on the driver) produces the one plan salting is
     # meant to avoid.  SHUFFLE_HASH keeps both sides partitioned on
-    # (key, salt) and skips the sort a merge join would add.
-    out = f.hint("shuffle_hash").join(d, [key, "__salt"], how)
+    # (key, salt) and skips the sort a merge join would add.  The hint
+    # goes on the DIM side: the hinted side becomes the hash BUILD side,
+    # and building from the bounded replicated dim keeps per-task memory
+    # flat while the salted fact streams — hinting the fact would build
+    # a HashedRelation over the big side, the exact pressure profile
+    # salting exists to avoid.
+    out = f.join(d.hint("shuffle_hash"), [key, "__salt"], how)
     return out.drop("__salt")

@@ -45,8 +45,19 @@ def add_surrogate_key(
         raise ValueError(f"unknown strategy: {strategy}")
 
     npart = max(df.rdd.getNumPartitions(), 1)
-    ranged = df.repartitionByRange(npart, *order_by).withColumn(
-        "__pid", F.spark_partition_id()
+    # persist() is load-bearing, not an optimization: the count pass and
+    # the returned plan otherwise re-execute repartitionByRange as two
+    # separate jobs, and RangePartitioner samples with a per-job seed —
+    # different boundaries on the second run would apply pass-1 offsets
+    # to differently-sized partitions, duplicating/skipping key values.
+    # (Invisible at test scale, where the reservoir sample is the whole
+    # input; real at the data sizes this strategy exists for.)  The
+    # MEMORY_AND_DISK default spills rather than evicts, so the pinned
+    # partitioning survives; callers may unpersist after materializing.
+    ranged = (
+        df.repartitionByRange(npart, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     # Pass 1: rows per range-partition → cumulative offsets (tiny: one row
     # per partition, collected to the driver and rebroadcast via a join).

@@ -96,7 +96,24 @@ def stream_frames(fh) -> Iterator[bytes]:
 def decode_doc(doc: bytes) -> dict:
     """Decode one BSON document to a dict (subset decoder: the types the
     GHTorrent entities use; unknown fields of other types are skipped,
-    matching tag-driven bson.Unmarshal)."""
+    matching tag-driven bson.Unmarshal).
+
+    Error surface: EVERY malformed interior — truncated value, string
+    length past the buffer, missing interior NUL, non-UTF8 field name,
+    negative length that would walk the offset backwards — raises
+    :class:`BsonError`, never struct.error/IndexError/etc.  The reject
+    routing in the readers catches exactly BsonError (E1, 'malformed
+    documents are not fatal'); a leaked stdlib exception would fail the
+    whole task on one bad frame."""
+    try:
+        return _decode_doc_inner(doc)
+    except BsonError:
+        raise
+    except Exception as exc:  # noqa: BLE001 — parser boundary (see above)
+        raise BsonError(f"malformed document interior: {exc!r}") from exc
+
+
+def _decode_doc_inner(doc: bytes) -> dict:
     (size,) = struct.unpack_from("<i", doc, 0)
     if size != len(doc) or doc[-1] != 0:
         raise BsonError("document size/terminator mismatch")
@@ -112,6 +129,8 @@ def decode_doc(doc: bytes) -> dict:
         off = end + 1
         if t == _T_STRING:
             (slen,) = struct.unpack_from("<i", doc, off)
+            if slen < 1:  # would move off backwards → non-advancing loop
+                raise BsonError(f"bad string length {slen} for {name!r}")
             out[name] = doc[off + 4 : off + 4 + slen - 1].decode("utf-8", "replace")
             off += 4 + slen
         elif t == _T_BOOL:
@@ -125,8 +144,10 @@ def decode_doc(doc: bytes) -> dict:
             off += 8
         elif t in (_T_DOC, _T_ARRAY):
             (dlen,) = struct.unpack_from("<i", doc, off)
+            if dlen < 5:
+                raise BsonError(f"bad subdocument length {dlen} for {name!r}")
             if t == _T_DOC:
-                out[name] = decode_doc(doc[off : off + dlen])
+                out[name] = _decode_doc_inner(doc[off : off + dlen])
             off += dlen
         elif t in (_T_DOUBLE, _T_DATETIME, _T_TIMESTAMP):
             off += 8
@@ -136,6 +157,8 @@ def decode_doc(doc: bytes) -> dict:
             pass
         elif t == _T_BINARY:
             (blen,) = struct.unpack_from("<i", doc, off)
+            if blen < 0:
+                raise BsonError(f"bad binary length {blen} for {name!r}")
             off += 4 + 1 + blen
         else:
             raise BsonError(f"unsupported BSON type 0x{t:02x} for field {name}")
@@ -169,16 +192,31 @@ def read_bson_dumps(
         .option("pathGlobFilter", "*.bson")
         .load(path)
         .select("path", "content")
-        # S2: only date-named files participate (unanchored, like the
-        # reference's MatchString)
-        .filter(F.regexp_extract("path", FILE_DATE_RE.pattern, 1) != "")
+        # S2: only date-named FILES participate (unanchored over the
+        # basename, like the reference's MatchString on d.Name(),
+        # ght2dm.go:1023 — matched against the full path, a dated
+        # ancestor directory would both admit undated files and stamp
+        # them with the directory's date)
+        .filter(
+            F.regexp_extract(
+                F.element_at(F.split("path", "/"), -1), FILE_DATE_RE.pattern, 1
+            )
+            != ""
+        )
     )
+
+    cols = [*fields, "file_date", "file_pos", "_corrupt"]
 
     def decode_files(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
+            # One yielded frame per FILE: a batch can hold thousands of
+            # dump files, and buffering every decoded row of the whole
+            # batch before yielding would hold all their contents + row
+            # dicts + the DataFrame simultaneously — per-file yields
+            # bound resident memory to one file's rows.
             for _, r in pdf.iterrows():
-                m = FILE_DATE_RE.search(r["path"])
+                rows = []
+                m = FILE_DATE_RE.search(r["path"].rsplit("/", 1)[-1])
                 fdate = pd.Timestamp(m.group(1)).date()
                 pos = 0
                 # Lazy frame iteration: frames before a corrupt one still
@@ -216,7 +254,8 @@ def read_bson_dumps(
                         row["_corrupt"] = str(e)
                     rows.append(row)
                     pos += 1
-            yield pd.DataFrame(rows, columns=[*fields, "file_date", "file_pos", "_corrupt"])
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(decode_files, schema=out_schema)
 

@@ -136,3 +136,49 @@ def test_bson_feeds_users_pipeline(spark, dump_dir):
     assert set(users) == {"alice", "bob", "carol"}
     gh = {r["github_id"]: r for r in res.gh_users.collect()}
     assert gh[1]["login"] == "alice" and gh[1]["followers_count"] == 7
+
+
+def test_malformed_interior_is_reject_not_crash(spark, tmp_path):
+    """A frame with a valid size/terminator but a broken INTERIOR —
+    truncated value, string length past the buffer, missing interior
+    NUL, negative string length (which would walk the offset backwards
+    forever) — must become a reject ROW, not a stdlib exception that
+    kills the task (E1: the decode boundary converts everything to
+    BsonError)."""
+    d = tmp_path / "dumps"
+    d.mkdir()
+
+    def frame(body: bytes) -> bytes:
+        return struct.pack("<i", len(body) + 5) + body + b"\x00"
+
+    good = enc_doc({"id": 1, "login": "ok", "type": "User"})
+    bad_frames = [
+        # string slen = -4: off += 4 + slen never advances
+        frame(bytes([0x02]) + _cstr("login") + struct.pack("<i", -4)),
+        # int64 declared but value truncated (struct.error territory)
+        frame(bytes([0x12]) + _cstr("id") + b"\x01\x02"),
+        # field name missing its interior NUL (ValueError from .index)
+        frame(bytes([0x02]) + b"login"),
+        # non-UTF8 field name
+        frame(bytes([0x08]) + b"\xff\xfe\x00" + b"\x01"),
+    ]
+    (d / "2014-01-05.bson").write_bytes(good + b"".join(bad_frames))
+    out = read_bson_dumps(spark, str(d), _schema)
+    goodr, rej = split_rejects(out)
+    assert goodr.count() == 1
+    assert rej.count() == len(bad_frames)
+    assert all("malformed" in r["_corrupt"] or "bad" in r["_corrupt"]
+               for r in rej.collect())
+
+
+def test_dated_directory_does_not_admit_or_stamp_undated_files(spark, tmp_path):
+    """The date filter matches the file NAME (ght2dm.go:1023): an
+    undated file inside a dated directory is skipped, and files keep
+    their OWN dates rather than inheriting an ancestor directory's."""
+    d = tmp_path / "archive-2020-01-01"
+    d.mkdir()
+    (d / "undated.bson").write_bytes(enc_doc({"id": 9, "login": "x"}))
+    (d / "2014-01-02.bson").write_bytes(enc_doc({"id": 1, "login": "a"}))
+    rows = read_bson_dumps(spark, str(d), _schema).collect()
+    assert [r["id"] for r in rows] == [1]
+    assert str(rows[0]["file_date"]) == "2014-01-02"  # not 2020-01-01

@@ -142,3 +142,26 @@ def test_refresh_join_is_incremental_and_exact(spark, sf_dir, tmp_path):
     m = json.loads((Path(dest) / "_manifests" / last["manifest"]).read_text())
     assert m["mode"] == "append"
     assert m["meta"]["left_version"] == history(lsrc)[-1]["seq"]
+
+
+def test_refresh_raises_on_delete_commits(spark, sf_dir, tmp_path):
+    """A merge-on-read delete commit advances the source version without
+    changing its file list, so the append-increment path would silently
+    keep deleted rows in the derived state forever — refresh must refuse
+    loudly instead (retraction needs the deleted rows' values, which the
+    key file doesn't carry)."""
+    import pytest
+
+    from ght2dm_spark.snapshots import delete_rows
+
+    orders = load_table(spark, sf_dir, "orders")
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    commit(prepare_commit(_slice(orders, 0, 400), src, mode="append"))
+    assert refresh_aggregate(spark, src, dst, ["o_orderstatus"], AGGS)
+    commit(
+        delete_rows(
+            spark.createDataFrame([(1,)], "o_orderkey long"), src
+        )
+    )
+    with pytest.raises(ValueError, match="delete commits landed"):
+        refresh_aggregate(spark, src, dst, ["o_orderstatus"], AGGS)
