@@ -195,18 +195,19 @@ def read_dated_dumps(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.parquet(path)
-    # The reference's date filter matches the file NAME (ght2dm.go:1023),
-    # so take the basename before the regex: matched against the full
-    # input_file_name() path, a dated ANCESTOR directory would win the
-    # leftmost match and stamp every file under it with the directory's
-    # date — inverting newest-wins precedence for genuinely newer files.
-    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
-    # nullif first: regexp_extract yields '' on no-match, and ANSI mode
-    # makes to_date('') an error rather than NULL — undated files must be
-    # SKIPPED (ght2dm.go:1027), not crash the job.
+    # A parquet "dump" is a DIRECTORY (Spark writes part files inside),
+    # so the dump date lives on the deepest dated path component, not
+    # the basename.  Take the RIGHTMOST date match: matched leftmost
+    # against the full input_file_name() path, a dated ANCESTOR
+    # directory would shadow a file's own newer date and invert
+    # newest-wins precedence (.../snapshot-2023-05-01/2024-03-01.parquet
+    # must be 2024-03-01).  Paths with no date anywhere are SKIPPED
+    # (ght2dm.go:1027), not crashed on — hence the try_element_at NULL.
+    dates = F.regexp_extract_all(
+        F.input_file_name(), F.lit(FILE_DATE_PATTERN), F.lit(1)
+    )
     return df.withColumn(
-        "file_date",
-        F.to_date(F.nullif(F.regexp_extract(fname, FILE_DATE_PATTERN, 1), F.lit(""))),
+        "file_date", F.to_date(F.try_element_at(dates, F.lit(-1)))
     ).filter(F.col("file_date").isNotNull())
 
 

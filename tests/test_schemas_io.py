@@ -44,3 +44,16 @@ def test_read_dated_dumps(spark, sf_dir, tmp_path):
     dates = {r["file_date"] for r in out.select("file_date").distinct().collect()}
     assert dates == {dt.date(2014, 3, 5)}
     assert out.count() == d.count()
+
+
+def test_read_dated_dumps_ancestor_date_does_not_shadow(spark, sf_dir, tmp_path):
+    """The RIGHTMOST dated path component wins: a dump under a dated
+    ancestor directory keeps its OWN date — leftmost matching would
+    stamp the ancestor's (older) date on every file beneath it and
+    invert newest-wins precedence."""
+    d = load_table(spark, sf_dir, "region")
+    root = tmp_path / "snapshot-2013-05-01"
+    d.write.parquet(str(root / "2014-03-05.parquet"))
+    out = read_dated_dumps(spark, str(root / "*"))
+    dates = {r["file_date"] for r in out.select("file_date").distinct().collect()}
+    assert dates == {dt.date(2014, 3, 5)}  # not 2013-05-01
