@@ -23,7 +23,12 @@ def clone_path(lang: Column | str, owner_login: Column | str, name: Column | str
 
 def full_name(owner: Column | str, repo: Column | str) -> Column:
     """``owner || '/' || repo`` — collaborator lookup key (P6,
-    ``/root/reference/ght2dm.go:900,925``)."""
+    ``/root/reference/ght2dm.go:900,925``).  NULLs take the Go
+    zero-value '' INSIDE the helper (concat_ws alone would skip a NULL
+    operand and drop the separator: NULL owner → 'repo', a key that can
+    never match the '/repo' the repos pipeline stored)."""
     o = F.col(owner) if isinstance(owner, str) else owner
     r = F.col(repo) if isinstance(repo, str) else repo
-    return F.concat_ws("/", o, r)
+    return F.concat_ws(
+        "/", F.coalesce(o, F.lit("")), F.coalesce(r, F.lit(""))
+    )

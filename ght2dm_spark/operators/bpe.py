@@ -36,7 +36,18 @@ def train(wc: DataFrame, rounds: int) -> tuple[list, DataFrame]:
     """Learn ``rounds`` merges; returns ([1-row merge frames], final
     vocab frame (word, cnt, sym)).  Each round: occurrence-weighted
     adjacent-pair count → argmax ((count DESC, pair ASC) tie-break) →
-    greedy merge via broadcast 1-row replace."""
+    greedy merge via literal replace.
+
+    The argmax pair is MATERIALIZED each round (one bounded 1-row
+    collect — the k-means/graph control-flow precedent) for two
+    load-bearing reasons: (a) splicing it back as a LITERAL keeps the
+    vocab plan linear in rounds, where a lazily-composed best frame
+    embedded the previous round's plan twice and grew it ~2^rounds
+    (Catalyst hangs near 25 rounds); (b) an exhausted pair supply
+    (rounds > available merges) STOPS training with the vocab intact —
+    a crossJoin against an empty best frame previously annihilated the
+    whole vocab, where reference_train stops and keeps it."""
+    spark = wc.sparkSession
     sym = initial_symbols(wc)
     merges = []
     for r in range(1, rounds + 1):
@@ -58,30 +69,30 @@ def train(wc: DataFrame, rounds: int) -> tuple[list, DataFrame]:
             .groupBy("pair")
             .agg(F.sum("cnt").alias("n_occurrences"))
         )
-        best = (
+        row = (
             pairs.orderBy(F.desc("n_occurrences"), F.asc("pair"))
             .limit(1)
-            .select(
-                F.split("pair", " ").getItem(0).alias("bl"),
-                F.split("pair", " ").getItem(1).alias("br"),
-                "n_occurrences",
-            )
+            .collect()
         )
+        if not row:
+            break
+        # module contract: symbols match [a-z_]+ — safe to splice
+        bl, br = row[0]["pair"].split(" ", 1)
+        n = int(row[0]["n_occurrences"])
         merges.append(
-            best.select(
+            spark.range(1).select(
                 F.lit(r).alias("round"),
-                F.col("bl").alias("left_sym"),
-                F.col("br").alias("right_sym"),
-                F.concat("bl", "br").alias("merged"),
-                "n_occurrences",
+                F.lit(bl).alias("left_sym"),
+                F.lit(br).alias("right_sym"),
+                F.lit(bl + br).alias("merged"),
+                F.lit(n).cast("long").alias("n_occurrences"),
             )
         )
-        sym = sym.crossJoin(F.broadcast(best.select("bl", "br"))).select(
+        sym = sym.select(
             "word",
             "cnt",
             F.expr(
-                "replace(sym, concat('<', bl, '><', br, '>'), "
-                "concat('<', bl, br, '>'))"
+                f"replace(sym, '<{bl}><{br}>', '<{bl}{br}>')"
             ).alias("sym"),
         )
     return merges, sym

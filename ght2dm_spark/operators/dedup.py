@@ -62,6 +62,11 @@ def keep_extremal(
     NULL; we preserve the SQL join behavior: NULL = NULL is not true).
     Window form: one shuffle, no join.
     """
+    if not max_cols and not min_cols:
+        raise ValueError(
+            "keep_extremal needs at least one extremal column "
+            "(max_cols and/or min_cols are both empty)"
+        )
     w = Window.partitionBy(*group)
     out = df
     conds = []

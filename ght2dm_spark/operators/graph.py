@@ -403,13 +403,22 @@ def label_propagation(
     round costs two hash shuffles partitioned on node id.  The edge
     list is cached once; labels localCheckpoint per round (flat
     lineage).  Returns (node, lbl).
+
+    Genuinely directed inputs are handled, not just tolerated: the
+    node universe is src ∪ dst (a dst-only sink previously never got
+    an initial label), and a node with no outgoing edge — or whose
+    argmax therefore has no row — KEEPS its current label each round
+    via the left join (it previously vanished from the output).  For
+    the symmetrized input the callers pass, both changes are identity.
     """
     e = edges.select(src, dst).cache()
-    labels = (
+    nodes = (
         e.select(F.col(src).alias("node"))
+        .unionAll(e.select(F.col(dst).alias("node")))
         .distinct()
-        .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
+    )
+    labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint(
+        eager=True
     )
     for _ in range(rounds):
         cnt = (
@@ -417,7 +426,7 @@ def label_propagation(
             .groupBy(F.col(src).alias("node2"), F.col("lbl"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        labels = (
+        upd = (
             cnt.groupBy(F.col("node2").alias("node"))
             .agg(
                 F.min(
@@ -426,7 +435,13 @@ def label_propagation(
                     )
                 ).alias("m")
             )
-            .select("node", F.col("m.l").alias("lbl"))
+            .select("node", F.col("m.l").alias("__new"))
+        )
+        labels = (
+            labels.join(upd, "node", "left")
+            .select(
+                "node", F.coalesce("__new", "lbl").alias("lbl")
+            )
             .localCheckpoint(eager=True)
         )
     return labels

@@ -22,9 +22,22 @@ from pyspark.sql import functions as F
 def hash_bucket(key: Column, buckets: int = 100) -> Column:
     """Deterministic bucket in [0, buckets) from the md5 of ``key``.
     First 8 hex chars → 32-bit int → mod.  Pure projection: survives any
-    repartitioning and is identical on every engine that has md5."""
+    repartitioning and is identical on every engine that has md5.
+
+    NULL keys bucket deterministically too (coalesced to a NUL-byte
+    sentinel before hashing): md5(NULL) is NULL, and a NULL bucket
+    previously made NULL-key rows vanish from BOTH a sample and its
+    complement (filter NULL is never true) — silent data loss for a
+    sampler whose whole contract is a deterministic partition of the
+    input.  Mirror the coalesce in oracle SQL when keys are nullable."""
     return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        F.conv(
+            F.substring(
+                F.md5(F.coalesce(key.cast("string"), F.lit("\x00"))), 1, 8
+            ),
+            16,
+            10,
+        )
         .cast("bigint")
         % buckets
     )
@@ -33,8 +46,11 @@ def hash_bucket(key: Column, buckets: int = 100) -> Column:
 def hash_sample(df: DataFrame, key: Column, pct: int, buckets: int = 100) -> DataFrame:
     """Keep ~pct% of rows, chosen by key hash.  A map-side filter — at
     100 TB this prunes before any shuffle, and two runs (or two engines)
-    agree row-for-row."""
-    return df.filter(hash_bucket(key, buckets) < pct)
+    agree row-for-row.  ``pct`` means PERCENT at every ``buckets``
+    granularity (threshold = pct·buckets div 100; comparing pct against
+    the bucket index directly would silently keep pct/buckets of the
+    rows for any buckets ≠ 100)."""
+    return df.filter(hash_bucket(key, buckets) < pct * buckets // 100)
 
 
 def train_test_split(df: DataFrame, key: Column, test_pct: int = 10) -> DataFrame:

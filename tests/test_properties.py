@@ -1290,3 +1290,33 @@ def test_hll_sketch_matches_model_and_max_merge(spark, pairs):
     assert got_regs == exp_regs
     assert got_est == exp_est
     assert got_merged == set(exp_global.items()) == got_direct
+
+
+def test_label_propagation_directed_sinks_keep_labels(spark):
+    """Directed inputs are first-class: a dst-only sink gets an initial
+    label, and a node with no outgoing labeled neighbor keeps its label
+    instead of vanishing (both previously dropped — the operator
+    returned an EMPTY frame for edges=[(1,2)])."""
+    from ght2dm_spark.operators.graph import label_propagation
+
+    edf = spark.createDataFrame([(1, 2)], "a long, b long")
+    got = {(r["node"], r["lbl"]) for r in label_propagation(edf, 1).collect()}
+    assert got == {(1, 2), (2, 2)}  # 1 adopts 2's label; sink 2 keeps its own
+
+
+def test_bpe_train_stops_when_pairs_exhaust(spark):
+    """rounds > available merges must stop with the vocab INTACT and
+    the learned merges matching the Python reference — a crossJoin
+    against an empty best frame previously annihilated the vocab."""
+    from ght2dm_spark.operators.bpe import reference_train, train
+
+    wc = spark.createDataFrame([("a", 3)], "word string, cnt long")
+    merges, vocab = train(wc, rounds=3)
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["merged"],
+         r["n_occurrences"])
+        for m in merges
+        for r in m.collect()
+    ]
+    assert got == reference_train({"a": 3}, 3)
+    assert [r["sym"] for r in vocab.collect()] == ["<a_>"]
