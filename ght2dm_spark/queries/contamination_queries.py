@@ -72,8 +72,13 @@ def t1_contamination_check(spark, sf_dir):
         ),
     )
     train = d.filter(F.col("doc_id") % 97 != 0).unionByName(planted)
-    sh_t = shingle_df(train, "doc_id", "text", 3).withColumnRenamed(
-        "doc_id", "train_id"
+    # cached: the training shingle stream (the dominant cost) feeds BOTH
+    # the containment join and the per-doc sizes denominator — uncached,
+    # Spark re-tokenizes and re-shingles the whole corpus a second time
+    sh_t = (
+        shingle_df(train, "doc_id", "text", 3)
+        .withColumnRenamed("doc_id", "train_id")
+        .cache()
     )
     sh_e = shingle_df(ev, "doc_id", "text", 3).withColumnRenamed(
         "doc_id", "eval_id"

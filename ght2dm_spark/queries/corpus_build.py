@@ -21,10 +21,15 @@ from ght2dm_spark.io import load_table
 from ght2dm_spark.operators.neardup import hex2int_sql
 from ght2dm_spark.queries.registry import register
 
+# Stage parameters IMPORTED from the stage modules, not re-declared:
+# this query's contract is "equals the composition of the stages", and a
+# locally-copied _STRIDE or _EMAIL_RE would silently desynchronize the
+# flagship from t1_doc_chunking / t1_pii_scrub while every per-stage
+# oracle kept passing.
+from ght2dm_spark.queries.chunking_queries import _CHUNK, _STRIDE
+from ght2dm_spark.queries.pipeline_queries import _EMAIL_RE
+
 _MIN_CHARS = 60
-_CHUNK = 40
-_STRIDE = 30
-_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
 
 
 @register(

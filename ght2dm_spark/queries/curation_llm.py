@@ -187,20 +187,19 @@ def t1_dsir_sample(spark, sf_dir):
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
         % _DSIR_B,
     )
-    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("raw_n"))
-    tgt = (
-        toks.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tgt_n"))
+    # ONE conditional aggregate builds both dictionaries (raw + target
+    # counts per bucket) — separate raw/tgt groupBys plus a third
+    # full-stream pivot aggregate re-ran split+md5 over every token two
+    # extra times; the pivot now derives from the 256-row result.
+    combined = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.expr("count_if(lang = 'en')").alias("tgt_n"),
     )
-    sc = (
-        raw.join(tgt, "bucket", "left")
-        .select(
-            "bucket",
-            F.expr(
-                f"(coalesce(tgt_n, 0) + 1) * {_DSIR_SCALE} div (raw_n + 1)"
-            ).alias("score"),
-        )
+    sc = combined.select(
+        "bucket",
+        F.expr(
+            f"(tgt_n + 1) * {_DSIR_SCALE} div (raw_n + 1)"
+        ).alias("score"),
     )
     dw = (
         toks.join(F.broadcast(sc), "bucket")
@@ -210,11 +209,8 @@ def t1_dsir_sample(spark, sf_dir):
             F.sum("score").alias("weight"),
         )
     )
-    pivot = toks.agg(
-        F.expr(
-            f"sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * {_DSIR_SCALE}"
-            " div count(*)"
-        ).alias("p")
+    pivot = combined.agg(
+        F.expr(f"sum(tgt_n) * {_DSIR_SCALE} div sum(raw_n)").alias("p")
     )
     return dw.crossJoin(F.broadcast(pivot)).select(
         "doc_id",
@@ -399,7 +395,7 @@ _URL_SQL = (
              host || path || '?' ||
              array_to_string(
                list_sort(list_filter(string_split(query, '&'),
-                 p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))), '&')
+                 p -> NOT (starts_with(p, 'utm_') OR p LIKE 'ref=%'))), '&')
                AS canon_url
       FROM parts)
     SELECT canon_url,
@@ -502,8 +498,12 @@ def t1_quality_logit(spark, sf_dir):
     f = t.select(
         "doc_id",
         n.alias("n_toks"),
+        # BIGINT before the scale multiply: a doc with >2147 distinct
+        # tokens overflows 32-bit here under ANSI mode (fixtures max out
+        # near 100 tokens, so only real corpora hit it)
         F.expr(
-            f"size(array_distinct(toks)) * {_QL_SCALE} div size(toks)"
+            f"CAST(size(array_distinct(toks)) AS BIGINT) * {_QL_SCALE}"
+            f" div size(toks)"
         ).alias("ttr_fp"),
         (
             F.size(F.filter("toks", lambda x: F.array_contains(stop_lit, x)))
