@@ -131,6 +131,10 @@ HEADLINE = [
     "t1_pca_power",
     "t1_temperature_mix",
     "t1_bloom_membership",
+    # round 4: smoothed-LM scoring, Manku simhash pair search, Zipf fit
+    "t1_kn_surprisal",
+    "t1_simhash_hamming_pairs",
+    "t1_zipf_fit",
 ]
 
 
@@ -154,6 +158,8 @@ SCALE_HEADLINE = [
     "t1_sliding_distinct_users",
     "t1_temperature_mix",
     "t1_kmv_sketch",
+    "t1_kn_surprisal",
+    "t1_zipf_fit",
 ]
 
 #: tables replicated with shifted keys in the scale dir; everything else

@@ -254,3 +254,103 @@ def simhash_sql(id_expr: str, text_expr: str, table: str) -> str:
         f"v AS (SELECT id, {', '.join(votes)} FROM h GROUP BY id) "
         f"SELECT id, {bits} AS simhash FROM v"
     )
+
+
+def simhash_hamming_pairs(
+    sim: DataFrame,
+    id_col: str,
+    radius: int = 3,
+    blocks: int = 4,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """All pairs of fingerprints within Hamming distance ``radius``, via
+    multi-block indexing (Manku, Jain & Sarma, "Detecting Near-Duplicates
+    for Web Crawling", WWW'07): split the 64-bit simhash into ``blocks``
+    contiguous blocks — any pair at distance ≤ radius must, by
+    pigeonhole (radius < blocks), agree EXACTLY on at least one block —
+    then equi-join on (block_index, block_bits) and verify candidates
+    with an exact per-character distance.  Needs ``radius < blocks``
+    (asserted); more blocks widen the recallable radius at the cost of
+    more index rows per doc.
+
+    ``sim`` is :func:`simhash64` output (id, simhash as a 64-char
+    '0'/'1' string).  Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Scale: the index is blocks× the fingerprint table (tiny rows);
+    candidates come from an equi-join on 16-bit block values — never an
+    all-pairs comparison — and reuse :func:`lsh_candidate_pairs`'s
+    degenerate-bucket cap (a block value shared by millions of docs —
+    e.g. all-zero blocks from empty docs — would otherwise explode
+    quadratically in one task).  Verification joins fingerprints back by
+    id and is candidate-bound.  This is the standard web-scale simhash
+    dedup shape: Google's crawl dedup ran exactly this decomposition.
+    """
+    assert radius < blocks, "pigeonhole requires radius < blocks"
+    width = SIMHASH_BITS // blocks
+    blk = sim.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("simhash", b * width + 1, width).alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    cand = lsh_candidate_pairs(blk, id_col, max_bucket=max_bucket)
+    sa = sim.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sh_a"))
+    sb = sim.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sh_b"))
+    dist = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("__sh_a", ""), F.split("__sh_b", ""), lambda x, y: x != y
+            ),
+            lambda v: v,
+        )
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_hamming_pairs_sql(
+    sim_sql: str, radius: int = 3, blocks: int = 4
+) -> str:
+    """DuckDB oracle mirroring :func:`simhash_hamming_pairs` over the
+    fingerprint relation produced by ``sim_sql`` (columns id, simhash)."""
+    width = SIMHASH_BITS // blocks
+    return f"""
+    WITH s AS ({sim_sql}),
+    blk AS (
+        SELECT id, b,
+               substr(simhash, CAST(b * {width} + 1 AS INTEGER), {width}) AS key
+        FROM s, unnest(range({blocks})) AS u(b)
+    ),
+    cand AS (
+        SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        FROM blk l JOIN blk r ON l.b = r.b AND l.key = r.key AND l.id < r.id
+    ),
+    d AS (
+        SELECT c.id_a, c.id_b,
+               CAST(list_sum(list_transform(range({SIMHASH_BITS}),
+                 i -> CASE WHEN substr(sa.simhash, CAST(i + 1 AS INTEGER), 1)
+                            <> substr(sb.simhash, CAST(i + 1 AS INTEGER), 1)
+                      THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+        FROM cand c
+        JOIN s sa ON c.id_a = sa.id
+        JOIN s sb ON c.id_b = sb.id
+    )
+    SELECT id_a, id_b, hamming FROM d WHERE hamming <= {radius}
+    """

@@ -433,3 +433,119 @@ def t1_bigram_surprisal(spark, sf_dir):
             F.sum("s").cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("avg_bigram_surprisal"),
     )
+
+
+@register(
+    "t1_kn_surprisal",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 2
+                           THEN list_transform(range(1, len(toks)),
+                                               i -> toks[i] || ' ' || toks[i+1])
+                           ELSE [] END) AS bigram
+        FROM t
+    ),
+    c2 AS (SELECT bigram, count(*) AS n2 FROM bg GROUP BY 1),
+    cv AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                  CAST(sum(n2) AS BIGINT) AS cv, count(*) AS n1f
+           FROM c2 GROUP BY 1),
+    cw AS (SELECT split_part(bigram, ' ', 2) AS w2, count(*) AS nw
+           FROM c2 GROUP BY 1),
+    nt AS (SELECT count(*) AS ntot FROM c2),
+    term AS (
+        SELECT bg.doc_id,
+               CAST(round(-log2(
+                 (greatest(CAST(n2 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                           CAST(0 AS DOUBLE))
+                  + CAST(0.75 AS DOUBLE) * CAST(n1f AS DOUBLE)
+                    * CAST(nw AS DOUBLE) / CAST(ntot AS DOUBLE))
+                 / CAST(cv AS DOUBLE)), 9) AS DECIMAL(28,9)) AS s
+        FROM bg
+        JOIN c2 USING (bigram)
+        JOIN cv ON split_part(bg.bigram, ' ', 1) = cv.w1
+        JOIN cw ON split_part(bg.bigram, ' ', 2) = cw.w2
+        CROSS JOIN nt
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS avg_kn_surprisal
+    FROM term GROUP BY doc_id
+    """,
+)
+def t1_kn_surprisal(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram surprisal per document — the
+    smoothed upgrade of t1_bigram_surprisal, and the closest
+    SQL-expressible analogue of the perplexity filters (CCNet-style)
+    production corpora are cleaned with: MLE assigns unseen-context mass
+    badly and probability 0 to unseen bigrams; KN discounts every seen
+    bigram by D=0.75 and backs off to the CONTINUATION probability
+    (how many distinct contexts a word follows — "francisco" is frequent
+    but follows only "san", so its continuation mass is tiny).
+
+        P(w|v) = max(c(vw)-D, 0)/c(v·) + D·N1+(v·)/c(v·) · N1+(·w)/N1+(··)
+
+    All five counts are exact integers from ONE bigram-type table; the
+    probability is a fixed IEEE expression evaluated in the identical
+    operation order on both engines, then the per-term −log2 rounds to
+    9 digits and sums as DECIMAL (the char-entropy discipline), so
+    shuffle order cannot perturb the mean.
+
+    Scale: identical plan shape to t1_bigram_surprisal — model tables
+    are vocabulary-bounded broadcasts onto the exploded bigram stream,
+    N1+(··) stays in-plan as a broadcast scalar, one doc_id shuffle
+    aggregates; a trillion-token corpus swaps broadcasts for shuffle
+    joins on the bigram key."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    td = d.select("doc_id", toks.alias("toks"))
+    grams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.array_join(F.slice("toks", i, 2), " "),
+        ),
+    ).otherwise(F.array())
+    bg = td.select("doc_id", F.explode(grams).alias("bigram"))
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2")).cache()
+    cv = c2.groupBy(
+        F.substring_index("bigram", " ", 1).alias("w1")
+    ).agg(F.sum("n2").cast("long").alias("cv"), F.count(F.lit(1)).alias("n1f"))
+    cw = c2.groupBy(
+        F.substring_index("bigram", " ", -1).alias("w2")
+    ).agg(F.count(F.lit(1)).alias("nw"))
+    nt = c2.agg(F.count(F.lit(1)).alias("ntot"))
+    p = (
+        F.greatest(
+            F.col("n2").cast("double") - F.lit(0.75), F.lit(0.0)
+        )
+        + F.lit(0.75)
+        * F.col("n1f").cast("double")
+        * F.col("nw").cast("double")
+        / F.col("ntot").cast("double")
+    ) / F.col("cv").cast("double")
+    term = (
+        bg.join(F.broadcast(c2), "bigram")
+        .join(
+            F.broadcast(cv),
+            F.substring_index(F.col("bigram"), " ", 1) == F.col("w1"),
+        )
+        .join(
+            F.broadcast(cw),
+            F.substring_index(F.col("bigram"), " ", -1) == F.col("w2"),
+        )
+        .crossJoin(F.broadcast(nt))
+        .select("doc_id", F.round(-F.log2(p), 9).cast("decimal(28,9)").alias("s"))
+    )
+    return term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("s").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_kn_surprisal"),
+    )

@@ -607,3 +607,41 @@ def t1_record_linkage(spark, sf_dir):
         )
         .filter(F.col("lev") <= _RL_LEV)
     )
+
+
+from ght2dm_spark.operators.neardup import (  # noqa: E402
+    simhash_hamming_pairs,
+    simhash_hamming_pairs_sql,
+)
+
+#: Manku multi-block geometry: 4 × 16-bit blocks recall radius ≤ 3.
+HAMMING_R = 3
+HAMMING_BLOCKS = 4
+
+
+@register(
+    "t1_simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_AUG_SQL}
+    SELECT * FROM (
+        {simhash_hamming_pairs_sql(simhash_sql("doc_id", "text", "aug"),
+                                   radius=HAMMING_R, blocks=HAMMING_BLOCKS)}
+    )
+    """,
+)
+def t1_simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-duplicate PAIRS by Hamming radius — the Manku/Jain/
+    Sarma (WWW'07) multi-block index over the augmented corpus: 64-bit
+    fingerprints split into 4 × 16-bit blocks, equi-join on any equal
+    block (pigeonhole guarantees recall for distance ≤ 3), exact
+    per-bit verify on the candidates.  Planted exact copies surface at
+    hamming 0; close near-copies at small distances.
+
+    Completes the simhash story: t1_simhash builds fingerprints, this
+    query turns them into dedup pairs WITHOUT an all-pairs comparison —
+    the missing half that makes simhash usable at corpus scale."""
+    aug = _aug_docs(spark, sf_dir)
+    sim = simhash64(aug, "doc_id", "text").cache()
+    return simhash_hamming_pairs(
+        sim, "doc_id", radius=HAMMING_R, blocks=HAMMING_BLOCKS
+    )

@@ -63,3 +63,81 @@ def t1_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_order"),
         )
     )
+
+
+#: Compaction planning thresholds: files under SMALL bytes are compaction
+#: candidates, packed into bins of ~TARGET bytes.
+COMPACT_SMALL = 400
+COMPACT_TARGET = 1500
+
+
+@register(
+    "t1_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+        SELECT source, doc_id AS file_id, n_chars AS bytes
+        FROM documents WHERE n_chars < {COMPACT_SMALL}
+    ),
+    ordered AS (
+        SELECT source, file_id, bytes,
+               coalesce(sum(bytes) OVER (
+                   PARTITION BY source
+                   ORDER BY bytes DESC, file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM files
+    ),
+    binned AS (
+        SELECT source, file_id, bytes,
+               CAST(cum_before // {COMPACT_TARGET} AS INTEGER) AS bin
+        FROM ordered
+    )
+    SELECT source, bin,
+           CAST(count(*) AS INTEGER) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           min(file_id) AS first_file, max(file_id) AS last_file
+    FROM binned GROUP BY source, bin
+    """,
+)
+def t1_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning — the table-maintenance operator
+    every 100 TB lakehouse runs nightly (Iceberg rewrite_data_files /
+    Delta OPTIMIZE): within each partition, files below a size
+    threshold are packed into rewrite groups of ~target total size.
+    The ``documents`` table stands in for a file manifest (source →
+    partition, doc_id → file id, n_chars → bytes); on a real snapshot
+    table the same plan runs over ``snapshots.history()`` file stats.
+
+    The packing is size-descending cumulative-sum binning:
+    bin = floor(running_bytes_before / target) over a (bytes DESC,
+    file_id) order — a deterministic one-window approximation of
+    first-fit-decreasing whose bins overshoot the target by at most one
+    file, which is exactly the slack a rewrite job wants (never an
+    undersized trailing task except the last).
+
+    Scale: one window per partition over FILE-level rows (a manifest is
+    ~1e6 rows for a 100 TB table — trivial), never touching data bytes;
+    the output is the rewrite job list itself, one row per bin."""
+    d = load_table(spark, sf_dir, "documents")
+    files = d.filter(F.col("n_chars") < COMPACT_SMALL).select(
+        "source", F.col("doc_id").alias("file_id"), F.col("n_chars").alias("bytes")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("bytes"), F.asc("file_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = files.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)) / COMPACT_TARGET
+        ).cast("int"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    )

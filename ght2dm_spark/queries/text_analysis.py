@@ -351,3 +351,103 @@ def t1_textrank_keywords(spark, sf_dir):
             F.col("r").cast("bigint").alias("rank_e12"),
         )
     )
+
+
+#: Zipf fit: top-K token types per language enter the log-log regression.
+ZIPF_K = 100
+
+
+@register(
+    "t1_zipf_fit",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT lang, unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\s+'), t -> t <> ''))
+               AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    rk AS (
+        SELECT lang, c,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY c DESC, tok) AS r
+        FROM cnt
+    ),
+    pts AS (
+        SELECT lang,
+               CAST(round(log2(CAST(r AS DOUBLE)) * 1000000e0, 0) AS BIGINT)
+                 AS x,
+               CAST(round(log2(CAST(c AS DOUBLE)) * 1000000e0, 0) AS BIGINT)
+                 AS y
+        FROM rk WHERE r <= {ZIPF_K}
+    ),
+    s AS (
+        SELECT lang, count(*) AS k,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts GROUP BY lang HAVING count(*) >= 2
+    )
+    SELECT lang, CAST(k AS INTEGER) AS k,
+           round(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+    FROM s
+    """,
+)
+def t1_zipf_fit(spark, sf_dir):
+    """Zipf's-law exponent per language: least-squares slope of
+    log2(frequency) against log2(rank) over each language's top-100
+    token types.  Natural text fits slope ≈ −1; corpora that drift far
+    from it (templated boilerplate, keyword spam, synthetic text) are
+    curation outliers — this is the corpus-level diversity diagnostic
+    next to the per-document ones (entropy, repetition ratio).
+
+    Determinism: ranks are integer row_numbers with a (count DESC,
+    token) tie-break; each log point is snapped to integer MICRO units
+    (round-to-0dp on a ≤2^53 double is exact on both engines), so all
+    four regression sums — and the closed-form numerator/denominator
+    k·Σxy − Σx·Σy over k·Σx² − (Σx)² — are exact int64 arithmetic
+    (magnitudes ≤ ~2e18, within int64); the ONE double division is
+    IEEE-deterministic.
+
+    Scale: token counting is the standard explode + map-side-combined
+    groupBy; the per-language top-K is a count-ordered window over the
+    VOCABULARY (types, not tokens), and everything after runs on ≤ K
+    rows per language."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    tok = d.select("lang", F.explode(toks).alias("tok"))
+    cnt = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+    pts = (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= ZIPF_K)
+        .select(
+            "lang",
+            F.round(F.log2(F.col("r").cast("double")) * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log2(F.col("c").cast("double")) * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = (
+        pts.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .filter(F.col("k") >= 2)
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "lang",
+        F.col("k").cast("int").alias("k"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("zipf_slope"),
+    )

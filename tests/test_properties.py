@@ -543,10 +543,11 @@ def test_snapshot_table_random_op_sequences(spark, tmp_path_factory, first, ops)
     when it committed (manifests are immutable), and (c) history()
     listing exactly the retained chain.
 
-    Model semantics being pinned: appends carry parent delete keys
-    forward (a re-appended deleted key stays invisible until compaction
-    clears the key files); overwrite and compaction reset the delete
-    state; vacuum truncates history but never changes the live view.
+    Model semantics being pinned: deletes are SEQUENCE-SCOPED (the
+    Iceberg rule, snapshots.py delete_rows) — a delete masks only rows
+    live when it commits, so a key re-appended afterwards is visible;
+    overwrite resets everything; compaction rewrites files but preserves
+    the live view; vacuum truncates history but never changes it.
     """
     from collections import Counter
 
@@ -569,39 +570,35 @@ def test_snapshot_table_random_op_sequences(spark, tmp_path_factory, first, ops)
     def mkdf(rows):
         return spark.createDataFrame(rows, "k long, v long")
 
-    # model: data-file rows + active delete keys; per-version visible sets
-    files_rows = Counter(first)
-    del_keys: set[int] = set()
+    # model: the visible multiset itself, updated sequence-scoped — a
+    # delete drops only rows visible at delete time; later appends of
+    # the same key are unaffected (matches delete_rows' file_seq <
+    # delete_seq rule); compaction/vacuum never change the live view
+    visible = Counter(first)
     commit(prepare_commit(mkdf(first), table))
-    versions = {history(table)[-1]["seq"]: Counter(files_rows)}
+    versions = {history(table)[-1]["seq"]: Counter(visible)}
 
     for op, arg in ops:
         if op == "append":
             commit(prepare_commit(mkdf(arg), table, mode="append"))
-            files_rows = files_rows + Counter(arg)
+            visible = visible + Counter(arg)
         elif op == "overwrite":
             commit(prepare_commit(mkdf(arg), table, mode="overwrite"))
-            files_rows = Counter(arg)
-            del_keys = set()
+            visible = Counter(arg)
         elif op == "delete":
             commit(delete_rows(spark.createDataFrame([(k,) for k in arg], "k long"), table))
-            del_keys = del_keys | set(arg)
+            visible = Counter(
+                {r: c for r, c in visible.items() if r[0] not in set(arg)}
+            )
         elif op == "compact":
             compact_snapshot(spark, table, target_file_bytes=1 << 20)
-            files_rows = Counter(
-                {r: c for r, c in files_rows.items() if r[0] not in del_keys}
-            )
-            del_keys = set()
         else:  # vacuum
             vacuum(table, keep_manifests=arg)
             keep = sorted(versions)[-max(arg, 1):]
             versions = {s: versions[s] for s in keep}
-            assert live_rows() == Counter(
-                {r: c for r, c in files_rows.items() if r[0] not in del_keys}
-            )
+            assert live_rows() == visible
             continue
-        visible = Counter({r: c for r, c in files_rows.items() if r[0] not in del_keys})
-        versions[history(table)[-1]["seq"]] = visible
+        versions[history(table)[-1]["seq"]] = Counter(visible)
         assert live_rows() == visible
 
     # final sweep: time travel to every retained version, exact history
