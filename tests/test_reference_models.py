@@ -156,3 +156,107 @@ def test_mmr_matches_python_greedy_reference(spark, sf_dir):
                     best = (key, cid)
             sel.append(best[1])
         assert [got[qid][p] for p in range(1, 6)] == sel, qid
+
+
+def test_kn_surprisal_matches_python_reference(spark, sf_dir):
+    """Independent interpolated-Kneser-Ney reimplementation (counts via
+    Python dicts, probability straight from the published formula) — a
+    bug mirrored into the SQL oracle cannot pass this."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    ws = re.compile(r"\s+", re.ASCII)
+    bigrams_per_doc = {}
+    c2 = Counter()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = [t for t in ws.split(str(text).lower()) if t] if text is not None else []
+        bgs = list(zip(toks, toks[1:]))
+        if bgs:
+            bigrams_per_doc[int(doc_id)] = bgs
+            c2.update(bgs)
+    cv = Counter()
+    n1f = Counter()
+    nw = Counter()
+    for (v, w), n in c2.items():
+        cv[v] += n
+        n1f[v] += 1
+        nw[w] += 1
+    ntot = len(c2)
+    D = 0.75
+    expect = {}
+    for doc_id, bgs in bigrams_per_doc.items():
+        terms = [
+            round(
+                -math.log2(
+                    (max(c2[(v, w)] - D, 0.0) + D * n1f[v] * nw[w] / ntot)
+                    / cv[v]
+                ),
+                9,
+            )
+            for v, w in bgs
+        ]
+        # DECIMAL(28,9) sum == exact sum of 1e-9-unit integers
+        nano = sum(int(round(t * 1e9)) for t in terms)
+        expect[doc_id] = (len(bgs), round(nano / 1e9 / len(bgs), 6))
+    got = {
+        r.doc_id: (r.n_bigrams, float(r.avg_kn_surprisal))
+        for r in QUERIES["t1_kn_surprisal"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for doc_id in expect:
+        assert got[doc_id][0] == expect[doc_id][0], doc_id
+        assert abs(got[doc_id][1] - expect[doc_id][1]) <= 1e-6, doc_id
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark, sf_dir):
+    """The integer-unit closed-form slope must agree with numpy's
+    float least squares on the same (log2 rank, log2 count) points."""
+    import re
+    from collections import Counter
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    ws = re.compile(r"\s+", re.ASCII)
+    per_lang = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        toks = [t for t in ws.split(str(text).lower()) if t] if text is not None else []
+        per_lang.setdefault(lang, Counter()).update(toks)
+    got = {r.lang: (r.k, r.zipf_slope) for r in QUERIES["t1_zipf_fit"](spark, sf_dir).collect()}
+    for lang, cnt in per_lang.items():
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        if len(top) < 2:
+            assert lang not in got
+            continue
+        x = np.log2(np.arange(1, len(top) + 1, dtype=float))
+        y = np.log2(np.array([c for _, c in top], dtype=float))
+        slope = np.polyfit(x, y, 1)[0]
+        k, got_slope = got[lang]
+        assert k == len(top)
+        # integer micro-unit snapping bounds the divergence
+        assert abs(got_slope - slope) < 5e-5, (lang, got_slope, slope)
+
+
+def test_simhash_hamming_pairs_complete_vs_bruteforce(spark, sf_dir):
+    """Pigeonhole completeness: the multi-block index must return
+    EXACTLY the pairs a brute-force all-pairs Hamming scan finds at
+    radius <= 3 (the planted duplicates guarantee a nonempty answer)."""
+    from ght2dm_spark.queries.dedup_queries import _aug_docs
+    from ght2dm_spark.operators.neardup import simhash64, simhash_hamming_pairs
+
+    sim = simhash64(_aug_docs(spark, sf_dir), "doc_id", "text")
+    fps = {r.doc_id: r.simhash for r in sim.collect()}
+    ids = sorted(fps)
+    brute = set()
+    for i, a in enumerate(ids):
+        fa = fps[a]
+        for b in ids[i + 1:]:
+            d = sum(x != y for x, y in zip(fa, fps[b]))
+            if d <= 3:
+                brute.add((a, b, d))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in QUERIES["t1_simhash_hamming_pairs"](spark, sf_dir).collect()
+    }
+    assert brute, "fixture must plant at least one near pair"
+    assert got == brute
