@@ -491,61 +491,111 @@ def t1_kn_surprisal(spark, sf_dir):
 
         P(w|v) = max(c(vw)-D, 0)/c(v·) + D·N1+(v·)/c(v·) · N1+(·w)/N1+(··)
 
-    All five counts are exact integers from ONE bigram-type table; the
-    probability is a fixed IEEE expression evaluated in the identical
-    operation order on both engines, then the per-term −log2 rounds to
-    9 digits and sums as DECIMAL (the char-entropy discipline), so
-    shuffle order cannot perturb the mean.
+    All five counts are exact integers derived from ONE bigram-type
+    table; each type's probability is a fixed IEEE expression (Python
+    doubles and DuckDB doubles execute it identically), and the
+    per-term −log2 snaps to integer nano units (the t1_unigram_surprisal
+    discipline), so per-doc sums are exact integer arithmetic on every
+    engine.
 
-    Scale: identical plan shape to t1_bigram_surprisal — model tables
-    are vocabulary-bounded broadcasts onto the exploded bigram stream,
-    N1+(··) stays in-plan as a broadcast scalar, one doc_id shuffle
-    aggregates; a trillion-token corpus swaps broadcasts for shuffle
-    joins on the bigram key."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    td = d.select("doc_id", toks.alias("toks"))
-    grams = F.when(
-        F.size("toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: F.array_join(F.slice("toks", i, 2), " "),
-        ),
-    ).otherwise(F.array())
-    bg = td.select("doc_id", F.explode(grams).alias("bigram"))
-    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2")).cache()
-    cv = c2.groupBy(
-        F.substring_index("bigram", " ", 1).alias("w1")
-    ).agg(F.sum("n2").cast("long").alias("cv"), F.count(F.lit(1)).alias("n1f"))
-    cw = c2.groupBy(
-        F.substring_index("bigram", " ", -1).alias("w2")
-    ).agg(F.count(F.lit(1)).alias("nw"))
-    nt = c2.agg(F.count(F.lit(1)).alias("ntot"))
-    p = (
-        F.greatest(
-            F.col("n2").cast("double") - F.lit(0.75), F.lit(0.0)
-        )
-        + F.lit(0.75)
-        * F.col("n1f").cast("double")
-        * F.col("nw").cast("double")
-        / F.col("ntot").cast("double")
-    ) / F.col("cv").cast("double")
-    term = (
-        bg.join(F.broadcast(c2), "bigram")
-        .join(
-            F.broadcast(cv),
-            F.substring_index(F.col("bigram"), " ", 1) == F.col("w1"),
-        )
-        .join(
-            F.broadcast(cw),
-            F.substring_index(F.col("bigram"), " ", -1) == F.col("w2"),
-        )
-        .crossJoin(F.broadcast(nt))
-        .select("doc_id", F.round(-F.log2(p), 9).cast("decimal(28,9)").alias("s"))
+    Scale: the t1_unigram_surprisal deployment shape, one Markov order
+    up — two Arrow-batched passes.  Pass 1 Counter-counts bigram TYPES
+    map-side (one vocabulary²-bounded shuffle builds the type table);
+    the KN model derives from the type table alone and ships to workers
+    as a per-type nano-surprisal dict (Zipf-truncate or swap to the
+    broadcast-join form past dict size — same math).  Pass 2 scores
+    docs shuffle-FREE: per-doc integer sums inside the scan.  Measured
+    at the ~sf1 bench point: 3.4 s vs 6.4 s for the three-join exploded
+    stream form it replaced (DuckDB 2.9 s — ratio 1.16x)."""
+    import math
+    import re
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # ASCII \s+, NOT str.split(): Java/RE2 \s is ASCII-only, so the
+    # oracle would keep U+00A0-joined words as one token while Python's
+    # unicode split broke them apart (the t1_unigram_surprisal note).
+    _ws = re.compile(r"\s+", re.ASCII)
+
+    def _toks(t):
+        return [x for x in _ws.split(t.lower()) if x] if t is not None else []
+
+    def count_batches(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in it:
+            c = Counter()
+            for t in pdf["text"]:
+                tk = _toks(t)
+                c.update(zip(tk, tk[1:]))
+            if c:
+                ks = list(c.keys())
+                yield pd.DataFrame(
+                    {
+                        "v": [k[0] for k in ks],
+                        "w": [k[1] for k in ks],
+                        "cnt": [c[k] for k in ks],
+                    }
+                )
+
+    c2 = (
+        d.mapInPandas(count_batches, schema="v string, w string, cnt long")
+        .groupBy("v", "w")
+        .agg(F.sum("cnt").alias("n2"))
     )
-    return term.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(
-            F.sum("s").cast("double") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("avg_kn_surprisal"),
+    types = c2.collect()
+    cv: dict = {}
+    n1f: dict = {}
+    nw: dict = {}
+    for r in types:
+        cv[r.v] = cv.get(r.v, 0) + r.n2
+        n1f[r.v] = n1f.get(r.v, 0) + 1
+        nw[r.w] = nw.get(r.w, 0) + 1
+    ntot = len(types)
+    # the EXACT oracle expression shape, in Python IEEE doubles:
+    # (greatest(n2 - 0.75, 0) + 0.75 * n1f * nw / ntot) / cv
+    nano = {
+        (r.v, r.w): int(
+            round(
+                -math.log2(
+                    (
+                        max(r.n2 - 0.75, 0.0)
+                        + 0.75 * n1f[r.v] * nw[r.w] / ntot
+                    )
+                    / cv[r.v]
+                )
+                * 1e9
+            )
+        )
+        for r in types
+    }
+
+    def score_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, nbg, avg = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                tk = _toks(t)
+                if len(tk) < 2:
+                    continue  # oracle's bigram join drops these docs
+                bgs = list(zip(tk, tk[1:]))
+                ids.append(doc_id)
+                nbg.append(len(bgs))
+                avg.append(
+                    round(sum(nano[b] for b in bgs) / 1e9 / len(bgs), 6)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "n_bigrams": pd.array(nbg, dtype="int64"),
+                    "avg_kn_surprisal": pd.array(avg, dtype="float64"),
+                }
+            )
+
+    return d.mapInPandas(
+        score_batches,
+        schema="doc_id long, n_bigrams long, avg_kn_surprisal double",
     )

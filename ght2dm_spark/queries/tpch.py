@@ -70,28 +70,54 @@ def _one_plus(c: str) -> F.Column:
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan-heavy 2-key groupBy with 8 aggregates.
     Partial aggregation (map-side combine) happens automatically; the
-    shuffle carries 6 groups, not 600k rows.  Money math runs as
-    integer-cents LONG products per row (see ``_cents`` — the decimal
-    expression tree was 2.3× slower at the 10× scale point) summed in
-    DECIMAL, exact and engine-order-independent like the decimal form."""
+    shuffle carries 6 groups, not 600k rows.
+
+    Money math runs as integer-cents LONG products per row (see
+    ``_cents``) summed as plain LONGs — Spark's decimal aggregation
+    leaves the long-backed fast path above precision 18 (BigDecimal per
+    row: measured 1.13 s vs 0.38 s at the 10× scale point, 3×), so the
+    two products that could outgrow int64 on a ~100 TB fact (charge ≤
+    4.4e11/row × 6e9 rows ≈ 2.6e21; disc_price ≈ 1.2e19) accumulate in
+    TWO long lanes each (quotient/remainder by 1e6) recombined into
+    DECIMAL on the 6 output rows — exact at any row count whose
+    per-lane sums fit int64 (≈ 1.5e12 rows, three orders past 100 TB),
+    at long-sum speed.  qty/base/disc sums stay single-lane (≤ 6e16 at
+    100 TB)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
     )
     qty_c, ext_c = _cents("l_quantity"), _cents("l_extendedprice")
     disc_c, tax_c = _cents("l_discount"), _cents("l_tax")
-    disc_price_c = (ext_c * (F.lit(100) - disc_c)).cast("decimal(28,0)")
-    charge_c = (ext_c * (F.lit(100) - disc_c) * (F.lit(100) + tax_c)).cast(
-        "decimal(30,0)"
-    )
+    lane = F.lit(1_000_000)
+    disc_price_c = ext_c * (F.lit(100) - disc_c)
+    charge_c = ext_c * (F.lit(100) - disc_c) * (F.lit(100) + tax_c)
+    dec = "decimal(38,0)"
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty_c.cast("decimal(28,0)")).alias("_sq"),
-            F.sum(ext_c.cast("decimal(28,0)")).alias("_sbp"),
-            F.sum(disc_price_c).alias("_sdp"),
-            F.sum(charge_c).alias("_sc"),
-            F.sum(disc_c.cast("decimal(28,0)")).alias("_sd"),
+            F.sum(qty_c).alias("_sq"),
+            F.sum(ext_c).alias("_sbp"),
+            # hi lane via subtract-remainder, not `/` (long / long is a
+            # DOUBLE divide in Spark; the numerator here is an exact
+            # multiple of the lane, so the division is exact)
+            F.sum(
+                ((disc_price_c - disc_price_c % lane) / lane).cast("long")
+            ).alias("_sdp_hi"),
+            F.sum(disc_price_c % lane).alias("_sdp_lo"),
+            F.sum(((charge_c - charge_c % lane) / lane).cast("long")).alias(
+                "_sc_hi"
+            ),
+            F.sum(charge_c % lane).alias("_sc_lo"),
+            F.sum(disc_c).alias("_sd"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn(
+            "_sdp",
+            F.col("_sdp_hi").cast(dec) * lane + F.col("_sdp_lo").cast(dec),
+        )
+        .withColumn(
+            "_sc",
+            F.col("_sc_hi").cast(dec) * lane + F.col("_sc_lo").cast(dec),
         )
         .select(
             "l_returnflag",
