@@ -273,6 +273,14 @@ def simhash_hamming_pairs(
     (asserted); more blocks widen the recallable radius at the cost of
     more index rows per doc.
 
+    Recall is pigeonhole-exact UP TO the degenerate-bucket cap: block
+    values shared by more than ``max_bucket`` fingerprints are dropped
+    on BOTH engines (the LSH cap pattern — a quadratic pair explosion
+    in one task is the alternative), so a pair whose only agreeing
+    block is an oversized one is skipped, knowingly.  Production
+    callers audit the dropped-bucket count exactly as with
+    :func:`lsh_candidate_pairs`.
+
     ``sim`` is :func:`simhash64` output (id, simhash as a 64-char
     '0'/'1' string).  Returns (id_a, id_b, hamming), id_a < id_b.
 
@@ -326,17 +334,25 @@ def simhash_hamming_pairs(
 
 
 def simhash_hamming_pairs_sql(
-    sim_sql: str, radius: int = 3, blocks: int = 4
+    sim_sql: str, radius: int = 3, blocks: int = 4, max_bucket: int = 10_000
 ) -> str:
     """DuckDB oracle mirroring :func:`simhash_hamming_pairs` over the
-    fingerprint relation produced by ``sim_sql`` (columns id, simhash)."""
+    fingerprint relation produced by ``sim_sql`` (columns id, simhash) —
+    including the degenerate-bucket cap, so the two engines drop the
+    same oversized blocks."""
     width = SIMHASH_BITS // blocks
     return f"""
     WITH s AS ({sim_sql}),
-    blk AS (
+    blk0 AS (
         SELECT id, b,
                substr(simhash, CAST(b * {width} + 1 AS INTEGER), {width}) AS key
         FROM s, unnest(range({blocks})) AS u(b)
+    ),
+    blk AS (
+        SELECT id, b, key FROM (
+            SELECT id, b, key, count(*) OVER (PARTITION BY b, key) AS n
+            FROM blk0
+        ) WHERE n <= {max_bucket}
     ),
     cand AS (
         SELECT DISTINCT l.id AS id_a, r.id AS id_b

@@ -512,9 +512,13 @@ def t1_kn_surprisal(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
-    # ASCII \s+, NOT str.split(): Java/RE2 \s is ASCII-only, so the
-    # oracle would keep U+00A0-joined words as one token while Python's
-    # unicode split broke them apart (the t1_unigram_surprisal note).
+    # ASCII \s+, NOT str.split(): RE2/Java \s is ASCII-only, so a
+    # unicode-aware split would break U+00A0-joined words the oracle
+    # keeps whole (the t1_unigram_surprisal note).  Residual caveat,
+    # repo-wide for every \s+ tokenizer pair: Python/Java \s includes
+    # vertical tab U+000B, RE2's does not — the testdata generator
+    # never emits \v, and a corpus that does needs a pre-normalization
+    # step on both sides.
     _ws = re.compile(r"\s+", re.ASCII)
 
     def _toks(t):

@@ -49,7 +49,6 @@ CROSS_OK = {
     "t1_embedding_neardup",  # bucketed pairs; tiny bucket self-pairs
     "t1_ann_ivf_topk",  # vectors × K centroids (K bounded), queries × probes
     "t1_tfidf_top_terms",  # 1-row corpus-size frame for the IDF term
-    "t1_kn_surprisal",  # 1-row bigram-type-total frame for continuation mass
     "t1_token_pmi",  # 1-row corpus-size frame for the PMI numerator
     "t1_pagerank",  # 1-row node-count frame for the damping base term
     "t1_negative_sampling",  # 1-row corpus-size frame for the id modulus
