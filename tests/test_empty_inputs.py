@@ -99,3 +99,44 @@ def test_ewma_fold_empty_series_frame(spark, sf_dir):
         ).alias("vs")
     )
     assert arr.count() == 0
+
+
+def test_simhash_hamming_pairs_empty(spark, sf_dir):
+    from ght2dm_spark.operators.neardup import (
+        simhash64,
+        simhash_hamming_pairs,
+    )
+
+    d = _empty(load_table(spark, sf_dir, "documents"))
+    sim = simhash64(d, "doc_id", "text")
+    assert simhash_hamming_pairs(sim, "doc_id").count() == 0
+
+
+def test_kn_surprisal_empty(spark, sf_dir, tmp_path):
+    """An empty corpus (empty model dict) must yield an empty result,
+    not a KeyError inside the scoring map."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ght2dm_spark.queries import QUERIES
+
+    src = f"{sf_dir}/documents.parquet"
+    schema = pq.read_schema(src)
+    out = tmp_path / "empty_sf"
+    out.mkdir()
+    pq.write_table(schema.empty_table(), out / "documents.parquet")
+    assert QUERIES["t1_kn_surprisal"](spark, str(out)).count() == 0
+
+
+def test_zipf_and_compaction_empty(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ght2dm_spark.queries import QUERIES
+
+    src = f"{sf_dir}/documents.parquet"
+    schema = pq.read_schema(src)
+    out = tmp_path / "empty_sf2"
+    out.mkdir()
+    pq.write_table(schema.empty_table(), out / "documents.parquet")
+    assert QUERIES["t1_zipf_fit"](spark, str(out)).count() == 0
+    assert QUERIES["t1_compaction_plan"](spark, str(out)).count() == 0
