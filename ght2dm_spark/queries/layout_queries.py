@@ -105,8 +105,9 @@ def t1_compaction_plan(spark, sf_dir):
     Delta OPTIMIZE): within each partition, files below a size
     threshold are packed into rewrite groups of ~target total size.
     The ``documents`` table stands in for a file manifest (source →
-    partition, doc_id → file id, n_chars → bytes); on a real snapshot
-    table the same plan runs over ``snapshots.history()`` file stats.
+    partition, doc_id → file id, n_chars → bytes); the executing half
+    over a REAL snapshot table is ``snapshots.rewrite_small_files``
+    (tested in test_snapshot_stats.py).
 
     The packing is size-descending cumulative-sum binning:
     bin = floor(running_bytes_before / target) over a (bytes DESC,

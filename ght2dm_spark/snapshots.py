@@ -687,6 +687,101 @@ def compact_snapshot(
     return p
 
 
+def rewrite_small_files(
+    spark: SparkSession,
+    path: str,
+    small_bytes: int = 32 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    schema=None,
+) -> PreparedCommit | None:
+    """TARGETED compaction (the Iceberg ``rewrite_data_files`` shape):
+    rewrite only the data files under ``small_bytes`` into
+    ~``target_file_bytes`` merged files, leaving every
+    already-well-sized file untouched — one commit, no full-table
+    rewrite.  On an append-heavy 100 TB table this is the difference
+    between a nightly job proportional to the DELTA and one
+    proportional to the table; ``t1_compaction_plan`` is the planning
+    half of the same operation (size-binned rewrite groups), this is
+    the executing half.  Returns None (no commit) when fewer than two
+    small files exist — nothing to merge.
+
+    Correctness under merge-on-read deletes: the rewritten rows are
+    read THROUGH the delete-applying path, so deletes masking small
+    files materialize into the new files; the delete files are carried
+    forward untouched because they must keep masking the KEPT files
+    (which also keep their original file_seqs — sequence scoping is
+    preserved verbatim).  The new files take the rewrite commit's seq,
+    which exceeds every existing delete_seq, so no carried delete
+    re-applies to the already-materialized rows.  Readers of older
+    versions are undisturbed (their manifests pin the superseded files
+    until vacuum); ``read_increment`` and the snapshot stream source
+    detect the broken append-containment across this commit and raise,
+    exactly as they do for full compaction."""
+    table = Path(path)
+    base = _read_current(table)
+    if base is None:
+        raise FileNotFoundError(f"nothing to rewrite: {path} has no snapshot")
+    m = _load_manifest(table, base)
+    sizes = {f: os.path.getsize(table / _DATA / f) for f in m["files"]}
+    small = [f for f in m["files"] if sizes[f] < small_bytes]
+    if len(small) < 2:
+        return None
+    small_set = set(small)
+    kept = [f for f in m["files"] if f not in small_set]
+
+    df = _read_files_with_deletes(
+        spark, table, m, [str(table / _DATA / f) for f in small], schema=schema
+    )
+    n = max(1, -(-sum(sizes[f] for f in small) // target_file_bytes))  # ceil
+    df = df.coalesce(n)
+
+    seq = _max_staged_seq(table) + 1
+    commit_id = uuid.uuid4().hex[:12]
+    staging = table / f"_staging-{commit_id}"
+    df.write.mode("overwrite").parquet(str(staging))
+
+    new_files: list[str] = []
+    stats = {f: s for f, s in m.get("stats", {}).items() if f in set(kept)}
+    for i, part in enumerate(sorted(staging.glob("*.parquet"))):
+        dest = table / _DATA / f"{commit_id}-{i:05d}.parquet"
+        fstats = _footer_stats(part)
+        os.replace(part, dest)
+        new_files.append(dest.name)
+        if fstats:
+            stats[dest.name] = fstats
+    shutil.rmtree(staging)
+    _fsync_file(table / _DATA)
+
+    parent_fseqs = m.get("file_seqs", {})
+    manifest = {
+        "seq": seq,
+        "parent": base,
+        "mode": "rewrite",
+        "files": kept + new_files,
+        "stats": stats,
+        "file_seqs": {
+            **{f: parent_fseqs.get(f, 0) for f in kept},
+            **{f: seq for f in new_files},
+        },
+    }
+    for carried in ("delete_files", "delete_keys", "delete_seqs"):
+        if carried in m:
+            manifest[carried] = m[carried]
+    if m.get("stream_batch") is not None:
+        manifest["stream_batch"] = m["stream_batch"]
+    mname = f"m-{seq:06d}-{commit_id}.json"
+    _atomic_write(table / _MANIFESTS / mname, json.dumps(manifest, indent=1))
+    p = PreparedCommit(
+        table=str(table),
+        manifest_name=mname,
+        seq=seq,
+        n_files=len(manifest["files"]),
+        parent=base,
+    )
+    commit(p)
+    return p
+
+
 def last_streamed_batch(path: str) -> int | None:
     """Highest streaming ``batch_id`` recorded in the committed state,
     or None if no stream has committed here.  Reads the carried

@@ -385,3 +385,80 @@ def test_prune_type_mismatch_keeps_file(spark, tmp_path):
     kept = snapshot_files(t, prune={"s": (10, 20)})
     assert kept == snapshot_files(t)
     assert read_snapshot(spark, t, prune={"s": (10, 20)}).count() == 2
+
+
+def test_rewrite_small_files_targeted_compaction(spark, tmp_path):
+    """Targeted compaction: only sub-threshold files are rewritten; the
+    big file keeps its name (and file_seq), the live view is unchanged,
+    deletes stay materialized/masked correctly on both sides of the
+    rewrite, pre-rewrite versions still time-travel, and the
+    append-containment consumers raise across the commit."""
+    import pytest
+
+    from ght2dm_spark.snapshots import (
+        commit,
+        delete_rows,
+        history,
+        prepare_commit,
+        read_increment,
+        read_snapshot,
+        rewrite_small_files,
+        snapshot_files,
+    )
+
+    table = str(tmp_path / "t")
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, "k long, v long").coalesce(1)
+
+    # one BIG file (many rows), then several tiny appends
+    commit(prepare_commit(mkdf([(i, i) for i in range(5000)]), table))
+    big_file = {Path(p).name for p in snapshot_files(table)}
+    for j in range(4):
+        commit(
+            prepare_commit(
+                mkdf([(10_000 + j, j)]), table, mode="append"
+            )
+        )
+    # merge-on-read delete of one big-file key and one small-file key,
+    # then RE-APPEND the deleted small key (sequence scoping must keep
+    # the re-appended row visible through the rewrite)
+    commit(
+        delete_rows(spark.createDataFrame([(0,), (10_000,)], "k long"), table)
+    )
+    commit(prepare_commit(mkdf([(10_000, 77)]), table, mode="append"))
+    pre_seq = history(table)[-1]["seq"]
+    before = {(r.k, r.v) for r in read_snapshot(spark, table).collect()}
+    assert (0, 0) not in before and (10_000, 77) in before
+    n_files_before = len(snapshot_files(table))
+
+    sizes = {Path(p).name: Path(p).stat().st_size for p in snapshot_files(table)}
+    big_size = max(sizes.values())
+    p = rewrite_small_files(
+        spark, table, small_bytes=big_size, target_file_bytes=1 << 30
+    )
+    assert p is not None
+
+    after_files = {Path(x).name for x in snapshot_files(table)}
+    assert big_file <= after_files, "big file must be kept, not rewritten"
+    assert len(after_files) < n_files_before, "small files must merge"
+    after = {(r.k, r.v) for r in read_snapshot(spark, table).collect()}
+    assert after == before, "live view must be unchanged by the rewrite"
+    # the delete against the kept big file still masks it
+    assert (0, 0) not in after
+    # time travel to the pre-rewrite version still works
+    old = {
+        (r.k, r.v)
+        for r in read_snapshot(spark, table, version=pre_seq).collect()
+    }
+    assert old == before
+    # append-containment consumers refuse to stream across a rewrite
+    with pytest.raises(ValueError):
+        read_increment(spark, table, since_version=pre_seq)
+    # a second run with nothing small left is a no-op
+    assert (
+        rewrite_small_files(
+            spark, table, small_bytes=2, target_file_bytes=1 << 30
+        )
+        is None
+    )
