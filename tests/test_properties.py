@@ -522,6 +522,7 @@ _snap_ops = st.lists(
         st.tuples(st.just("overwrite"), _snap_rows),
         st.tuples(st.just("delete"), st.lists(st.integers(0, 5), min_size=1, max_size=3)),
         st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("rewrite"), st.none()),
         st.tuples(st.just("vacuum"), st.integers(1, 3)),
     ),
     min_size=1,
@@ -537,7 +538,8 @@ _snap_ops = st.lists(
 )
 def test_snapshot_table_random_op_sequences(spark, tmp_path_factory, first, ops):
     """Stateful check of the snapshot table format: any interleaving of
-    append / overwrite / merge-on-read delete / compact / vacuum must
+    append / overwrite / merge-on-read delete / compact / targeted
+    rewrite / vacuum must
     keep (a) the live read equal to the model after every op, (b) time
     travel to every RETAINED version equal to what that version showed
     when it committed (manifests are immutable), and (c) history()
@@ -558,6 +560,7 @@ def test_snapshot_table_random_op_sequences(spark, tmp_path_factory, first, ops)
         history,
         prepare_commit,
         read_snapshot,
+        rewrite_small_files,
         vacuum,
     )
 
@@ -592,6 +595,14 @@ def test_snapshot_table_random_op_sequences(spark, tmp_path_factory, first, ops)
             )
         elif op == "compact":
             compact_snapshot(spark, table, target_file_bytes=1 << 20)
+        elif op == "rewrite":
+            # targeted rewrite: every test file is "small", so this
+            # merges them all; a no-op (None) when <2 files exist —
+            # either way the live view must be unchanged
+            if rewrite_small_files(
+                spark, table, small_bytes=1 << 20, target_file_bytes=1 << 20
+            ) is None:
+                continue
         else:  # vacuum
             vacuum(table, keep_manifests=arg)
             keep = sorted(versions)[-max(arg, 1):]
