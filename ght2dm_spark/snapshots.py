@@ -192,6 +192,34 @@ def _max_staged_seq(table: Path) -> int:
     return max(seqs, default=-1)
 
 
+def _stage_data_files(
+    df: DataFrame, table: Path, commit_id: str, tag: str = "",
+    collect_stats: bool = True,
+) -> tuple[list[str], dict[str, dict]]:
+    """Write ``df`` as parquet under commit-scoped names in data/,
+    fsyncing EVERY data file and then the directory before returning —
+    a manifest must never be published over non-durable bytes (CURRENT
+    is fsynced; if the data blocks were not, a power loss after the
+    pointer flip would leave a live snapshot referencing truncated
+    files, violating the kill-at-any-point contract).  Returns
+    (file names, footer stats per name)."""
+    staging = table / f"_staging-{commit_id}"
+    df.write.mode("overwrite").parquet(str(staging))
+    names: list[str] = []
+    stats: dict[str, dict] = {}
+    for i, part in enumerate(sorted(staging.glob("*.parquet"))):
+        dest = table / _DATA / f"{commit_id}{tag}-{i:05d}.parquet"
+        fstats = _footer_stats(part) if collect_stats else None
+        os.replace(part, dest)
+        _fsync_file(dest)
+        names.append(dest.name)
+        if fstats:
+            stats[dest.name] = fstats
+    shutil.rmtree(staging)
+    _fsync_file(table / _DATA)
+    return names, stats
+
+
 def prepare_commit(
     df: DataFrame,
     path: str,
@@ -258,20 +286,8 @@ def prepare_commit(
         mode = "overwrite"  # first commit: append == overwrite
 
     commit_id = uuid.uuid4().hex[:12]
-    staging = table / f"_staging-{commit_id}"
-    df.write.mode("overwrite").parquet(str(staging))
-
-    new_files: list[str] = []
-    stats = dict(parent_stats)
-    for i, part in enumerate(sorted(staging.glob("*.parquet"))):
-        dest = table / _DATA / f"{commit_id}-{i:05d}.parquet"
-        fstats = _footer_stats(part)  # footer-only read, before the move
-        os.replace(part, dest)
-        new_files.append(dest.name)
-        if fstats:
-            stats[dest.name] = fstats
-    shutil.rmtree(staging)
-    _fsync_file(table / _DATA)
+    new_files, new_stats = _stage_data_files(df, table, commit_id)
+    stats = {**parent_stats, **new_stats}
 
     manifest = {
         "seq": seq,
@@ -358,16 +374,38 @@ def delete_rows(
         raise ValueError(
             f"{path}: delete key columns {key_cols} != existing {prev_keys}"
         )
+    # Fail FAST on a bad key frame — both faults otherwise surface only
+    # at read time, after the delete has committed:
+    # - a key column missing from any live data file bricks every
+    #   subsequent read (the anti-join can't resolve the column at plan
+    #   time), including compact_snapshot, the documented repair path;
+    # - a NULL key value matches nothing in the anti-join (SQL null
+    #   semantics), so the delete silently removes zero rows.
+    import pyarrow.parquet as _pq
+
+    for f in pm["files"]:
+        cols = set(_pq.read_schema(table / _DATA / f).names)
+        missing = [k for k in key_cols if k not in cols]
+        if missing:
+            raise ValueError(
+                f"{path}: delete key column(s) {missing} absent from data "
+                f"file {f} — a committed delete on them would make the "
+                f"table unreadable"
+            )
+    from functools import reduce as _reduce
+
+    null_pred = _reduce(
+        lambda a, b: a | b, [F.col(c).isNull() for c in key_cols]
+    )
+    if df_keys.filter(null_pred).limit(1).count() > 0:
+        raise ValueError(
+            f"{path}: delete keys contain NULL — NULL never matches in the "
+            f"anti-join, so such a delete silently removes nothing"
+        )
     commit_id = uuid.uuid4().hex[:12]
-    staging = table / f"_staging-{commit_id}"
-    df_keys.write.mode("overwrite").parquet(str(staging))
-    new_dels: list[str] = []
-    for i, part in enumerate(sorted(staging.glob("*.parquet"))):
-        dest = table / _DATA / f"{commit_id}-del-{i:05d}.parquet"
-        os.replace(part, dest)
-        new_dels.append(dest.name)
-    shutil.rmtree(staging)
-    _fsync_file(table / _DATA)
+    new_dels, _ = _stage_data_files(
+        df_keys, table, commit_id, tag="-del", collect_stats=False
+    )
     seq = _max_staged_seq(table) + 1
     manifest = {
         "seq": seq,
@@ -563,17 +601,24 @@ def read_snapshot(
     append commits may add columns; old files surface NULL for them).
     Without it Spark plans from one file's schema — cheaper, right for
     tables whose writers never evolve."""
-    files = snapshot_files(path, version, prune=prune)
+    table = Path(path)
+    name = _manifest_for(table, version)
+    if name is None:
+        return None
+    m = _load_manifest(table, name)  # ONE load; snapshot_files would re-walk
+    files = m["files"]
+    if prune:
+        fstats = m.get("stats", {})
+        files = [f for f in files if _file_survives(fstats.get(f), prune)]
     if not files:
         return None
+    paths = [str(table / _DATA / f) for f in files]
     # merge-on-read deletes: seq-scoped anti-joins against the
     # manifest's key files — broadcast hash antis at scale (delete sets
     # are delta-sized), and only for snapshots that actually carry
     # deletes; see _read_files_with_deletes for the scoping rule
-    table = Path(path)
-    m = _load_manifest(table, _manifest_for(table, version))
     return _read_files_with_deletes(
-        spark, table, m, files, schema=schema, merge_schema=merge_schema
+        spark, table, m, paths, schema=schema, merge_schema=merge_schema
     )
 
 
@@ -590,6 +635,15 @@ def read_increment(
     data files are immutable and append commits only ever extend the
     parent's file list; an overwrite commit breaks the containment, and
     that case raises rather than silently double-processing.
+
+    The new files are read THROUGH the live manifest's delete-applying
+    path (sequence scoping), so a row appended and then deleted within
+    the window never surfaces.  That makes the mirror contract sound
+    even when a delete and a re-insert of the same key share a window:
+    live = (prior mirror state − :func:`read_delete_increment` keys)
+    ∪ these rows — retract FIRST, then add.  (Window deletes always
+    apply to every pre-window file, and scoping exempts the new files
+    from pre-window deletes, so the two pieces partition exactly.)
     """
     table = Path(path)
     cur_files = set(snapshot_files(path))
@@ -603,8 +657,8 @@ def read_increment(
     new_files = sorted(cur_files - old_files)
     if not new_files:
         return None
-    reader = spark.read.schema(schema) if schema is not None else spark.read
-    return reader.parquet(*new_files)
+    m = _load_manifest(table, _manifest_for(table, None))
+    return _read_files_with_deletes(spark, table, m, new_files, schema=schema)
 
 
 def read_delete_increment(
@@ -622,9 +676,9 @@ def read_delete_increment(
     the answer there too."""
     table = Path(path)
     cur_name = _manifest_for(table, None)
+    if cur_name is None:
+        return None  # never committed — BEFORE the version walk raises
     old_name = _manifest_for(table, since_version)
-    if cur_name is None or old_name is None:
-        return None
     cur_m = _load_manifest(table, cur_name)
     old_m = _load_manifest(table, old_name)
     cur_d = list(cur_m.get("delete_files", []))
@@ -671,7 +725,10 @@ def compact_snapshot(
     # deletes must be applied here, or the overwrite would resurrect
     # deleted rows — compaction is exactly where deletes materialize
     # and their key files age out of the manifest
-    df = read_snapshot(spark, path)
+    # merge_schema: append commits may have EVOLVED the schema; reading
+    # from one footer would silently drop the evolved columns from the
+    # rewrite — permanent loss once vacuum ages the old manifests out
+    df = read_snapshot(spark, path, merge_schema=True)
     if cluster_by is None:
         df = df.coalesce(n)
     elif len(cluster_by) == 1:
@@ -728,29 +785,24 @@ def rewrite_small_files(
         return None
     small_set = set(small)
     kept = [f for f in m["files"] if f not in small_set]
+    kept_set = set(kept)
 
     df = _read_files_with_deletes(
-        spark, table, m, [str(table / _DATA / f) for f in small], schema=schema
+        spark, table, m, [str(table / _DATA / f) for f in small],
+        schema=schema,
+        # same reason as compact_snapshot: evolved columns must survive
+        merge_schema=schema is None,
     )
     n = max(1, -(-sum(sizes[f] for f in small) // target_file_bytes))  # ceil
     df = df.coalesce(n)
 
     seq = _max_staged_seq(table) + 1
     commit_id = uuid.uuid4().hex[:12]
-    staging = table / f"_staging-{commit_id}"
-    df.write.mode("overwrite").parquet(str(staging))
-
-    new_files: list[str] = []
-    stats = {f: s for f, s in m.get("stats", {}).items() if f in set(kept)}
-    for i, part in enumerate(sorted(staging.glob("*.parquet"))):
-        dest = table / _DATA / f"{commit_id}-{i:05d}.parquet"
-        fstats = _footer_stats(part)
-        os.replace(part, dest)
-        new_files.append(dest.name)
-        if fstats:
-            stats[dest.name] = fstats
-    shutil.rmtree(staging)
-    _fsync_file(table / _DATA)
+    new_files, new_stats = _stage_data_files(df, table, commit_id)
+    stats = {
+        **{f: s for f, s in m.get("stats", {}).items() if f in kept_set},
+        **new_stats,
+    }
 
     parent_fseqs = m.get("file_seqs", {})
     manifest = {

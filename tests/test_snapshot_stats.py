@@ -462,3 +462,106 @@ def test_rewrite_small_files_targeted_compaction(spark, tmp_path):
         )
         is None
     )
+
+
+def test_delete_rows_rejects_null_and_unknown_keys(spark, tmp_path):
+    """A NULL key matches nothing in the anti-join and a missing key
+    column bricks every later read — both must fail AT DELETE TIME."""
+    import pytest
+
+    from ght2dm_spark.snapshots import commit, delete_rows, prepare_commit
+
+    table = str(tmp_path / "t")
+    commit(prepare_commit(spark.createDataFrame([(1, 2)], "k long, v long"), table))
+    with pytest.raises(ValueError, match="NULL"):
+        delete_rows(spark.createDataFrame([(None,)], "k long"), table)
+    with pytest.raises(ValueError, match="absent"):
+        delete_rows(spark.createDataFrame([(1,)], "kk long"), table)
+
+
+def test_increment_mirror_sound_across_delete_then_reinsert(spark, tmp_path):
+    """Retract-then-add over (read_delete_increment, read_increment)
+    must reproduce the live snapshot even when a delete and a re-insert
+    of the same key land inside one window (sequence scoping)."""
+    from ght2dm_spark.snapshots import (
+        commit,
+        delete_rows,
+        history,
+        prepare_commit,
+        read_delete_increment,
+        read_increment,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    commit(prepare_commit(mkdf([(1, 10), (2, 20)]), table))
+    v0 = history(table)[-1]["seq"]
+    mirror = {(r.k, r.v) for r in read_snapshot(spark, table).collect()}
+
+    # window: append k=3, delete k=1 and k=3, re-append k=3 with new value
+    commit(prepare_commit(mkdf([(3, 30)]), table, mode="append"))
+    commit(delete_rows(spark.createDataFrame([(1,), (3,)], "k long"), table))
+    commit(prepare_commit(mkdf([(3, 31)]), table, mode="append"))
+
+    live = {(r.k, r.v) for r in read_snapshot(spark, table).collect()}
+    assert live == {(2, 20), (3, 31)}
+
+    # retract FIRST, then add (the documented mirror order)
+    dels = read_delete_increment(spark, table, v0)
+    del_keys = {r.k for r in dels.collect()}
+    mirror = {(k, v) for (k, v) in mirror if k not in del_keys}
+    inc = read_increment(spark, table, v0)
+    mirror |= {(r.k, r.v) for r in inc.collect()}
+    assert mirror == live, "mirror must reproduce the live snapshot"
+
+
+def test_compaction_preserves_evolved_schema(spark, tmp_path):
+    """Schema-evolved columns must survive compaction and targeted
+    rewrite — reading from one footer would silently destroy them."""
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.snapshots import (
+        commit,
+        compact_snapshot,
+        prepare_commit,
+        read_snapshot,
+        rewrite_small_files,
+    )
+
+    table = str(tmp_path / "t")
+    commit(prepare_commit(spark.createDataFrame([(1, 10)], "k long, v long"), table))
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(2, 20, "x")], "k long, v long, c string"),
+            table,
+            mode="append",
+        )
+    )
+    before = {
+        (r.k, r.v, r.c)
+        for r in read_snapshot(spark, table, merge_schema=True).collect()
+    }
+    assert before == {(1, 10, None), (2, 20, "x")}
+
+    compact_snapshot(spark, table, target_file_bytes=1 << 30)
+    after = {(r.k, r.v, r.c) for r in read_snapshot(spark, table).collect()}
+    assert after == before, "compaction must keep the evolved column"
+
+    # evolve again, then targeted rewrite must also keep it
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(3, 30, "y", 5)], "k long, v long, c string, d long"),
+            table,
+            mode="append",
+        )
+    )
+    rewrite_small_files(spark, table, small_bytes=1 << 30, target_file_bytes=1 << 30)
+    got = {
+        (r.k, r.v, r.c, r.d)
+        for r in read_snapshot(spark, table, merge_schema=True).collect()
+    }
+    assert got == {(1, 10, None, None), (2, 20, "x", None), (3, 30, "y", 5)}
