@@ -48,11 +48,19 @@ _DECOMPOSABLE = {
 }
 
 
+def _validate_aggs(aggs: dict) -> None:
+    for out, (fn, _c) in aggs.items():
+        if fn not in _DECOMPOSABLE:
+            raise ValueError(f"{out}: '{fn}' is not a decomposable aggregate")
+
+
 def _last_refreshed_version(dest: str) -> int | None:
     return _last_meta(dest).get("source_version")
 
 
-def _require_no_deletes(spark: SparkSession, source: str, since: int) -> None:
+def _require_no_deletes(
+    spark: SparkSession, source: str, since: int, upto: int | None = None
+) -> None:
     """Incremental maintenance is APPEND-only: a merge-on-read delete
     commit advances the source version without touching its data-file
     list, so read_increment's containment check passes while the
@@ -62,7 +70,7 @@ def _require_no_deletes(spark: SparkSession, source: str, since: int) -> None:
     (delete dest), or compact the source first."""
     from ght2dm_spark.snapshots import read_delete_increment
 
-    if read_delete_increment(spark, source, since) is not None:
+    if read_delete_increment(spark, source, since, upto_version=upto) is not None:
         raise ValueError(
             f"{source}: merge-on-read delete commits landed after version "
             f"{since} — incremental maintenance cannot retract aggregated "
@@ -89,22 +97,28 @@ def refresh_aggregate(
     ``read_increment``) if the source was overwritten/compacted past the
     recorded version — rebuild by deleting ``dest``.
     """
-    for out, (fn, _c) in aggs.items():
-        if fn not in _DECOMPOSABLE:
-            raise ValueError(f"{out}: '{fn}' is not a decomposable aggregate")
+    _validate_aggs(aggs)
     src_hist = history(source)
     if not src_hist:
         return False
     src_version = src_hist[-1]["seq"]
 
+    # EVERY read below is pinned at src_version: version and file set
+    # must come from one manifest, or a commit landing between the two
+    # reads (a same-driver stream sink, a concurrent runner) is folded
+    # into this refresh yet recorded as unprocessed — and double-counted
+    # by the next one.
     last = _last_refreshed_version(dest)
     if last is None:
-        delta = read_snapshot(spark, source, schema=schema)
+        delta = read_snapshot(spark, source, schema=schema, version=src_version)
     else:
         if src_version == last:
             return False
-        _require_no_deletes(spark, source, last)
-        delta = read_increment(spark, source, since_version=last, schema=schema)
+        _require_no_deletes(spark, source, last, upto=src_version)
+        delta = read_increment(
+            spark, source, since_version=last, schema=schema,
+            upto_version=src_version,
+        )
     if delta is None:
         return False
 
@@ -151,8 +165,19 @@ def verify_aggregate(
     columns, the repo-wide exact-moment discipline: a float sum is
     accumulated in different orders by the incremental merges vs the
     recompute, and last-bit drift would fail a perfectly maintained
-    table."""
-    full = read_snapshot(spark, source, schema=schema)
+    table.
+
+    The recompute runs at the SOURCE VERSION pinned in dest's meta, not
+    the live snapshot — verifying maintenance correctness independent of
+    freshness (an append landing between refresh and audit must not page
+    anyone on a healthy table)."""
+    _validate_aggs(aggs)
+    ver = _last_refreshed_version(dest)
+    full = (
+        read_snapshot(spark, source, schema=schema, version=ver)
+        if ver is not None
+        else None
+    )
     if full is None:
         return len(snapshot_files(dest)) == 0
     expect = full.groupBy(*keys).agg(
@@ -173,15 +198,17 @@ def verify_aggregate(
 
 
 def _last_meta(dest: str) -> dict:
-    h = history(dest)
-    if not h:
-        return {}
+    """meta of dest's CURRENT manifest — O(1): one pointer read + one
+    manifest load, not a history() walk over the whole parent chain."""
     from pathlib import Path
-    import json
+
+    from ght2dm_spark.snapshots import _load_manifest, _read_current
 
     table = Path(dest)
-    with open(table / "_manifests" / h[-1]["manifest"]) as f:
-        return json.load(f).get("meta", {})
+    name = _read_current(table)
+    if name is None:
+        return {}
+    return _load_manifest(table, name).get("meta", {})
 
 
 def refresh_join(
@@ -218,8 +245,10 @@ def refresh_join(
     last_lv, last_rv = meta.get("left_version"), meta.get("right_version")
 
     if last_lv is None:
-        left = read_snapshot(spark, left_source, schema=schema_left)
-        right = read_snapshot(spark, right_source, schema=schema_right)
+        # pinned at (lv, rv) — the recorded versions must be exactly
+        # what was read (see refresh_aggregate's TOCTOU note)
+        left = read_snapshot(spark, left_source, schema=schema_left, version=lv)
+        right = read_snapshot(spark, right_source, schema=schema_right, version=rv)
         if left is None or right is None:
             return False
         p = prepare_commit(
@@ -233,25 +262,36 @@ def refresh_join(
 
     if lv == last_lv and rv == last_rv:
         return False
-    _require_no_deletes(spark, left_source, last_lv)
-    _require_no_deletes(spark, right_source, last_rv)
+    _require_no_deletes(spark, left_source, last_lv, upto=lv)
+    _require_no_deletes(spark, right_source, last_rv, upto=rv)
     dl = (
-        read_increment(spark, left_source, since_version=last_lv, schema=schema_left)
+        read_increment(
+            spark, left_source, since_version=last_lv, schema=schema_left,
+            upto_version=lv,
+        )
         if lv != last_lv
         else None
     )
     dr = (
         read_increment(
-            spark, right_source, since_version=last_rv, schema=schema_right
+            spark, right_source, since_version=last_rv, schema=schema_right,
+            upto_version=rv,
         )
         if rv != last_rv
         else None
     )
-    l0 = read_snapshot(
-        spark, left_source, schema=schema_left, version=last_lv
+    # each time-travel base is needed only by its opposite delta term —
+    # skip the manifest load and plan build when that term is absent
+    # (the static-dimension common case)
+    r0 = (
+        read_snapshot(spark, right_source, schema=schema_right, version=last_rv)
+        if dl is not None
+        else None
     )
-    r0 = read_snapshot(
-        spark, right_source, schema=schema_right, version=last_rv
+    l0 = (
+        read_snapshot(spark, left_source, schema=schema_left, version=last_lv)
+        if dr is not None
+        else None
     )
     parts = []
     if dl is not None and r0 is not None:

@@ -627,6 +627,7 @@ def read_increment(
     path: str,
     since_version: int,
     schema=None,
+    upto_version: int | None = None,
 ) -> DataFrame | None:
     """Rows ADDED after ``since_version``: the live snapshot's files
     minus that version's — how a downstream consumer (feature builder,
@@ -636,9 +637,16 @@ def read_increment(
     parent's file list; an overwrite commit breaks the containment, and
     that case raises rather than silently double-processing.
 
-    The new files are read THROUGH the live manifest's delete-applying
-    path (sequence scoping), so a row appended and then deleted within
-    the window never surfaces.  That makes the mirror contract sound
+    ``upto_version`` pins the window's upper end (default: the live
+    snapshot).  A maintenance job that records the version it covered
+    MUST pass the version it recorded — deriving the version and the
+    file set from two separate CURRENT reads lets a commit land in
+    between, get folded into the delta, and be re-read on the next
+    refresh (double-counting).
+
+    The new files are read THROUGH the window-end manifest's
+    delete-applying path (sequence scoping), so a row appended and then
+    deleted within the window never surfaces.  That makes the mirror contract sound
     even when a delete and a re-insert of the same key share a window:
     live = (prior mirror state − :func:`read_delete_increment` keys)
     ∪ these rows — retract FIRST, then add.  (Window deletes always
@@ -646,23 +654,26 @@ def read_increment(
     from pre-window deletes, so the two pieces partition exactly.)
     """
     table = Path(path)
-    cur_files = set(snapshot_files(path))
+    cur_files = set(snapshot_files(path, upto_version))
     old_files = set(snapshot_files(path, since_version))
     if not old_files <= cur_files:
         raise ValueError(
             f"version {since_version} is not an append-ancestor of the "
-            f"live snapshot (an overwrite or compaction intervened) — "
-            f"consume the full snapshot instead"
+            f"window-end snapshot (an overwrite or compaction intervened) "
+            f"— consume the full snapshot instead"
         )
     new_files = sorted(cur_files - old_files)
     if not new_files:
         return None
-    m = _load_manifest(table, _manifest_for(table, None))
+    m = _load_manifest(table, _manifest_for(table, upto_version))
     return _read_files_with_deletes(spark, table, m, new_files, schema=schema)
 
 
 def read_delete_increment(
-    spark: SparkSession, path: str, since_version: int
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    upto_version: int | None = None,
 ) -> DataFrame | None:
     """Keys DELETED after ``since_version`` — the other half of the
     incremental contract once merge-on-read deletes exist: a consumer
@@ -675,7 +686,7 @@ def read_delete_increment(
     list, which breaks delta containment — full-snapshot consumption is
     the answer there too."""
     table = Path(path)
-    cur_name = _manifest_for(table, None)
+    cur_name = _manifest_for(table, upto_version)
     if cur_name is None:
         return None  # never committed — BEFORE the version walk raises
     old_name = _manifest_for(table, since_version)

@@ -165,3 +165,69 @@ def test_refresh_raises_on_delete_commits(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="delete commits landed"):
         refresh_aggregate(spark, src, dst, ["o_orderstatus"], AGGS)
+
+
+def test_read_increment_upto_version_bounds_the_window(spark, tmp_path):
+    """The (since, upto] window must be exact: rows committed after
+    upto_version stay out — the property refresh jobs rely on to record
+    precisely the version they folded in (no double-counting)."""
+    from ght2dm_spark.snapshots import (
+        commit,
+        history,
+        prepare_commit,
+        read_increment,
+    )
+
+    table = str(tmp_path / "t")
+
+    def add(rows, mode):
+        commit(
+            prepare_commit(
+                spark.createDataFrame(rows, "k long, v long"), table, mode=mode
+            )
+        )
+        return history(table)[-1]["seq"]
+
+    v1 = add([(1, 1)], "overwrite")
+    v2 = add([(2, 2)], "append")
+    add([(3, 3)], "append")  # lands AFTER the window
+    got = {
+        (r.k, r.v)
+        for r in read_increment(
+            spark, table, since_version=v1, upto_version=v2
+        ).collect()
+    }
+    assert got == {(2, 2)}
+
+
+def test_verify_aggregate_ignores_post_refresh_appends(spark, tmp_path):
+    """The audit recomputes at the PINNED source version: an append
+    landing after the refresh must not fail a healthy derived table."""
+    from ght2dm_spark.incremental import refresh_aggregate, verify_aggregate
+    from ght2dm_spark.snapshots import commit, prepare_commit
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    aggs = {"n": ("count", None), "s": ("sum", "v")}
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(1, 5), (1, 7), (2, 1)], "k long, v long"),
+            src,
+        )
+    )
+    assert refresh_aggregate(spark, src, dst, ["k"], aggs)
+    assert verify_aggregate(spark, src, dst, ["k"], aggs)
+    # fresh source data the derived table has not folded in yet
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(1, 100)], "k long, v long"),
+            src,
+            mode="append",
+        )
+    )
+    assert verify_aggregate(spark, src, dst, ["k"], aggs), (
+        "audit must verify maintenance at the covered version, not freshness"
+    )
+    # after the next refresh the new rows are covered and it still holds
+    assert refresh_aggregate(spark, src, dst, ["k"], aggs)
+    assert verify_aggregate(spark, src, dst, ["k"], aggs)
