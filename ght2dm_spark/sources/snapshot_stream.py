@@ -5,16 +5,25 @@ lakehouse format grows: a query ``readStream.format("ght2dm_snapshot")
 offsets = snapshot versions, so the snapshot layer now closes the loop
 (stream→table via ``snapshots.snapshot_sink``, table→stream here).
 
-Scale shape: ``latestOffset`` reads one pointer file driver-side;
-``partitions`` diffs two manifests' file lists (append commits only
-ever extend them — an overwrite/compaction breaks delta containment and
-raises, same contract as ``snapshots.read_increment``; a merge-on-read
-DELETE commit likewise raises, because a stream cannot retract rows it
-already emitted — compact to materialize deletes, then restart); ``read`` opens
-ONE parquet file per input partition executor-side and yields Arrow
-record batches — per-file fan-out identical to the batch scan, no
-driver data movement.  Exactly-once follows from offsets being
-versions: a replayed batch re-reads the same immutable files.
+Scale shape: ``latestOffset`` parses the seq out of the CURRENT
+pointer's manifest NAME (one tiny pointer read per trigger — never the
+manifest JSON, which embeds per-file stats and grows with the table);
+``partitions`` diffs two manifests' file lists resolved in ONE shared
+chain walk (append commits only ever extend them — an
+overwrite/compaction breaks delta containment and raises, same contract
+as ``snapshots.read_increment``; a merge-on-read DELETE commit likewise
+raises, because a stream cannot retract rows it already emitted —
+compact to materialize deletes, then restart); ``read`` opens ONE
+parquet file per input partition executor-side and yields Arrow record
+batches — per-file fan-out identical to the batch scan, no driver data
+movement.  Exactly-once follows from offsets being versions: a replayed
+batch re-reads the same immutable files.
+
+Schema: the union of ALL live file footers (schema evolution — append
+commits may add columns; older files surface NULL for them, exactly
+like the batch reader's ``merge_schema=True``).  The declared schema is
+fixed at stream start, as Spark streaming requires; columns added by
+commits AFTER the stream started appear on restart.
 """
 
 from __future__ import annotations
@@ -31,25 +40,15 @@ from pyspark.sql.types import StructType
 from ght2dm_spark.snapshots import (
     _DATA,
     _load_manifest,
-    _manifest_for,
     _read_current,
 )
 
 
 class SnapshotFilePartition(InputPartition):
-    def __init__(self, path: str, columns: list[str]):
+    def __init__(self, path: str, columns: list[str], arrow_schema):
         self.path = path
         self.columns = columns
-
-
-def _manifest_at(table: Path, seq: int) -> dict | None:
-    """Committed manifest for ``seq``, or None for the pre-table seq -1.
-    A vacuumed/unknown version surfaces as ``_manifest_for``'s
-    FileNotFoundError — the error a restarted checkpoint hits when its
-    start version aged out."""
-    if seq < 0:
-        return None
-    return _load_manifest(table, _manifest_for(table, seq))
+        self.arrow_schema = arrow_schema  # pyarrow.Schema — picklable
 
 
 def _files_at(m: dict | None) -> list[str]:
@@ -61,10 +60,36 @@ def _deletes_at(m: dict | None) -> list[str]:
 
 
 def _current_seq(table: Path) -> int:
+    """seq of CURRENT from the manifest NAME alone (m-{seq:06d}-{id});
+    no manifest JSON load — this runs every trigger."""
     name = _read_current(table)
     if name is None:
         return -1
-    return _load_manifest(table, name)["seq"]
+    return int(name.split("-")[1])
+
+
+def _manifests_at(table: Path, seqs: list[int]) -> dict[int, dict | None]:
+    """Committed manifests for ``seqs`` in ONE chain walk from CURRENT
+    (each step loads one manifest; a naive per-seq resolve would re-walk
+    the whole chain per seq — O(chain²) over a stream's life).  seq -1
+    maps to None (the pre-table state).  A vacuumed/unknown version
+    raises FileNotFoundError — the error a restarted checkpoint hits
+    when its start version aged out."""
+    want = {s for s in seqs if s >= 0}
+    out: dict[int, dict | None] = {s: None for s in seqs if s < 0}
+    name = _read_current(table)
+    while name is not None and want:
+        m = _load_manifest(table, name)
+        if m["seq"] in want:
+            out[m["seq"]] = m
+            want.discard(m["seq"])
+        name = m.get("parent")
+    if want:
+        raise FileNotFoundError(
+            f"{table}: no committed manifest for version(s) {sorted(want)} "
+            f"(vacuumed, or never committed)"
+        )
+    return out
 
 
 class SnapshotStreamDataSource(DataSource):
@@ -76,19 +101,27 @@ class SnapshotStreamDataSource(DataSource):
 
     def schema(self):
         # declared-schema discipline everywhere else; here the table's
-        # own files ARE the contract, so read one footer (driver-side,
-        # metadata-only) instead of making callers restate it
+        # own files ARE the contract: UNIFY every live footer (metadata
+        # only, driver-side) so schema-evolved columns stream instead of
+        # silently vanishing (one footer would read only files[0]'s
+        # pre-evolution shape)
         path = self.options.get("path")
         if not path:
             raise ValueError("ght2dm_snapshot requires a load(path)")
         table = Path(path)
-        files = _files_at(_manifest_at(table, _current_seq(table)))
+        name = _read_current(table)
+        m = _load_manifest(table, name) if name is not None else None
+        files = _files_at(m)
         if not files:
             raise ValueError(f"{path}: no committed snapshot to stream")
+        import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        sch = pq.read_schema(str(table / _DATA / files[0]))
+        sch = pa.unify_schemas(
+            [pq.read_schema(str(table / _DATA / f)) for f in files],
+            promote_options="permissive",
+        )
         return from_arrow_schema(sch, prefer_timestamp_ntz=True)
 
     def streamReader(self, schema: StructType) -> "SnapshotStreamReader":
@@ -101,6 +134,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("ght2dm_snapshot requires a load(path)")
         self.columns = [f.name for f in schema.fields]
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        # declared types ride along to executors so pre-evolution files
+        # can NULL-fill evolved columns at the RIGHT arrow type
+        self.arrow_schema = to_arrow_schema(schema)
 
     def initialOffset(self) -> dict:
         # start from empty: the existing snapshot arrives as batch 0
@@ -111,8 +149,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         table = Path(self.path)
-        m_old = _manifest_at(table, int(start["seq"]))
-        m_new = _manifest_at(table, int(end["seq"]))
+        ms = _manifests_at(table, [int(start["seq"]), int(end["seq"])])
+        m_old = ms[int(start["seq"])]
+        m_new = ms[int(end["seq"])]
         old = set(_files_at(m_old))
         new = _files_at(m_new)
         if not old <= set(new):
@@ -136,17 +175,40 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 "materialize deletes, then restart from a fresh checkpoint"
             )
         return [
-            SnapshotFilePartition(str(table / _DATA / f), self.columns)
+            SnapshotFilePartition(
+                str(table / _DATA / f), self.columns, self.arrow_schema
+            )
             for f in new
             if f not in old
         ]
 
     def read(self, partition: SnapshotFilePartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(partition.path)
-        for batch in pf.iter_batches(columns=partition.columns):
-            yield batch
+        # Context-manage the handle: an abandoned generator (killed
+        # task, early stop) must not leak the fd until GC finalization.
+        with pq.ParquetFile(partition.path) as pf:
+            present = set(pf.schema_arrow.names)
+            have = [c for c in partition.columns if c in present]
+            missing = [c for c in partition.columns if c not in present]
+            for batch in pf.iter_batches(columns=have):
+                if missing:
+                    # pre-evolution file: NULL-fill the evolved columns
+                    # (pyarrow silently OMITS absent requested columns,
+                    # which Spark rejects as a schema mismatch) and
+                    # restore the declared column order
+                    arrays = {c: batch.column(c) for c in have}
+                    for c in missing:
+                        arrays[c] = pa.nulls(
+                            batch.num_rows,
+                            type=partition.arrow_schema.field(c).type,
+                        )
+                    batch = pa.RecordBatch.from_arrays(
+                        [arrays[c] for c in partition.columns],
+                        names=list(partition.columns),
+                    )
+                yield batch
 
     def commit(self, end: dict) -> None:
         pass

@@ -305,3 +305,40 @@ def test_snapshot_stream_refuses_delete_commits(spark, sf_dir, tmp_path):
             q2.awaitTermination(10)
     finally:
         q2.stop()
+
+
+def test_snapshot_stream_surfaces_evolved_schema(spark, tmp_path):
+    """Schema evolution must stream: the declared schema is the UNION of
+    the live footers, pre-evolution files NULL-fill the evolved column
+    at the declared type, and evolved rows carry their values — the
+    streaming mirror of read_snapshot(merge_schema=True).  (One-footer
+    inference would silently drop the column; un-filled batches would
+    fail Spark's schema check.)"""
+    from ght2dm_spark.sources.snapshot_stream import SnapshotStreamDataSource
+
+    spark.dataSource.register(SnapshotStreamDataSource)
+    table = str(tmp_path / "t")
+    commit(prepare_commit(spark.createDataFrame([(1, 10)], "k long, v long"), table))
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(2, 20, "x")], "k long, v long, c string"),
+            table,
+            mode="append",
+        )
+    )
+    q = (
+        spark.readStream.format("ght2dm_snapshot")
+        .load(table)
+        .writeStream.format("memory")
+        .queryName("snap_evo")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.k, r.v, r.c) for r in spark.sql("SELECT * FROM snap_evo").collect()
+        }
+        assert got == {(1, 10, None), (2, 20, "x")}
+    finally:
+        q.stop()
