@@ -165,6 +165,31 @@ def _decode_doc_inner(doc: bytes) -> dict:
     return out
 
 
+def build_doc_row(frame, fields, flatten, file_date, pos) -> dict:
+    """One BSON frame → row dict: tag-driven extraction (P1 — unknown
+    fields dropped, missing fields None), dotted flatten specs, and the
+    provenance meta columns.  SHARED by the mapInPandas reader below and
+    the Python DataSource reader (bson_datasource) so their per-field
+    semantics cannot drift; a decode error becomes a _corrupt reject row
+    rather than an exception (E1)."""
+    row = dict.fromkeys(fields)
+    row["file_date"] = file_date
+    row["file_pos"] = pos
+    row["_corrupt"] = None
+    try:
+        d = decode_doc(frame)
+        for f in fields:
+            if f in flatten:
+                outer, inner = flatten[f]
+                sub = d.get(outer)
+                row[f] = sub.get(inner) if isinstance(sub, dict) else None
+            elif f not in ("file_date", "file_pos", "_corrupt"):
+                row[f] = d.get(f)
+    except BsonError as e:
+        row["_corrupt"] = str(e)
+    return row
+
+
 def read_bson_dumps(
     spark: SparkSession,
     path: str,
@@ -237,22 +262,9 @@ def read_bson_dumps(
                         )
                         break
                 for frame in frames:
-                    row = dict.fromkeys(fields)
-                    row["file_date"] = fdate
-                    row["file_pos"] = pos
-                    row["_corrupt"] = None
-                    try:
-                        d = decode_doc(frame)
-                        for f in fields:
-                            if f in flatten:
-                                outer, inner = flatten[f]
-                                sub = d.get(outer)
-                                row[f] = sub.get(inner) if isinstance(sub, dict) else None
-                            elif f not in ("file_date", "file_pos"):
-                                row[f] = d.get(f)
-                    except BsonError as e:
-                        row["_corrupt"] = str(e)
-                    rows.append(row)
+                    rows.append(
+                        build_doc_row(frame, fields, flatten, fdate, pos)
+                    )
                     pos += 1
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)

@@ -44,7 +44,7 @@ from pyspark.sql.types import StructType
 from ght2dm_spark.sources.bson import (
     FILE_DATE_RE,
     BsonError,
-    decode_doc,
+    build_doc_row,
     stream_frames,
 )
 
@@ -98,7 +98,10 @@ class BsonDumpReader(DataSourceReader):
 
     def partitions(self) -> list[BsonFilePartition]:
         # One partition per date-named dump file (S2 filter); undated
-        # files are skipped exactly like visit() logs-and-skips them.
+        # files are skipped exactly like visit() logs-and-skips them —
+        # and so are files whose date-shaped token is not a real
+        # calendar date ('9999-99-99' from some other tool must not be
+        # a job-fatal driver exception on an otherwise-valid directory).
         parts = []
         for fname in sorted(os.listdir(self.path)):
             if not fname.endswith(".bson"):
@@ -106,20 +109,30 @@ class BsonDumpReader(DataSourceReader):
             m = FILE_DATE_RE.search(fname)
             if not m:
                 continue
-            y, mo, d = (int(x) for x in m.group(1).split("-"))
+            try:
+                y, mo, d = (int(x) for x in m.group(1).split("-"))
+                fdate = date(y, mo, d)
+            except ValueError:
+                continue
             parts.append(
-                BsonFilePartition(os.path.join(self.path, fname), date(y, mo, d))
+                BsonFilePartition(os.path.join(self.path, fname), fdate)
             )
         return parts
 
     def read(self, partition: BsonFilePartition) -> Iterator[tuple]:
+        if partition is None:
+            # partitions() returned [] (empty/undated directory): pyspark
+            # substitutes one None partition — an empty source must yield
+            # an empty DataFrame, not crash on partition.path
+            return
         fields = [f.name for f in self.schema.fields]
 
         def emit(row: dict) -> tuple:
             return tuple(row.get(f) for f in fields)
 
+        user_fields = [f for f in fields if f not in _META]
         with open(partition.path, "rb") as fh:
-            yield from self._read_frames(fh, partition, fields, emit)
+            yield from self._read_frames(fh, partition, user_fields, emit)
 
     def _read_frames(self, fh, partition, fields, emit) -> Iterator[tuple]:
         pos = 0
@@ -137,20 +150,11 @@ class BsonDumpReader(DataSourceReader):
                      "_corrupt": f"frame: {e}"}
                 )
                 return
-            row: dict = {"file_date": partition.file_date, "file_pos": pos,
-                         "_corrupt": None}
-            try:
-                doc = decode_doc(frame)
-                for f in fields:
-                    if f in self.flatten:
-                        outer, inner = self.flatten[f]
-                        sub = doc.get(outer)
-                        row[f] = sub.get(inner) if isinstance(sub, dict) else None
-                    elif f not in _META:
-                        row[f] = doc.get(f)
-            except BsonError as e:
-                row["_corrupt"] = str(e)
-            yield emit(row)
+            yield emit(
+                build_doc_row(
+                    frame, fields, self.flatten, partition.file_date, pos
+                )
+            )
             pos += 1
 
 
@@ -172,8 +176,10 @@ class BsonDumpWriter(DataSourceWriter):
     (invisible to the reader, which lists only ``*.bson``), and
     ``commit`` renames the successful tasks' files into place — so a
     task that dies mid-write, or a speculative duplicate, can never
-    surface partial or duplicated rows; ``abort`` removes what the
-    failed job staged.  Overwrite deletes the OLD dump files inside
+    surface partial or duplicated rows; ``abort`` removes the temps of
+    tasks that REPORTED (a task killed mid-write never reports, so its
+    temp lingers, invisible to readers, until the next overwrite commit
+    purges stale temps).  Overwrite deletes the OLD dump files inside
     ``commit`` too, not at writer construction: a job that fails before
     commit leaves the previous data untouched.
 
@@ -186,19 +192,40 @@ class BsonDumpWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("ght2dm_bson requires a save(path)")
         self.file_date = options.get("file_date", "1970-01-01")
-        if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", self.file_date):
+        # BOTH checks are needed: the shape regex alone lets the
+        # non-calendar '2020-99-99' through (written fine, then every
+        # read of the directory used to die constructing the date), and
+        # fromisoformat alone accepts the compact '20200517' shape the
+        # reader's dash-anchored filename regex would never re-find.
+        ok_shape = re.fullmatch(r"\d{4}-\d{2}-\d{2}", self.file_date)
+        try:
+            from datetime import date as _date
+
+            _date.fromisoformat(self.file_date)
+            ok_cal = True
+        except ValueError:
+            ok_cal = False
+        if not (ok_shape and ok_cal):
             raise ValueError(
-                f"ght2dm_bson: file_date {self.file_date!r} must be "
-                "YYYY-MM-DD — the reader's date filter would silently "
-                "skip a file written under any other shape"
+                f"ght2dm_bson: file_date {self.file_date!r} must be a "
+                "real YYYY-MM-DD calendar date — the reader stamps (or "
+                "skips) files by parsing it back"
             )
         self.prefix = options.get("prefix", "dump")
-        if FILE_DATE_RE.search(self.prefix):
+        # Validate against the COMPOSED filename, not the prefix alone:
+        # a prefix like 'logs-2024-07' carries no full date itself, but
+        # '<prefix>-<file_date>' first-matches FILE_DATE_RE at
+        # '2024-07-20' — read-back would silently stamp the wrong
+        # file_date and corrupt newest-wins ordering downstream.
+        probe = FILE_DATE_RE.search(f"{self.prefix}-{self.file_date}-part")
+        if not probe or probe.group(1) != self.file_date:
             raise ValueError(
-                f"ght2dm_bson: prefix {self.prefix!r} contains a "
-                "date-like token; the reader takes the FIRST date in the "
-                "filename as file_date, so a dated prefix would shadow "
-                f"file_date={self.file_date}"
+                f"ght2dm_bson: prefix {self.prefix!r} composes with "
+                f"file_date={self.file_date} into a filename whose first "
+                f"date-like token is "
+                f"{probe.group(1) if probe else 'unparseable'!r} — the "
+                "reader takes the FIRST date in the filename, so this "
+                "write could not be read back correctly"
             )
         self.overwrite = overwrite
         self.fields = [f.name for f in schema.fields if f.name not in _META]
@@ -232,10 +259,24 @@ class BsonDumpWriter(DataSourceWriter):
         return BsonWriterCommitMessage(temp, final, n)
 
     def commit(self, messages) -> None:
+        keep = {
+            os.path.basename(m.temp)
+            for m in messages
+            if m is not None and m.rows
+        }
         if self.overwrite:
             for fname in os.listdir(self.path):
-                if fname.endswith(".bson"):
-                    os.unlink(os.path.join(self.path, fname))
+                # delete only what the READER considers part of the
+                # dataset (dated .bson) — an undated 'notes.bson' some
+                # other tool parked here was never read and must not be
+                # destroyed; also purge stale .inprogress temps from
+                # tasks that died mid-write in EARLIER jobs (they never
+                # reported a commit message, so abort couldn't see them)
+                full = os.path.join(self.path, fname)
+                if fname.endswith(".bson") and FILE_DATE_RE.search(fname):
+                    os.unlink(full)
+                elif fname.endswith(".bson.inprogress") and fname not in keep:
+                    os.unlink(full)
         for m in messages:
             if m is not None and m.rows:
                 os.replace(m.temp, m.final)

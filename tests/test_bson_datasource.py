@@ -183,3 +183,83 @@ def test_bson_writer_commit_hygiene_and_option_validation(spark, tmp_path):
             .load(out)
             .count()
         )
+
+
+def test_bson_reader_empty_and_hostile_directories(spark, tmp_path):
+    """An empty (or undated-only, or bogus-dated) directory must read as
+    ZERO rows — a fresh pipeline run before any dumps arrive is routine,
+    and a foreign '9999-99-99' file from another tool must be skipped
+    like any undated file, not crash the whole load."""
+    from ght2dm_spark.sources.bson_datasource import BsonDataSource
+
+    spark.dataSource.register(BsonDataSource)
+    sch = "id bigint, file_date date, file_pos bigint, _corrupt string"
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert (
+        spark.read.format("ght2dm_bson").schema(sch).load(str(empty)).count()
+        == 0
+    )
+
+    hostile = tmp_path / "hostile"
+    hostile.mkdir()
+    (hostile / "notes.bson").write_bytes(b"\x01")  # undated
+    (hostile / "backup-9999-99-99.bson").write_bytes(b"\x01")  # not a date
+    assert (
+        spark.read.format("ght2dm_bson").schema(sch).load(str(hostile)).count()
+        == 0
+    )
+
+
+def test_bson_overwrite_scopes_to_dataset_and_purges_temps(spark, tmp_path):
+    """Overwrite must delete only what the reader considers the dataset
+    (dated .bson): an undated file another tool parked in the directory
+    survives, while stale .inprogress temps from dead tasks are purged."""
+    import os
+
+    from ght2dm_spark.sources.bson_datasource import BsonDataSource
+
+    spark.dataSource.register(BsonDataSource)
+    out = tmp_path / "dumps"
+    out.mkdir()
+    (out / "notes.bson").write_bytes(b"\x01")  # NOT part of the dataset
+    stale = out / "users-2020-01-01-part00000-dead.bson.inprogress"
+    stale.write_bytes(b"\x01")  # dead task's temp from an earlier job
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, login string")
+    df.write.format("ght2dm_bson").option("file_date", "2020-05-17").option(
+        "prefix", "users"
+    ).mode("append").save(str(out))
+    df.write.format("ght2dm_bson").option("file_date", "2020-05-18").option(
+        "prefix", "users"
+    ).mode("overwrite").save(str(out))
+
+    names = sorted(os.listdir(out))
+    assert "notes.bson" in names, "undated bystander must survive overwrite"
+    assert not any(n.endswith(".inprogress") for n in names), (
+        "stale temps purge on overwrite"
+    )
+    dated = [n for n in names if n.endswith(".bson") and "2020-05-1" in n]
+    assert all("2020-05-18" in n for n in dated), "old dataset replaced"
+
+
+def test_bson_writer_rejects_uncomposable_names(spark, tmp_path):
+    """file_date must be a REAL calendar date (2020-99-99 wrote fine,
+    then bricked every read), and a prefix that composes with the date
+    into a different first date-like token must be rejected (it would
+    silently mis-stamp file_date on read-back)."""
+    import pytest
+
+    from ght2dm_spark.sources.bson_datasource import BsonDataSource
+
+    spark.dataSource.register(BsonDataSource)
+    df = spark.createDataFrame([(1, "a")], "id bigint, login string")
+    with pytest.raises(Exception, match="calendar"):
+        df.write.format("ght2dm_bson").option("file_date", "2020-99-99").mode(
+            "append"
+        ).save(str(tmp_path / "bad_cal"))
+    with pytest.raises(Exception, match="first"):
+        df.write.format("ght2dm_bson").option("prefix", "logs-2024-07").option(
+            "file_date", "2020-05-17"
+        ).mode("append").save(str(tmp_path / "bad_prefix"))
