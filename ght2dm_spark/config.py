@@ -156,7 +156,6 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
     log = logging.getLogger(__name__)
     out = Path(cfg.output_dir)
     written: dict[str, str] = {}
-    state: dict = {}
     prepared = []
     # latest STAGED manifest per table this run — a later folder of the
     # same entity must read and chain onto the run's own staging, not the
@@ -193,6 +192,17 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
             log.info("wrote %s: %d rows (%s)", name, obs.get["n_rows"], mode)
         written[name] = p
 
+    def _write_rejects(name, df):
+        """Rejects have no key, so an incremental rerun — which rescans
+        every file and re-emits every reject — would append the same
+        rows again on each run.  exceptAll against the existing snapshot
+        (NULL-safe, multiplicity-exact) keeps one copy per actual
+        occurrence, mirroring what the keyed tables' anti-joins do."""
+        ex = _existing(name)
+        if ex is not None and set(df.columns) <= set(ex.columns):
+            df = df.exceptAll(ex.select(*df.columns))
+        _write(name, df)
+
     def _existing(name):
         if name in staged:
             # this run already staged the table — read the staged
@@ -204,14 +214,15 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
         return read_snapshot(spark, str(out / name))
 
     def _dim(name):
-        """Dimension table for a relation import: the in-run state when
-        an earlier folder produced it, else the COMMITTED snapshot (an
-        incremental run whose config lists only org_members /
-        repo_collaborators is legitimate — the reference resolves
-        relation FKs against the persistent tables, ght2dm.go:814-960).
-        A clear error beats the KeyError this used to raise."""
-        if name in state:
-            return state[name]
+        """Dimension table for a relation import: this run's STAGED
+        parquet when an earlier folder produced it, else the COMMITTED
+        snapshot (an incremental run whose config lists only
+        org_members / repo_collaborators is legitimate — the reference
+        resolves relation FKs against the persistent tables,
+        ght2dm.go:814-960).  Reading the staged files — not the raw
+        decode lineage the old in-memory state carried — means the
+        relation join broadcasts a plain parquet scan of data already
+        on disk."""
         ex = _existing(name)
         if ex is None:
             raise ValueError(
@@ -229,17 +240,22 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
         mx = df.agg(F.max("id")).collect()[0][0]
         return (mx or 0) + 1
 
-    def _union(new, existing):
-        return new if existing is None else existing.unionByName(new)
+    # validate EVERY folder before any staging work: a typo in the last
+    # folder must fail in milliseconds, not after hours of decode/dedup
+    # on the earlier ones (whose staged output would become vacuum
+    # garbage)
+    for folder in cfg.folders:
+        if os.path.basename(os.path.normpath(folder)) not in ENTITIES:
+            raise ValueError(f"unknown entity folder: {folder}")
 
     for folder in cfg.folders:
         entity = os.path.basename(os.path.normpath(folder))
-        if entity not in ENTITIES:
-            raise ValueError(f"unknown entity folder: {folder}")
         if entity == "users":
-            good, rej = split_rejects(
-                read_bson_dumps(spark, folder, _users_schema())
-            )
+            # one persisted decode per folder: the keyed branch, the
+            # org/user split, and the rejects write otherwise each
+            # re-run the full binaryFile + BSON decode
+            raw = read_bson_dumps(spark, folder, _users_schema()).persist()
+            good, rej = split_rejects(raw)
             ex_u, ex_o = _existing("gh_users"), _existing("gh_organizations")
             res = import_users(
                 good,
@@ -249,19 +265,18 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
                 user_key_start=_next_key(ex_u),
                 org_key_start=_next_key(ex_o),
             )
-            # relations later in this run resolve against old + new dims
-            state["gh_users"] = _union(res.gh_users, ex_u)
-            state["gh_organizations"] = _union(res.gh_organizations, ex_o)
             for n in ("users", "gh_users", "gh_organizations"):
                 _write(n, getattr(res, n))
-            _write("rejects_users", res.rejects.unionByName(rej, allowMissingColumns=True))
-        elif entity == "repos":
-            good, rej = split_rejects(
-                read_bson_dumps(
-                    spark, folder, _repos_schema(),
-                    flatten={"owner_login": ("owner", "login")},
-                )
+            _write_rejects(
+                "rejects_users",
+                res.rejects.unionByName(rej, allowMissingColumns=True),
             )
+        elif entity == "repos":
+            raw = read_bson_dumps(
+                spark, folder, _repos_schema(),
+                flatten={"owner_login": ("owner", "login")},
+            ).persist()
+            good, rej = split_rejects(raw)
             ex_r, ex_g = _existing("repositories"), _existing("gh_repositories")
             res = import_repos(
                 good,
@@ -269,38 +284,37 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
                 existing_gh_repositories=ex_g,
                 key_start=_next_key(ex_r),
             )
-            state["repositories"] = _union(res.repositories, ex_r)
-            state["gh_repositories"] = _union(res.gh_repositories, ex_g)
             _write("repositories", res.repositories)
             _write("gh_repositories", res.gh_repositories)
-            _write("rejects_repos", rej)
+            _write_rejects("rejects_repos", rej)
         elif entity == "org_members":
-            good, rej = split_rejects(
-                read_bson_dumps(spark, folder, _members_schema())
-            )
+            raw = read_bson_dumps(spark, folder, _members_schema()).persist()
+            good, rej = split_rejects(raw)
             res = import_org_members(
                 good, _dim("gh_users"), _dim("gh_organizations"),
                 existing=_existing("gh_users_organizations"),
             )
             _write("gh_users_organizations", res.gh_users_organizations)
-            _write(
+            _write_rejects(
                 "rejects_org_members",
                 res.rejects.unionByName(rej, allowMissingColumns=True),
             )
         elif entity == "repo_collaborators":
-            good, rej = split_rejects(
-                read_bson_dumps(spark, folder, _collabs_schema())
-            )
+            raw = read_bson_dumps(spark, folder, _collabs_schema()).persist()
+            good, rej = split_rejects(raw)
             res = import_repo_collaborators(
                 good, _dim("gh_users"), _dim("repositories"),
                 _dim("gh_repositories"),
                 existing=_existing("users_repositories"),
             )
-            _write("users_repositories", res.gh_users_organizations)
-            _write(
+            _write("users_repositories", res.users_repositories)
+            _write_rejects(
                 "rejects_repo_collaborators",
                 res.rejects.unionByName(rej, allowMissingColumns=True),
             )
+        # staging writes above already ran their jobs — the folder's
+        # decode cache has served all its consumers
+        raw.unpersist()
     # every table staged — publish all snapshots in one tight loop
     for p in prepared:
         commit(p)

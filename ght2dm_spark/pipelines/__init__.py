@@ -3,6 +3,7 @@
 
 from ght2dm_spark.pipelines.ghtorrent import (
     OrgMembersResult,
+    RepoCollaboratorsResult,
     ReposResult,
     UsersResult,
     import_org_members,
@@ -13,6 +14,7 @@ from ght2dm_spark.pipelines.ghtorrent import (
 
 __all__ = [
     "OrgMembersResult",
+    "RepoCollaboratorsResult",
     "ReposResult",
     "UsersResult",
     "import_org_members",

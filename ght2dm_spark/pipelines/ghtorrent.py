@@ -312,13 +312,18 @@ def import_org_members(
     return OrgMembersResult(pairs, rejects)
 
 
+class RepoCollaboratorsResult(NamedTuple):
+    users_repositories: DataFrame
+    rejects: DataFrame
+
+
 def import_repo_collaborators(
     raw: DataFrame,
     gh_users: DataFrame,
     repositories: DataFrame,
     gh_repositories: DataFrame,
     existing: DataFrame | None = None,
-) -> OrgMembersResult:
+) -> RepoCollaboratorsResult:
     """Entry point D-2 (``ght2dm.go:814-960``): key concat P6
     (owner || '/' || repo), resolve login → gh_users.id (which the
     reference binds as users_repositories.user_id — see module doc) and
@@ -345,4 +350,4 @@ def import_repo_collaborators(
     pairs = good.select("user_id", "repository_id").distinct()
     if existing is not None:
         pairs = anti_join(pairs, existing, ["user_id", "repository_id"])
-    return OrgMembersResult(pairs, rejects)
+    return RepoCollaboratorsResult(pairs, rejects)

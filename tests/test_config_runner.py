@@ -437,3 +437,71 @@ def test_concurrent_commit_conflict_detected_and_retry_merges(
 
     # force=True restores last-writer-wins for whole-table replacement
     commit(prepare_commit(base, table), force=False)
+
+
+def test_incremental_rerun_does_not_duplicate_rejects(spark, tmp_path):
+    """Rejects have no key, so a rescan re-emits them verbatim; the
+    runner must not append the same reject rows again on every
+    incremental rerun (audit counts would inflate per run)."""
+    import dataclasses
+    import json as _json
+
+    root = tmp_path / "ght"
+    users = root / "users"
+    users.mkdir(parents=True)
+    (users / "2014-01-01.bson").write_bytes(
+        b"".join(
+            enc_doc(x)
+            for x in [
+                {"id": 1, "login": "alice", "type": "User",
+                 "created_at": "2013-01-01 00:00:00"},
+                {"id": 7, "login": "hal", "type": "Robot",
+                 "created_at": "2013-01-01 00:00:00"},  # type-split reject
+            ]
+        )
+    )
+    out = tmp_path / "out"
+    cfgp = tmp_path / "cfg.json"
+    cfgp.write_text(
+        _json.dumps({"folders": [str(users)], "output_dir": str(out)})
+    )
+    cfg = read_config(str(cfgp))
+    run_from_config(spark, cfg)
+    r1 = read_snapshot(spark, f"{out}/rejects_users").count()
+    assert r1 >= 1
+
+    inc = dataclasses.replace(cfg, incremental=True)
+    run_from_config(spark, inc)
+    assert read_snapshot(spark, f"{out}/rejects_users").count() == r1
+
+    # a NEW dump with a new reject still lands exactly once
+    (users / "2014-02-01.bson").write_bytes(
+        enc_doc({"id": 8, "login": "r2", "type": "Robot",
+                 "created_at": "2014-01-01 00:00:00"})
+    )
+    run_from_config(spark, inc)
+    assert read_snapshot(spark, f"{out}/rejects_users").count() == r1 + 1
+    run_from_config(spark, inc)
+    assert read_snapshot(spark, f"{out}/rejects_users").count() == r1 + 1
+
+
+def test_bad_folder_fails_before_any_staging(spark, tmp_path):
+    """A typo in the LAST folder must fail before the first folder's
+    decode/stage work starts, not after it."""
+    import json as _json
+
+    import pytest
+
+    root = tmp_path / "ght"
+    users = root / "users"
+    bogus = root / "userz"
+    users.mkdir(parents=True)
+    bogus.mkdir()
+    out = tmp_path / "out"
+    cfgp = tmp_path / "cfg.json"
+    cfgp.write_text(
+        _json.dumps({"folders": [str(users), str(bogus)], "output_dir": str(out)})
+    )
+    with pytest.raises(ValueError, match="unknown entity"):
+        run_from_config(spark, read_config(str(cfgp)))
+    assert not (out / "users").exists(), "no staging before validation"

@@ -453,7 +453,7 @@ def test_org_members_table(etl):
 def test_users_repositories_table(etl):
     spark, con, res = etl
     assert_oracle_match(
-        res["collabs"].gh_users_organizations,
+        res["collabs"].users_repositories,
         con,
         """SELECT DISTINCT u.uid AS user_id, r.rid AS repository_id
            FROM gh_repo_collaborators_raw c
@@ -475,7 +475,7 @@ def test_invariants(etl):
     # FKs resolve
     mem = res["members"].gh_users_organizations
     assert mem.join(ghu.select(F.col("id").alias("gh_user_id")), "gh_user_id", "left_anti").count() == 0
-    ur = res["collabs"].gh_users_organizations
+    ur = res["collabs"].users_repositories
     assert ur.join(repos.select(F.col("id").alias("repository_id")), "repository_id", "left_anti").count() == 0
 
 
