@@ -20,6 +20,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Deduplicated bidirectional (a, b) edge list — the shared
+    expansion bfs_levels and pagerank both run (one definition, so a
+    future fix like null-endpoint filtering cannot silently diverge)."""
+    return (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star: every node u connects its strictly-larger neighbors to
     m(u) = min(N(u) ∪ {u}).  Keeps all inter-component links while
@@ -30,11 +41,12 @@ def _large_star(e: DataFrame) -> DataFrame:
         .agg(F.min("b").alias("mn"))
         .select("a", F.least("mn", "a").alias("m"))
     )
+    # no self-loop filter needed: rows kept have b > a >= m, so the
+    # emitted (a'=b, b'=m) always has a' > b'
     return (
         bidir.join(mins, "a")
         .filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
-        .filter(F.col("a") != F.col("b"))
         .distinct()
     )
 
@@ -146,17 +158,19 @@ def bfs_levels(
     """
     # Materialize the deduped bidirectional edge list ONCE — every round
     # joins it, and without the cache each round would replay the
-    # union+distinct over the raw edges.
-    both = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # union+distinct over the raw edges.  Pre-partitioned on the join
+    # key so rounds reuse the cached partitioning (the pagerank note).
+    both = _symmetrize(edges, src, dst).repartition("a").cache()
+    # Levels are localCheckpoint-ed (eager — the materialization doubles
+    # as the empty-frontier check's action), NOT cached: checkpointed
+    # frames stand alone, so the edge cache can be released before
+    # return instead of leaking per-level cache entries for the session
+    # lifetime (the result frame still references the level frames).
+    frontier = (
+        seeds.select(F.col(node_col).alias("node"))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    frontier = seeds.select(F.col(node_col).alias("node")).distinct().cache()
-    frontier.count()
-    # One cached frame per level; the anti-join unions them lazily (each
-    # is already materialized) so a round costs ONE action, not two.
     levels = [frontier.withColumn("level", F.lit(0))]
 
     for lvl in range(1, max_level + 1):
@@ -169,10 +183,9 @@ def bfs_levels(
             .distinct()
             .join(seen, "node", "left_anti")
             .withColumn("level", F.lit(lvl))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         if nxt.count() == 0:
-            nxt.unpersist()
             break
         levels.append(nxt)
         frontier = nxt.select("node")
@@ -231,13 +244,7 @@ def pagerank(
     # edges⋈ranks join would re-shuffle all |E| rows; partitioned on
     # ``a`` the cached scan's output partitioning satisfies the join and
     # only the |V|-row rank frame moves per round.
-    both = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .repartition("a")
-        .cache()
-    )
+    both = _symmetrize(edges, src, dst).repartition("a").cache()
     # deg ⋈ ranks pre-join: both are |V|-row frames keyed on the node,
     # fusing them means ONE small frame joins the edges each round
     deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("od")).cache()
@@ -346,7 +353,11 @@ def bellman_ford(
     lineage flat.
     """
     spark = edges.sparkSession
-    e = edges.select(src, dst, weight).cache()
+    # partitioned on the per-round join key, so the cached scan
+    # satisfies the join and only the |V|-row distance frame moves
+    # (without it every round re-shuffles all |E| cached rows — the
+    # exact problem pagerank's edge cache documents)
+    e = edges.select(src, dst, weight).repartition(src).cache()
     dist = spark.createDataFrame([(source, 0)], "node bigint, dist bigint")
     for _ in range(rounds):
         cand = dist.join(e, dist["node"] == e[src]).select(
@@ -360,6 +371,8 @@ def bellman_ford(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
+    # the final frame is checkpointed — it no longer needs the cache
+    e.unpersist()
     return dist.select("node", "dist")
 
 
@@ -411,7 +424,7 @@ def label_propagation(
     via the left join (it previously vanished from the output).  For
     the symmetrized input the callers pass, both changes are identity.
     """
-    e = edges.select(src, dst).cache()
+    e = edges.select(src, dst).repartition(dst).cache()
     nodes = (
         e.select(F.col(src).alias("node"))
         .unionAll(e.select(F.col(dst).alias("node")))
@@ -444,4 +457,7 @@ def label_propagation(
             )
             .localCheckpoint(eager=True)
         )
+    # labels is checkpointed — release the edge cache instead of
+    # pinning |E| rows in executor storage for the session lifetime
+    e.unpersist()
     return labels
