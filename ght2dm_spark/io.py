@@ -38,11 +38,19 @@ TABLES = (
 FILE_DATE_PATTERN = r"(\d{4}-\d{2}-\d{2})"
 
 
-#: per-session DataFrame cache — a DataFrame is a plan, not data, so caching
-#: the object just avoids re-running footer/schema jobs per query build.
-#: Keyed on the live session via weakref (not id(): recycled ids after GC
-#: could hand a new session a plan bound to a dead one).
-_table_cache: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+def _table_cache(spark) -> dict:
+    """Per-session DataFrame cache — a DataFrame is a plan, not data, so
+    caching the object just avoids re-running footer/schema jobs per
+    query build.  Stored ON the session object: a module-level
+    WeakKeyDictionary can never evict here, because the cached
+    DataFrames hold their session strongly (value→key reference), so
+    every stopped session and its plans would leak for the process
+    lifetime; an attribute's lifetime is exactly the session's."""
+    cache = getattr(spark, "_ght2dm_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._ght2dm_table_cache = cache
+    return cache
 
 # Weak set, not id()-keyed: CPython recycles ids after GC, so an id memo
 # could mistake a brand-new session for an already-configured dead one and
@@ -98,7 +106,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     engines see identical values.
     """
     ensure_session_conf(spark)
-    per_session = _table_cache.setdefault(spark, {})
+    per_session = _table_cache(spark)
     key = (sf_dir, name)
     if key in per_session:
         return per_session[key]
@@ -107,9 +115,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         schema, ns_ts = events_read_schema(path)
+    elif name in TESTDATA:
+        schema, ns_ts = TESTDATA[name], False
     else:
-        schema, ns_ts = TESTDATA.get(name), False
-    df = (spark.read.schema(schema) if schema is not None else spark.read).parquet(path)
+        # a typo must be an immediate error naming the table, not a
+        # silent schema-INFERENCE job whose types can drift from the
+        # declared ones (the module contract: no inference, SURVEY §1.3)
+        raise ValueError(
+            f"unknown testdata table {name!r} — declared tables: "
+            f"{sorted(TESTDATA)}"
+        )
+    df = spark.read.schema(schema).parquet(path) if schema is not None else (
+        spark.read.parquet(path)
+    )
     if ns_ts:
         df = df.withColumn("ts", normalize_ns_ts("ts"))
     per_session[key] = df
@@ -143,10 +161,16 @@ def events_read_schema(path: str):
 
 def normalize_ns_ts(col_name: str):
     """TIMESTAMP(NANOS)-as-long → TIMESTAMP_NTZ, truncating to micros
-    exactly like DuckDB's nanos→micros cast.  Integer ``div`` (never
-    float division — ns epochs exceed double's 2^53 exact range); NTZ
-    (not LTZ) so collected values don't shift with the verifying
-    process's time zone."""
+    exactly like DuckDB's nanos→micros cast on the PARQUET path.
+    Probed (pyarrow timestamp('ns') parquet → `CAST(ts AS TIMESTAMP)`):
+    DuckDB truncates toward zero for pre-epoch values (-877 ns →
+    1970-01-01 00:00:00, -1999 ns → 23:59:59.999999), which is exactly
+    Spark's integer ``div`` — so ``div`` IS the parity-correct form.
+    (DuckDB's STRING-literal timestamp_ns cast floors instead; that
+    path never feeds the oracle, which reads parquet views.)  Integer
+    ``div``, never float division — ns epochs exceed double's 2^53
+    exact range; NTZ (not LTZ) so collected values don't shift with the
+    verifying process's time zone."""
     return F.expr(f"timestamp_micros({col_name} div 1000)").cast("timestamp_ntz")
 
 
@@ -203,11 +227,21 @@ def read_dated_dumps(spark: SparkSession, path: str, schema=None) -> DataFrame:
     # newest-wins precedence (.../snapshot-2023-05-01/2024-03-01.parquet
     # must be 2024-03-01).  Paths with no date anywhere are SKIPPED
     # (ght2dm.go:1027), not crashed on — hence the try_element_at NULL.
+    # Documented trade of the rightmost rule: an UNDATED file under a
+    # dated directory inherits the directory's date — necessarily, since
+    # parquet part files are themselves undated; a stray undated file
+    # parked inside a dated batch dir is structurally indistinguishable
+    # from a part file and is ingested with that date (the reference,
+    # matching single .bson basenames only, would skip it).
     dates = F.regexp_extract_all(
         F.input_file_name(), F.lit(FILE_DATE_PATTERN), F.lit(1)
     )
+    # try_to_date, not to_date: under ANSI mode (the Spark 4 default) a
+    # date-SHAPED but non-calendar token ('1234-56-78' carved out of a
+    # longer digit run by the unanchored pattern) would otherwise crash
+    # the whole read; the skip contract wants NULL → filtered.
     return df.withColumn(
-        "file_date", F.to_date(F.try_element_at(dates, F.lit(-1)))
+        "file_date", F.try_to_date(F.try_element_at(dates, F.lit(-1)))
     ).filter(F.col("file_date").isNotNull())
 
 
@@ -305,24 +339,6 @@ def compact_table(
     return len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )
-
-
-def zorder_key(a, b, bits: int = 16):
-    """Z-order (Morton) key: interleave the low ``bits`` bits of two
-    non-negative int columns — bit i of ``a`` lands at position 2i+1,
-    bit i of ``b`` at 2i.  Locality in the key ⇒ locality in BOTH
-    dimensions, which is what makes multi-column min/max pruning work
-    (a linear sort clusters only its leading column).  Delegates to the
-    magic-mask spread in ``operators.layout`` (the single Morton
-    implementation — the DuckDB-oracle-checked ``t1_zorder_cluster``
-    runs the same arithmetic)."""
-    if bits > 16:
-        raise ValueError("zorder_key interleaves at most 16 bits per column")
-    from ght2dm_spark.operators.layout import zorder_key_cols
-
-    a = F.col(a) if isinstance(a, str) else a
-    b = F.col(b) if isinstance(b, str) else b
-    return zorder_key_cols(b, a)
 
 
 def write_zorder_clustered(
