@@ -61,7 +61,16 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+    """Cosine similarity with an explicit zero-norm guard: a zero (or
+    corrupt all-zero) vector makes the denominator exactly 0.0, which
+    under ANSI Spark (the 4.x default) is a DIVIDE_BY_ZERO error that
+    aborts the whole query — while DuckDB's IEEE division yields NaN.
+    Both engines now emit NaN for that row (see cosine_sql), so one bad
+    embedding degrades one row instead of killing the job."""
+    denom = F.sqrt(dot(a, a) * dot(b, b))
+    return F.when(denom == 0.0, F.lit(float("nan"))).otherwise(
+        dot(a, b) / denom
+    )
 
 
 def dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
@@ -73,9 +82,11 @@ def dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
 
 
 def cosine_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """DuckDB mirror of :func:`cosine`, zero-norm guard included."""
+    denom = f"sqrt({dot_sql(a, a, dim)} * {dot_sql(b, b, dim)})"
     return (
-        f"({dot_sql(a, b, dim)} / "
-        f"sqrt({dot_sql(a, a, dim)} * {dot_sql(b, b, dim)}))"
+        f"(CASE WHEN {denom} = 0 THEN CAST('nan' AS DOUBLE) "
+        f"ELSE {dot_sql(a, b, dim)} / {denom} END)"
     )
 
 
@@ -111,12 +122,46 @@ def srp_bucket_sql(
     return " || ".join(bits)
 
 
-def srp_margins(vec: Column, planes: int = 8, dim: int = EMB_DIM) -> Column:
+def srp_projections(
+    vec: Column, planes: int = 8, dim: int = EMB_DIM, seed: str = "srp-v1"
+) -> Column:
+    """Signed hyperplane projections as ONE array column.  Compute this
+    once with ``withColumn`` and derive BOTH the bucket code
+    (:func:`srp_bucket_from`) and the margins from it — srp_bucket +
+    srp_margins as separate calls each build their own 8×64-literal
+    expression trees, doubling the plan for multi-probe queries."""
+    m = sign_matrix(planes, dim, seed)
+    return F.array(
+        *[
+            dot(as_double(vec), F.array(*[F.lit(v) for v in m[p]]))
+            for p in range(planes)
+        ]
+    )
+
+
+def srp_bucket_from(projs: Column, planes: int = 8) -> Column:
+    """Bucket code derived from :func:`srp_projections` output."""
+    return F.concat(
+        *[
+            F.when(F.element_at(projs, p + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for p in range(planes)
+        ]
+    )
+
+
+def srp_margins(
+    vec: Column, planes: int = 8, dim: int = EMB_DIM, seed: str = "srp-v1"
+) -> Column:
     """Absolute projection margin per hyperplane, as an array aligned with
     the bucket-code bit order.  The smallest margin marks the bit most
     likely to be on the wrong side of its hyperplane — the bit that
-    query-directed multi-probe LSH (Lv et al., VLDB'07) flips first."""
-    m = sign_matrix(planes, dim)
+    query-directed multi-probe LSH (Lv et al., VLDB'07) flips first.
+    ``seed`` must match the srp_bucket family being probed (margins
+    against the wrong hyperplanes would flip a geometrically meaningless
+    bit and silently degrade recall)."""
+    m = sign_matrix(planes, dim, seed)
     projs = []
     for p in range(planes):
         w = F.array(*[F.lit(v) for v in m[p]])
@@ -124,10 +169,12 @@ def srp_margins(vec: Column, planes: int = 8, dim: int = EMB_DIM) -> Column:
     return F.array(*projs)
 
 
-def srp_margins_sql(vec: str, planes: int = 8, dim: int = EMB_DIM) -> str:
+def srp_margins_sql(
+    vec: str, planes: int = 8, dim: int = EMB_DIM, seed: str = "srp-v1"
+) -> str:
     """DuckDB mirror of :func:`srp_margins` (same fold → bit-identical
     doubles → both engines pick the same flip bit)."""
-    m = sign_matrix(planes, dim)
+    m = sign_matrix(planes, dim, seed)
     projs = []
     for p in range(planes):
         w = "[" + ", ".join(str(v) for v in m[p]) + "]::DOUBLE[]"
@@ -157,7 +204,15 @@ def topk_neighbors(
     Deterministic: ties in cosine break by neighbor id.
     """
     joined = (
+        # dropDuplicates BEFORE scoring: a queries side carrying multiple
+        # probe rows per query (multi-probe, banded codes) can match the
+        # same corpus row through two probes — scored twice it would
+        # occupy two of the k rank slots and evict a real neighbor.  The
+        # duplicate rows are identical after this projection, so the pick
+        # is deterministic.
         corpus.join(F.broadcast(queries), pre_join)
+        .select(q_id, c_id, q_vec, c_vec)
+        .dropDuplicates([q_id, c_id])
         if pre_join
         else corpus.crossJoin(F.broadcast(queries))
     )

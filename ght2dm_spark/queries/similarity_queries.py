@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
 from ght2dm_spark.operators.similarity import (
+    srp_bucket_from,
+    srp_projections,
     EMB_DIM,
     as_double,
     cosine,
@@ -142,13 +144,17 @@ def t1_ann_lsh_multiprobe(spark, sf_dir):
     oracle-checkable."""
     e = load_table(spark, sf_dir, "embeddings")
     withb = e.withColumn("bucket", srp_bucket(F.col("embedding")))
+    # ONE projections array per query row; bucket and margins both derive
+    # from it — separate srp_bucket + srp_margins calls would each embed
+    # their own 8×64-literal expression tree (plan doubled for nothing)
     q1 = (
         withb.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("__projs", srp_projections(F.col("embedding")))
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_vec"),
-            "bucket",
-            srp_margins(F.col("embedding")).alias("margins"),
+            srp_bucket_from(F.col("__projs")).alias("bucket"),
+            F.transform("__projs", lambda x: F.abs(x)).alias("margins"),
         )
         .withColumn("fidx", F.expr("array_position(margins, array_min(margins))"))
     )
@@ -605,7 +611,7 @@ _KNN_K = 5
     SELECT p.q_id, p.predicted, t.lang AS actual,
            CAST(p.predicted = t.lang AS BOOLEAN) AS correct
     FROM pred p JOIN lab t ON t.doc_id = p.q_id
-    """.format(cos="(list_reduce(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)), (x, y) -> x + y) / sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)), (x, y) -> x + y) * list_reduce(list_transform(range(1, 65), i -> CAST(c_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)), (x, y) -> x + y)))"),
+    """.format(cos=_KNN_COS_SQL),
 )
 def t1_knn_classify(spark, sf_dir):
     """k-NN label prediction in the embedding space (the classic

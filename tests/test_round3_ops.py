@@ -508,3 +508,42 @@ def test_multimodal_keep_empty_list_means_no_kept_columns(spark):
     out = decode_meta(df, keep=[])
     assert out.columns == ["content_len", "format", "width", "height", "digest"]
     assert out.count() == 1
+
+
+def test_cosine_zero_vector_degrades_to_nan_not_crash(spark):
+    """A zero (or corrupt all-zero) embedding must yield NaN for its
+    rows — matching DuckDB's IEEE division — instead of an ANSI
+    DIVIDE_BY_ZERO aborting the whole query."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.operators.similarity import as_double, cosine
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0], [0.0, 0.0])],
+        "id long, a array<double>, b array<double>",
+    ).withColumn("cos", cosine(as_double(F.col("a")), as_double(F.col("b"))))
+    got = {r.id: r.cos for r in df.collect()}
+    assert got[1] == 1.0
+    assert math.isnan(got[2])
+
+
+def test_topk_neighbors_dedups_multi_probe_matches(spark):
+    """A corpus row reachable through TWO probe rows of the same query
+    must occupy ONE rank slot, not two (duplicate would evict a real
+    neighbor)."""
+    from ght2dm_spark.operators.similarity import topk_neighbors
+
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0], "b1"), (100, [1.0, 0.0], "b2")],
+        "q_id long, q_vec array<double>, bucket string",
+    )
+    c = spark.createDataFrame(
+        [(1, [1.0, 0.0], "b1"), (1, [1.0, 0.0], "b2"), (2, [0.9, 0.1], "b1")],
+        "c_id long, c_vec array<double>, bucket string",
+    )
+    out = topk_neighbors(q, c, k=2, pre_join=["bucket"]).collect()
+    pairs = [(r.q_id, r.c_id, r.rank) for r in out]
+    assert len(pairs) == 2
+    assert (100, 1, 1) in pairs and (100, 2, 2) in pairs
