@@ -39,6 +39,16 @@ STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in", "is")
 BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
+#: ENGINE-PARITY CONTRACT for every builder here (and the query sites
+#: that inline the same expressions): Spark's Java regex \s includes
+#: vertical tab U+000B, DuckDB's RE2 \s does not; and Spark's lower()
+#: applies full Unicode case mapping (U+0130 'İ' → 'i'+U+0307) where
+#: DuckDB's utf8proc applies simple per-codepoint mapping.  The driver
+#: corpus is plain ASCII, so neither path is reachable in the oracle
+#: gate; a corpus that can carry \v or special-cased Unicode needs a
+#: pre-normalization pass applied identically on BOTH sides.
+
+
 def ws_tokens(col: Column | str) -> Column:
     """Whitespace tokens (empty-string artifacts of repeated separators
     removed so counts match intuition and the oracle)."""
@@ -55,7 +65,12 @@ def bpe_tokens(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    return F.size(ws_tokens(col))
+    """NULL text → NULL count.  The explicit guard makes the value
+    independent of spark.sql.legacy.sizeOfNull / ANSI mode — without it
+    a legacy-mode session returns -1 where the oracle has NULL (the
+    lang_id docstring's hazard, closed here for counts too)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNotNull(), F.size(ws_tokens(c)))
 
 
 def avg_token_len(col: Column | str) -> Column:
@@ -86,10 +101,14 @@ def stopword_ratio(col: Column | str) -> Column:
 
 
 def lang_marker_hits(col: Column | str, lang: str) -> Column:
-    """Count of tokens that are marker words for ``lang``."""
-    toks = ws_tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    """Count of tokens that are marker words for ``lang``; NULL text →
+    NULL (config-independent — the token_count note)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = ws_tokens(F.lower(c))
     markers = LANG_MARKERS[lang]
-    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    return F.when(
+        c.isNotNull(), F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    )
 
 
 def lang_id(col: Column | str) -> Column:
@@ -120,7 +139,7 @@ def content_fingerprint(col: Column | str) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
 
 
-def rolling_min_fingerprint(col: Column | str, gram: int = 8) -> Column:
+def rolling_min_fingerprint(col: str, gram: int = 8) -> Column:
     """Rolling-hash document fingerprint: min md5 over all ``gram``-char
     windows of the text (a 1-hash winnowing sketch).  Robust to local
     edits away from the minimizing window; NULL for docs shorter than
@@ -130,7 +149,11 @@ def rolling_min_fingerprint(col: Column | str, gram: int = 8) -> Column:
     not empty like DuckDB's end-exclusive range, so the short-doc case
     needs the explicit guard below or a sub-``gram`` document would
     fingerprint its whole text and diverge from the oracle."""
-    name = _name(col, F.col(col) if isinstance(col, str) else col)
+    if gram < 1:
+        # gram=0 would pass the length guard for EVERY doc (including
+        # '') and fingerprint them all to md5('') — universal duplicates
+        raise ValueError(f"gram must be >= 1, got {gram}")
+    name = _name(col)
     return F.expr(
         f"CASE WHEN char_length({name}) >= {gram} THEN "
         f"array_min(transform(sequence(1, char_length({name}) - {gram - 1}),"
@@ -138,7 +161,7 @@ def rolling_min_fingerprint(col: Column | str, gram: int = 8) -> Column:
     )
 
 
-def _name(orig: Column | str, col: Column) -> str:
+def _name(orig: Column | str) -> str:
     """SQL-fragment name for expr() builders — requires a plain column
     name (the F.expr-based builders only accept string column refs)."""
     if isinstance(orig, str):

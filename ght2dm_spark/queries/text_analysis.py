@@ -414,7 +414,7 @@ def t1_zipf_fit(spark, sf_dir):
     VOCABULARY (types, not tokens), and everything after runs on ≤ K
     rows per language."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = ws_tokens(F.lower("text"))
     tok = d.select("lang", F.explode(toks).alias("tok"))
     cnt = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
     from pyspark.sql import Window
