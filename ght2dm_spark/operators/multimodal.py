@@ -78,6 +78,32 @@ def _bmff_walk(b: bytes, lo: int, hi: int, path: tuple):
     return None
 
 
+def _bmff_walk_all(b: bytes, lo: int, hi: int, path: tuple):
+    """Yield EVERY (body, end) span reachable along ``path`` — the
+    multi-candidate form of :func:`_bmff_walk` for callers whose
+    requirement is deeper than the path itself (e.g. "an stbl that also
+    contains stsz AND stts"): the first stbl alone can satisfy the walk
+    yet lack the tables, shadowing a later complete trak."""
+    i = lo
+    while i + 8 <= hi:
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        typ = b[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > hi:
+                return
+            (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+            body = i + 16
+        if size < 8 or i + size > hi:
+            return
+        if typ == path[0]:
+            if len(path) == 1:
+                yield body, i + size
+            else:
+                yield from _bmff_walk_all(b, body, i + size, path[1:])
+        i += size
+
+
 def _wav_wrap(fmt: bytes, data: bytes) -> bytes:
     """RIFF/WAVE container around a fmt payload and a data chunk."""
     body = (
@@ -97,6 +123,23 @@ _JPEG_SOF = frozenset(
 )
 
 
+#: Declared-column range guards: container fields are UNSIGNED 32/64-bit,
+#: the decoded schemas are SIGNED int/long.  A crafted header whose field
+#: exceeds the signed range must become a NULL (reject the ROW) — fed to
+#: pandas' astype("Int32"/"Int64") it would instead raise and kill the
+#: whole task, the exact E1 violation these decoders promise not to have.
+_I32_MAX = 2**31 - 1
+_I64_MAX = 2**63 - 1
+
+
+def _i32(v):
+    return v if v is not None and 0 <= v <= _I32_MAX else None
+
+
+def _i64(v):
+    return v if v is not None and 0 <= v <= _I64_MAX else None
+
+
 def parse_image_header(b: bytes) -> tuple[str, int | None, int | None]:
     """Container-header image decode — (format, width, height) from raw
     bytes, pure Python, no codec library.  PNG reads the IHDR chunk
@@ -112,7 +155,9 @@ def parse_image_header(b: bytes) -> tuple[str, int | None, int | None]:
     if b[:8] == _PNG_SIG:
         if len(b) >= 24 and b[12:16] == b"IHDR":
             w, h = struct.unpack(">II", b[16:24])
-            return "png", w, h
+            # the PNG spec itself caps dims at 2^31-1; a larger value is
+            # a crafted header — NULL dims, never an Int32 cast error
+            return "png", _i32(w), _i32(h)
         return "png", None, None
     if b[:2] == b"\xff\xd8":
         i = 2
@@ -242,7 +287,11 @@ def parse_wav_header(b: bytes) -> tuple[str, int | None, int | None, int | None]
     while i + 8 <= n:
         cid = b[i : i + 4]
         (sz,) = struct.unpack("<I", b[i + 4 : i + 8])
-        if cid == b"fmt " and i + 8 + 12 <= n:
+        if cid == b"fmt " and sz >= 16 and i + 8 + 12 <= n:
+            # bound by the chunk's DECLARED size too: a truncated fmt
+            # (sz < 16) must not spill into the next chunk's header and
+            # report its bytes as sample rate (decode_wav_samples already
+            # checks len(body) >= 16 — keep the siblings consistent)
             _, channels, rate, byte_rate = struct.unpack(
                 "<HHII", b[i + 8 : i + 8 + 12]
             )
@@ -256,7 +305,7 @@ def parse_wav_header(b: bytes) -> tuple[str, int | None, int | None, int | None]
         if data_size is not None and byte_rate
         else None
     )
-    return "wav", channels, rate, dur
+    return "wav", channels, _i32(rate), _i64(dur)
 
 
 def wav_bytes(channels: int, rate: int, n_samples: int, bits: int = 16) -> bytes:
@@ -327,19 +376,23 @@ def parse_mp4_header(b: bytes) -> tuple[str, int | None, int | None, str | None]
     if span is None:
         return "mp4", None, None, brand
     lo, hi = span
-    if lo + 1 > len(b):
+    if lo + 1 > hi:
         return "mp4", None, None, brand
     version = b[lo]
-    try:
-        if version == 1:  # 64-bit creation/modification times + duration
-            timescale, duration = struct.unpack(">IQ", b[lo + 20 : lo + 32])
-        else:
-            timescale, duration = struct.unpack(">II", b[lo + 12 : lo + 20])
-    except struct.error:
-        return "mp4", None, None, brand
+    # bound the field reads by the BOX end, not the buffer: a truncated
+    # mvhd followed by a sibling box must parse as corrupt, not report
+    # the sibling's bytes as timescale/duration
+    if version == 1:  # 64-bit creation/modification times + duration
+        if lo + 32 > hi:
+            return "mp4", None, None, brand
+        timescale, duration = struct.unpack(">IQ", b[lo + 20 : lo + 32])
+    else:
+        if lo + 20 > hi:
+            return "mp4", None, None, brand
+        timescale, duration = struct.unpack(">II", b[lo + 12 : lo + 20])
     if not timescale:
         return "mp4", None, None, brand
-    return "mp4", timescale, duration * 1000 // timescale, brand
+    return "mp4", _i32(timescale), _i64(duration * 1000 // timescale), brand
 
 
 def mp4_bytes(timescale: int, duration: int, brand: str = "isom") -> bytes:
@@ -459,6 +512,11 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", every: int = 2, ke
     loop is exactly where a real demuxer would yield frames).  Output:
     keep cols + (frame_idx int, frame binary); NULL payloads emit no
     frames (like zero-length ones)."""
+    if every < 1:
+        # fail at BUILD time on the driver — every=0 would otherwise
+        # raise range()'s zero-step error inside an executor UDF, far
+        # from the call site (and negative values silently emit nothing)
+        raise ValueError(f"every must be >= 1, got {every}")
     if keep is None:
         keep = [c for c in df.columns if c != payload_col]
     kept_schema = ", ".join(
@@ -557,11 +615,17 @@ def decode_png_gray(b: bytes):
         i += 12 + ln
     if not w or not h or not idat:
         return None
+    stride = w + 1
+    # Decompression-bomb guard (the stsz lesson applied here): cap the
+    # pixel count a header may claim, and inflate AT MOST the bytes the
+    # declared geometry needs — a few-MB crafted IDAT can otherwise
+    # expand ~1000x and OOM the executor before any length check runs.
+    if w * h > 64_000_000:  # 64 MP ≈ 8k×8k, far above any fixture/corpus
+        return None
     try:
-        raw = zlib.decompress(idat)
+        raw = zlib.decompressobj().decompress(idat, stride * h)
     except zlib.error:
         return None
-    stride = w + 1
     if len(raw) < stride * h:
         return None
     out = np.zeros((h, w), dtype=np.uint8)
@@ -790,34 +854,40 @@ def parse_mp4_samples(b: bytes):
     executor."""
     if b is None or len(b) < 12 or b[4:8] != b"ftyp":
         return None
-    stbl = _bmff_walk(
+    # try EVERY stbl: the requirement is "stbl WITH stsz and stts", which
+    # is deeper than the path — the first trak's stbl may lack the
+    # tables (stripped/fragmented track) and must not shadow a later
+    # complete one.
+    for lo, hi in _bmff_walk_all(
         b, 0, len(b), (b"moov", b"trak", b"mdia", b"minf", b"stbl")
-    )
-    if stbl is None:
-        return None
-    lo, hi = stbl
+    ):
 
-    def leaf(typ: bytes):
-        span = _bmff_walk(b, lo, hi, (typ,))
-        return None if span is None else b[span[0] : span[1]]
+        def leaf(typ: bytes):
+            span = _bmff_walk(b, lo, hi, (typ,))
+            return None if span is None else b[span[0] : span[1]]
 
-    sz = leaf(b"stsz")
-    tt = leaf(b"stts")
-    if sz is None or tt is None or len(sz) < 12 or len(tt) < 8:
-        return None
-    fixed, n = struct.unpack(">II", sz[4:12])
-    if fixed:
-        total, mx = fixed * n, (fixed if n else None)
-    else:
-        if len(sz) < 12 + 4 * n:
+        sz = leaf(b"stsz")
+        tt = leaf(b"stts")
+        if sz is None or tt is None or len(sz) < 12 or len(tt) < 8:
+            continue
+        fixed, n = struct.unpack(">II", sz[4:12])
+        if fixed:
+            total, mx = fixed * n, (fixed if n else None)
+        else:
+            if len(sz) < 12 + 4 * n:
+                continue
+            sizes = struct.unpack(f">{n}I", sz[12 : 12 + 4 * n])
+            total, mx = sum(sizes), (max(sizes) if sizes else None)
+        (entries,) = struct.unpack(">I", tt[4:8])
+        if len(tt) < 8 + 8 * entries:
+            continue
+        dur = 0
+        for e in range(entries):
+            cnt, delta = struct.unpack(">II", tt[8 + 8 * e : 16 + 8 * e])
+            dur += cnt * delta
+        if _i64(total) is None or _i64(dur) is None:
+            # crafted u32×u32 products can exceed int64 — reject the row,
+            # never overflow the Arrow bigint conversion downstream
             return None
-        sizes = struct.unpack(f">{n}I", sz[12 : 12 + 4 * n])
-        total, mx = sum(sizes), (max(sizes) if sizes else None)
-    (entries,) = struct.unpack(">I", tt[4:8])
-    if len(tt) < 8 + 8 * entries:
-        return None
-    dur = 0
-    for e in range(entries):
-        cnt, delta = struct.unpack(">II", tt[8 + 8 * e : 16 + 8 * e])
-        dur += cnt * delta
-    return n, total, mx, dur
+        return n, total, mx, dur
+    return None

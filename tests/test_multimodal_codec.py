@@ -337,3 +337,130 @@ def test_mp4_fixed_size_stsz_is_arithmetic_not_a_list():
     ftyp = _bmff_box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
     got = parse_mp4_samples(ftyp + moov)
     assert got == (n, 64 * n, 64, n * 10)
+
+
+def test_crafted_overflow_headers_reject_row_not_task():
+    """Unsigned container fields exceeding the signed declared-column
+    range must parse as NULL metadata (reject the ROW) — fed to pandas'
+    Int32/Int64 casts they would raise and kill the whole task."""
+    import struct
+
+    from ght2dm_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        parse_image_header,
+        parse_mp4_header,
+        parse_wav_header,
+        _wav_wrap,
+    )
+
+    # PNG declaring width 2^31 (spec-invalid, crafted)
+    ihdr = struct.pack(">IIBBBBB", 0x80000000, 10, 8, 0, 0, 0, 0)
+    bad_png = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    assert parse_image_header(bad_png) == ("png", None, 10)
+
+    # WAV declaring sample rate 2^31+1
+    fmt = struct.pack("<HHIIHH", 1, 2, 0x80000001, 4, 4, 16)
+    bad_wav = _wav_wrap(fmt, b"\x00" * 8)
+    fmt_, ch, rate, dur = parse_wav_header(bad_wav)
+    assert (fmt_, ch, rate) == ("wav", 2, None)
+
+    # MP4 mvhd v1 with 64-bit duration 2^63 at timescale 1
+    def box(t, body):
+        return struct.pack(">I", len(body) + 8) + t + body
+
+    mvhd = (
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">IQ", 1, 2**63)
+    )
+    bad_mp4 = box(b"ftyp", b"isom" + b"\x00" * 8) + box(
+        b"moov", box(b"mvhd", mvhd)
+    )
+    f, ts, dur_ms, brand = parse_mp4_header(bad_mp4)
+    assert (f, ts, dur_ms, brand) == ("mp4", 1, None, "isom")
+
+
+def test_truncated_chunks_parse_as_corrupt_not_sibling_bytes():
+    """A truncated fmt/mvhd must yield NULLs, never the NEXT chunk's
+    bytes reported as valid metadata."""
+    import struct
+
+    from ght2dm_spark.operators.multimodal import (
+        parse_mp4_header,
+        parse_wav_header,
+    )
+
+    # fmt chunk declaring sz=4 followed by a LIST chunk: the old parser
+    # read the LIST header bytes as sample_rate
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse_wav_header(wav) == ("wav", None, None, None)
+
+    # 4-byte mvhd followed by a free box: must not parse free's bytes
+    def box(t, b_):
+        return struct.pack(">I", len(b_) + 8) + t + b_
+
+    mp4 = box(b"ftyp", b"isom" + b"\x00" * 8) + box(
+        b"moov", box(b"mvhd", b"\x00" * 4) + box(b"free", b"\x01" * 32)
+    )
+    assert parse_mp4_header(mp4) == ("mp4", None, None, "isom")
+
+
+def test_mp4_samples_skip_tableless_trak_and_reject_overflow():
+    """A first trak whose stbl lacks stsz must not shadow a later
+    complete trak; u32xu32 totals exceeding int64 reject the row."""
+    import struct
+
+    from ght2dm_spark.operators.multimodal import parse_mp4_samples
+
+    def box(t, b_):
+        return struct.pack(">I", len(b_) + 8) + t + b_
+
+    def trak(stbl_children: bytes):
+        return box(
+            b"trak", box(b"mdia", box(b"minf", box(b"stbl", stbl_children)))
+        )
+
+    stsz = box(b"stsz", struct.pack(">III", 0, 0, 3) + struct.pack(">3I", 5, 7, 9))
+    stts = box(b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", 3, 10))
+    empty_trak = trak(box(b"stco", b"\x00" * 8))  # stbl without stsz/stts
+    good_trak = trak(stsz + stts)
+    mp4 = box(b"ftyp", b"isom" + b"\x00" * 8) + box(
+        b"moov", empty_trak + good_trak
+    )
+    assert parse_mp4_samples(mp4) == (3, 21, 9, 30)
+
+    # fixed-size branch with fixed*n > int64 max → reject
+    stsz_of = box(b"stsz", struct.pack(">III", 0xFFFFFFFF, 0xFFFFFFFF, 0xFFFFFFFF))
+    stts_of = box(b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", 0xFFFFFFFF, 0xFFFFFFFF))
+    mp4_of = box(b"ftyp", b"isom" + b"\x00" * 8) + box(
+        b"moov", trak(stsz_of + stts_of)
+    )
+    assert parse_mp4_samples(mp4_of) is None
+
+
+def test_png_decompression_bomb_rejected():
+    """A crafted PNG claiming huge dims with a tiny highly-compressible
+    IDAT must be rejected before inflating gigabytes."""
+    import struct
+    import zlib
+
+    from ght2dm_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png_gray,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 0, 0, 0, 0)
+    bomb = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 4096))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_gray(bomb) is None  # pixel cap, no inflate
