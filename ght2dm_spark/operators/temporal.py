@@ -24,6 +24,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ght2dm_spark.functions import epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -40,17 +42,37 @@ def asof_join(
 
     Right side must be unique per (key, right_ts) for deterministic
     results; pass ``tie_break`` (a payload column) to pre-dedup keeping
-    its max.  Implementation: tag both sides, union, sort each key
-    partition by (ts, side) with right-before-left at equal ts, carry
-    the payload forward with last(ignorenulls) over an expanding frame —
-    as ONE struct, not per column: per-column carries would skip a NULL
-    field in the matched row and resurrect a STALE value from an older
-    right row (and could tear a multi-column payload across different
-    right rows); the struct of the matched row is non-NULL even when
-    every field is, so NULL payload fields come through faithfully.
+    its max (remaining payload columns break any residual tie, so the
+    kept row is fully deterministic).  Implementation: tag both sides,
+    union, sort each key partition by (ts, side) with right-before-left
+    at equal ts, carry the payload forward with last(ignorenulls) over
+    an expanding frame — as ONE struct, not per column: per-column
+    carries would skip a NULL field in the matched row and resurrect a
+    STALE value from an older right row (and could tear a multi-column
+    payload across different right rows); the struct of the matched row
+    is non-NULL even when every field is, so NULL payload fields come
+    through faithfully.
+
+    NULL semantics match an equality join against ``right_ts <=
+    left_ts``: right rows with a NULL key or NULL right_ts are excluded
+    up front — under the window's NULLS-FIRST ordering they would
+    otherwise sit at the head of every (or the NULL-key) partition and
+    leak payload into left rows that have no genuine prior match.  A
+    left row with NULL key or NULL left_ts gets NULL payload.
     """
+    reserved = {"__src", "__t", "__pay"}
+    clash = (set(payload) | reserved) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join would overwrite left column(s) {sorted(clash)} — "
+            "alias the payload (or rename the reserved __src/__t/__pay)"
+        )
+    right = right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
     if tie_break is not None:
-        w = Window.partitionBy(key, right_ts).orderBy(F.col(tie_break).desc())
+        w = Window.partitionBy(key, right_ts).orderBy(
+            F.col(tie_break).desc(),
+            *[F.col(p).desc() for p in payload if p != tie_break],
+        )
         right = (
             right.withColumn("__tb", F.row_number().over(w))
             .filter(F.col("__tb") == 1)
@@ -72,9 +94,10 @@ def asof_join(
     )
     u = u.withColumn("__pay", F.last("__pay", ignorenulls=True).over(w))
     out = u.filter(F.col("__src") == 1)
-    for p in payload:
-        out = out.withColumn(p, F.col("__pay")[p])
-    return out.drop("__src", "__t", "__pay")
+    keep = [c for c in out.columns if c not in reserved]
+    return out.select(
+        *keep, *[F.col("__pay")[p].alias(p) for p in payload]
+    )
 
 
 def range_join_binned(
@@ -112,6 +135,12 @@ def range_join_binned(
     ``how='inner'`` and left-join the aggregate back to the probe
     frame, paying one candidate join plus a probe-sized join instead.
     """
+    for side, cols in (("probe", probe.columns), ("build", build.columns)):
+        if "__bucket" in cols:
+            raise ValueError(
+                f"range_join_binned reserves the __bucket column name; "
+                f"rename it on the {side} side"
+            )
     shared = (set(probe.columns) & set(build.columns)) - {key}
     if shared:
         raise ValueError(
@@ -160,11 +189,18 @@ def salted_agg(
     key).  For algebraic aggregates (count/sum here; min/max/avg follow
     the same partial/final split).
 
-    ``salt_col`` must be deterministic in [0, n_salt) (e.g. ``pmod`` of
-    a high-cardinality column) so results are reproducible.
+    ``salt_col`` is any deterministic high-cardinality expression (a
+    raw id, a hash — negative values welcome); it is pmod-folded into
+    [0, n_salt) here, the same spreading joins.salted_join uses (plain
+    ``%`` keeps the sign, silently spreading a hot key over up to
+    2·n_salt−1 groups).
     """
+    if len(counts) != 1:
+        raise ValueError(
+            f"salted_agg emits exactly one count column, got {list(counts)}"
+        )
     sums = sums or {}
-    phase1 = df.groupBy(*keys, (salt_col % n_salt).alias("__salt")).agg(
+    phase1 = df.groupBy(*keys, F.pmod(salt_col, F.lit(n_salt)).alias("__salt")).agg(
         F.count(F.lit(1)).alias("__pc"),
         *[expr.alias(f"__ps_{name}") for name, expr in sums.items()],
     )
@@ -202,8 +238,6 @@ def sessionize_gap(
     — the subset-partitioning rule t1_user_feature_pipeline's plan
     note documents.
     """
-    from ght2dm_spark.functions import epoch_us
-
     w = Window.partitionBy(*keys).orderBy(*order)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag(ts_col).over(w)

@@ -208,16 +208,23 @@ def test_kmeans_partitioning_independent(spark, sf_dir):
 
 
 asof_strategy = st.tuples(
-    # left rows: (key, ts)
+    # left rows: (key, ts) — keys and timestamps may be NULL (a NULL on
+    # the left must yield NULL payload, matching equality-join semantics)
     st.lists(
-        st.tuples(st.integers(0, 4), st.integers(0, 50)),
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 4)),
+            st.one_of(st.none(), st.integers(0, 50)),
+        ),
         min_size=1,
         max_size=30,
     ),
-    # right rows: (key, ts, payload)
+    # right rows: (key, ts, payload) — NULL key/ts rows must never leak
+    # payload into any left row (the NULLS-FIRST carry hazard)
     st.lists(
         st.tuples(
-            st.integers(0, 4), st.integers(0, 50), st.integers(0, 999)
+            st.one_of(st.none(), st.integers(0, 4)),
+            st.one_of(st.none(), st.integers(0, 50)),
+            st.integers(0, 999),
         ),
         min_size=0,
         max_size=30,
@@ -250,7 +257,9 @@ def test_asof_join_matches_model(spark, data):
         [(k, t, p, p2(p)) for k, t, p in right_rows]
         or [(None, None, None, None)],
         "key long, rts long, pay long, pay2 long",
-    ).filter(F.col("key").isNotNull())
+    )
+    if not right_rows:
+        right = right.filter(F.col("pay").isNotNull())  # drop the dummy
     out = asof_join(
         left,
         right,
@@ -262,16 +271,24 @@ def test_asof_join_matches_model(spark, data):
     )
     got = {r["lid"]: (r["pay"], r["pay2"]) for r in out.collect()}
 
-    # brute-force model
+    # brute-force model: NULL key/ts on either side never matches
     best: dict[tuple[int, int], int] = {}
     for k, t, p in right_rows:
+        if k is None or t is None:
+            continue
         cur = best.get((k, t))
         best[(k, t)] = p if cur is None else max(cur, p)
     expect = {}
     for i, (k, t) in enumerate(left_rows):
-        cands = [
-            (rt, p) for (rk, rt), p in best.items() if rk == k and rt <= t
-        ]
+        cands = (
+            []
+            if k is None or t is None
+            else [
+                (rt, p)
+                for (rk, rt), p in best.items()
+                if rk == k and rt <= t
+            ]
+        )
         if cands:
             p = max(cands)[1]
             expect[i] = (p, p2(p))
