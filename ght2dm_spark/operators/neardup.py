@@ -3,8 +3,9 @@ shingling, MinHash signatures, LSH banding, SimHash, and exact n-gram
 Jaccard — the standard LLM-corpus dedup toolbox, expressed as DataFrame
 compositions.
 
-Engine-neutral hashing: every hash is md5-derived (lexicographic MIN over
-hex strings for MinHash; hex-nibble bits for SimHash), NOT Spark's
+Engine-neutral hashing: every hash is md5-derived (MinHash: numeric
+Kirsch-Mitzenmacher slots g_i = (h1 + i*h2) mod p over one md5 per
+shingle; SimHash: hex-nibble bit votes), NOT Spark's
 ``hash()``/``xxhash64`` — so the DuckDB oracle reproduces results exactly.
 md5 costs more per byte than murmur, but the cost is per-shingle map work
 (scales linearly, no shuffle), and cross-engine verifiability is the
@@ -17,9 +18,9 @@ Scale shape (100 TB):
   doc_id, perfectly parallel, no skew (doc_ids unique);
 - LSH banding shuffles once on band_key; band buckets are the classic
   skew risk (a degenerate band key collecting millions of docs), so
-  ``lsh_candidate_pairs`` caps bucket size via a window count — dropped
-  buckets are reported, not silently lost (AQE skew-split handles the
-  moderate cases);
+  ``lsh_candidate_pairs`` caps bucket size via a window count — audit
+  the loss with :func:`lsh_dropped_buckets`, which returns the dropped
+  (band, key, size) rows (AQE skew-split handles the moderate cases);
 - candidate verification joins signatures back by doc_id (broadcast-able
   when the candidate set is small; sort-merge otherwise).
 """
@@ -30,22 +31,36 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def ws_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of lowercased whitespace tokens; docs shorter
-    than ``n`` tokens contribute their whole text as one shingle (so every
-    doc has ≥1 shingle and exact-duplicate short docs still collide).
+def _grams_from_toks(toks: Column, n: int) -> Column:
+    """Shingle array from a token-array column — the ONE definition both
+    :func:`ws_shingles` and :func:`shingle_df` use (a fallback/gram
+    change applied to one would otherwise silently diverge the other).
+    Docs shorter than ``n`` tokens contribute their NORMALIZED token
+    join as one shingle — not the raw text: 'foo bar' and 'foo  bar'
+    tokenize identically and must collide, exactly like >=n-token docs
+    whose whitespace runs are normalized by tokenization.
 
     Implementation note: ``slice + array_join`` per window, NOT n×
-    ``element_at`` — Catalyst inlines the token-array expression into each
-    lambda reference, so n element_at calls re-tokenized the text n times
-    per shingle (measured ~9× slower at sf0.1)."""
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    ``element_at`` — Catalyst inlines the token-array expression into
+    each lambda reference, so n element_at calls re-tokenized the text
+    n times per shingle (measured ~9× slower at sf0.1)."""
     sz = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), sz - (n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return F.when(sz >= n, grams).otherwise(F.array(F.lower(text)))
+    return F.when(sz >= n, grams).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+
+
+def ws_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of lowercased whitespace tokens; docs shorter
+    than ``n`` tokens contribute their whole (whitespace-normalized) text
+    as one shingle, so every non-NULL doc has ≥1 shingle and
+    exact-duplicate short docs still collide."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    return _grams_from_toks(toks, n)
 
 
 def shingle_df(
@@ -59,17 +74,11 @@ def shingle_df(
         F.filter(
             F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
         ).alias("__toks"),
-        F.lower(F.col(text_col)).alias("__lt"),
-    )
-    sz = F.size("__toks")
-    grams = F.transform(
-        F.sequence(F.lit(1), sz - (n - 1)),
-        lambda i: F.array_join(F.slice("__toks", i, n), " "),
     )
     return t.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(F.when(sz >= n, grams).otherwise(F.array("__lt")))
+            F.array_distinct(_grams_from_toks(F.col("__toks"), n))
         ).alias("shingle"),
     )
 
@@ -77,15 +86,18 @@ def shingle_df(
 TOKS_SQL = "list_filter(regexp_split_to_array(lower({text}), '\\s+'), t -> t <> '')"
 
 
-def shingle_sql(toks: str, ltext: str, n: int = 3) -> str:
+def shingle_sql(toks: str, ltext: str | None = None, n: int = 3) -> str:
     """DuckDB expression mirroring :func:`ws_shingles`, over a token-list
-    column ``toks`` and lowercased-text column ``ltext`` bound in an
-    enclosing CTE (see TOKS_SQL)."""
+    column ``toks`` bound in an enclosing CTE (see TOKS_SQL).  ``ltext``
+    is accepted for caller compatibility but unused: the short-doc
+    fallback is the NORMALIZED token join on both engines now (raw
+    lowercased text compared short docs on exact whitespace while long
+    docs were normalized — near-trivial duplicates never collided)."""
     parts = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
     return (
         f"CASE WHEN len({toks}) >= {n} THEN "
         f"list_transform(range(1, len({toks}) - {n - 2}), i -> {parts}) "
-        f"ELSE [{ltext}] END"
+        f"ELSE [array_to_string({toks}, ' ')] END"
     )
 
 
@@ -106,9 +118,15 @@ def minhash_signature(
     expressions over the same exploded rows, not k passes.  Returns
     (id_col, sig array<long> of length k).
     """
-    sh = shingle_df(df, id_col, text_col, shingle_n).withColumnRenamed(
-        "shingle", "__shingle"
-    )
+    # NULL-text docs are EXCLUDED (no shingles → no signature): the SQL
+    # mirror's band keys for them are md5(NULL) = NULL, which an
+    # equi-join never matches — without this filter Spark's concat_ws
+    # would skip the NULL slots instead, hand every NULL doc the same
+    # md5('') band key, and pay a quadratic candidate bucket the oracle
+    # doesn't have.
+    sh = shingle_df(
+        df.filter(F.col(text_col).isNotNull()), id_col, text_col, shingle_n
+    ).withColumnRenamed("shingle", "__shingle")
     h = F.md5("__shingle")
     halves = sh.select(
         F.col(id_col),
@@ -137,10 +155,30 @@ def hex2int_sql(h_expr: str, start: int, n: int = 8) -> str:
     return f"({terms})"
 
 
-def lsh_bands(sig_df: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+#: default degenerate-bucket cap — mirrored into every oracle that
+#: enumerates candidate pairs, so engine and oracle drop the same buckets
+LSH_MAX_BUCKET = 10_000
+
+
+def lsh_bands(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int,
+    rows: int,
+    sig_len: int | None = None,
+) -> DataFrame:
     """Explode a signature into ``bands`` band keys (md5 of ``rows``
     consecutive signature components).  Docs sharing any band key are
-    candidate pairs."""
+    candidate pairs.  Pass ``sig_len`` (the signature k) to assert
+    ``bands·rows <= k`` at build time: an out-of-range element_at slot is
+    NULL, and concat_ws SKIPS NULLs — every doc would share the same
+    degenerate md5('') key in the overflowing band (one global bucket:
+    dropped by the cap, a whole band's recall silently gone)."""
+    if sig_len is not None and bands * rows > sig_len:
+        raise ValueError(
+            f"bands*rows = {bands * rows} exceeds signature length "
+            f"{sig_len} — the overflow band would read NULL slots"
+        )
     band_cols = []
     for b in range(bands):
         parts = [F.element_at("sig", b * rows + r + 1) for r in range(rows)]
@@ -154,8 +192,22 @@ def lsh_bands(sig_df: DataFrame, id_col: str, bands: int, rows: int) -> DataFram
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
 
 
+def lsh_dropped_buckets(
+    bands_df: DataFrame, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
+    """The (band, band_key, n_docs) rows :func:`lsh_candidate_pairs`
+    DROPS under its degenerate-bucket cap — the recall-loss audit a
+    production dedup run logs next to its pair counts (the module
+    docstring's 'reported, not silently lost' made concrete)."""
+    return (
+        bands_df.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
 def lsh_candidate_pairs(
-    bands_df: DataFrame, id_col: str, max_bucket: int = 10_000
+    bands_df: DataFrame, id_col: str, max_bucket: int = LSH_MAX_BUCKET
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 band bucket.
 

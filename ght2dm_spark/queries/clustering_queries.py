@@ -33,9 +33,13 @@ _CAND_SQL = f"""
         )
         for b in range(LSH_BANDS)
     )}),
+    capped AS (SELECT doc_id, band, band_key FROM (
+                 SELECT *, count(*) OVER (PARTITION BY band, band_key) AS __n
+                 FROM bands
+               ) WHERE __n <= 10000),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a
-             JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+             FROM capped a
+             JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
              WHERE a.doc_id < b.doc_id)
 """
 
@@ -67,7 +71,7 @@ def t1_neardup_components(spark, sf_dir):
     algorithm, same fixpoint."""
     aug = _aug_docs(spark, sf_dir)
     sig = minhash_signature(aug, "doc_id", "text", k=MINHASH_K).cache()
-    bands = lsh_bands(sig, "doc_id", bands=LSH_BANDS, rows=LSH_ROWS)
+    bands = lsh_bands(sig, "doc_id", bands=LSH_BANDS, rows=LSH_ROWS, sig_len=MINHASH_K)
     cand = lsh_candidate_pairs(bands, "doc_id")
     nodes = aug.select("doc_id")
     return connected_components(

@@ -314,9 +314,13 @@ def t1_minhash_signature(spark, sf_dir):
         )
         for b in range(LSH_BANDS)
     )}),
+    capped AS (SELECT doc_id, band, band_key FROM (
+                 SELECT *, count(*) OVER (PARTITION BY band, band_key) AS __n
+                 FROM bands
+               ) WHERE __n <= 10000),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a
-             JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+             FROM capped a
+             JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
              WHERE a.doc_id < b.doc_id)
     SELECT id_a, id_b,
            round(CAST(len(list_filter(range(1, {MINHASH_K + 1}),
@@ -341,7 +345,7 @@ def t1_minhash_lsh_pairs(spark, sf_dir):
     # cache: the signature subtree feeds three consumers (banding + both
     # sides of the verification join) — without it the explode+agg runs 3×
     sig = minhash_signature(aug, "doc_id", "text", k=MINHASH_K).cache()
-    bands = lsh_bands(sig, "doc_id", bands=LSH_BANDS, rows=LSH_ROWS)
+    bands = lsh_bands(sig, "doc_id", bands=LSH_BANDS, rows=LSH_ROWS, sig_len=MINHASH_K)
     cand = lsh_candidate_pairs(bands, "doc_id")
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))

@@ -547,3 +547,45 @@ def test_topk_neighbors_dedups_multi_probe_matches(spark):
     pairs = [(r.q_id, r.c_id, r.rank) for r in out]
     assert len(pairs) == 2
     assert (100, 1, 1) in pairs and (100, 2, 2) in pairs
+
+
+def test_short_doc_shingle_fallback_is_whitespace_normalized(spark):
+    """Sub-n-token docs must collide on NORMALIZED text like long docs
+    do — 'foo bar' vs 'foo  bar' (double space) share one shingle."""
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.operators.neardup import shingle_df
+
+    d = spark.createDataFrame(
+        [(1, "foo bar"), (2, "foo  bar"), (3, "foo\tbar")],
+        "doc_id long, text string",
+    )
+    sh = shingle_df(d, "doc_id", "text", n=3)
+    keys = {r.shingle for r in sh.collect()}
+    assert keys == {"foo bar"}
+
+
+def test_lsh_dropped_buckets_reports_the_capped_loss(spark):
+    """The recall-loss audit must return exactly the buckets the
+    candidate-pair cap drops."""
+    from ght2dm_spark.operators.neardup import (
+        lsh_candidate_pairs,
+        lsh_dropped_buckets,
+    )
+
+    rows = [(i, 0, "hot") for i in range(6)] + [(100, 0, "cold"), (101, 0, "cold")]
+    bands = spark.createDataFrame(rows, "doc_id long, band int, band_key string")
+    dropped = lsh_dropped_buckets(bands, max_bucket=5).collect()
+    assert [(r.band, r.band_key, r.n_docs) for r in dropped] == [(0, "hot", 6)]
+    pairs = lsh_candidate_pairs(bands, "doc_id", max_bucket=5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(100, 101)}
+
+
+def test_lsh_bands_rejects_overflowing_geometry(spark):
+    import pytest
+
+    from ght2dm_spark.operators.neardup import lsh_bands
+
+    sig = spark.createDataFrame([(1, [1, 2, 3, 4])], "doc_id long, sig array<long>")
+    with pytest.raises(ValueError, match="exceeds signature length"):
+        lsh_bands(sig, "doc_id", bands=2, rows=3, sig_len=4)
