@@ -174,13 +174,19 @@ def normalize_ns_ts(col_name: str):
     return F.expr(f"timestamp_micros({col_name} div 1000)").cast("timestamp_ntz")
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def _events_ts_is_nanos(path: str) -> bool:
     """One footer read deciding how ``events.ts`` is physically encoded.
 
     The driver's generator has shipped it both as TIMESTAMP(NANOS) (which
     Spark can only read as a long, via ``nanosAsLong``) and as plain
     TIMESTAMP(MICROS); guessing wrong shifts every timestamp by 1000x, so
-    ask the file instead of assuming.  Footer-only — no data IO.
+    ask the file instead of assuming.  Footer-only — no data IO, and
+    memoized per path (testdata/snapshot files are immutable; streaming
+    callers probe the same file once per query otherwise).
 
     pyarrow missing is a real environment problem, not a "file is micros"
     signal — re-raise it so the operator sees the cause, not a downstream

@@ -17,6 +17,7 @@ windowed query here sets.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
@@ -25,7 +26,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ght2dm_spark.io import load_table
+from ght2dm_spark.io import (
+    ensure_session_conf,
+    events_read_schema,
+    load_table,
+    normalize_ns_ts,
+)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,14 +39,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptation as the batch reader (io.load_table) — footer-sniffed
     nanos-vs-micros ``ts``, normalized to TIMESTAMP_NTZ — so batch and
     stream see identical rows."""
-    import os
-
-    from ght2dm_spark.io import (
-        ensure_session_conf,
-        events_read_schema,
-        normalize_ns_ts,
-    )
-
     ensure_session_conf(spark)
     schema, ns_ts = events_read_schema(os.path.join(sf_dir, "events.parquet"))
     # The file source requires a DIRECTORY; events.parquet is a single
@@ -83,14 +81,31 @@ def run_to_completion(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    if expect_single_batch:
-        fed = [p for p in q.recentProgress if (p.numInputRows or 0) > 0]
-        if len(fed) != 1:
-            raise AssertionError(
-                f"expected all input in one micro-batch, got {len(fed)} "
-                f"data-bearing batches: {[p.numInputRows for p in fed]}"
-            )
+    try:
+        q.awaitTermination()
+        if expect_single_batch:
+            fed = [p for p in q.recentProgress if (p.numInputRows or 0) > 0]
+            # > 1, not != 1: an EMPTY input (zero data-bearing batches)
+            # trivially satisfies the no-straddle guarantee — DISTINCT
+            # over nothing must return nothing, not raise
+            if len(fed) > 1:
+                raise AssertionError(
+                    f"expected all input in one micro-batch, got {len(fed)} "
+                    f"data-bearing batches: {[p.numInputRows for p in fed]}"
+                )
+    except BaseException:
+        # the failure path must not leak what the hygiene block below
+        # exists to clean: a raising UDF over the ~50-query driver walk
+        # would otherwise accrue one checkpoint dir + temp view per error
+        try:
+            q.stop()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+            try:
+                transformed.sparkSession.catalog.dropTempView(name)
+            except Exception:
+                pass
+        raise
     # hygiene: the AvailableNow query has terminated — stop it and drop
     # its checkpoint dir, or a long session (the ~50-query driver walk)
     # accrues one ght2dm-ckpt-* state-store dir per call.  The memory
@@ -110,7 +125,25 @@ def stream_equals_batch(
 ) -> tuple[DataFrame, DataFrame]:
     """Run the same transformation over the events table in streaming and
     batch form; return (stream_result, batch_result) for equivalence
-    checks (SURVEY §5 item 5)."""
+    checks (SURVEY §5 item 5).
+
+    Both results are NTZ-normalized: the stream side's event time is LTZ
+    (withWatermark requires it) while the batch side reads NTZ, so a
+    surfaced timestamp column would otherwise collect through
+    process-local datetime.fromtimestamp on one side and UTC wall-clock
+    on the other — equality would break under any non-UTC verifying
+    process even though both plans are value-correct (the repo's
+    no-LTZ-output rule, applied to the equivalence harness itself)."""
+
+    def _ntz(df: DataFrame) -> DataFrame:
+        from pyspark.sql.types import TimestampType
+
+        out = df
+        for f in df.schema.fields:
+            if isinstance(f.dataType, TimestampType):
+                out = out.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
+        return out
+
     stream_out = run_to_completion(build(read_events_stream(spark, sf_dir)), output_mode)
     batch_out = build(load_table(spark, sf_dir, "events"))
-    return stream_out, batch_out
+    return _ntz(stream_out), _ntz(batch_out)
