@@ -73,10 +73,23 @@ def or_lookup(
     first-match coalesce — J4's shape (``ght2dm.go:633-653``, dead code in
     the reference).  A raw OR join would force BroadcastNestedLoopJoin;
     this stays hash-join per key.  Adds column ``payload`` from ``dim``
-    using the first key pair that matches, in ``key_pairs`` order.
+    using the first key pair that MATCHES, in ``key_pairs`` order — a
+    matched pair whose payload is NULL yields NULL (a value-coalesce
+    would silently fall through to a later pair's payload, conflating
+    "no match" with "matched NULL").
     """
+    if not key_pairs:
+        raise ValueError("or_lookup needs at least one key pair")
+    reserved = {
+        n for i in range(len(key_pairs)) for n in (f"__k{i}", f"__p{i}")
+    }
+    clash = reserved & set(fact.columns)
+    if clash:
+        raise ValueError(
+            f"or_lookup reserves column name(s) {sorted(clash)}; rename "
+            "them on the fact side"
+        )
     out = fact
-    picked: list[Column] = []
     for i, (fk, dk) in enumerate(key_pairs):
         # min() (not dropDuplicates) picks the surviving payload per key so
         # the result is deterministic and oracle-reproducible.
@@ -84,12 +97,12 @@ def or_lookup(
             dim.groupBy(F.col(dk).alias(f"__k{i}"))
             .agg(F.min(payload).alias(f"__p{i}"))
         )
-        out = out.join(F.broadcast(side), out[fk] == side[f"__k{i}"], "left").drop(
-            f"__k{i}"
-        )
-        picked.append(F.col(f"__p{i}"))
-    out = out.withColumn(payload, F.coalesce(*picked))
-    return out.drop(*[f"__p{i}" for i in range(len(key_pairs))])
+        out = out.join(F.broadcast(side), out[fk] == side[f"__k{i}"], "left")
+    picked = F.when(F.col("__k0").isNotNull(), F.col("__p0"))
+    for i in range(1, len(key_pairs)):
+        picked = picked.when(F.col(f"__k{i}").isNotNull(), F.col(f"__p{i}"))
+    out = out.withColumn(payload, picked)
+    return out.drop(*sorted(reserved))
 
 
 def salted_join(
@@ -112,13 +125,18 @@ def salted_join(
     shuffle-hash join, or a stable partitioning must be preserved).
     The dim side is replicated ``n_salt``× — keep it the bounded side.
 
-    The salt must have a PER-ROW component: ``xxhash64(key,
-    monotonically_increasing_id())``.  Hashing the key with only
-    ``spark_partition_id`` (the earlier form) collapses to ONE salt per
-    (key, input partition) — and the docstring's own target case, a
-    fact side already partitioned by the key, then puts every row of
-    the hot key in one partition, one salt, one reducer: zero
-    mitigation while still paying the dim replication.
+    The salt must have a PER-ROW component AND be DETERMINISTIC:
+    ``xxhash64`` over every fact column.  Hashing the key with only
+    ``spark_partition_id`` (the first form) collapses to ONE salt per
+    (key, input partition) — zero mitigation when the fact is already
+    partitioned by the key; ``monotonically_increasing_id()`` (the
+    second form) is nondeterministic under partial stage RETRY
+    (SPARK-23207 class: a recomputed map task re-ids rows in a new
+    order, routing them to reducers that already consumed the old
+    assignment — rows joined twice or never).  The full-row hash is
+    stable under recomputation; byte-identical duplicate rows share a
+    salt, which only weakens spreading for a hot key made of EXACT
+    duplicate rows (documented, and irrelevant to correctness).
     """
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(
@@ -126,8 +144,17 @@ def salted_join(
             "dim is replicated per salt, so right/full outer would emit "
             "each unmatched dim row n_salt times"
         )
+    if n_salt < 1:
+        raise ValueError(
+            f"n_salt must be >= 1, got {n_salt} — range({n_salt}) is an "
+            "EMPTY dim replication (silently zero matches)"
+        )
+    if "__salt" in fact.columns or "__salt" in dim.columns:
+        raise ValueError(
+            "salted_join reserves the __salt column name; rename it"
+        )
     salt = F.pmod(
-        F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salt)
+        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt)
     )
     f = fact.withColumn("__salt", salt.cast("int"))
     d = dim.crossJoin(

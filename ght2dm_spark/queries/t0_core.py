@@ -267,7 +267,8 @@ def t0_broadcast_lookup(spark, sf_dir):
     "t0_or_lookup",
     oracle="""
     SELECT o.o_orderkey,
-           coalesce(d1.p, d2.p) AS p_name
+           CASE WHEN d1.k IS NOT NULL THEN d1.p
+                WHEN d2.k IS NOT NULL THEN d2.p END AS p_name
     FROM orders o
     LEFT JOIN (SELECT p_partkey AS k, min(p_name) AS p FROM part GROUP BY 1) d1
            ON o.o_orderkey % 400 = d1.k
@@ -277,8 +278,9 @@ def t0_broadcast_lookup(spark, sf_dir):
 )
 def t0_or_lookup(spark, sf_dir):
     """Disjunctive OR-lookup (J4, ght2dm.go:633-653 — dead code in the
-    reference) decomposed into per-key equi joins + first-match coalesce;
-    a raw OR join would force BroadcastNestedLoopJoin."""
+    reference) decomposed into per-key equi joins + FIRST-MATCH pick
+    (match flag, not value coalesce — a matched-but-NULL payload stays
+    NULL); a raw OR join would force BroadcastNestedLoopJoin."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         (F.col("o_orderkey") % 400).alias("k1"),

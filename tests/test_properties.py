@@ -495,7 +495,7 @@ def test_minhash_signature_matches_python_model(spark, texts):
         if len(toks) >= n:
             shingles = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
         else:
-            shingles = {text.lower()}
+            shingles = {" ".join(toks)}  # normalized fallback (round-4 fix)
         halves = [_md5_halves(s) for s in shingles]
         expect[i] = [
             min((h1 + j * h2) % MINHASH_PRIME for h1, h2 in halves)
