@@ -29,7 +29,14 @@ def hash_bucket(key: Column, buckets: int = 100) -> Column:
     previously made NULL-key rows vanish from BOTH a sample and its
     complement (filter NULL is never true) — silent data loss for a
     sampler whose whole contract is a deterministic partition of the
-    input.  Mirror the coalesce in oracle SQL when keys are nullable."""
+    input.  Mirror the coalesce in oracle SQL when keys are nullable.
+
+    Caveat the sentinel implies: ALL NULL keys share one bucket, so
+    they enter or leave a sample as a single indivisible block (0% of
+    them below the sentinel bucket's threshold, 100% at or above) —
+    fine for the intended near-unique keys, biased for a key that is
+    NULL on a large fraction of rows; such callers should coalesce to
+    a secondary key themselves."""
     return (
         F.conv(
             F.substring(
@@ -47,16 +54,31 @@ def hash_sample(df: DataFrame, key: Column, pct: int, buckets: int = 100) -> Dat
     """Keep ~pct% of rows, chosen by key hash.  A map-side filter — at
     100 TB this prunes before any shuffle, and two runs (or two engines)
     agree row-for-row.  ``pct`` means PERCENT at every ``buckets``
-    granularity (threshold = pct·buckets div 100; comparing pct against
-    the bucket index directly would silently keep pct/buckets of the
-    rows for any buckets ≠ 100)."""
-    return df.filter(hash_bucket(key, buckets) < pct * buckets // 100)
+    granularity (threshold = round(pct·buckets / 100); comparing pct
+    against the bucket index directly would silently keep pct/buckets of
+    the rows for any buckets ≠ 100).  A pct/buckets combination too
+    coarse to represent (threshold rounds to 0 for pct > 0) raises —
+    floor division here once returned an EMPTY sample for
+    hash_sample(pct=5, buckets=10) with no error."""
+    threshold = (pct * buckets + 50) // 100
+    if pct > 0 and threshold == 0:
+        raise ValueError(
+            f"pct={pct} is unrepresentable at buckets={buckets} "
+            f"(threshold rounds to 0 — an always-empty sample); raise "
+            "buckets or pct"
+        )
+    return df.filter(hash_bucket(key, buckets) < threshold)
 
 
 def train_test_split(df: DataFrame, key: Column, test_pct: int = 10) -> DataFrame:
     """Label every row 'train'/'test' by key hash.  Deterministic: a
     document never migrates between splits across runs, which is the
     property that matters for contamination control."""
+    if "split" in df.columns:
+        raise ValueError(
+            "train_test_split writes a 'split' column; the input already "
+            "has one (withColumn would silently overwrite it)"
+        )
     return df.withColumn(
         "split",
         F.when(hash_bucket(key) < test_pct, F.lit("test")).otherwise(F.lit("train")),

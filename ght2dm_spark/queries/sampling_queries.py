@@ -20,7 +20,8 @@ from ght2dm_spark.operators.sampling import (
 )
 from ght2dm_spark.queries.registry import register
 
-_BUCKET = f"({hex2int_sql('md5(CAST(doc_id AS VARCHAR))', 1, 8)} % 100)"
+# coalesce mirrors operators.sampling.hash_bucket's NULL sentinel
+_BUCKET = f"({hex2int_sql('md5(coalesce(CAST(doc_id AS VARCHAR), chr(0)))', 1, 8)} % 100)"
 
 
 @register(
@@ -85,7 +86,7 @@ def t1_stratified_sample(spark, sf_dir):
     )
 
 
-_UBUCKET = f"({hex2int_sql('md5(CAST(user_id AS VARCHAR))', 1, 8)} % 100)"
+_UBUCKET = f"({hex2int_sql('md5(coalesce(CAST(user_id AS VARCHAR), chr(0)))', 1, 8)} % 100)"
 
 
 @register(

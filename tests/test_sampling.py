@@ -63,3 +63,29 @@ def test_bucket_range(spark, sf_dir):
         F.min("b"), F.max("b")
     ).collect()[0]
     assert 0 <= mm[0] and mm[1] <= 99
+
+
+def test_hash_sample_threshold_scales_with_buckets(spark, sf_dir):
+    """pct must mean PERCENT at every buckets granularity: finer buckets
+    give ~the same rate as buckets=100, an unrepresentable pct/buckets
+    combination raises instead of returning an always-empty sample, and
+    NULL keys partition deterministically on both engines."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.operators.sampling import hash_bucket, hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    base = hash_sample(d, F.col("doc_id"), 10).count()
+    fine = hash_sample(d, F.col("doc_id"), 10, buckets=1000).count()
+    n = d.count()
+    assert abs(fine - base) / n < 0.08, (base, fine, n)
+
+    with pytest.raises(ValueError, match="unrepresentable"):
+        hash_sample(d, F.col("doc_id"), 3, buckets=10)
+
+    # NULL keys: present in exactly one of sample/complement, both engines
+    nd = spark.createDataFrame([(None,), (1,)], "k long")
+    kept = hash_sample(nd, F.col("k"), 50).count()
+    dropped = nd.exceptAll(hash_sample(nd, F.col("k"), 50)).count()
+    assert kept + dropped == 2
