@@ -7,8 +7,11 @@ iterative float state diverges across engines by 1 ulp per round, so the
 ENTIRE iteration runs in integers — vectors are converted once to BIGINT
 micro-units (×1e6, the only float rounding anywhere), squared distances
 are exact int64 sums, argmin ties break lexicographically by centroid
-id, and centroid updates are floor-division means.  State after every
-iteration is bit-identical on any conforming engine.
+id, and centroid updates are integer-division means (``div`` —
+TRUNCATION TOWARD ZERO, which DuckDB's ``//`` matches; Python's
+flooring ``//`` does NOT for negative non-divisible sums, and signed
+dimensions are routine — see tests/test_properties.py's replay note).
+State after every iteration is bit-identical on any conforming engine.
 
 Scale: each iteration is one broadcast of K centroids over the vector
 scan (assignment — a narrow map, no shuffle) plus one (cid, dim)
@@ -43,20 +46,6 @@ def sqdist_int(a, b):
     )
 
 
-def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest centroid per vector: K-way broadcast cross join, exact
-    integer distances, (distance, cid) lexicographic tie-break."""
-    d = sqdist_int(F.col("v"), F.col("c"))
-    w = Window.partitionBy("id").orderBy("d", "cid")
-    return (
-        v.crossJoin(F.broadcast(cents))
-        .select("id", "v", "cid", d.alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-
-
 def kmeans_int(
     df: DataFrame,
     id_col: str,
@@ -68,41 +57,29 @@ def kmeans_int(
     """Train k centroids for ``iters`` rounds (init: the vectors whose
     id < k) and return (assignment, centroids): the final assignment
     (id, v, cid, d) with exact integer distances, and the trained
-    centroid table (cid, c) for downstream probing (IVF search).  Empty
-    clusters keep their previous centroid only if re-seeded upstream —
-    with contiguous-id init and ≥1 round every cluster here retains
-    members (asserted by the caller's oracle).
+    centroid table (cid, c) for downstream probing (IVF search).  A
+    cluster emptied mid-training VANISHES from the centroid table on
+    every conforming engine identically (the SQL oracles mirror the
+    dropout) — re-seed upstream if a fixed k matters.
+
+    Delegates to :func:`kmeans_int_grouped` with one constant group —
+    ONE iteration body to audit instead of two hand-synchronized copies
+    (the equivalence the grouped trainer's test pins).
 
     ``pre_scaled=True`` skips the float→micro-unit conversion: the
     vector column is ALREADY exact BIGINT state (e.g. the residuals
     IVFADC trains its product codebooks on — converting twice would
     double-scale)."""
-    vec = F.col(vec_col) if pre_scaled else int_vec(F.col(vec_col))
-    v = df.select(F.col(id_col).alias("id"), vec.alias("v")).cache()
-    cents = v.filter(F.col("id") < k).select(
-        F.col("id").alias("cid"), F.col("v").alias("c")
+    asg, cents = kmeans_int_grouped(
+        df.withColumn("__g", F.lit(0)),
+        "__g",
+        id_col,
+        vec_col,
+        k=k,
+        iters=iters,
+        pre_scaled=pre_scaled,
     )
-    for _ in range(iters):
-        asg = _assign(v, cents)
-        dims = asg.select(
-            "cid", F.posexplode("v").alias("i", "val")
-        )
-        per_dim = dims.groupBy("cid", "i").agg(
-            F.expr("sum(val) div count(1)").alias("m")
-        )
-        cents = per_dim.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "m"))),
-                lambda s: s["m"],
-            ).alias("c")
-        )
-    # cache the returned frames: consumers typically read BOTH (codes
-    # from the assignment, LUTs from the centroids) and each lazy
-    # reference would otherwise re-execute the whole training chain —
-    # the centroid table is K rows and the assignment one row per
-    # vector, so the cache is the index itself, not a copy of the data
-    cents = cents.cache()
-    return _assign(v, cents).cache(), cents
+    return asg.drop("g"), cents.drop("g")
 
 
 def _assign_grouped(v: DataFrame, cents: DataFrame) -> DataFrame:
@@ -151,6 +128,19 @@ def kmeans_int_grouped(
     cents = v.filter(F.col("id") < k).select(
         "g", F.col("id").alias("cid"), F.col("v").alias("c")
     )
+    # Init contract check: every group must contribute ≥1 seed (ids in
+    # [0, k) per group).  A group whose ids all exceed k would otherwise
+    # get NO centroids, and the assignment's inner join on g would
+    # silently DROP all its vectors — a valid-looking but incomplete
+    # index.  Both counts run on tiny/cached frames.
+    n_groups = v.select("g").distinct().count()
+    n_seeded = cents.select("g").distinct().count()
+    if n_seeded != n_groups:
+        raise ValueError(
+            f"kmeans_int_grouped: {n_groups - n_seeded} group(s) have no "
+            f"vector with id < k={k} — their rows would be silently "
+            "dropped; remap per-group ids to start at 0"
+        )
     for _ in range(iters):
         asg = _assign_grouped(v, cents)
         dims = asg.select("g", "cid", F.posexplode("v").alias("i", "val"))
@@ -163,6 +153,13 @@ def kmeans_int_grouped(
                 lambda s: s["m"],
             ).alias("c")
         )
-    # same consumer-sharing cache as kmeans_int (see note there)
-    cents = cents.cache()
-    return _assign_grouped(v, cents).cache(), cents
+    # Materialize the returned frames via eager localCheckpoint, NOT
+    # cache: consumers read both (codes + LUTs), and a lazy reference
+    # would re-execute the training chain — but a cache pins
+    # corpus-sized blocks for the session lifetime with no release
+    # handle, while checkpointed blocks free with the frames
+    # themselves.  The internal scaled-corpus cache then unpins.
+    cents = cents.localCheckpoint(eager=True)
+    asg = _assign_grouped(v, cents).localCheckpoint(eager=True)
+    v.unpersist()
+    return asg, cents

@@ -156,7 +156,7 @@ def _kmeans_ctes(
     """Shared CTE prefix mirroring operators/clustering.kmeans_int (the
     same rounds unrolled in the same BIGINT micro-unit fixed point —
     exact integer distances, lexicographic (d, cid) argmin ties,
-    floor-division centroid means; bit-identical iterative state, the
+    truncating-division centroid means; bit-identical iterative state, the
     pagerank discipline).  Returns (ctes, integer-distance expression
     usable wherever columns ``v``/``c`` are in scope).  ``source`` names
     the (vec_id, embedding) relation to train on — a table or an

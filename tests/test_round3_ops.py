@@ -340,10 +340,16 @@ def test_kmeans_grouped_equals_per_group_training(spark, sf_dir):
             "vec_id", F.slice("embedding", lo * 4 + 1, n).alias("sub")
         )
         asg, cents = kmeans_int(sub, "vec_id", "sub", k=4, iters=2)
-        for r in asg.collect():
+        asg_rows, cents_rows = asg.collect(), cents.collect()
+        for r in asg_rows:
             assert got_asg[(g, r["id"])] == (r["cid"], r["d"])
-        for r in cents.collect():
+        for r in cents_rows:
             assert got_cents[(g, r["cid"])] == r["c"]
+        # BOTH directions: the grouped output must not carry extra or
+        # duplicate rows beyond the per-group runs (a broken tie-break
+        # emitting two rank-1 rows would pass a subset-only check)
+        assert len([1 for gg, _ in got_asg if gg == g]) == len(asg_rows)
+        assert len([1 for gg, _ in got_cents if gg == g]) == len(cents_rows)
 
 
 def test_label_propagation_converges_to_stable_labels(spark, sf_dir):
