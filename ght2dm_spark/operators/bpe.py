@@ -21,7 +21,13 @@ EOW = "_"
 
 
 def initial_symbols(wc: DataFrame) -> DataFrame:
-    """(word, cnt) → + ``sym``: chars + EOW marker, bracket-wrapped."""
+    """(word, cnt) → + ``sym``: chars + EOW marker, bracket-wrapped.
+    Contract-violating words ([^a-z_], or empty) are DROPPED here,
+    fail-fast and deterministically on both engines: a quote in a word
+    would blow up the literal-spliced replace deep in round 1, and an
+    empty word's sequence(1, 0) injects phantom '' symbols that diverge
+    from reference_train."""
+    wc = wc.filter(F.col("word").rlike("^[a-z]+$"))
     return wc.withColumn(
         "sym",
         F.expr(
@@ -32,9 +38,11 @@ def initial_symbols(wc: DataFrame) -> DataFrame:
     )
 
 
-def train(wc: DataFrame, rounds: int) -> tuple[list, DataFrame]:
-    """Learn ``rounds`` merges; returns ([1-row merge frames], final
-    vocab frame (word, cnt, sym)).  Each round: occurrence-weighted
+def train(wc: DataFrame, rounds: int) -> tuple[DataFrame, DataFrame]:
+    """Learn ``rounds`` merges; returns (merge table (round, left_sym,
+    right_sym, merged, n_occurrences) — possibly EMPTY when the corpus
+    exhausts before round 1 — and the final vocab frame (word, cnt,
+    sym)).  Each round: occurrence-weighted
     adjacent-pair count → argmax ((count DESC, pair ASC) tie-break) →
     greedy merge via literal replace.
 
@@ -79,15 +87,7 @@ def train(wc: DataFrame, rounds: int) -> tuple[list, DataFrame]:
         # module contract: symbols match [a-z_]+ — safe to splice
         bl, br = row[0]["pair"].split(" ", 1)
         n = int(row[0]["n_occurrences"])
-        merges.append(
-            spark.range(1).select(
-                F.lit(r).alias("round"),
-                F.lit(bl).alias("left_sym"),
-                F.lit(br).alias("right_sym"),
-                F.lit(bl + br).alias("merged"),
-                F.lit(n).cast("long").alias("n_occurrences"),
-            )
-        )
+        merges.append((r, bl, br, bl + br, n))
         sym = sym.select(
             "word",
             "cnt",
@@ -95,7 +95,15 @@ def train(wc: DataFrame, rounds: int) -> tuple[list, DataFrame]:
                 f"replace(sym, '<{bl}><{br}>', '<{bl}{br}>')"
             ).alias("sym"),
         )
-    return merges, sym
+    # ONE frame from the already-collected literals (possibly empty):
+    # per-round range(1) frames forced callers into an N-deep union and
+    # one Spark job per round just to read literals back
+    merges_df = spark.createDataFrame(
+        merges,
+        "round int, left_sym string, right_sym string, merged string, "
+        "n_occurrences long",
+    )
+    return merges_df, sym
 
 
 def reference_train(words: dict[str, int], rounds: int) -> list[tuple]:

@@ -76,12 +76,22 @@ def _bpe_ctes(rounds: int) -> list:
                  n_occurrences
           FROM p{r} ORDER BY n_occurrences DESC, pair ASC LIMIT 1)"""
         )
+        # scalar subqueries, NOT a CROSS JOIN: when round r finds no
+        # pair (corpus exhausted), b{r} is EMPTY — a cross join would
+        # annihilate the vocab (the trainer-side bug 1ee8f89 fixed,
+        # mirrored here) while empty scalar subqueries are NULL and the
+        # CASE keeps sym unchanged
         ctes.append(
             f"""s{r} AS (
           SELECT word, cnt,
-                 replace(sym, '<' || bl || '><' || br || '>',
-                         '<' || bl || br || '>') AS sym
-          FROM s{p} CROSS JOIN b{r})"""
+                 CASE WHEN (SELECT count(*) FROM b{r}) = 0 THEN sym
+                      ELSE replace(sym,
+                             '<' || (SELECT bl FROM b{r}) || '><'
+                                 || (SELECT br FROM b{r}) || '>',
+                             '<' || (SELECT bl FROM b{r})
+                                 || (SELECT br FROM b{r}) || '>')
+                 END AS sym
+          FROM s{p})"""
         )
     return ctes
 
@@ -97,7 +107,7 @@ def _bpe_sql(rounds: int) -> str:
 
 def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple:
     """Corpus → word-frequency aggregate → operators.bpe.train.
-    Returns ([per-round 1-row merge frames], final vocab frame)."""
+    Returns (merge table frame, final vocab frame)."""
     from ght2dm_spark.operators.bpe import train
 
     d = load_table(spark, sf_dir, "documents")
@@ -129,15 +139,12 @@ def t1_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine); every merge round runs over the |vocab|-row
     frequency table — pair counting is one small shuffle, the argmax is
     a 1-row TakeOrdered, and the merge itself is a map-side replace
-    with the 1-row winner broadcast (scalar-subquery pattern,
-    plan-lint allowlisted).  Rounds compose lazily; a production
+    with the winner spliced back as a LITERAL (the materialized-argmax
+    pattern — no join at all in the merge plan).  Rounds compose lazily; a production
     trainer running thousands of merges would localCheckpoint the vocab
     frame every ~50 rounds (the pagerank lesson, operators/graph)."""
     merges, _ = _bpe_train(spark, sf_dir)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return merges
 
 
 @register(

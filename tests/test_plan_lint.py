@@ -64,8 +64,6 @@ CROSS_OK = {
     "t1_benford_audit",  # 1-row digit-total frame for the share math
     "t1_join_cardinality_audit",  # two 1-row audit frames joined into one row
     "t1_temperature_mix",  # 1-row kept/before-total frame for the share math
-    "t1_bpe_merges",  # 1-row merge-winner frame broadcast per round
-    "t1_bpe_encode",  # same trainer: 1-row merge-winner frames per round
     "t1_pq_ann",  # K-row codebook frames broadcast (training + NQ×M×K LUT)
     "t1_ivfadc",  # K-row coarse + codebook frames broadcast per round
     "t1_ivfadc_rerank",  # same core + Q×C shortlist broadcast re-rank

@@ -378,15 +378,9 @@ def test_bpe_train_matches_reference(spark, words):
     )
     merges, _ = train(wc, rounds=2)
     got = [
-        (
-            r.head().round,
-            r.head().left_sym,
-            r.head().right_sym,
-            r.head().merged,
-            r.head().n_occurrences,
-        )
-        for r in merges
-        if r.head() is not None
+        (r["round"], r["left_sym"], r["right_sym"], r["merged"],
+         r["n_occurrences"])
+        for r in merges.orderBy("round").collect()
     ]
     assert got == reference_train(words, rounds=2)
 
@@ -1340,8 +1334,25 @@ def test_bpe_train_stops_when_pairs_exhaust(spark):
     got = [
         (r["round"], r["left_sym"], r["right_sym"], r["merged"],
          r["n_occurrences"])
-        for m in merges
-        for r in m.collect()
+        for r in merges.orderBy("round").collect()
     ]
     assert got == reference_train({"a": 3}, 3)
     assert [r["sym"] for r in vocab.collect()] == ["<a_>"]
+
+
+def test_bpe_train_empty_vocab_returns_empty_merges(spark):
+    """An empty (or fully filtered) word-frequency frame must yield an
+    EMPTY merge table with the right schema — the per-round frame list
+    used to make callers IndexError on merges[0] — and contract-
+    violating words are dropped up front, not spliced into replace."""
+    from ght2dm_spark.operators.bpe import train
+
+    wc = spark.createDataFrame([], "word string, cnt long")
+    merges, vocab = train(wc, rounds=3)
+    assert merges.count() == 0
+    assert merges.columns == [
+        "round", "left_sym", "right_sym", "merged", "n_occurrences"
+    ]
+    bad = spark.createDataFrame([("o'hara", 5), ("", 2)], "word string, cnt long")
+    merges2, vocab2 = train(bad, rounds=2)
+    assert merges2.count() == 0 and vocab2.count() == 0
