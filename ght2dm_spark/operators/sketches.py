@@ -90,7 +90,11 @@ def kmv_estimate(
 ) -> DataFrame:
     """Distinct-count estimate per group from sketch rows: the standard
     small-set branch (n < k hashes ⇒ the sketch saw the whole set ⇒
-    exact n), else (k−1)·DOMAIN div h₍ₖ₎ — all integer arithmetic."""
+    exact n), else (k−1)·DOMAIN div h₍ₖ₎ — all integer arithmetic.
+    Requires k ≥ 2: the (k−1) estimator at k=1 is identically 0 for
+    every non-empty group (silent garbage), so it raises instead."""
+    if k < 2:
+        raise ValueError(f"kmv_estimate requires k >= 2, got {k}")
     est = F.expr(
         f"CASE WHEN n < {k} THEN n ELSE ({k} - 1) * {KMV_DOMAIN}L div hk END"
     ).alias(est_col)
@@ -219,31 +223,37 @@ def hll_estimate(
 
 
 def cms_pos(value: Column, j: int, w: int) -> Column:
-    """Counter position of a value in CMS hash row ``j`` (md5-derived,
-    engine-portable)."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{j}:"), value)), 1, 8), 16, 10
-        ).cast("long")
-        % w
-    )
+    """Counter position of a value in CMS hash row ``j`` — the same
+    md5→int pipeline as :func:`kmv_hash` (one hash definition per file;
+    the explicit string cast is the portable-hash contract the DuckDB
+    mirrors' CAST AS VARCHAR matches)."""
+    return kmv_hash(value, salt=f"{j}:") % w
 
 
 def cms_build(df: DataFrame, value: Column, d: int, w: int) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) of a value
-    column: ``d`` hash rows × ``w`` counters as rows (j, pos, c).  One
-    pass with map-side combine (d·w groups regardless of input size).
+    column: ``d`` hash rows × ``w`` counters as rows (j, pos, c).
+    GENUINELY one pass: each row explodes to its d (j, pos) cells and
+    ONE map-side-combined groupBy counts them (the previous
+    union-of-d-aggregations form rescanned the source d times unless
+    the caller cached).  NULL values are excluded — count semantics
+    ignore NULL, and a NULL position would otherwise become d phantom
+    (j, NULL) counter rows that inflate totals and never match a point
+    query (the kmv/hll NULL-register fix, applied here too).
     Sketches MERGE by plain counter addition (linearity):
     ``union.groupBy(j, pos).sum(c)`` — see :func:`cms_merge`."""
-    counters = None
-    for j in range(1, d + 1):
-        c_j = (
-            df.groupBy(cms_pos(value, j, w).alias("pos"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .select(F.lit(j).alias("j"), "pos", "c")
-        )
-        counters = c_j if counters is None else counters.unionByName(c_j)
-    return counters
+    cells = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), cms_pos(value, j, w).alias("pos"))
+            for j in range(1, d + 1)
+        ]
+    )
+    return (
+        df.filter(value.isNotNull())
+        .select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.j").alias("j"), F.col("cell.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
@@ -265,9 +275,20 @@ def cms_point_query(
     est_col: str = "cms_est",
 ) -> DataFrame:
     """Point-query frequency estimates for ``items`` rows: min over the
-    d counters each value hashes to.  CMS guarantees est ≥ exact count.
-    Both sides of the lookup are sketch/candidate-sized — broadcast
-    joins, no rescan of the sketched corpus."""
+    d counters each value hashes to — through a LEFT join with absent
+    cells coalesced to 0: a CMS counter array is conceptually
+    zero-initialized, so an item hashing to an unoccupied cell has a
+    true upper bound of 0 there (the inner-join form dropped
+    never-seen items entirely, or min'd over the occupied cells only
+    and overestimated).  CMS guarantees est ≥ exact count.  Both sides
+    of the lookup are sketch/candidate-sized — broadcast joins, no
+    rescan of the sketched corpus."""
+    clash = {"j", "pos", "c"} & set(items.columns)
+    if clash:
+        raise ValueError(
+            f"cms_point_query reserves column name(s) {sorted(clash)}; "
+            "rename them on the items side"
+        )
     cpos = None
     for j in range(1, d + 1):
         p_j = items.withColumn("j", F.lit(j)).withColumn(
@@ -275,7 +296,7 @@ def cms_point_query(
         )
         cpos = p_j if cpos is None else cpos.unionByName(p_j)
     return (
-        cpos.join(F.broadcast(counters), ["j", "pos"])
+        cpos.join(F.broadcast(counters), ["j", "pos"], "left")
         .groupBy(*items.columns)
-        .agg(F.min("c").alias(est_col))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias(est_col))
     )

@@ -595,3 +595,24 @@ def test_lsh_bands_rejects_overflowing_geometry(spark):
     sig = spark.createDataFrame([(1, [1, 2, 3, 4])], "doc_id long, sig array<long>")
     with pytest.raises(ValueError, match="exceeds signature length"):
         lsh_bands(sig, "doc_id", bands=2, rows=3, sig_len=4)
+
+
+def test_cms_point_query_zero_cells_and_null_values(spark):
+    """A never-seen item hashing to unoccupied cells must estimate 0
+    (not vanish, not min over occupied cells only), and NULL values
+    must not become phantom counter rows."""
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.operators.sketches import cms_build, cms_point_query
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "v string"
+    )
+    sk = cms_build(df, F.col("v"), d=3, w=4096)
+    assert sk.filter(F.col("pos").isNull()).count() == 0, "no phantom rows"
+    items = spark.createDataFrame(
+        [("a",), ("never-seen-xyz",)], "v string"
+    )
+    got = {r.v: r.cms_est for r in cms_point_query(sk, items, "v", 3, 4096).collect()}
+    assert got["a"] >= 2
+    assert got["never-seen-xyz"] == 0, "absent cells coalesce to zero"
