@@ -133,6 +133,10 @@ _LEAD = [
     # never-verified flagships above matters more; they rotate to the
     # head of round 4's window if the driver doesn't reach them.
     "t1_hll_sketch", "t1_record_linkage", "t1_perceptron_quality",
+    # round-4 additions (all sim-green; next after the r3 tail if the
+    # budget reaches them — never-verified bucket-1 ordering otherwise)
+    "t1_simhash_hamming_pairs", "t1_kn_surprisal", "t1_zipf_fit",
+    "t1_compaction_plan",
 ]
 
 
