@@ -357,9 +357,8 @@ def main() -> None:
             # ~2x noise to the scale medians (measured on q1); the scale
             # numbers should reflect the plans, not the session's history.
             spark.stop()
-            from ght2dm_spark import io as _io
-
-            _io._table_cache.clear()  # frames bound to the dead session
+            # (the per-session plan cache lives ON the session object now
+            # and dies with it — no manual clear needed)
             spark = get_spark(app_name="ght2dm_spark-bench-scale")
             out["scale_point"] = run_scale_point(spark, sf)
         except Exception as e:  # scale point is additive — never fail the bench
