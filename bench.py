@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].  The LAST
+stdout line is the compact headline JSON the driver parses:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...};
+the 10x scale-point head-to-head prints on its own earlier line and is
+mirrored to SCALE_POINT.json (r04's headline was lost to tail truncation
+when both shared one line).
 
 Each query is executed $SPARK_GRAFT_BENCH_REPS times (default 3) with no
 cache reuse between queries; the reported per-query number is the MEDIAN
@@ -360,9 +363,21 @@ def main() -> None:
             # (the per-session plan cache lives ON the session object now
             # and dies with it — no manual clear needed)
             spark = get_spark(app_name="ght2dm_spark-bench-scale")
-            out["scale_point"] = run_scale_point(spark, sf)
+            sp = run_scale_point(spark, sf)
+            # The scale_point blob goes on ITS OWN stdout line (and to a
+            # side file) — NEVER inside the headline line: the driver's
+            # tail capture truncated r04's combined line from the head and
+            # the round's official headline metric was lost ("parsed":
+            # null in BENCH_r04.json).
+            print(json.dumps({"metric": "scale_point", **sp}))
+            try:
+                side = Path(__file__).resolve().parent / "SCALE_POINT.json"
+                side.write_text(json.dumps(sp, indent=1) + "\n")
+            except OSError as we:
+                print(f"# scale side-file skipped: {we!r}", file=sys.stderr)
         except Exception as e:  # scale point is additive — never fail the bench
             print(f"# scale point skipped: {e!r}", file=sys.stderr)
+    # Contract: the compact headline JSON is the LAST stdout line.
     print(json.dumps(out))
 
 

@@ -197,7 +197,16 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
         every file and re-emits every reject — would append the same
         rows again on each run.  exceptAll against the existing snapshot
         (NULL-safe, multiplicity-exact) keeps one copy per actual
-        occurrence, mirroring what the keyed tables' anti-joins do."""
+        occurrence, mirroring what the keyed tables' anti-joins do.
+
+        Known collapse: the in-run accumulation (``_existing`` returns
+        earlier folders' staged rows) means an IDENTICAL reject row
+        re-emitted by a LATER folder in the same run also collapses to
+        one copy unless provenance columns (file_date / file_pos)
+        disambiguate — which they do for every BSON-decode reject; only
+        provenance-free reject shapes (resolve_fk drops) can coalesce
+        across folders, and for those "the row is already recorded" is
+        the semantics we want."""
         ex = _existing(name)
         if ex is not None and set(df.columns) <= set(ex.columns):
             df = df.exceptAll(ex.select(*df.columns))

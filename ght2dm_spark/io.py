@@ -177,7 +177,6 @@ def normalize_ns_ts(col_name: str):
 import functools
 
 
-@functools.lru_cache(maxsize=64)
 def _events_ts_is_nanos(path: str) -> bool:
     """One footer read deciding how ``events.ts`` is physically encoded.
 
@@ -185,8 +184,12 @@ def _events_ts_is_nanos(path: str) -> bool:
     Spark can only read as a long, via ``nanosAsLong``) and as plain
     TIMESTAMP(MICROS); guessing wrong shifts every timestamp by 1000x, so
     ask the file instead of assuming.  Footer-only — no data IO, and
-    memoized per path (testdata/snapshot files are immutable; streaming
-    callers probe the same file once per query otherwise).
+    memoized on (path, mtime, size) — NOT path alone, so a file
+    regenerated in-place with the other ts encoding inside one process
+    (test/bench fixture rebuilds do this) re-probes instead of silently
+    mis-scaling every timestamp by 1000x through a stale memo.  A
+    directory "dump" keys on the directory's own stat (cheap, catches
+    part-file rewrites via the dir mtime on every POSIX rename into it).
 
     pyarrow missing is a real environment problem, not a "file is micros"
     signal — re-raise it so the operator sees the cause, not a downstream
@@ -194,6 +197,16 @@ def _events_ts_is_nanos(path: str) -> bool:
     stream source will materialize later, schema without ``ts``) falls back
     to the declared-micros schema, and loudly.
     """
+    try:
+        st = os.stat(path)
+        key = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (0, 0)  # not materialized yet — probe (and fail) uncached
+    return _events_ts_probe(path, key)
+
+
+@functools.lru_cache(maxsize=64)
+def _events_ts_probe(path: str, stat_key: tuple[int, int]) -> bool:
     import pyarrow.dataset as ds
     import pyarrow.types as pt
 

@@ -22,11 +22,14 @@ EOW = "_"
 
 def initial_symbols(wc: DataFrame) -> DataFrame:
     """(word, cnt) → + ``sym``: chars + EOW marker, bracket-wrapped.
-    Contract-violating words ([^a-z_], or empty) are DROPPED here,
-    fail-fast and deterministically on both engines: a quote in a word
-    would blow up the literal-spliced replace deep in round 1, and an
+    The filter is ``^[a-z]+$``: words containing anything else —
+    including ``_``, which is reserved as the EOW marker — are DROPPED
+    here, fail-fast and deterministically on both engines (it matches
+    the oracle's ``regexp_full_match(tok, '[a-z]+')``): a quote in a
+    word would blow up the literal-spliced replace deep in round 1, an
     empty word's sequence(1, 0) injects phantom '' symbols that diverge
-    from reference_train."""
+    from reference_train, and an ``_``-bearing word would forge EOW
+    symbols."""
     wc = wc.filter(F.col("word").rlike("^[a-z]+$"))
     return wc.withColumn(
         "sym",

@@ -1,9 +1,14 @@
 """Multimodal column support (SURVEY §2.9 / north_star "multimodal
 columns"): image/audio/video payloads as opaque ``binary`` columns with
 typed metadata, processed by Arrow-batched pandas iterators
-(``mapInPandas``) — the Spark-side plumbing (schema, batch shape, UDF
-signature, partitioning) is real and tested; only the codec calls are
-stubbed, because the image/audio libraries are not in this container.
+(``mapInPandas``).  Both the Spark-side plumbing (schema, batch shape,
+UDF signature, partitioning) and the codecs are REAL: container parsing
+for PNG/JPEG/GIF/WAV/MP4 headers (``parse_image_header``,
+``parse_wav_header``, ``parse_mp4_header``), pixel-level PNG decode
+(``decode_png_gray`` — zlib inflate + per-row unfilter), PCM sample
+decode (``decode_wav_samples``), and MP4 box demux — all stdlib
+(struct/zlib), no image/audio libraries needed.  Range-guarded against
+crafted payloads (every length/offset is bounds-checked before use).
 
 Design for 100 TB of media:
 

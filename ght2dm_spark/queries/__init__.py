@@ -62,81 +62,117 @@ from ght2dm_spark.queries import linalg_queries  # noqa: E402,F401
 from ght2dm_spark.queries import layout_queries  # noqa: E402,F401
 from ght2dm_spark.queries import ml_training  # noqa: E402,F401
 
-# Names with a green driver CORRECTNESS row in rounds 1–2.  The driver's
-# correctness harness is time-budgeted (~50 queries/round, walked in registry
-# order), so each round must put never-driver-verified queries at the head of
-# the walk and already-verified ones at the tail — cumulative coverage, not
-# re-checking.  A few T0 rows stay in-window as regression canaries.
+# Names with a green driver CORRECTNESS row in rounds 1-4 (r04 verified 48
+# of its 50-query window; the two hash failures are requeued at the head of
+# the round-5 window below).  The driver's correctness harness is
+# time-budgeted (~50 queries/round, walked in registry order), so each round
+# puts never-driver-verified queries at the head of the walk and
+# already-verified ones at the tail — cumulative coverage, not re-checking.
 _DRIVER_VERIFIED = frozenset({
     "q10_returned_items", "q11_important_parts", "q12_shipmode_priority",
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q16_supplier_relation", "q17_small_quantity", "q18_large_volume_customer",
-    "q19_disjunctive_predicates", "q1_pricing_summary", "q20_promo_suppliers",
-    "q21_waiting_suppliers", "q22_dormant_customers", "q2_min_acctbal_supplier",
+    "q16_supplier_relation", "q17_small_quantity",
+    "q18_large_volume_customer", "q19_disjunctive_predicates",
+    "q1_pricing_summary", "q20_promo_suppliers", "q21_waiting_suppliers",
+    "q22_dormant_customers", "q2_min_acctbal_supplier",
     "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "t0_anti_join_new_only", "t0_broadcast_lookup",
     "t0_clone_path_derive", "t0_distinct", "t0_extremal_row",
-    "t0_newest_wins_dedup", "t0_or_lookup", "t0_ri_rejects", "t0_string_clean",
-    "t0_surrogate_key", "t0_ts_cast", "t0_type_split", "t1_agg_suite",
-    "t1_ann_bruteforce_topk", "t1_ann_euclidean_topk", "t1_ann_ivf_topk",
-    "t1_ann_lsh_multiprobe", "t1_ann_lsh_topk", "t1_approx_aggs", "t1_cube",
-    "t1_dedup_exact", "t1_embedding_neardup", "t1_json_map", "t1_line_dedup",
-    # t1_multimodal_decode deliberately NOT listed: its codec was upgraded
-    # from stub to real container parsing in round 3 — semantics changed,
-    # so it re-enters the driver-verification window.
-    "t1_minhash_lsh_pairs", "t1_minhash_signature",
-    "t1_multimodal_features", "t1_multimodal_frames", "t1_ngram_jaccard_pairs",
-    "t1_pandas_udf_scalar", "t1_pivot", "t1_rollup", "t1_session_window",
+    "t0_newest_wins_dedup", "t0_or_lookup", "t0_ri_rejects",
+    "t0_string_clean", "t0_surrogate_key", "t0_ts_cast", "t0_type_split",
+    "t1_agg_suite", "t1_ann_bruteforce_topk", "t1_ann_euclidean_topk",
+    "t1_ann_ivf_topk", "t1_ann_lsh_multiprobe", "t1_ann_lsh_topk",
+    "t1_ann_recall", "t1_approx_aggs", "t1_asof_join", "t1_audio_fingerprint",
+    "t1_bfs_levels", "t1_bloom_membership", "t1_bpe_encode", "t1_bpe_merges",
+    "t1_char_entropy", "t1_cms_sketch", "t1_corpus_build_pipeline", "t1_cube",
+    "t1_cusum_drift", "t1_dedup_exact", "t1_embedding_centroid",
+    "t1_embedding_neardup", "t1_event_funnel", "t1_hybrid_rrf",
+    "t1_image_ahash", "t1_ivfadc", "t1_ivfadc_rerank", "t1_json_map",
+    "t1_kcore", "t1_kmeans_clusters", "t1_kmv_sketch", "t1_label_propagation",
+    "t1_line_dedup", "t1_media_dedup", "t1_minhash_lsh_pairs",
+    "t1_minhash_signature", "t1_multimodal_audio", "t1_multimodal_decode",
+    "t1_multimodal_features", "t1_multimodal_frames", "t1_multimodal_video",
+    "t1_neardup_components", "t1_ngram_jaccard_pairs", "t1_ohlc",
+    "t1_pagerank", "t1_pandas_udf_scalar", "t1_pca_power", "t1_pit_join",
+    "t1_pivot", "t1_pq_ann", "t1_range_join", "t1_rolling_zscore",
+    "t1_rollup", "t1_salted_join", "t1_session_window", "t1_sessionize_gap",
     "t1_set_ops", "t1_simhash", "t1_sliding_window", "t1_sql_api",
-    "t1_sql_parameterized", "t1_stream_dedup", "t1_stream_dedup_watermark",
+    "t1_sql_parameterized", "t1_sql_pipe", "t1_ssjoin_prefix",
+    "t1_sssp_weighted", "t1_stream_dedup", "t1_stream_dedup_watermark",
     "t1_stream_ohlc", "t1_stream_session_append", "t1_stream_stateful_counts",
     "t1_stream_stream_join", "t1_stream_tumbling", "t1_text_fingerprint",
     "t1_text_lang_id", "t1_text_quality", "t1_text_token_counts",
-    "t1_token_pmi", "t1_topk_global", "t1_topk_per_group", "t1_tumbling_window",
-    "t1_union_evolved", "t1_window_range_frame", "t1_window_ranking",
-    "t1_window_running",
+    "t1_theilsen_slope", "t1_token_pmi", "t1_topk_global",
+    "t1_topk_per_group", "t1_tumbling_window", "t1_twap", "t1_union_evolved",
+    "t1_user_feature_pipeline", "t1_video_sample_table",
+    "t1_window_range_frame", "t1_window_ranking", "t1_window_running",
+    "t1_winsorize_bounds", "t1_zorder_cluster",
 })
 
-# Head of the round-3 walk: flagship never-verified queries users hit first,
-# then T0 regression canaries, then the rest of the never-verified set.
+# Round-5 window: EXACTLY 50 names (the r04 window listed ~62 and the driver
+# cut at 50, so the tail — including round 4's own queries — got zero rows;
+# budgeting to the real window size is part of the contract now).
 _LEAD = [
-    "t1_corpus_build_pipeline", "t1_asof_join", "t1_range_join", "t1_pit_join",
-    "t1_pagerank", "t1_bfs_levels", "t1_neardup_components",
-    "t1_kmeans_clusters", "t1_event_funnel", "t1_sessionize_gap",
-    "t1_salted_join",
-    # codec upgraded stub→real this round (judge item #2) — placed right
-    # after the flagships so a tight driver time budget cannot cut it off:
-    "t1_multimodal_decode",
-    # changed THIS round (rewritten money math / ordering keys / rounding
-    # discipline after the ~sf1 sweep) — semantics-bearing code moved, so
-    # they re-enter the window even where a r1/r2 row exists:
-    "q1_pricing_summary", "t1_ohlc", "t1_stream_ohlc", "t1_twap",
-    "t1_session_window", "t1_stream_session_append", "t1_cusum_drift",
-    "t1_rolling_zscore", "t1_winsorize_bounds", "t1_char_entropy",
-    "t1_embedding_centroid", "t1_user_feature_pipeline", "t1_zorder_cluster",
-    # round-3 first-class category heads (new this round, sim-green):
-    "t1_pq_ann", "t1_ivfadc", "t1_ivfadc_rerank", "t1_bpe_merges",
-    "t1_bpe_encode", "t1_kmv_sketch", "t1_cms_sketch",
-    "t1_temperature_mix", "t1_bloom_membership", "t1_pca_power",
-    "t1_multimodal_audio", "t1_multimodal_video", "t1_ann_recall",
-    "t1_kcore", "t1_label_propagation", "t1_sssp_weighted",
-    "t1_ssjoin_prefix", "t1_ewma", "t1_hybrid_rrf", "t1_sql_pipe",
-    "t1_image_ahash", "t1_audio_fingerprint", "t1_video_sample_table",
-    "t1_media_dedup", "t1_theilsen_slope",
-    # regression canaries (already verified, kept in-window deliberately;
-    # trimmed to three so every round-3 query lands inside the ~50 budget —
-    # t0_ts_cast stays because it was round 1's hash failure)
-    "t0_newest_wins_dedup", "t0_ts_cast", "t0_broadcast_lookup",
-    # late round-3 additions, placed AFTER the canaries on purpose: the
-    # ~50-query time budget may cut them, and protecting the
-    # never-verified flagships above matters more; they rotate to the
-    # head of round 4's window if the driver doesn't reach them.
-    "t1_hll_sketch", "t1_record_linkage", "t1_perceptron_quality",
-    # round-4 additions (all sim-green; next after the r3 tail if the
-    # budget reaches them — never-verified bucket-1 ordering otherwise)
-    "t1_simhash_hamming_pairs", "t1_kn_surprisal", "t1_zipf_fit",
+    # requeues — the only red driver rows in r04 (hash only; bit-exact
+    # locally); both oracles version-proofed this round, so a red here
+    # again means the driver env diverges on BIGINT-only SQL
+    "t1_ewma",
+    "t1_temperature_mix",
+    # round-3/4 stragglers the r04 window cut at exactly 50
+    "t1_hll_sketch",
+    "t1_record_linkage",
+    "t1_perceptron_quality",
+    "t1_simhash_hamming_pairs",
+    "t1_kn_surprisal",
+    "t1_zipf_fit",
     "t1_compaction_plan",
+    # changed THIS round (LM-size cutover / oracle BIGINT casts /
+    # RECURSIVE-CTE replay) — the new code paths need driver rows
+    "t1_unigram_surprisal",
+    "t1_bigram_surprisal",
+    "t1_holt_linear",
+    "t1_seasonal_decompose",
+    "t1_weighted_median",
+    # user-facing never-verified staples (judge's round-5 list)
+    "t1_tfidf_top_terms",
+    "t1_bm25_topk",
+    "t1_merge_upsert",
+    "t1_snapshot_diff",
+    "t1_contamination_check",
+    "t1_hash_sample",
+    "t1_percentile_exact",
+    "t1_cohort_retention",
+    "t1_triangle_count",
+    "t1_semi_join",
+    "t1_full_outer_join",
+    # window/agg staples
+    "t1_window_first_last",
+    "t1_window_distribution",
+    "t1_window_time_range",
+    "t1_grouping_sets",
+    "t1_listagg",
+    "t1_histogram",
+    "t1_stat_moments",
+    "t1_mode_per_group",
+    "t1_topk_with_ties",
+    "t1_pareto_front",
+    "t1_keyset_pagination",
+    # dedup / sampling / curation categories + bench-headline members
+    "t1_dedup_keep_canonical",
+    "t1_span_dedup",
+    "t1_url_dedup",
+    "t1_semdedup",
+    "t1_dsir_sample",
+    "t1_train_test_split",
+    "t1_stratified_sample",
+    "t1_group_split",
+    "t1_pii_scrub",
+    "t1_doc_chunking",
+    "t1_token_budget_pack",
+    "t1_lang_balance_sample",
+    "t1_time_gapfill_series",
+    "t1_repetition_ratio",
 ]
 
 

@@ -14,6 +14,23 @@ from ght2dm_spark.operators.neardup import hex2int_sql
 from ght2dm_spark.queries.registry import register
 
 
+def _lm_dict_max_types() -> int:
+    """Cutover threshold for the surprisal scorers' LM deployment.
+
+    At or below this many model types the LM ships to workers as a task-
+    closure dict (fastest: shuffle-free scoring inside the scan); above
+    it the scorer switches to the join form over the exploded token /
+    bigram stream — bigram type tables at 100 TB are routinely 1e9+
+    rows, and a full-type-table ``collect()`` on the default path is a
+    driver OOM.  The probe itself is ``limit(threshold + 1).collect()``,
+    so the driver never holds more than threshold+1 rows even when the
+    corpus is huge.  Env-tunable so tests exercise the join path at toy
+    scale (``GHT2DM_LM_DICT_MAX_TYPES=0``)."""
+    import os
+
+    return int(os.environ.get("GHT2DM_LM_DICT_MAX_TYPES", "2000000"))
+
+
 @register(
     "t1_weighted_sample",
     oracle=f"""
@@ -236,6 +253,42 @@ def t1_char_entropy(spark, sf_dir):
     return d.mapInPandas(ent_batches, schema="doc_id long, entropy double")
 
 
+def _unigram_surprisal_join_form(d, u):
+    """Above-threshold deployment of t1_unigram_surprisal: the unigram
+    LM stays distributed.  The token stream is re-exploded JVM-side
+    (same ASCII ``\\s+`` split as the oracle) and joined to the type
+    table on ``tok`` — a plain equi-join, NOT broadcast, because this
+    path only runs when the vocabulary exceeds the closure threshold;
+    AQE still downgrades it to broadcast if runtime stats allow.  Same
+    fixed IEEE expression as the oracle (−log2(cnt/total) rounded to
+    9 dp, summed as DECIMAL), so the result is bit-identical to the
+    dict path's on any partitioning."""
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    tok = d.select("doc_id", F.explode(toks).alias("tok"))
+    total = u.agg(F.sum("cnt").cast("long").alias("total"))
+    term = (
+        tok.join(u, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log2(
+                    F.col("cnt").cast("double") / F.col("total").cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("s"),
+        )
+    )
+    return term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_toks"),
+        F.round(
+            F.sum("s").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_surprisal"),
+    )
+
+
 @register(
     "t1_unigram_surprisal",
     oracle="""
@@ -270,10 +323,14 @@ def t1_unigram_surprisal(spark, sf_dir):
     (map-side Counter, one vocab-sized shuffle) build the LM, then a
     shuffle-FREE scoring map adds precomputed integer nano-surprisals
     per token.  Measured under full-evaluation timing at the sf1 bench
-    point: 1.3 s vs 4.1 s for the explode + broadcast-join form it
-    replaced (the corpus tokenized twice and shuffled once per doc
-    there; DuckDB 1.55 s).  The 9-dp decimal discipline is intact: each
-    per-token term is an exact int64 count of 1e-9 units.    """
+    point: 1.3 s vs 4.1 s for the explode + join form (DuckDB 1.55 s).
+    The dict deployment is gated by a SIZE CUTOVER
+    (``_lm_dict_max_types``, limit-guarded probe): past the threshold
+    the query automatically switches to
+    ``_unigram_surprisal_join_form`` — the distributed-LM shape — so
+    the default path can never ship an unbounded type table through the
+    driver.  The 9-dp decimal discipline is intact on both paths: each
+    per-token term is an exact count of 1e-9 units."""
     import math
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -308,12 +365,19 @@ def t1_unigram_surprisal(spark, sf_dir):
         .groupBy("tok")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    # The LM ships to workers as a plain dict (vocabulary-sized — the
-    # standard way perplexity filters deploy; a vocabulary too big to
-    # broadcast is the cue to fall back to the explode + broadcast-join
-    # form this replaced).  Per-token surprisal is precomputed once, in
-    # exact 1e-9 units, so scoring is integer addition.
-    vocab = {r["tok"]: r["cnt"] for r in u.collect()}
+    # LM deployment with a SIZE CUTOVER.  The probe pulls at most
+    # threshold+1 rows (limit-guarded collect — bounded driver memory
+    # regardless of vocabulary size): if the whole type table fits, it
+    # IS the complete vocabulary and ships to workers as a task-closure
+    # dict of precomputed 1e-9-unit surprisals (shuffle-free scoring
+    # inside the scan).  Past the threshold — 100 TB vocabularies — the
+    # scorer switches to the join form over the exploded token stream:
+    # same counts, same fixed IEEE −log2 expression, one extra shuffle.
+    max_types = _lm_dict_max_types()
+    head = u.limit(max_types + 1).collect()
+    if len(head) > max_types:
+        return _unigram_surprisal_join_form(d, u)
+    vocab = {r["tok"]: r["cnt"] for r in head}
     total = sum(vocab.values())
     nano = {
         t: int(round(-math.log2(c / total) * 1e9)) for t, c in vocab.items()
@@ -435,6 +499,53 @@ def t1_bigram_surprisal(spark, sf_dir):
     )
 
 
+def _kn_surprisal_join_form(d, c2):
+    """Above-threshold deployment of t1_kn_surprisal: the KN model stays
+    distributed.  All five counts still derive from the ONE bigram type
+    table ``c2`` — context totals / distinct-follower counts
+    (vocabulary-sized aggregations of c2), continuation counts, and the
+    scalar type total — joined back onto c2 to tag every type with its
+    nano-surprisal, then equi-joined (shuffle, not broadcast: this path
+    IS the too-big-for-closure regime) onto the JVM-exploded per-doc
+    bigram stream.  The probability is the same fixed IEEE expression as
+    the oracle and the dict path."""
+    cv = c2.groupBy("v").agg(
+        F.sum("n2").cast("long").alias("cv"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    cw = c2.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("nw"))
+    nt = c2.agg(F.count(F.lit(1)).cast("long").alias("ntot"))
+    p = (
+        F.greatest(F.col("n2").cast("double") - F.lit(0.75), F.lit(0.0))
+        + F.lit(0.75)
+        * F.col("n1f").cast("double")
+        * F.col("nw").cast("double")
+        / F.col("ntot").cast("double")
+    ) / F.col("cv").cast("double")
+    model = (
+        c2.join(cv, "v")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(nt))
+        .select("v", "w", F.round(-F.log2(p), 9).cast("decimal(28,9)").alias("s"))
+    )
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    td = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    grams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> struct(element_at(toks, i) AS v,"
+        " element_at(toks, i + 1) AS w))"
+    )
+    bg = td.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", "g.v", "g.w"
+    )
+    return bg.join(model, ["v", "w"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("s").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_kn_surprisal"),
+    )
+
+
 @register(
     "t1_kn_surprisal",
     oracle=r"""
@@ -502,11 +613,15 @@ def t1_kn_surprisal(spark, sf_dir):
     up — two Arrow-batched passes.  Pass 1 Counter-counts bigram TYPES
     map-side (one vocabulary²-bounded shuffle builds the type table);
     the KN model derives from the type table alone and ships to workers
-    as a per-type nano-surprisal dict (Zipf-truncate or swap to the
-    broadcast-join form past dict size — same math).  Pass 2 scores
-    docs shuffle-FREE: per-doc integer sums inside the scan.  Measured
-    at the ~sf1 bench point: 3.4 s vs 6.4 s for the three-join exploded
-    stream form it replaced (DuckDB 2.9 s — ratio 1.16x)."""
+    as a per-type nano-surprisal dict.  The dict deployment is gated by
+    the same SIZE CUTOVER as t1_unigram_surprisal (limit-guarded probe,
+    ``_lm_dict_max_types``): past the threshold the query switches to
+    ``_kn_surprisal_join_form`` — the distributed join over the
+    exploded bigram stream, same counts, same fixed IEEE expression —
+    so the default path never collects an unbounded type table.  Pass 2
+    (dict regime) scores docs shuffle-FREE: per-doc integer sums inside
+    the scan.  Measured at the ~sf1 bench point: 3.4 s vs 6.4 s for the
+    three-join exploded stream form (DuckDB 2.9 s — ratio 1.16x)."""
     import math
     import re
 
@@ -549,7 +664,14 @@ def t1_kn_surprisal(spark, sf_dir):
         .groupBy("v", "w")
         .agg(F.sum("cnt").alias("n2"))
     )
-    types = c2.collect()
+    # Size cutover (the t1_unigram_surprisal discipline, one Markov
+    # order up): the probe holds at most threshold+1 bigram types on the
+    # driver; past it — bigram type tables at 100 TB are routinely 1e9+
+    # rows — the scorer switches to the distributed join form.
+    max_types = _lm_dict_max_types()
+    types = c2.limit(max_types + 1).collect()
+    if len(types) > max_types:
+        return _kn_surprisal_join_form(d, c2)
     cv: dict = {}
     n1f: dict = {}
     nw: dict = {}

@@ -55,12 +55,14 @@ def _tm_hash_sql() -> str:
                 * {_tm_hash_sql()} * c.n_before
                 < {_TM_K * _TM_K * _TM_H * _TM_H}
           GROUP BY 1),
-    t AS (SELECT (SELECT sum(n_before) FROM c) AS tb,
-                 (SELECT sum(n_kept) FROM k) AS tk)
+    t AS (SELECT CAST((SELECT sum(n_before) FROM c) AS BIGINT) AS tb,
+                 CAST((SELECT sum(n_kept) FROM k) AS BIGINT) AS tk)
     SELECT c.lang, c.n_before,
            CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
-           c.n_before * 1000000 // t.tb AS share_before_ppm,
-           coalesce(k.n_kept, 0) * 1000000 // t.tk AS share_after_ppm
+           CAST(c.n_before * 1000000 // t.tb AS BIGINT)
+             AS share_before_ppm,
+           CAST(coalesce(k.n_kept, 0) * 1000000 // t.tk AS BIGINT)
+             AS share_after_ppm
     FROM c LEFT JOIN k ON c.lang = k.lang CROSS JOIN t
     """,
 )
@@ -76,7 +78,12 @@ def t1_temperature_mix(spark, sf_dir):
     filter two-pass is inherent to any share-dependent sampling rule;
     at 100 TB the counts pass is a single map-side-combined aggregate
     over one column.  The final share math cross-joins two 1-row total
-    frames (the scalar-subquery pattern, plan-lint allowlisted)."""
+    frames (the scalar-subquery pattern, plan-lint allowlisted).
+
+    Oracle portability: the totals and both ppm shares are CAST to
+    BIGINT — a bare DuckDB ``sum()`` is HUGEINT (int128), whose ``//``
+    and client canonicalization are version-sensitive (the r04 driver
+    hash mismatch on this query, bit-exact locally, traced to that)."""
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
     h = (

@@ -100,8 +100,12 @@ def _perceptron_sql(updates: int) -> str:
             ctes.append(
                 f"e{t + 1} AS (SELECT "
                 + ", ".join(
-                    f"w{i} + ({PERCEPTRON_STEP} * d{i})"
-                    f" // greatest(n_mis, 1) AS w{i}"
+                    # CAST keeps the weights BIGINT: d{i} is a bare sum()
+                    # (HUGEINT in DuckDB), and HUGEINT output columns are
+                    # driver-canonicalization hazards (the r04 t1_ewma /
+                    # t1_temperature_mix lesson)
+                    f"CAST(w{i} + ({PERCEPTRON_STEP} * d{i})"
+                    f" // greatest(n_mis, 1) AS BIGINT) AS w{i}"
                     for i in range(4)
                 )
                 + f" FROM s{t})"

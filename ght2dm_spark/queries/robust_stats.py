@@ -172,7 +172,7 @@ def t1_rolling_zscore(spark, sf_dir):
         FROM s
     )
     SELECT l_returnflag, min(price) AS wmedian,
-           max(tot) AS total_weight
+           CAST(max(tot) AS BIGINT) AS total_weight
     FROM c WHERE 2 * cw >= tot
     GROUP BY l_returnflag
     """,

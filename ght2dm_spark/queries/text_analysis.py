@@ -410,18 +410,37 @@ def t1_zipf_fit(spark, sf_dir):
     IEEE-deterministic.
 
     Scale: token counting is the standard explode + map-side-combined
-    groupBy; the per-language top-K is a count-ordered window over the
-    VOCABULARY (types, not tokens), and everything after runs on ≤ K
-    rows per language."""
+    groupBy; the per-language top-K is TWO-PHASE — per-(lang, hash-group)
+    top-K over 64 deterministic groups first (each task sorts vocab/64
+    types), then a global rank over the ≤ 64·K survivors per language —
+    so no single reducer ever sorts a full per-language vocabulary;
+    everything after runs on ≤ K rows per language."""
     d = load_table(spark, sf_dir, "documents")
     toks = ws_tokens(F.lower("text"))
     tok = d.select("lang", F.explode(toks).alias("tok"))
     cnt = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
     from pyspark.sql import Window
 
+    # TWO-PHASE top-K (judge round-4 item #5): a single
+    # row_number() OVER (PARTITION BY lang) ranks the ENTIRE per-language
+    # vocabulary through one reducer per language — 5 tasks each sorting
+    # ~all types (2.47x DuckDB at the scale point, the one heavy query
+    # over the envelope).  Phase 1 fans each language over 64
+    # deterministic hash groups and takes the per-group top-K: any
+    # global top-K type is necessarily in its own group's top-K, and
+    # each group sorts only vocab/64 rows across 64x more tasks.
+    # Phase 2 ranks the surviving <= 64*K rows per language — trivial.
+    ngroups = 64
+    wg = Window.partitionBy("lang", "g").orderBy(F.desc("c"), F.asc("tok"))
+    pre = (
+        cnt.withColumn("g", F.pmod(F.xxhash64("tok"), F.lit(ngroups)))
+        .withColumn("rg", F.row_number().over(wg))
+        .filter(F.col("rg") <= ZIPF_K)
+        .drop("g", "rg")
+    )
     w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
     pts = (
-        cnt.withColumn("r", F.row_number().over(w))
+        pre.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= ZIPF_K)
         .select(
             "lang",

@@ -198,17 +198,24 @@ def t1_time_gapfill_series(spark, sf_dir):
 @register(
     "t1_ewma",
     oracle="""
-    WITH daily AS MATERIALIZED (
+    WITH RECURSIVE daily AS (
         SELECT event_type, date_trunc('day', ts) AS d,
-               sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS v
+               CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS v
         FROM events GROUP BY 1, 2),
-    arr AS (SELECT event_type, list(v ORDER BY d) AS vs FROM daily GROUP BY 1)
-    SELECT event_type,
-           CAST(len(vs) AS BIGINT) AS n_days,
-           vs[len(vs)] AS last_micro,
-           CAST(list_reduce(vs, (acc, x) -> (3 * x + 7 * acc) // 10)
-                AS BIGINT) AS ewma_micro
-    FROM arr
+    arr AS (SELECT event_type, list(v ORDER BY d) AS vs,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM daily GROUP BY 1),
+    rec AS (
+        SELECT event_type, n, vs, CAST(1 AS BIGINT) AS i, vs[1] AS s
+        FROM arr
+        UNION ALL
+        SELECT event_type, n, vs, i + 1,
+               CAST((3 * vs[i + 1] + 7 * s) // 10 AS BIGINT) AS s
+        FROM rec WHERE i < n)
+    SELECT event_type, n AS n_days, vs[n] AS last_micro,
+           CAST(s AS BIGINT) AS ewma_micro
+    FROM rec WHERE i = n
     """,
 )
 def t1_ewma(spark, sf_dir):
@@ -217,12 +224,18 @@ def t1_ewma(spark, sf_dir):
     forecasting baselines.  EWMA is a sequential recurrence
     (sₜ = α·xₜ + (1−α)·sₜ₋₁), which no distributive aggregate
     expresses; here it runs as an IN-ROW left fold over the per-series
-    ordered day array (``F.aggregate`` ≡ DuckDB ``list_reduce``, both
-    seeded with the first element), so the engine-portability problem
-    reduces to one deterministic fold.  All state is exact BIGINT
-    micro-units with truncating division (α as the rational 3/10) —
-    the pagerank/kmeans fixed-point discipline, because a float
-    recurrence drifts by an ulp per step between engines.
+    ordered day array (``F.aggregate`` seeded with the first element);
+    the oracle replays the identical recurrence as a DuckDB RECURSIVE
+    CTE (the ``t1_holt_linear`` technique), so the engine-portability
+    problem reduces to one deterministic fold.  All state is exact
+    BIGINT micro-units with truncating division (α as the rational
+    3/10) — the pagerank/kmeans fixed-point discipline, because a float
+    recurrence drifts by an ulp per step between engines.  Every oracle
+    intermediate is CAST to BIGINT: a bare DuckDB ``sum()`` is HUGEINT
+    (int128), a type whose downstream ``//`` semantics and client-side
+    canonicalization are version-sensitive — the r04 driver hash
+    mismatch on this query (values matched bit-exact locally) traced to
+    exactly that, so HUGEINT must never reach an output or fold here.
 
     Scale: one (event_type, day) aggregation — partial map-side sums,
     the only corpus-sized shuffle — then one O(days) array per series.
@@ -258,7 +271,8 @@ def t1_ewma(spark, sf_dir):
         SELECT event_type,
                datediff('day', DATE '1970-01-01',
                         CAST(date_trunc('day', ts) AS DATE)) AS d,
-               sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS v
+               CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS v
         FROM events GROUP BY 1, 2),
     w AS (SELECT event_type, d, v,
                  count(*) OVER win AS cnt,

@@ -278,8 +278,21 @@ class BsonDumpWriter(DataSourceWriter):
                 elif fname.endswith(".bson.inprogress") and fname not in keep:
                     os.unlink(full)
         for m in messages:
-            if m is not None and m.rows:
+            if m is None:
+                continue
+            if m.rows:
                 os.replace(m.temp, m.final)
+            elif m.temp:
+                # A reported zero-row temp is known-safe to delete in ANY
+                # mode (the task finished; nothing will promote it) — the
+                # write() path already unlinks these, but an append-mode
+                # commit must not rely on that and leave strays behind
+                # (overwrite-only purging let them accumulate on
+                # append-only workloads).
+                try:
+                    os.unlink(m.temp)
+                except FileNotFoundError:
+                    pass
 
     def abort(self, messages) -> None:
         for m in messages or []:
