@@ -51,9 +51,31 @@ BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 def ws_tokens(col: Column | str) -> Column:
     """Whitespace tokens (empty-string artifacts of repeated separators
-    removed so counts match intuition and the oracle)."""
+    removed so counts match intuition and the oracle).
+
+    Use this when the token ARRAY is consumed as an array (size,
+    array_distinct, transform, ...).  When the tokens are immediately
+    exploded into rows, use :func:`explode_ws_tokens` instead: the
+    higher-order ArrayFilter lambda here evaluates outside whole-stage
+    codegen, and explode(filter(split(...))) measured 2x slower than
+    explode(split(...)) + a plain post-explode predicate at the ~sf1
+    scale point (1.50 s vs 0.77 s for a corpus-wide token count)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def explode_ws_tokens(df, text_col: str, out: str, keep: tuple[str, ...] = ()):
+    """Exploded lowercased whitespace tokens as rows: one row per token,
+    ``keep`` columns carried alongside.  Built as explode(split) + a
+    plain ``!= ''`` predicate — NOT explode(filter(split)) — because the
+    ArrayFilter lambda blocks whole-stage codegen (see ws_tokens).
+    Token semantics are identical: split() emits '' only for separator
+    artifacts, and the predicate drops exactly those rows; NULL text
+    explodes to no rows on both forms."""
+    cols = [F.col(c) for c in keep] + [
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(out)
+    ]
+    return df.select(*cols).filter(F.col(out) != "")
 
 
 def bpe_tokens(col: Column | str) -> Column:

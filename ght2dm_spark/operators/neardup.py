@@ -254,12 +254,17 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     per bit; each token votes ±1 per bit from its md5 bits) → threshold
     ≥0 → concat.  Single shuffle on doc_id.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("__tok"),
-    ).withColumn("__h", F.md5("__tok"))
+    # explode(split) + plain predicate, not explode(filter(split)): the
+    # ArrayFilter lambda blocks whole-stage codegen over the token
+    # stream (measured 2x on the corpus-wide token count at ~sf1).
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .withColumn("__h", F.md5("__tok"))
+    )
     # Parse the 64 vote bits from TWO 32-bit hex halves + cheap shifts
     # instead of 64 per-bit conv(substring) nibble extractions — the
     # string→int conversion dominates the per-token cost (~25% off the

@@ -110,13 +110,10 @@ def t1_tfidf_top_terms(spark, sf_dir):
     document frequency is a small dimension that broadcasts back; N
     arrives as a broadcast scalar.  Ties break lexicographically so
     top-k is deterministic."""
+    from ght2dm_spark.functions.text import explode_ws_tokens
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-        ).alias("term"),
-    ).cache()
+    toks = explode_ws_tokens(d, "text", "term", keep=("doc_id",)).cache()
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")

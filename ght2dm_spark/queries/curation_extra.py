@@ -22,10 +22,11 @@ def _lm_dict_max_types() -> int:
     it the scorer switches to the join form over the exploded token /
     bigram stream — bigram type tables at 100 TB are routinely 1e9+
     rows, and a full-type-table ``collect()`` on the default path is a
-    driver OOM.  The probe itself is ``limit(threshold + 1).collect()``,
-    so the driver never holds more than threshold+1 rows even when the
-    corpus is huge.  Env-tunable so tests exercise the join path at toy
-    scale (``GHT2DM_LM_DICT_MAX_TYPES=0``)."""
+    driver OOM.  The probe streams the type table through
+    ``toLocalIterator`` and stops at threshold+1 rows, so the driver
+    never holds more than threshold+1 rows even when the corpus is
+    huge.  Env-tunable so tests exercise the join path at toy scale
+    (``GHT2DM_LM_DICT_MAX_TYPES=0``)."""
     import os
 
     return int(os.environ.get("GHT2DM_LM_DICT_MAX_TYPES", "2000000"))
@@ -263,8 +264,9 @@ def _unigram_surprisal_join_form(d, u):
     fixed IEEE expression as the oracle (−log2(cnt/total) rounded to
     9 dp, summed as DECIMAL), so the result is bit-identical to the
     dict path's on any partitioning."""
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    tok = d.select("doc_id", F.explode(toks).alias("tok"))
+    from ght2dm_spark.functions.text import explode_ws_tokens
+
+    tok = explode_ws_tokens(d, "text", "tok", keep=("doc_id",))
     total = u.agg(F.sum("cnt").cast("long").alias("total"))
     term = (
         tok.join(u, "tok")
@@ -365,17 +367,31 @@ def t1_unigram_surprisal(spark, sf_dir):
         .groupBy("tok")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    # LM deployment with a SIZE CUTOVER.  The probe pulls at most
-    # threshold+1 rows (limit-guarded collect — bounded driver memory
-    # regardless of vocabulary size): if the whole type table fits, it
-    # IS the complete vocabulary and ships to workers as a task-closure
-    # dict of precomputed 1e-9-unit surprisals (shuffle-free scoring
-    # inside the scan).  Past the threshold — 100 TB vocabularies — the
-    # scorer switches to the join form over the exploded token stream:
-    # same counts, same fixed IEEE −log2 expression, one extra shuffle.
+    # LM deployment with a SIZE CUTOVER.  The probe streams the type
+    # table through toLocalIterator and stops at threshold+1 rows —
+    # bounded driver memory regardless of vocabulary size, and (unlike
+    # limit().collect(), which builds a NEW plan and re-runs the count
+    # pass, measured +1.2 s/rep at the ~sf1 point) it iterates the SAME
+    # DataFrame, so the dict regime pays exactly one count pass, like
+    # the plain collect it replaces.  If the whole table arrives it IS
+    # the complete vocabulary and ships as a task-closure dict of
+    # precomputed 1e-9-unit surprisals (shuffle-free scoring inside the
+    # scan).  Past the threshold — 100 TB vocabularies — the scorer
+    # switches to the join form over the exploded token stream (same
+    # counts, same fixed IEEE −log2 expression), persisting the type
+    # table only in THAT regime (the join plan reads it twice).
+    import itertools
+
     max_types = _lm_dict_max_types()
-    head = u.limit(max_types + 1).collect()
+    head = list(
+        itertools.islice(
+            u.toLocalIterator(prefetchPartitions=True), max_types + 1
+        )
+    )
     if len(head) > max_types:
+        from pyspark import StorageLevel
+
+        u = u.persist(StorageLevel.MEMORY_AND_DISK)
         return _unigram_surprisal_join_form(d, u)
     vocab = {r["tok"]: r["cnt"] for r in head}
     total = sum(vocab.values())
@@ -665,12 +681,24 @@ def t1_kn_surprisal(spark, sf_dir):
         .agg(F.sum("cnt").alias("n2"))
     )
     # Size cutover (the t1_unigram_surprisal discipline, one Markov
-    # order up): the probe holds at most threshold+1 bigram types on the
-    # driver; past it — bigram type tables at 100 TB are routinely 1e9+
-    # rows — the scorer switches to the distributed join form.
+    # order up): the probe streams at most threshold+1 bigram types to
+    # the driver via toLocalIterator over the SAME frame (one count
+    # pass, early abort); past the threshold — bigram type tables at
+    # 100 TB are routinely 1e9+ rows — the scorer switches to the
+    # distributed join form, persisting c2 only in that regime (all
+    # four model aggregates derive from it).
+    import itertools
+
     max_types = _lm_dict_max_types()
-    types = c2.limit(max_types + 1).collect()
+    types = list(
+        itertools.islice(
+            c2.toLocalIterator(prefetchPartitions=True), max_types + 1
+        )
+    )
     if len(types) > max_types:
+        from pyspark import StorageLevel
+
+        c2 = c2.persist(StorageLevel.MEMORY_AND_DISK)
         return _kn_surprisal_join_form(d, c2)
     cv: dict = {}
     n1f: dict = {}

@@ -175,13 +175,11 @@ def t1_dsir_sample(spark, sf_dir):
     the heavy path is one explode + one groupBy(doc_id), i.e. a single
     shuffle over the token stream.  Recomputing the dictionaries is one
     map-side-combined aggregate over the same stream."""
+    from ght2dm_spark.functions.text import explode_ws_tokens
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-        ).alias("tok"),
+    toks = explode_ws_tokens(
+        d, "text", "tok", keep=("doc_id", "lang")
     ).withColumn(
         "bucket",
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")

@@ -208,9 +208,10 @@ def t1_heavy_hitters(spark, sf_dir):
     total rides as a 1-row broadcast.  The sketch variant replaces the
     count shuffle with per-partition summaries merged on the driver —
     same contract, sublinear state."""
+    from ght2dm_spark.functions.text import explode_ws_tokens
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    tok = d.select(F.explode(toks).alias("tok"))
+    tok = explode_ws_tokens(d, "text", "tok")
     cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     tot = tok.agg(F.count(F.lit(1)).alias("total"))
     return (

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ght2dm_spark.functions.text import explode_ws_tokens
 from ght2dm_spark.io import load_table
 from ght2dm_spark.operators.topk import top_k
 from ght2dm_spark.queries.registry import register
@@ -48,12 +49,7 @@ def t1_inverted_index(spark, sf_dir):
     frame itself IS the index), and any per-term array materialization
     needs this kind of cap."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-        ).alias("term"),
-    )
+    toks = explode_ws_tokens(d, "text", "term", keep=("doc_id",))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     return tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
@@ -122,12 +118,7 @@ def t1_bm25_topk(spark, sf_dir):
     broadcast, and the top-k is TakeOrderedAndProject (per-partition
     k-heap, no global sort)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-        ).alias("term"),
-    )
+    toks = explode_ws_tokens(d, "text", "term", keep=("doc_id",))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n"),

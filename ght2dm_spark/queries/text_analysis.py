@@ -14,14 +14,13 @@ from pyspark.sql import functions as F
 from ght2dm_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
-    avg_token_len,
     bpe_tokens,
     content_fingerprint,
     lang_id,
     punct_ratio,
     rolling_min_fingerprint,
-    stopword_ratio,
     token_count,
+    explode_ws_tokens,
     ws_tokens,
 )
 from ght2dm_spark.io import load_table
@@ -85,15 +84,51 @@ def t1_text_quality(spark, sf_dir):
     """Quality scoring: length / token-length / punctuation / stopword
     ratios (the standard cheap pre-filters for LLM corpus cleaning).
     Ratios rounded to 6 digits — the operands are small exact integer
-    ratios, rounding only guards the last bit of the division."""
+    ratios, rounding only guards the last bit of the division.
+
+    All three token statistics (count, total length, stopword hits)
+    come from ONE ``aggregate()`` fold over ONE tokenization, aliased
+    as a struct in an inner projection: higher-order expressions are
+    not common-subexpression-eliminated, so the per-stat builder form
+    (token_count + avg_token_len + stopword_ratio) tokenized every row
+    FOUR times — 2.2x slower at the ~sf1 scale point (5.6 s → 2.5 s).
+    CollapseProject keeps the two-level projection because the struct
+    alias is non-cheap and referenced more than once.  Token boundaries
+    and lengths are case-invariant, so folding the LOWERED tokens
+    serves all three stats; a NULL text folds to a NULL struct, which
+    reproduces the builders' NULL guards."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    ltoks = ws_tokens(F.lower("text"))
+    zero = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("tot"),
+        F.lit(0).cast("long").alias("hits"),
+    )
+
+    def step(acc, t):
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            (acc["tot"] + F.length(t)).alias("tot"),
+            (
+                acc["hits"] + F.when(t.isin(*STOPWORDS), 1).otherwise(0)
+            ).alias("hits"),
+        )
+
+    inner = d.select(
+        "doc_id", "text", F.aggregate(ltoks, zero, step).alias("st")
+    )
+    n = F.col("st.n")
+    return inner.select(
         "doc_id",
         F.length("text").alias("n_chars"),
-        token_count("text").alias("n_tokens"),
-        F.round(avg_token_len("text"), 6).alias("avg_tok_len"),
+        n.alias("n_tokens"),
+        F.round(
+            F.when(n > 0, F.col("st.tot").cast("double") / n), 6
+        ).alias("avg_tok_len"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(
+            F.when(n > 0, F.col("st.hits").cast("double") / n), 6
+        ).alias("stopword_ratio"),
     )
 
 
@@ -409,15 +444,20 @@ def t1_zipf_fit(spark, sf_dir):
     (magnitudes ≤ ~2e18, within int64); the ONE double division is
     IEEE-deterministic.
 
-    Scale: token counting is the standard explode + map-side-combined
-    groupBy; the per-language top-K is TWO-PHASE — per-(lang, hash-group)
+    Scale: token counting is explode + map-side-combined groupBy, with
+    the explode built as explode(split) + post-explode predicate so the
+    whole stage codegens (explode_ws_tokens); the per-language top-K is
+    TWO-PHASE — per-(lang, hash-group)
     top-K over 64 deterministic groups first (each task sorts vocab/64
     types), then a global rank over the ≤ 64·K survivors per language —
     so no single reducer ever sorts a full per-language vocabulary;
     everything after runs on ≤ K rows per language."""
     d = load_table(spark, sf_dir, "documents")
-    toks = ws_tokens(F.lower("text"))
-    tok = d.select("lang", F.explode(toks).alias("tok"))
+
+    # explode_ws_tokens, not explode(ws_tokens(...)): the ArrayFilter
+    # lambda blocks whole-stage codegen and halved this query's token
+    # throughput at the ~sf1 scale point (the 2.4x-of-DuckDB outlier).
+    tok = explode_ws_tokens(d, "text", "tok", keep=("lang",))
     cnt = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
     from pyspark.sql import Window
 
