@@ -44,3 +44,29 @@ def test_lang_id_null_text_is_und(spark):
     assert got[None] == "und" and got[""] == "und"
     assert got["the and of to"] == "en"
     assert got["der die das und"] == "de"
+
+
+def test_explode_ws_tokens_matches_ws_tokens(spark):
+    """explode_ws_tokens (explode(split) + post-explode predicate — the
+    codegen-friendly rewrite) must yield exactly the rows that exploding
+    ws_tokens (filter(split)) would: same tokens, same multiplicity,
+    NULL/empty/whitespace-only/multi-separator texts included."""
+    from ght2dm_spark.functions.text import explode_ws_tokens, ws_tokens
+
+    rows = [
+        (1, "a b  c"),
+        (2, "  leading and trailing  "),
+        (3, ""),
+        (4, None),
+        (5, " \t\n "),
+        (6, "ONE token"),
+        (7, "x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    fast = explode_ws_tokens(df, "text", "tok", keep=("id",))
+    slow = df.select(
+        "id", F.explode(ws_tokens(F.lower("text"))).alias("tok")
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
