@@ -12,9 +12,10 @@ left-to-right over doubles in both engines (Spark ``aggregate``, DuckDB
 Scale shape (100 TB of vectors):
 
 - brute-force top-k is O(Q·N) but the query side is broadcast — the corpus
-  never shuffles, each partition computes local per-query heaps
-  (window row_number over a re-shuffle keyed by query is the generic
-  form used here; a mapPartitions heap is the next optimization);
+  never shuffles for the join, and the rank-filtered window compiles to
+  Catalyst's WindowGroupLimit in Partial + Final mode (verified on the
+  executed plan): every partition keeps only k rows per query BEFORE
+  the shuffle — the mapPartitions-heap shape, done by the optimizer;
 - LSH restricts candidates to matching buckets: corpus is bucketed once
   (narrow map), the join is an equi join on bucket code — broadcastable
   query side, AQE handles bucket skew;
