@@ -43,7 +43,7 @@ PICKS = [
     ("t1_bloom_membership", "Bloom probe: corpus-A set-bit positions distinct (≤m rows) broadcast; corpus B probed map-side; per-doc all-present aggregate is the only B shuffle."),
     ("t1_record_linkage", "Record linkage: ONE groupBy(segment, block key) shuffle collects capped block members; candidate pairs generate IN-ROW (upper triangle of the sorted member array — no self-join, so the scan pipeline runs once, not twice per aliased side); distinct collapses multi-pass pairs BEFORE the levenshtein filter."),
     ("t1_perceptron_quality", "In-engine training: each epoch is one HashAggregate over the cached integer feature projection with the 1-row weight frame broadcast (BroadcastNestedLoopJoin on a single row) — the corpus never reshuffles between epochs."),
-    ("t1_simhash_hamming_pairs", "Manku multi-block Hamming search: fingerprints cached (InMemoryRelation feeds three consumers), 4 block keys exploded per doc, candidates from a block-key equi-join (SortMergeJoin/ShuffledHashJoin — never a cross product), exact per-bit verify on the candidate-bound frame only."),
+    ("t1_simhash_hamming_pairs", "Manku multi-block Hamming search: fingerprints cached (InMemoryRelation feeds three consumers), 4 block keys exploded per doc, candidates from a block-key equi-join (SortMergeJoin/ShuffledHashJoin — never a cross product), exact xor+bit_count verify on the candidate-bound frame only."),
     ("t1_kn_surprisal", "Kneser-Ney scoring: Arrow-batched Counter map builds the bigram TYPE table (one vocabulary-bounded shuffle); the scoring pass is mapInPandas directly over the parquet scan — NO shuffle, no join: the per-type model ships as a task-closure dict (below the _lm_dict_max_types cutover; above it the plan switches to the distributed join form)."),
     ("t1_zipf_fit", "Two-phase per-language top-K: phase-1 window partitions on (lang, 64-way token hash group) so each task sorts vocab/64 types; phase-2 ranks the <= 64*K survivors — no single-reducer full-vocabulary sort."),
     ("t1_text_quality", "Single-tokenization quality scan: ONE aggregate() struct-fold computes count/total-length/stopword-hits per row (exactly one 'aggregate(' in the plan — higher-order exprs don't CSE, so per-stat builders would tokenize 4x); narrow map, no shuffle."),
