@@ -100,19 +100,23 @@ def t1_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the sketch state is k rows per scope regardless of input
     size; per-type sketches are a partitioned window over the distinct
     (type, user) frame, the global ones are TakeOrdered over sketch
-    rows only — the rollup never rescans the base.  Estimates are
-    exact integer arithmetic on md5 hashes: deterministic across
-    engines, partitioning, and merge order.  (Estimation error at
-    k=32 is ~18% 1σ — k is the accuracy dial; HLL++ at the same state
-    size is tighter but engine-specific, see t1_approx_aggs.)"""
+    rows only — the rollup never rescans the base.  Every branch
+    (sketch build, exact counts, global rollup) derives from ONE
+    shared distinct-(type, user) frame, so the physical plan scans
+    events once and reuses the single corpus-wide exchange
+    (ReusedExchange) instead of four independent scan+shuffle chains.
+    Estimates are exact integer arithmetic on md5 hashes:
+    deterministic across engines, partitioning, and merge order.
+    (Estimation error at k=32 is ~18% 1σ — k is the accuracy dial;
+    HLL++ at the same state size is tighter but engine-specific, see
+    t1_approx_aggs.)"""
     ev = load_table(spark, sf_dir, "events")
     user = F.col("user_id")
-    sk = kmv_build(ev, ["event_type"], user, _KMV_K)
-    exact_t = (
-        ev.select("event_type", "user_id")
-        .distinct()
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    pairs = ev.select("event_type", "user_id").distinct()
+    gu = pairs.select("user_id").distinct()
+    sk = kmv_build(pairs, ["event_type"], user, _KMV_K)
+    exact_t = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
     )
     per_type = (
         kmv_estimate(sk, ["event_type"], _KMV_K)
@@ -121,11 +125,9 @@ def t1_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("scope"), "est_distinct", "exact_distinct"
         )
     )
-    exact_all = ev.select("user_id").distinct().agg(
-        F.count(F.lit(1)).alias("exact_distinct")
-    )
+    exact_all = gu.agg(F.count(F.lit(1)).alias("exact_distinct"))
     direct = (
-        kmv_estimate(kmv_build(ev, [], user, _KMV_K), [], _KMV_K)
+        kmv_estimate(kmv_build(gu, [], user, _KMV_K), [], _KMV_K)
         .select(F.lit("all_direct").alias("scope"), "est_distinct")
         .crossJoin(F.broadcast(exact_all))
     )
@@ -229,8 +231,11 @@ def t1_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers — n_buckets is emitted so they can apply it).
 
     Scale: register state is ≤256 rows per scope regardless of input —
-    one map-side-combined pass builds it, merges and estimates touch
-    register rows only, never the base data.  This is the sketch HLL
+    every branch (register build, exact counts, global rollup) derives
+    from one shared distinct-(type, user) frame so events is scanned
+    ONCE (registers are max-aggregates: building them from the distinct
+    pairs yields identical state to building from raw events); merges
+    and estimates touch register rows only, never the base data.  This is the sketch HLL
     is used for in production rollups (per-partition/per-source build,
     max-merge upward); KMV (t1_kmv_sketch) trades 4× state for
     integer-only estimates, CMS (t1_cms_sketch) covers frequencies,
@@ -238,9 +243,21 @@ def t1_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, all under the exact-match gate."""
     ev = load_table(spark, sf_dir, "events")
     user = F.col("user_id")
-    sk = hll_build(ev, ["event_type"], user)
-    exact_t = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_distinct")
+    # Every branch derives from ONE shared distinct-(type, user) frame:
+    # registers are max-aggregates, so building them from the distinct
+    # pairs yields identical state to building from raw events, and the
+    # exact counts are plain counts over the same frame — the physical
+    # plan scans events once and reuses the single corpus-wide exchange
+    # (ReusedExchange) instead of four independent scan+shuffle chains.
+    # countDistinct's NULL-exclusion is preserved by the explicit
+    # isNotNull filters (hll_build drops NULL-hash rows itself).
+    pairs = ev.select("event_type", "user_id").distinct()
+    gu = pairs.select("user_id").distinct()
+    sk = hll_build(pairs, ["event_type"], user)
+    exact_t = (
+        pairs.filter(user.isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
     )
     per_type = (
         hll_estimate(sk, ["event_type"])
@@ -253,9 +270,11 @@ def t1_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
-    exact_all = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    exact_all = gu.filter(user.isNotNull()).agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
     direct = (
-        hll_estimate(hll_build(ev, [], user), [])
+        hll_estimate(hll_build(gu, [], user), [])
         .select(F.lit("all_direct").alias("scope"), "n_buckets",
                 "sum_scaled", "est_distinct")
         .crossJoin(F.broadcast(exact_all))
