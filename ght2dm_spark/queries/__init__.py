@@ -54,6 +54,7 @@ from ght2dm_spark.queries import audit_queries  # noqa: E402,F401
 from ght2dm_spark.queries import marketing_queries  # noqa: E402,F401
 from ght2dm_spark.queries import spark4_queries  # noqa: E402,F401
 from ght2dm_spark.queries import curation_llm  # noqa: E402,F401
+from ght2dm_spark.queries import curation_filters  # noqa: E402,F401
 from ght2dm_spark.queries import search_queries  # noqa: E402,F401
 from ght2dm_spark.queries import mixing_queries  # noqa: E402,F401
 from ght2dm_spark.queries import tokenizer_queries  # noqa: E402,F401

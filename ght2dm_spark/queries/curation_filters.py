@@ -1,0 +1,383 @@
+"""Published-recipe curation filters over the ``documents`` /
+``embeddings`` tables (SURVEY §2.9 training-data pipeline surface;
+extensions beyond the reference, which is a fixed ETL tool).
+
+Five operators a production LLM-data pipeline runs corpus-wide:
+
+- ``t1_gopher_rules`` — the Gopher quality-rule battery (Rae et al. 2021,
+  "Scaling Language Models", Appendix A) as per-document booleans;
+- ``t1_dup_ngram_coverage`` — cross-document duplicate n-gram coverage
+  (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  Better" — the fuzzy-duplication *measurement* their suffix-array dedup
+  acts on, here at 5-gram granularity);
+- ``t1_source_dup_profile`` — the same signal rolled up per source (the
+  corpus-health dashboard feeding mixture decisions);
+- ``t1_cross_source_leakage`` — source-pair shared-shingle matrix (the
+  train/eval and inter-dump leakage audit);
+- ``t1_int8_quantize`` — symmetric per-vector int8 embedding
+  quantization audit (absmax scaling as in Dettmers et al. 2022,
+  "LLM.int8()"): saturation/zero counts, integer checksum, RMSE.
+
+Hash-match discipline: every threshold comparison is INTEGER arithmetic
+(``5*topc <= nw`` instead of ``topc/nw <= 0.2``) and every float output
+is derived from an exact integer state by one final division/sqrt — the
+``t1_embedding_centroid`` lesson (scale_queries.py): never ``round()`` a
+double that two engines computed, make the double itself deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ght2dm_spark.functions.text import STOPWORDS, ws_tokens
+from ght2dm_spark.io import load_table
+from ght2dm_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# shared 5-gram shingle frame
+#
+# Both engines build, per document, the md5 of every 5-token window (one
+# entry per POSITION — within-doc repeats preserved for coverage math).
+# The CASE guard matters on the Spark side: sequence(1, 0) is the
+# DESCENDING array [1, 0], not empty like DuckDB's end-exclusive range
+# (the rolling_min_fingerprint hazard), so short docs need the explicit
+# empty-array branch or they would emit phantom grams.
+# ---------------------------------------------------------------------------
+
+_SPARK_GRAMS = (
+    "CASE WHEN size(tk) >= 5 THEN transform(sequence(1, size(tk) - 4),"
+    " i -> md5(array_join(slice(tk, i, 5), ' '))) ELSE array() END"
+)
+
+_SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+_SQL_GRAMS = (
+    "CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),"
+    " i -> md5(array_to_string(tk[i:i+4], ' '))) ELSE [] END"
+)
+_SQL_GRAM_CTE = f"""
+    toks AS (SELECT doc_id, source, {_SQL_TOKS} AS tk FROM documents),
+    grams AS (SELECT doc_id, source, unnest({_SQL_GRAMS}) AS g FROM toks)
+"""
+
+
+def _gram_rows(spark, sf_dir):
+    """(doc_id, source, g) — one row per 5-gram POSITION per document.
+
+    Scale: a narrow map inside the scan stage (tokenize once, md5 per
+    window); the explode multiplies rows ~n_tokens× but each row is
+    ~50 bytes, and every consumer aggregates immediately after — partial
+    aggregation absorbs the blowup map-side before any shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            ws_tokens(F.lower(F.col("text"))).alias("tk"),
+        )
+        .select("doc_id", "source", F.explode(F.expr(_SPARK_GRAMS)).alias("g"))
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "t1_gopher_rules",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents),
+    pc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+    s AS (SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS nw,
+                 count(*) AS ndist,
+                 max(c) AS topc,
+                 CAST(coalesce(sum(c) FILTER (t IN ({_STOP_SQL})), 0)
+                      AS BIGINT) AS nstop,
+                 CAST(sum(c * length(t)) AS BIGINT) AS sumlen
+          FROM pc GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(nw BETWEEN 20 AND 1000, FALSE) AS r_word_count,
+           coalesce(3 * nw <= sumlen AND sumlen <= 10 * nw, FALSE)
+             AS r_mean_word_len,
+           coalesce(nstop >= 2, FALSE) AS r_stopwords,
+           coalesce(5 * topc <= nw, FALSE) AS r_top_word,
+           coalesce(10 * ndist >= 3 * nw, FALSE) AS r_distinct,
+           coalesce(nw BETWEEN 20 AND 1000
+                    AND 3 * nw <= sumlen AND sumlen <= 10 * nw
+                    AND nstop >= 2 AND 5 * topc <= nw
+                    AND 10 * ndist >= 3 * nw, FALSE) AS passes
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def t1_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule battery (Rae et al. 2021 Appendix A), adapted
+    to this corpus's scale: word count in [20, 1000], mean word length in
+    [3, 10], >= 2 stopwords, top word <= 20% of tokens, distinct ratio
+    >= 30%.  Per-document booleans plus the AND — emitted per rule (not
+    just the gate) so a rule that silently rejects everything is visible,
+    the same observability argument as t1_dq_rules.
+
+    Every threshold is integer arithmetic (``5*topc <= nw``), never a
+    float ratio — cross-engine ratios on a .5-boundary round apart.
+
+    Scale: one explode + two partial-aggregated shuffles on doc_id
+    (token-count frame, then per-doc stats); token-less docs re-enter via
+    the left join with all rules FALSE.  No windows, no driver state."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("t")
+    )
+    pc = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    s = pc.groupBy("doc_id").agg(
+        F.sum("c").alias("nw"),
+        F.count(F.lit(1)).alias("ndist"),
+        F.max("c").alias("topc"),
+        F.coalesce(
+            F.sum(F.when(F.col("t").isin(*STOPWORDS), F.col("c"))), F.lit(0)
+        ).alias("nstop"),
+        F.sum(F.col("c") * F.length("t")).alias("sumlen"),
+    )
+    nw, sumlen = F.col("nw"), F.col("sumlen")
+    rules = {
+        "r_word_count": (nw >= 20) & (nw <= 1000),
+        "r_mean_word_len": (3 * nw <= sumlen) & (sumlen <= 10 * nw),
+        "r_stopwords": F.col("nstop") >= 2,
+        "r_top_word": 5 * F.col("topc") <= nw,
+        "r_distinct": 10 * F.col("ndist") >= 3 * nw,
+    }
+    out = d.select("doc_id").join(s, "doc_id", "left")
+    passes = None
+    for name, cond in rules.items():
+        flag = F.coalesce(cond, F.lit(False))
+        out = out.withColumn(name, flag)
+        passes = flag if passes is None else (passes & flag)
+    return out.withColumn("passes", passes).select(
+        "doc_id", *rules.keys(), "passes"
+    )
+
+
+@register(
+    "t1_dup_ngram_coverage",
+    oracle=f"""
+    WITH {_SQL_GRAM_CTE},
+    nd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+    per AS (SELECT doc_id, count(*) AS n_grams,
+                   count(*) FILTER (nd >= 2) AS n_dup
+            FROM grams JOIN nd USING (g) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def t1_dup_ngram_coverage(spark, sf_dir):
+    """Cross-document duplicate 5-gram coverage (Lee et al. 2022's
+    duplication signal; Gopher's dup-ngram family): per document, how
+    many of its 5-gram positions carry a gram that also occurs in at
+    least one OTHER document.  Within-doc repetition deliberately does
+    NOT count (countDistinct doc_id >= 2) — that signal is
+    t1_repetition_ratio's.
+
+    Counts stay integers (n_grams, n_dup); the caller divides — a
+    float fraction would be the one non-portable thing in the query.
+
+    Scale: gram frame → one shuffle on g for the distinct-doc counts,
+    one shuffle-join back on g, one aggregation on doc_id.  All three
+    keys are high-cardinality md5s — no skew; partial aggregation
+    absorbs the explode before every exchange."""
+    grams = _gram_rows(spark, sf_dir)
+    nd = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    per = (
+        grams.join(nd, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("nd") >= 2).alias("n_dup"),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+    )
+
+
+@register(
+    "t1_source_dup_profile",
+    oracle=f"""
+    WITH {_SQL_GRAM_CTE},
+    nd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+    j AS (SELECT source, doc_id, nd FROM grams JOIN nd USING (g))
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (nd >= 2) AS BIGINT) AS n_dup
+    FROM j GROUP BY source
+    """,
+)
+def t1_source_dup_profile(spark, sf_dir):
+    """Per-source duplication profile: the t1_dup_ngram_coverage signal
+    rolled up to the mixture-decision grain (which dumps/crawls carry
+    how much cross-corpus duplication — the dashboard RefinedWeb-style
+    pipelines watch before setting source weights).
+
+    Scale: identical plan shape to t1_dup_ngram_coverage with the final
+    aggregation on the 20-value source key instead of doc_id — low
+    cardinality is safe HERE because partial aggregation reduces each
+    task to ≤|sources| rows before the exchange."""
+    grams = _gram_rows(spark, sf_dir)
+    nd = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        grams.join(nd, "g")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count_if(F.col("nd") >= 2).cast("bigint").alias("n_dup"),
+        )
+    )
+
+
+@register(
+    "t1_cross_source_leakage",
+    oracle=f"""
+    WITH {_SQL_GRAM_CTE},
+    sg AS (SELECT DISTINCT source, g FROM grams)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def t1_cross_source_leakage(spark, sf_dir):
+    """Source-pair leakage matrix: distinct 5-gram shingles shared by
+    each pair of sources — the train/eval contamination audit
+    (t1_contamination_check's shape) generalized to ALL pairs in one
+    pass, the inter-dump overlap triangle CommonCrawl curators publish.
+
+    Scale: dedup to (source, g) first — |sources| × |distinct grams|
+    upper bound — then a self-equi-join on g.  The join key is the
+    gram hash (high cardinality, no skew); a gram shared by k sources
+    expands to k(k-1)/2 in-row pairs with k ≤ 20, bounded.  The
+    source < source predicate halves the output and keeps pairs
+    canonical; count(*) is exact-distinct because both join inputs are
+    distinct on (source, g)."""
+    grams = _gram_rows(spark, sf_dir)
+    sg = grams.select("source", "g").distinct()
+    a, b = sg.alias("a"), sg.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+
+
+# int8 quantization: q = half-away-round(x / scale), scale = absmax/127.
+# Both engines express the rounding as sign-aware floor (no round(); the
+# centroid lesson) and the residual energy as exact integer picounits, so
+# the one float output (rmse) is one sqrt of one deterministic double.
+# Two spellings of the SAME expression tree: Spark needs typed literal
+# suffixes (0D/0L) to stay in double/long; DuckDB rejects them.
+_Q = (
+    "CASE WHEN scale = 0D THEN 0L ELSE CAST("
+    "CASE WHEN xd >= 0D THEN floor(xd / scale + 0.5D)"
+    " ELSE -floor(-xd / scale + 0.5D) END AS BIGINT) END"
+)
+_Q_SQL = (
+    "CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST("
+    "CASE WHEN xd >= 0 THEN floor(xd / scale + 0.5)"
+    " ELSE -floor(-xd / scale + 0.5) END AS BIGINT) END"
+)
+
+
+def _spark_quant_exprs() -> dict[str, str]:
+    xd = "CAST(x AS DOUBLE)"
+    q = _Q.replace("xd", xd)
+    r = f"({xd} - {q} * scale)"
+    return {
+        "qs": f"transform(embedding, x -> {q})",
+        "r2m": (
+            f"aggregate(transform(embedding, x -> CAST(floor({r} * {r}"
+            " * 1000000000000D + 0.5D) AS BIGINT)), 0L, (a, v) -> a + v)"
+        ),
+    }
+
+
+@register(
+    "t1_int8_quantize",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               list_transform(embedding, x -> {_Q_SQL.replace("xd", "CAST(x AS DOUBLE)")}) AS qs,
+               list_transform(embedding, x ->
+                   CAST(floor((CAST(x AS DOUBLE) - {_Q_SQL.replace("xd", "CAST(x AS DOUBLE)")} * scale)
+                        * (CAST(x AS DOUBLE) - {_Q_SQL.replace("xd", "CAST(x AS DOUBLE)")} * scale)
+                        * 1000000000000.0 + 0.5) AS BIGINT)) AS r2
+        FROM s
+    )
+    SELECT vec_id,
+           CAST(len(list_filter(qs, v -> abs(v) = 127)) AS BIGINT)
+             AS n_saturated,
+           CAST(len(list_filter(qs, v -> v = 0)) AS BIGINT) AS n_zero,
+           CAST(list_sum(qs) AS BIGINT) AS q_sum,
+           sqrt(CAST(CAST(list_sum(r2) AS BIGINT) AS DOUBLE)
+                / 1000000000000.0 / len(qs)) AS rmse
+    FROM q
+    """,
+)
+def t1_int8_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization audit (absmax scaling, the
+    LLM.int8() / FAISS SQ8 scheme): per vector, quantize each dim to
+    q = round(x·127/absmax), report saturation count (|q| = 127 — >1
+    means an outlier dim is eating the dynamic range), zero count
+    (underflow), the integer checksum of q, and reconstruction RMSE.
+
+    Exactness: rounding is sign-aware half-away floor arithmetic in both
+    engines (never round() on a double); the residual energy is summed
+    as exact integer picounits (r² ≤ (scale/2)² ≈ 4e-6 → ≤ 4e6 pico per
+    dim, 64 dims ≈ 3e8 — far inside BIGINT), and rmse is one sqrt of one
+    deterministically-derived double.  DuckDB's HUGEINT list_sum is
+    CAST to BIGINT before the division (the t1_temperature_mix lesson).
+
+    Scale: pure per-row map over the embedding array — no shuffle, no
+    UDF, pipelined inside the parquet scan; at 100 TB this is
+    scan-bound, which is the point of doing it declaratively."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exprs = _spark_quant_exprs()
+    s = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+            " / 127.0D"
+        ).alias("scale"),
+    )
+    q = s.select(
+        "vec_id",
+        "scale",
+        F.expr(exprs["qs"]).alias("qs"),
+        F.expr(exprs["r2m"]).alias("r2m"),
+    )
+    return q.select(
+        "vec_id",
+        F.expr("size(filter(qs, v -> abs(v) = 127))")
+        .cast("bigint")
+        .alias("n_saturated"),
+        F.expr("size(filter(qs, v -> v = 0))").cast("bigint").alias("n_zero"),
+        F.expr("aggregate(qs, 0L, (a, v) -> a + v)").alias("q_sum"),
+        F.expr(
+            "sqrt(CAST(r2m AS DOUBLE) / 1000000000000.0D / size(qs))"
+        ).alias("rmse"),
+    )

@@ -1,0 +1,151 @@
+"""Edge pins for the curation-filter queries (curation_filters.py) on
+cases the driver corpus never exercises — NULL/empty/short documents,
+within-doc-only gram repetition, zero vectors, exact saturation:
+
+- a token-less document must surface with every Gopher rule FALSE (not
+  vanish through the inner aggregations);
+- within-doc 5-gram repetition must NOT count as cross-doc duplication
+  (countDistinct doc_id >= 2, Lee-2022 semantics);
+- an all-zero embedding has scale 0 → q all zero, rmse exactly 0.0;
+- quantization saturates at exactly ±127, never -128 (the sign-aware
+  floor can't round |x/scale| past 127.5).
+
+Each case runs the REAL query + its REAL oracle over a crafted parquet
+fixture — the same dual-engine compare as the driver, so an edge-case
+divergence fails here instead of in a future CORRECTNESS round.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import duckdb
+import pytest
+
+from ght2dm_spark.queries import ORACLE, QUERIES
+from tests.conftest import assert_oracle_match
+
+PASSING = (
+    "the quick brown fox jumps over a lazy dog while the keen red hen "
+    "walks past a tall green barn to see the wide blue lake and rest"
+)  # 27 words, all distinct but articles; passes every Gopher rule
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("curation_edge")
+    docs = {
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "text": [
+            None,  # NULL text → no tokens
+            "",  # empty → no tokens
+            "a b c",  # 3 tokens → no 5-grams
+            PASSING,  # shares every gram with doc 5
+            PASSING,  # exact dup of doc 4, other source
+            # within-doc repeated 5-gram, unique to this doc
+            "p q r s t p q r s t",
+            # top-word spam: fails top-word + distinct-ratio rules
+            "the " * 30 + "end",
+        ],
+        "lang": ["en"] * 7,
+        "source": ["s0", "s0", "s1", "s0", "s1", "s2", "s2"],
+        "n_chars": [0, 0, 5, len(PASSING), len(PASSING), 19, 123],
+    }
+    pq.write_table(pa.table(docs), d / "documents.parquet")
+    embs = {
+        "vec_id": [1, 2, 3],
+        "embedding": pa.array(
+            [
+                [0.0, 0.0, 0.0, 0.0],
+                [1.0, -1.0, 0.5, 0.0],
+                [-2.0, 1.0, 0.25, -0.25],
+            ],
+            type=pa.list_(pa.float32()),
+        ),
+        "label": [0, 1, 2],
+    }
+    pq.write_table(pa.table(embs), d / "embeddings.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_dir):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{edge_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "t1_gopher_rules",
+        "t1_dup_ngram_coverage",
+        "t1_source_dup_profile",
+        "t1_cross_source_leakage",
+        "t1_int8_quantize",
+    ],
+)
+def test_edge_fixture_matches_oracle(name, spark, edge_dir, edge_duck):
+    assert_oracle_match(
+        QUERIES[name](spark, edge_dir), edge_duck, ORACLE[name], name=name
+    )
+
+
+def test_gopher_rules_edge_values(spark, edge_dir):
+    got = {
+        r.doc_id: r.asDict()
+        for r in QUERIES["t1_gopher_rules"](spark, edge_dir).collect()
+    }
+    # token-less docs surface, all-FALSE
+    for did in (1, 2):
+        assert got[did] == {
+            "doc_id": did,
+            "r_word_count": False,
+            "r_mean_word_len": False,
+            "r_stopwords": False,
+            "r_top_word": False,
+            "r_distinct": False,
+            "passes": False,
+        }
+    assert got[4]["passes"] and got[5]["passes"]
+    spam = got[7]
+    assert not spam["r_top_word"] and not spam["r_distinct"]
+    assert spam["r_stopwords"]  # 'the' ×30
+    assert not spam["passes"]
+
+
+def test_dup_ngram_within_doc_repetition_not_dup(spark, edge_dir):
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup)
+        for r in QUERIES["t1_dup_ngram_coverage"](spark, edge_dir).collect()
+    }
+    assert got[1] == (0, 0) and got[2] == (0, 0) and got[3] == (0, 0)
+    # docs 4 and 5 are identical → every gram position duplicated
+    n = got[4][0]
+    assert n > 0 and got[4] == (n, n) and got[5] == (n, n)
+    # doc 6 repeats its own gram ('p q r s t' twice + bridging grams)
+    # but shares nothing cross-doc → n_dup = 0
+    assert got[6][0] == 6 and got[6][1] == 0
+
+
+def test_int8_quantize_edge_values(spark, edge_dir):
+    got = {
+        r.vec_id: r.asDict()
+        for r in QUERIES["t1_int8_quantize"](spark, edge_dir).collect()
+    }
+    zero = got[1]
+    assert (zero["n_saturated"], zero["n_zero"], zero["q_sum"]) == (0, 4, 0)
+    assert zero["rmse"] == 0.0
+    # absmax 1.0 → q = [127, -127, 64, 0]; half-up: 63.5 → 64
+    v2 = got[2]
+    assert (v2["n_saturated"], v2["n_zero"], v2["q_sum"]) == (2, 1, 64)
+    # negative absmax: q = [-127, 64, 16, -16]; saturation counts |q|=127
+    v3 = got[3]
+    assert (v3["n_saturated"], v3["q_sum"]) == (1, -63)
+    # quantized values never escape int8 range (no -128)
+    for v in got.values():
+        assert abs(v["q_sum"]) <= 127 * 64
