@@ -138,6 +138,13 @@ HEADLINE = [
     "t1_kn_surprisal",
     "t1_simhash_hamming_pairs",
     "t1_zipf_fit",
+    # round 5: published curation recipes + embedding quantization
+    # (t1_source_dup_profile shares t1_dup_ngram_coverage's gram core —
+    # one representative of that plan shape keeps the bench honest)
+    "t1_gopher_rules",
+    "t1_dup_ngram_coverage",
+    "t1_cross_source_leakage",
+    "t1_int8_quantize",
 ]
 
 
@@ -163,6 +170,10 @@ SCALE_HEADLINE = [
     "t1_kmv_sketch",
     "t1_kn_surprisal",
     "t1_zipf_fit",
+    # replication-honest round-5 member: per-doc rule booleans scale
+    # linearly with the 10× corpus (the gram-dedup queries would instead
+    # measure the fixture's own duplication — excluded like the LSH set)
+    "t1_gopher_rules",
 ]
 
 #: tables replicated with shifted keys in the scale dir; everything else

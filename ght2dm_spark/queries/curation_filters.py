@@ -19,7 +19,7 @@ Five operators a production LLM-data pipeline runs corpus-wide:
   "LLM.int8()"): saturation/zero counts, integer checksum, RMSE.
 
 Hash-match discipline: every threshold comparison is INTEGER arithmetic
-(``5*topc <= nw`` instead of ``topc/nw <= 0.2``) and every float output
+(``5*nalpha >= 4*nw`` instead of ``nalpha/nw >= 0.8``) and every float output
 is derived from an exact integer state by one final division/sqrt — the
 ``t1_embedding_centroid`` lesson (scale_queries.py): never ``round()`` a
 double that two engines computed, make the double itself deterministic.
@@ -84,70 +84,93 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 @register(
     "t1_gopher_rules",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents),
-    pc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
-    s AS (SELECT doc_id,
-                 CAST(sum(c) AS BIGINT) AS nw,
-                 count(*) AS ndist,
-                 max(c) AS topc,
-                 CAST(coalesce(sum(c) FILTER (t IN ({_STOP_SQL})), 0)
-                      AS BIGINT) AS nstop,
-                 CAST(sum(c * length(t)) AS BIGINT) AS sumlen
-          FROM pc GROUP BY doc_id)
-    SELECT d.doc_id,
-           coalesce(nw BETWEEN 20 AND 1000, FALSE) AS r_word_count,
-           coalesce(3 * nw <= sumlen AND sumlen <= 10 * nw, FALSE)
-             AS r_mean_word_len,
+    WITH s AS (
+        SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+    ),
+    st AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS nw,
+               CAST(len(list_distinct(tk)) AS BIGINT) AS ndist,
+               CAST(len(list_filter(tk, t -> t IN ({_STOP_SQL})))
+                    AS BIGINT) AS nstop,
+               CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+                    AS BIGINT) AS nalpha,
+               CAST(coalesce(list_sum(list_transform(tk, t -> length(t))),
+                             0) AS BIGINT) AS sumlen
+        FROM s
+    )
+    SELECT doc_id,
+           coalesce(nw >= 20 AND nw <= 1000, FALSE) AS r_word_count,
+           coalesce(nw > 0 AND 3 * nw <= sumlen AND sumlen <= 10 * nw,
+                    FALSE) AS r_mean_word_len,
            coalesce(nstop >= 2, FALSE) AS r_stopwords,
-           coalesce(5 * topc <= nw, FALSE) AS r_top_word,
-           coalesce(10 * ndist >= 3 * nw, FALSE) AS r_distinct,
-           coalesce(nw BETWEEN 20 AND 1000
+           coalesce(nw > 0 AND 5 * nalpha >= 4 * nw, FALSE) AS r_alpha_words,
+           coalesce(nw > 0 AND 10 * ndist >= 3 * nw, FALSE) AS r_distinct,
+           coalesce(nw >= 20 AND nw <= 1000
                     AND 3 * nw <= sumlen AND sumlen <= 10 * nw
-                    AND nstop >= 2 AND 5 * topc <= nw
+                    AND nstop >= 2 AND 5 * nalpha >= 4 * nw
                     AND 10 * ndist >= 3 * nw, FALSE) AS passes
-    FROM documents d LEFT JOIN s USING (doc_id)
+    FROM st
     """,
 )
 def t1_gopher_rules(spark, sf_dir):
     """Gopher quality-rule battery (Rae et al. 2021 Appendix A), adapted
-    to this corpus's scale: word count in [20, 1000], mean word length in
-    [3, 10], >= 2 stopwords, top word <= 20% of tokens, distinct ratio
-    >= 30%.  Per-document booleans plus the AND — emitted per rule (not
-    just the gate) so a rule that silently rejects everything is visible,
-    the same observability argument as t1_dq_rules.
+    to this corpus's scale: word count in [20, 1000], mean word length
+    in [3, 10], >= 2 stopwords, >= 80% of words contain an alphabetic
+    character (the paper's rule verbatim), distinct-token ratio >= 30%
+    (type-token floor; corpus-level repetition is t1_repetition_ratio's
+    signal).  Per-document booleans plus the AND — emitted per rule (not
+    just the gate) so a rule that silently rejects everything is
+    visible, the same observability argument as t1_dq_rules.
 
-    Every threshold is integer arithmetic (``5*topc <= nw``), never a
-    float ratio — cross-engine ratios on a .5-boundary round apart.
+    Every threshold is integer arithmetic (``5*nalpha >= 4*nw``), never
+    a float ratio — cross-engine ratios on a .5-boundary round apart.
 
-    Scale: one explode + two partial-aggregated shuffles on doc_id
-    (token-count frame, then per-doc stats); token-less docs re-enter via
-    the left join with all rules FALSE.  No windows, no driver state."""
+    Scale: a SHUFFLE-FREE narrow map — every stat is a LINEAR pass
+    over ONE tokenization, each as a separate SCALAR array op (plain
+    fold for length sum, filter+size for the memberships).  Two
+    plan-shape findings, both measured at the ~sf1 scale point:
+    (a) an earlier mode-based top-word rule cost a sorted struct-fold
+    (~1.5 s of interpreted HOF) or two corpus-wide shuffles — 2.5-3.2×
+    DuckDB either way, for a rule the paper doesn't actually have;
+    (b) packing the scalar stats into one multi-field struct fold
+    (t1_text_quality's shape, right when it REPLACES re-tokenization)
+    allocates a struct per TOKEN and measured 1.33 s where the three
+    scalar ops cost ~0.4 s — struct folds pay off only against
+    repeated tokenization, never against scalar folds.  The token
+    array is aliased in an inner projection and referenced five
+    times, so CollapseProject keeps one tokenization (non-cheap
+    multi-reference rule); token-less docs yield nw = 0 and NULL text
+    NULL stats — the coalesce'd guards map both to all-FALSE rules,
+    matching the oracle's NULL-collapsing coalesce."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("t")
+    inner = d.select(
+        "doc_id", ws_tokens(F.lower("text")).alias("tk")
     )
-    pc = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
-    s = pc.groupBy("doc_id").agg(
-        F.sum("c").alias("nw"),
-        F.count(F.lit(1)).alias("ndist"),
-        F.max("c").alias("topc"),
-        F.coalesce(
-            F.sum(F.when(F.col("t").isin(*STOPWORDS), F.col("c"))), F.lit(0)
-        ).alias("nstop"),
-        F.sum(F.col("c") * F.length("t")).alias("sumlen"),
+    s = inner.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("nw"),
+        F.expr("aggregate(tk, 0L, (a, t) -> a + length(t))").alias("sumlen"),
+        F.size(F.filter(F.col("tk"), lambda t: t.isin(*STOPWORDS)))
+        .cast("long")
+        .alias("nstop"),
+        F.size(F.array_distinct("tk")).cast("long").alias("ndist"),
+        F.size(F.filter(F.col("tk"), lambda t: t.rlike("[a-z]")))
+        .cast("long")
+        .alias("nalpha"),
     )
     nw, sumlen = F.col("nw"), F.col("sumlen")
     rules = {
         "r_word_count": (nw >= 20) & (nw <= 1000),
         "r_mean_word_len": (3 * nw <= sumlen) & (sumlen <= 10 * nw),
         "r_stopwords": F.col("nstop") >= 2,
-        "r_top_word": 5 * F.col("topc") <= nw,
+        "r_alpha_words": 5 * F.col("nalpha") >= 4 * nw,
         "r_distinct": 10 * F.col("ndist") >= 3 * nw,
     }
-    out = d.select("doc_id").join(s, "doc_id", "left")
+    out = s
     passes = None
     for name, cond in rules.items():
-        flag = F.coalesce(cond, F.lit(False))
+        flag = F.coalesce((nw > 0) & cond, F.lit(False))
         out = out.withColumn(name, flag)
         passes = flag if passes is None else (passes & flag)
     return out.withColumn("passes", passes).select(

@@ -87,47 +87,54 @@ def t1_text_quality(spark, sf_dir):
     ratios, rounding only guards the last bit of the division.
 
     All three token statistics (count, total length, stopword hits)
-    come from ONE ``aggregate()`` fold over ONE tokenization, aliased
-    as a struct in an inner projection: higher-order expressions are
+    come from ONE tokenization, aliased in an inner projection and
+    consumed by three SCALAR array ops: higher-order expressions are
     not common-subexpression-eliminated, so the per-stat builder form
     (token_count + avg_token_len + stopword_ratio) tokenized every row
     FOUR times — 2.2x slower at the ~sf1 scale point (5.6 s → 2.5 s).
-    CollapseProject keeps the two-level projection because the struct
-    alias is non-cheap and referenced more than once.  Token boundaries
-    and lengths are case-invariant, so folding the LOWERED tokens
-    serves all three stats; a NULL text folds to a NULL struct, which
+    CollapseProject keeps the two-level projection because the array
+    alias is non-cheap and referenced more than once.  The stats are
+    separate SCALAR array ops rather than one struct ``aggregate()``
+    fold: a struct fold allocates a struct per TOKEN (measured 1.33 s
+    vs ~0.4 s for the scalar ops in the t1_gopher_rules profile), so
+    folding into a struct pays off only against repeated tokenization
+    — here either shape lands ~2.6 s because the residual cost was
+    punct_ratio's char-class regex, since cut by the translate form
+    (functions/text.py _KEEP_CHARS: 1.00 s → 0.59 s).  Token
+    boundaries and lengths are case-invariant, so the LOWERED tokens
+    serve all three stats; a NULL text yields NULL stats (explicitly
+    guarded — size(NULL) is legacy.sizeOfNull-dependent), which
     reproduces the builders' NULL guards."""
     d = load_table(spark, sf_dir, "documents")
-    ltoks = ws_tokens(F.lower("text"))
-    zero = F.struct(
-        F.lit(0).cast("long").alias("n"),
-        F.lit(0).cast("long").alias("tot"),
-        F.lit(0).cast("long").alias("hits"),
-    )
-
-    def step(acc, t):
-        return F.struct(
-            (acc["n"] + 1).alias("n"),
-            (acc["tot"] + F.length(t)).alias("tot"),
-            (
-                acc["hits"] + F.when(t.isin(*STOPWORDS), 1).otherwise(0)
-            ).alias("hits"),
-        )
-
     inner = d.select(
-        "doc_id", "text", F.aggregate(ltoks, zero, step).alias("st")
+        "doc_id", "text", ws_tokens(F.lower("text")).alias("tk")
     )
-    n = F.col("st.n")
-    return inner.select(
+    tk = F.col("tk")
+    # explicit NULL guards: size(NULL) is legacy.sizeOfNull-dependent
+    # (the token_count builder's note), and the oracle needs NULL here
+    stats = inner.select(
+        "doc_id",
+        "text",
+        F.when(tk.isNotNull(), F.size(tk)).cast("long").alias("n"),
+        F.expr("aggregate(tk, 0L, (a, t) -> a + length(t))").alias("tot"),
+        F.when(
+            tk.isNotNull(),
+            F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS))),
+        )
+        .cast("long")
+        .alias("hits"),
+    )
+    n = F.col("n")
+    return stats.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         n.alias("n_tokens"),
         F.round(
-            F.when(n > 0, F.col("st.tot").cast("double") / n), 6
+            F.when(n > 0, F.col("tot").cast("double") / n), 6
         ).alias("avg_tok_len"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(
-            F.when(n > 0, F.col("st.hits").cast("double") / n), 6
+            F.when(n > 0, F.col("hits").cast("double") / n), 6
         ).alias("stopword_ratio"),
     )
 

@@ -35,7 +35,7 @@ PASSING = (
 def edge_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("curation_edge")
     docs = {
-        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
         "text": [
             None,  # NULL text → no tokens
             "",  # empty → no tokens
@@ -44,12 +44,14 @@ def edge_dir(tmp_path_factory):
             PASSING,  # exact dup of doc 4, other source
             # within-doc repeated 5-gram, unique to this doc
             "p q r s t p q r s t",
-            # top-word spam: fails top-word + distinct-ratio rules
+            # one-word spam: fails the distinct-ratio rule
             "the " * 30 + "end",
+            # numeric tokens: fails the alpha-word rule (Gopher verbatim)
+            " ".join(str(i) for i in range(25)),
         ],
-        "lang": ["en"] * 7,
-        "source": ["s0", "s0", "s1", "s0", "s1", "s2", "s2"],
-        "n_chars": [0, 0, 5, len(PASSING), len(PASSING), 19, 123],
+        "lang": ["en"] * 8,
+        "source": ["s0", "s0", "s1", "s0", "s1", "s2", "s2", "s3"],
+        "n_chars": [0, 0, 5, len(PASSING), len(PASSING), 19, 123, 65],
     }
     pq.write_table(pa.table(docs), d / "documents.parquet")
     embs = {
@@ -107,15 +109,19 @@ def test_gopher_rules_edge_values(spark, edge_dir):
             "r_word_count": False,
             "r_mean_word_len": False,
             "r_stopwords": False,
-            "r_top_word": False,
+            "r_alpha_words": False,
             "r_distinct": False,
             "passes": False,
         }
     assert got[4]["passes"] and got[5]["passes"]
     spam = got[7]
-    assert not spam["r_top_word"] and not spam["r_distinct"]
-    assert spam["r_stopwords"]  # 'the' ×30
+    assert not spam["r_distinct"]  # 2 types over 31 tokens
+    assert spam["r_alpha_words"] and spam["r_stopwords"]  # 'the' ×30
     assert not spam["passes"]
+    nums = got[8]
+    assert not nums["r_alpha_words"] and not nums["r_stopwords"]
+    assert nums["r_word_count"] and nums["r_distinct"]
+    assert not nums["passes"]
 
 
 def test_dup_ngram_within_doc_repetition_not_dup(spark, edge_dir):
@@ -149,3 +155,44 @@ def test_int8_quantize_edge_values(spark, edge_dir):
     # quantized values never escape int8 range (no -128)
     for v in got.values():
         assert abs(v["q_sum"]) <= 127 * 64
+
+
+def test_int8_quantize_matches_numpy_replay(spark):
+    """Third-implementation cross-check on real fixture data: replay the
+    absmax-int8 quantization in numpy float64 (same op order: widen →
+    scale → sign-aware half-away floor → residual picounits) and demand
+    bit-exact agreement with the Spark result — catching a shared
+    Spark/DuckDB SQL misreading that the dual-engine oracle cannot."""
+    import math
+
+    import numpy as np
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r.vec_id: r
+        for r in QUERIES["t1_int8_quantize"](spark, sf_dir).collect()
+    }
+    import pyarrow.parquet as pq_mod
+
+    tbl = pq_mod.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    assert len(tbl) == len(got)
+    for row in tbl:
+        x = np.array(row["embedding"], dtype=np.float64)
+        amax = np.abs(x).max()
+        scale = amax / 127.0
+        if scale == 0.0:
+            q = np.zeros_like(x, dtype=np.int64)
+            r2m = np.zeros_like(x, dtype=np.int64)
+        else:
+            t = x / scale
+            q = np.where(
+                t >= 0, np.floor(t + 0.5), -np.floor(-t + 0.5)
+            ).astype(np.int64)
+            r = x - q * scale
+            r2m = np.floor(r * r * 1e12 + 0.5).astype(np.int64)
+        rmse = math.sqrt(float(int(r2m.sum())) / 1e12 / len(x))
+        g = got[row["vec_id"]]
+        assert g.n_saturated == int((np.abs(q) == 127).sum())
+        assert g.n_zero == int((q == 0).sum())
+        assert g.q_sum == int(q.sum())
+        assert g.rmse == rmse, (row["vec_id"], g.rmse, rmse)

@@ -70,3 +70,38 @@ def test_explode_ws_tokens_matches_ws_tokens(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(
         map(tuple, slow.collect())
     )
+
+def test_punct_ratio_translate_equals_regex_class(spark):
+    """punct_ratio deletes the enumerated set _KEEP_CHARS via translate;
+    this pins its strict equivalence to the original regexp_replace
+    '[a-z0-9\\s]' form (Java \\s = space \\t \\n \\x0B \\f \\r) on inputs
+    beyond the ASCII corpus: unicode whitespace (NBSP is NOT \\s),
+    accented letters, uppercase (lowered first), digits, every Java \\s
+    member, and empty/NULL."""
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.functions.text import punct_ratio
+
+    rows = [
+        (1, "abc! def?"),
+        (2, "AÀb c"),  # À stays (not [a-z] after lower? 'à' is not a-z), NBSP not \s
+        (3, "x\ty\nz\x0b\f\r"),
+        (4, "0123456789"),
+        (5, ""),
+        (6, None),
+        (7, "...---..."),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = df.select(
+        "id",
+        punct_ratio("text").alias("fast"),
+        F.when(
+            F.length("text") > 0,
+            F.length(
+                F.regexp_replace(F.lower("text"), r"[a-z0-9\s]", "")
+            ).cast("double")
+            / F.length("text"),
+        ).alias("ref"),
+    ).collect()
+    for r in got:
+        assert r.fast == r.ref, (r.id, r.fast, r.ref)

@@ -46,8 +46,11 @@ PICKS = [
     ("t1_simhash_hamming_pairs", "Manku multi-block Hamming search: fingerprints cached (InMemoryRelation feeds three consumers), 4 block keys exploded per doc, candidates from a block-key equi-join (SortMergeJoin/ShuffledHashJoin — never a cross product), exact xor+bit_count verify on the candidate-bound frame only."),
     ("t1_kn_surprisal", "Kneser-Ney scoring: Arrow-batched Counter map builds the bigram TYPE table (one vocabulary-bounded shuffle); the scoring pass is mapInPandas directly over the parquet scan — NO shuffle, no join: the per-type model ships as a task-closure dict (below the _lm_dict_max_types cutover; above it the plan switches to the distributed join form)."),
     ("t1_zipf_fit", "Two-phase per-language top-K: phase-1 window partitions on (lang, 64-way token hash group) so each task sorts vocab/64 types; phase-2 ranks the <= 64*K survivors — no single-reducer full-vocabulary sort."),
-    ("t1_text_quality", "Single-tokenization quality scan: ONE aggregate() struct-fold computes count/total-length/stopword-hits per row (exactly one 'aggregate(' in the plan — higher-order exprs don't CSE, so per-stat builders would tokenize 4x); narrow map, no shuffle."),
+    ("t1_text_quality", "Single-tokenization quality scan: the token array is aliased once (exactly one split+filter in the plan — higher-order exprs don't CSE, so per-stat builders would tokenize 4x) and consumed by scalar array ops; punct_ratio is a translate deletion, not a regex; narrow map, no shuffle."),
     ("t1_compaction_plan", "Compaction planning: one partitioned window (running size sum) over manifest-scale rows + one partial-aggregated groupBy — no data-file IO in the plan at all."),
+    ("t1_gopher_rules", "Quality-rule battery: shuffle-free narrow map — one tokenization aliased and consumed by five LINEAR scalar array ops (no per-doc mode, no struct fold, no explode); integer-arithmetic thresholds only."),
+    ("t1_dup_ngram_coverage", "Cross-doc duplicate-gram coverage: explode to md5(5-gram) keys, partial-aggregated shuffle for distinct-doc counts, one shuffle-join back on the gram hash, final doc_id aggregation — every exchange keyed on high-cardinality hashes, no skew."),
+    ("t1_int8_quantize", "Quantization audit: pure per-row array math inside the scan stage (no shuffle, no UDF) — transform/filter/aggregate over the embedding array with integer picounit residual sums."),
 ]
 
 
