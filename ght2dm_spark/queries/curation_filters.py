@@ -66,7 +66,15 @@ def _gram_rows(spark, sf_dir):
     Scale: a narrow map inside the scan stage (tokenize once, md5 per
     window); the explode multiplies rows ~n_tokens× but each row is
     ~50 bytes, and every consumer aggregates immediately after — partial
-    aggregation absorbs the blowup map-side before any shuffle."""
+    aggregation absorbs the blowup map-side before any shuffle.
+
+    Cached (MEMORY_AND_DISK): every caller consumes the frame on two
+    plan branches (the per-gram count side and the join-back side),
+    whose exchanges differ (partial-agg output vs raw rows) so
+    ReusedExchange can never fire — without the cache the
+    scan+tokenize+md5 pipeline runs twice per query (measured 2×
+    "Scan parquet"/Generate in the formatted plan; the dedup_queries
+    fingerprint-frame precedent)."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select(
@@ -75,6 +83,7 @@ def _gram_rows(spark, sf_dir):
             ws_tokens(F.lower(F.col("text"))).alias("tk"),
         )
         .select("doc_id", "source", F.explode(F.expr(_SPARK_GRAMS)).alias("g"))
+        .cache()
     )
 
 
