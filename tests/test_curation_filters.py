@@ -196,3 +196,90 @@ def test_int8_quantize_matches_numpy_replay(spark):
         assert g.n_zero == int((q == 0).sum())
         assert g.q_sum == int(q.sum())
         assert g.rmse == rmse, (row["vec_id"], g.rmse, rmse)
+
+
+# --- property tests: full Python model vs the real query over random
+# corpora (the test_properties.py discipline applied to the round-5
+# filters).  Small word alphabet forces gram collisions and rule flips.
+
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ght2dm_spark.functions.text import STOPWORDS
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_WORDS = ["the", "a", "of", "table", "rowscan", "q", "42", "7", "zz", "xx"]
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=40),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _write_docs(doc_words):
+    d = tempfile.mkdtemp(prefix="curation_prop_")
+    docs = {
+        "doc_id": list(range(1, len(doc_words) + 1)),
+        "text": [" ".join(ws) for ws in doc_words],
+        "lang": ["en"] * len(doc_words),
+        "source": [f"s{i % 3}" for i in range(len(doc_words))],
+        "n_chars": [len(" ".join(ws)) for ws in doc_words],
+    }
+    pq.write_table(pa.table(docs), f"{d}/documents.parquet")
+    return d
+
+
+@given(doc_words=corpus_strategy)
+@_slow
+def test_gopher_rules_match_python_model(spark, doc_words):
+    d = _write_docs(doc_words)
+    got = {
+        r.doc_id: r.asDict()
+        for r in QUERIES["t1_gopher_rules"](spark, d).collect()
+    }
+    assert len(got) == len(doc_words)
+    for i, ws in enumerate(doc_words, start=1):
+        nw = len(ws)
+        sumlen = sum(len(w) for w in ws)
+        nstop = sum(w in STOPWORDS for w in ws)
+        ndist = len(set(ws))
+        nalpha = sum(any("a" <= c <= "z" for c in w) for w in ws)
+        expect = {
+            "r_word_count": 20 <= nw <= 1000,
+            "r_mean_word_len": nw > 0 and 3 * nw <= sumlen <= 10 * nw,
+            "r_stopwords": nstop >= 2,
+            "r_alpha_words": nw > 0 and 5 * nalpha >= 4 * nw,
+            "r_distinct": nw > 0 and 10 * ndist >= 3 * nw,
+        }
+        expect["passes"] = all(expect.values())
+        row = got[i]
+        for k, v in expect.items():
+            assert row[k] == v, (i, k, ws, row, expect)
+
+
+@given(doc_words=corpus_strategy)
+@_slow
+def test_dup_ngram_coverage_matches_python_model(spark, doc_words):
+    d = _write_docs(doc_words)
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup)
+        for r in QUERIES["t1_dup_ngram_coverage"](spark, d).collect()
+    }
+    docs_per_gram: dict[tuple, set] = {}
+    per_doc_grams = []
+    for i, ws in enumerate(doc_words, start=1):
+        grams = [tuple(ws[j : j + 5]) for j in range(max(len(ws) - 4, 0))]
+        per_doc_grams.append(grams)
+        for g in grams:
+            docs_per_gram.setdefault(g, set()).add(i)
+    for i, grams in enumerate(per_doc_grams, start=1):
+        n_dup = sum(1 for g in grams if len(docs_per_gram[g]) >= 2)
+        assert got[i] == (len(grams), n_dup), (i, doc_words[i - 1])
