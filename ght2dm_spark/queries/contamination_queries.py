@@ -98,3 +98,91 @@ def t1_contamination_check(spark, sf_dir):
             "containment"
         ),
     )
+
+
+@register(
+    "t1_stream_contamination",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT CASE WHEN doc_id % 97 = 0 THEN doc_id + 3000000
+                  ELSE doc_id END AS doc_id,
+             CASE WHEN doc_id % 97 = 0
+                  THEN 'leaked benchmark copy follows ' || text
+                  ELSE text END AS text
+      FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS toks, lower(text) AS ltext
+          FROM corpus),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct({shingle_sql("toks", "ltext", 3)}))
+                    AS shingle
+           FROM t),
+    e AS (SELECT doc_id AS eval_id,
+                 unnest(list_distinct({shingle_sql("toks", "ltext", 3)}))
+                   AS shingle
+          FROM (SELECT doc_id, {_TOKS} AS toks, lower(text) AS ltext
+                FROM documents WHERE doc_id % 97 = 0))
+    SELECT sh.doc_id AS train_id, e.eval_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sh JOIN e USING (shingle)
+    GROUP BY sh.doc_id, e.eval_id
+    HAVING count(*) >= {_MIN_SHARED}
+    """,
+)
+def t1_stream_contamination(spark, sf_dir):
+    """Streaming decontamination monitor: training documents arrive as a
+    STREAM, the eval/benchmark shingle index is static and broadcast, and
+    flagged (train, eval) overlap pairs accumulate in a complete-mode
+    aggregation — the continuous-ingest form of t1_contamination_check,
+    the shape a crawl pipeline runs so leakage is caught at ingest time
+    instead of in a pre-training batch sweep.
+
+    The planted leakage arrives IN-STREAM: a stream∪static union is
+    unsupported, so eval-id rows are projected into their planted
+    training twins (id + 3e6, quoted text) inside the stream — exactly
+    the batch fixture's train side, row for row.
+
+    Scale: the dim side (benchmark shingles) stays MBs at any corpus
+    size, so the join is stateless map-side per micro-batch; the only
+    stream state is the pair aggregation, bounded by contamination
+    incidence (|flagged pairs|), not corpus size.  A production deploy
+    windows the aggregation by ingest time + watermark to bound state
+    further; here AvailableNow drains the fixture and the final table
+    must equal the batch oracle exactly.  The >= threshold filter is
+    applied to the DRAINED sink, keeping the streaming plan
+    filter-free after the agg (complete-mode re-emits full state each
+    trigger, so an in-plan HAVING would re-filter every trigger)."""
+    from ght2dm_spark.streaming import read_documents_stream, run_to_completion
+
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    is_eval = F.col("doc_id") % 97 == 0
+    train = stream.select(
+        F.when(is_eval, F.col("doc_id") + 3_000_000)
+        .otherwise(F.col("doc_id"))
+        .alias("doc_id"),
+        F.when(
+            is_eval,
+            F.concat(F.lit("leaked benchmark copy follows "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sh_t = shingle_df(train, "doc_id", "text", 3).withColumnRenamed(
+        "doc_id", "train_id"
+    )
+    ev = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id", "text")
+    )
+    sh_e = shingle_df(ev, "doc_id", "text", 3).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    pairs = (
+        sh_t.join(F.broadcast(sh_e), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    drained = run_to_completion(pairs, output_mode="complete")
+    return drained.filter(F.col("n_shared") >= _MIN_SHARED).select(
+        "train_id", "eval_id", F.col("n_shared").cast("bigint").alias("n_shared")
+    )

@@ -57,6 +57,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the documents parquet with the declared batch
+    schema (no inference job) — the corpus-as-stream source for the
+    streaming curation queries.  Same single-file glob trick as
+    :func:`read_events_stream`; no timestamp column, so no ns/NTZ
+    adaptation is needed."""
+    from ght2dm_spark.schemas import TESTDATA
+
+    ensure_session_conf(spark)
+    return (
+        spark.readStream.schema(TESTDATA["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def run_to_completion(
     transformed: DataFrame,
     output_mode: str,
