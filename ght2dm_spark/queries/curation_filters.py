@@ -16,7 +16,9 @@ Five operators a production LLM-data pipeline runs corpus-wide:
   train/eval and inter-dump leakage audit);
 - ``t1_int8_quantize`` — symmetric per-vector int8 embedding
   quantization audit (absmax scaling as in Dettmers et al. 2022,
-  "LLM.int8()"): saturation/zero counts, integer checksum, RMSE.
+  "LLM.int8()"): saturation/zero counts, integer checksum, RMSE;
+- ``t1_stream_quality_gate`` — the Gopher battery as a stateless
+  streaming ingest gate (one expression tree serves batch and stream).
 
 Hash-match discipline: every threshold comparison is INTEGER arithmetic
 (``5*nalpha >= 4*nw`` instead of ``nalpha/nw >= 0.8``) and every float output
@@ -90,6 +92,45 @@ def _gram_rows(spark, sf_dir):
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
+def gopher_rule_frame(d):
+    """(doc_id, r_*, passes) from any (doc_id, text) frame — batch OR
+    stream (every op is a narrow per-row map, so the same expression
+    tree serves t1_gopher_rules and the streaming ingest gate).  See
+    t1_gopher_rules for the rule definitions and plan-shape notes."""
+    inner = d.select(
+        "doc_id", ws_tokens(F.lower("text")).alias("tk")
+    )
+    s = inner.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("nw"),
+        F.expr("aggregate(tk, 0L, (a, t) -> a + length(t))").alias("sumlen"),
+        F.size(F.filter(F.col("tk"), lambda t: t.isin(*STOPWORDS)))
+        .cast("long")
+        .alias("nstop"),
+        F.size(F.array_distinct("tk")).cast("long").alias("ndist"),
+        F.size(F.filter(F.col("tk"), lambda t: t.rlike("[a-z]")))
+        .cast("long")
+        .alias("nalpha"),
+    )
+    nw, sumlen = F.col("nw"), F.col("sumlen")
+    rules = {
+        "r_word_count": (nw >= 20) & (nw <= 1000),
+        "r_mean_word_len": (3 * nw <= sumlen) & (sumlen <= 10 * nw),
+        "r_stopwords": F.col("nstop") >= 2,
+        "r_alpha_words": 5 * F.col("nalpha") >= 4 * nw,
+        "r_distinct": 10 * F.col("ndist") >= 3 * nw,
+    }
+    out = s
+    passes = None
+    for name, cond in rules.items():
+        flag = F.coalesce((nw > 0) & cond, F.lit(False))
+        out = out.withColumn(name, flag)
+        passes = flag if passes is None else (passes & flag)
+    return out.withColumn("passes", passes).select(
+        "doc_id", *rules.keys(), "passes"
+    )
+
+
 @register(
     "t1_gopher_rules",
     oracle=f"""
@@ -153,38 +194,7 @@ def t1_gopher_rules(spark, sf_dir):
     NULL stats — the coalesce'd guards map both to all-FALSE rules,
     matching the oracle's NULL-collapsing coalesce."""
     d = load_table(spark, sf_dir, "documents")
-    inner = d.select(
-        "doc_id", ws_tokens(F.lower("text")).alias("tk")
-    )
-    s = inner.select(
-        "doc_id",
-        F.size("tk").cast("long").alias("nw"),
-        F.expr("aggregate(tk, 0L, (a, t) -> a + length(t))").alias("sumlen"),
-        F.size(F.filter(F.col("tk"), lambda t: t.isin(*STOPWORDS)))
-        .cast("long")
-        .alias("nstop"),
-        F.size(F.array_distinct("tk")).cast("long").alias("ndist"),
-        F.size(F.filter(F.col("tk"), lambda t: t.rlike("[a-z]")))
-        .cast("long")
-        .alias("nalpha"),
-    )
-    nw, sumlen = F.col("nw"), F.col("sumlen")
-    rules = {
-        "r_word_count": (nw >= 20) & (nw <= 1000),
-        "r_mean_word_len": (3 * nw <= sumlen) & (sumlen <= 10 * nw),
-        "r_stopwords": F.col("nstop") >= 2,
-        "r_alpha_words": 5 * F.col("nalpha") >= 4 * nw,
-        "r_distinct": 10 * F.col("ndist") >= 3 * nw,
-    }
-    out = s
-    passes = None
-    for name, cond in rules.items():
-        flag = F.coalesce((nw > 0) & cond, F.lit(False))
-        out = out.withColumn(name, flag)
-        passes = flag if passes is None else (passes & flag)
-    return out.withColumn("passes", passes).select(
-        "doc_id", *rules.keys(), "passes"
-    )
+    return gopher_rule_frame(d)
 
 
 @register(
@@ -413,3 +423,50 @@ def t1_int8_quantize(spark, sf_dir):
             "sqrt(CAST(r2m AS DOUBLE) / 1000000000000.0D / size(qs))"
         ).alias("rmse"),
     )
+
+
+@register(
+    "t1_stream_quality_gate",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+    ),
+    st AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS nw,
+               CAST(len(list_distinct(tk)) AS BIGINT) AS ndist,
+               CAST(len(list_filter(tk, t -> t IN ({_STOP_SQL})))
+                    AS BIGINT) AS nstop,
+               CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+                    AS BIGINT) AS nalpha,
+               CAST(coalesce(list_sum(list_transform(tk, t -> length(t))),
+                             0) AS BIGINT) AS sumlen
+        FROM s
+    )
+    SELECT doc_id
+    FROM st
+    WHERE coalesce(nw >= 20 AND nw <= 1000
+                   AND 3 * nw <= sumlen AND sumlen <= 10 * nw
+                   AND nstop >= 2 AND 5 * nalpha >= 4 * nw
+                   AND 10 * ndist >= 3 * nw, FALSE)
+    """,
+)
+def t1_stream_quality_gate(spark, sf_dir):
+    """Streaming ingest quality gate: the Gopher rule battery applied to
+    the documents STREAM, passing doc_ids emitted in append mode — the
+    filter a crawl pipeline runs at ingest so rejected documents never
+    reach storage.  Exactly gopher_rule_frame over the stream, so batch
+    and streaming gates can never drift (one expression tree).
+
+    Scale: completely STATELESS — a narrow per-row map with a filter,
+    no watermark, no state store; each micro-batch is gated
+    independently at scan throughput.  Drained AvailableNow output must
+    equal the batch rule evaluation's passing set exactly."""
+    from ght2dm_spark.streaming import (
+        read_documents_stream,
+        run_to_completion,
+    )
+
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    gated = gopher_rule_frame(stream).filter("passes").select("doc_id")
+    return run_to_completion(gated, output_mode="append")
