@@ -145,6 +145,7 @@ HEADLINE = [
     "t1_dup_ngram_coverage",
     "t1_cross_source_leakage",
     "t1_int8_quantize",
+    "t1_sq8_ann",
 ]
 
 

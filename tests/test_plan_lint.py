@@ -40,6 +40,7 @@ CROSS_OK = {
     "t1_profile_table",  # per-column scalar stats assembled crosswise
     "t1_salted_join",  # deliberate: dim × 8-row salt spine replication
     "t1_ann_bruteforce_topk",  # deliberate brute-force baseline (query×corpus)
+    "t1_sq8_ann",  # deliberate compressed linear scan (query×int8 corpus)
     "t1_ann_euclidean_topk",  # deliberate brute-force baseline (query×corpus)
     "t1_ann_recall",  # composes the brute-force baseline as its ground truth
     "t1_hybrid_rrf",  # dense leg composes the brute-force baseline (query×corpus)
