@@ -18,9 +18,7 @@ Five operators a production LLM-data pipeline runs corpus-wide:
   quantization audit (absmax scaling as in Dettmers et al. 2022,
   "LLM.int8()"): saturation/zero counts, integer checksum, RMSE;
 - ``t1_stream_quality_gate`` — the Gopher battery as a stateless
-  streaming ingest gate (one expression tree serves batch and stream);
-- ``t1_sq8_ann`` — SQ8 quantized similarity search (compressed linear
-  scan over the int8 codes, exact integer dot products).
+  streaming ingest gate (one expression tree serves batch and stream).
 
 Hash-match discipline: every threshold comparison is INTEGER arithmetic
 (``5*nalpha >= 4*nw`` instead of ``nalpha/nw >= 0.8``) and every float output
@@ -33,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ght2dm_spark.functions.quantize import Q_SQL, SCALE_SPARK, spark_quant_exprs
 from ght2dm_spark.functions.text import STOPWORDS, ws_tokens
 from ght2dm_spark.io import load_table
 from ght2dm_spark.queries.registry import register
@@ -322,37 +321,6 @@ def t1_cross_source_leakage(spark, sf_dir):
     )
 
 
-# int8 quantization: q = half-away-round(x / scale), scale = absmax/127.
-# Both engines express the rounding as sign-aware floor (no round(); the
-# centroid lesson) and the residual energy as exact integer picounits, so
-# the one float output (rmse) is one sqrt of one deterministic double.
-# Two spellings of the SAME expression tree: Spark needs typed literal
-# suffixes (0D/0L) to stay in double/long; DuckDB rejects them.
-_Q = (
-    "CASE WHEN scale = 0D THEN 0L ELSE CAST("
-    "CASE WHEN xd >= 0D THEN floor(xd / scale + 0.5D)"
-    " ELSE -floor(-xd / scale + 0.5D) END AS BIGINT) END"
-)
-_Q_SQL = (
-    "CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST("
-    "CASE WHEN xd >= 0 THEN floor(xd / scale + 0.5)"
-    " ELSE -floor(-xd / scale + 0.5) END AS BIGINT) END"
-)
-
-
-def _spark_quant_exprs() -> dict[str, str]:
-    xd = "CAST(x AS DOUBLE)"
-    q = _Q.replace("xd", xd)
-    r = f"({xd} - {q} * scale)"
-    return {
-        "qs": f"transform(embedding, x -> {q})",
-        "r2m": (
-            f"aggregate(transform(embedding, x -> CAST(floor({r} * {r}"
-            " * 1000000000000D + 0.5D) AS BIGINT)), 0L, (a, v) -> a + v)"
-        ),
-    }
-
-
 @register(
     "t1_int8_quantize",
     oracle=f"""
@@ -364,10 +332,10 @@ def _spark_quant_exprs() -> dict[str, str]:
     ),
     q AS (
         SELECT vec_id, scale,
-               list_transform(embedding, x -> {_Q_SQL.replace("xd", "CAST(x AS DOUBLE)")}) AS qs,
+               list_transform(embedding, x -> {Q_SQL.replace("xd", "CAST(x AS DOUBLE)")}) AS qs,
                list_transform(embedding, x ->
-                   CAST(floor((CAST(x AS DOUBLE) - {_Q_SQL.replace("xd", "CAST(x AS DOUBLE)")} * scale)
-                        * (CAST(x AS DOUBLE) - {_Q_SQL.replace("xd", "CAST(x AS DOUBLE)")} * scale)
+                   CAST(floor((CAST(x AS DOUBLE) - {Q_SQL.replace("xd", "CAST(x AS DOUBLE)")} * scale)
+                        * (CAST(x AS DOUBLE) - {Q_SQL.replace("xd", "CAST(x AS DOUBLE)")} * scale)
                         * 1000000000000.0 + 0.5) AS BIGINT)) AS r2
         FROM s
     )
@@ -399,14 +367,11 @@ def t1_int8_quantize(spark, sf_dir):
     UDF, pipelined inside the parquet scan; at 100 TB this is
     scan-bound, which is the point of doing it declaratively."""
     e = load_table(spark, sf_dir, "embeddings")
-    exprs = _spark_quant_exprs()
+    exprs = spark_quant_exprs()
     s = e.select(
         "vec_id",
         "embedding",
-        F.expr(
-            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
-            " / 127.0D"
-        ).alias("scale"),
+        F.expr(SCALE_SPARK).alias("scale"),
     )
     q = s.select(
         "vec_id",
@@ -472,102 +437,3 @@ def t1_stream_quality_gate(spark, sf_dir):
     stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
     gated = gopher_rule_frame(stream).filter("passes").select("doc_id")
     return run_to_completion(gated, output_mode="append")
-
-
-@register(
-    "t1_sq8_ann",
-    oracle=f"""
-    WITH v AS (
-        SELECT vec_id,
-               list_max(list_transform(embedding,
-                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
-               embedding
-        FROM embeddings
-    ),
-    qz AS (
-        SELECT vec_id, scale,
-               list_transform(embedding, x -> {_Q_SQL.replace("xd", "CAST(x AS DOUBLE)")}) AS qs
-        FROM v
-    ),
-    s AS (
-        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-               (q.scale * c.scale) AS sc,
-               CAST(list_sum(list_transform(range(1, len(q.qs) + 1),
-                    i -> q.qs[i] * c.qs[i])) AS BIGINT) AS dot_int
-        FROM qz q JOIN qz c
-          ON q.vec_id < 10 AND q.vec_id <> c.vec_id
-    ),
-    r AS (
-        SELECT q_id, c_id, dot_int,
-               row_number() OVER (PARTITION BY q_id
-                   ORDER BY sc * CAST(dot_int AS DOUBLE) DESC, c_id ASC)
-                 AS rank
-        FROM s
-    )
-    SELECT q_id, c_id, dot_int, CAST(rank AS BIGINT) AS rank
-    FROM r WHERE rank <= 5
-    """,
-)
-def t1_sq8_ann(spark, sf_dir):
-    """SQ8 quantized similarity search (the FAISS scalar-quantizer path,
-    completing the quantized-index triad beside PQ and IVFADC): the
-    corpus is stored as per-vector absmax int8 codes (4× less memory
-    bandwidth than float32 — at 100 TB the scan IS the cost, so
-    compression is throughput) and queries scan it with an exact
-    INTEGER dot product, ranked by scale_q·scale_c·dot.
-
-    Exactness: the int8 codes and the integer dot are exact in both
-    engines; the ranking score is one product of three deterministically
-    identical values, and ties break by neighbor id — so the emitted
-    (q_id, c_id, dot_int, rank) rows are all-integer and hash-stable.
-
-    Scale: quantization is a narrow map; the scoring pass broadcasts the
-    query batch over the corpus scan exactly like the brute-force
-    baseline (deliberate — SQ8 *is* a compressed linear scan); per-query
-    top-k via the rank window on the |Q|-keyed partition."""
-    from ght2dm_spark.queries.similarity_queries import N_QUERIES
-
-    e = load_table(spark, sf_dir, "embeddings")
-    exprs = _spark_quant_exprs()
-    qz = e.select(
-        "vec_id",
-        F.expr(
-            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
-            " / 127.0D"
-        ).alias("scale"),
-        F.expr(exprs["qs"]).alias("qs"),
-    )
-    q = qz.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("scale").alias("q_scale"),
-        F.col("qs").alias("q_qs"),
-    ).filter(F.col("q_id") < N_QUERIES)
-    c = qz.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("scale").alias("c_scale"),
-        F.col("qs").alias("c_qs"),
-    )
-    s = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            (F.col("q_scale") * F.col("c_scale")).alias("sc"),
-            F.expr(
-                "aggregate(zip_with(q_qs, c_qs, (a, b) -> a * b),"
-                " 0L, (acc, x) -> acc + x)"
-            ).alias("dot_int"),
-        )
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("q_id").orderBy(
-        (F.col("sc") * F.col("dot_int").cast("double")).desc(),
-        F.col("c_id").asc(),
-    )
-    return (
-        s.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("q_id", "c_id", "dot_int", F.col("rank").cast("bigint").alias("rank"))
-    )

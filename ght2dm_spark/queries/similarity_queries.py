@@ -30,6 +30,12 @@ from ght2dm_spark.operators.similarity import (
     srp_margins_sql,
     topk_neighbors,
 )
+from ght2dm_spark.functions.quantize import (
+    Q_SQL,
+    SCALE_SPARK,
+    SCALE_SQL,
+    spark_quant_exprs,
+)
 from ght2dm_spark.queries.registry import register
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -437,6 +443,98 @@ def t1_ann_lsh_banded(spark, sf_dir):
     )
 
 
+@register(
+    "t1_sq8_ann",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {SCALE_SQL} AS scale, embedding
+        FROM embeddings
+    ),
+    qz AS (
+        SELECT vec_id, scale,
+               list_transform(embedding, x -> {Q_SQL.replace("xd", "CAST(x AS DOUBLE)")}) AS qs
+        FROM v
+    ),
+    s AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               (q.scale * c.scale) AS sc,
+               CAST(list_sum(list_transform(range(1, len(q.qs) + 1),
+                    i -> q.qs[i] * c.qs[i])) AS BIGINT) AS dot_int
+        FROM qz q JOIN qz c
+          ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    r AS (
+        SELECT q_id, c_id, dot_int,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY sc * CAST(dot_int AS DOUBLE) DESC, c_id ASC)
+                 AS rank
+        FROM s
+    )
+    SELECT q_id, c_id, dot_int, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def t1_sq8_ann(spark, sf_dir):
+    """SQ8 quantized similarity search (the FAISS scalar-quantizer path,
+    completing the quantized-index triad beside PQ and IVFADC): the
+    corpus is stored as per-vector absmax int8 codes (4× less memory
+    bandwidth than float32 — at 100 TB the scan IS the cost, so
+    compression is throughput) and queries scan it with an exact
+    INTEGER dot product, ranked by scale_q·scale_c·dot.
+
+    Exactness: the int8 codes and the integer dot are exact in both
+    engines; the ranking score is one product of three deterministically
+    identical values, and ties break by neighbor id — so the emitted
+    (q_id, c_id, dot_int, rank) rows are all-integer and hash-stable.
+
+    Scale: quantization is a narrow map; the scoring pass broadcasts the
+    query batch over the corpus scan exactly like the brute-force
+    baseline (deliberate — SQ8 *is* a compressed linear scan); per-query
+    top-k via the rank window on the |Q|-keyed partition.  Recall vs the
+    float-exact baseline is audited by t1_ann_recall ('sq8' rows)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exprs = spark_quant_exprs()
+    qz = e.select(
+        "vec_id",
+        F.expr(SCALE_SPARK).alias("scale"),
+        F.expr(exprs["qs"]).alias("qs"),
+    )
+    q = qz.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("scale").alias("q_scale"),
+        F.col("qs").alias("q_qs"),
+    ).filter(F.col("q_id") < N_QUERIES)
+    c = qz.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("scale").alias("c_scale"),
+        F.col("qs").alias("c_qs"),
+    )
+    s = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (F.col("q_scale") * F.col("c_scale")).alias("sc"),
+            F.expr(
+                "aggregate(zip_with(q_qs, c_qs, (a, b) -> a * b),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("dot_int"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        (F.col("sc") * F.col("dot_int").cast("double")).desc(),
+        F.col("c_id").asc(),
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "q_id", "c_id", "dot_int", F.col("rank").cast("bigint").alias("rank")
+        )
+    )
+
+
 def _recall_oracle() -> str:
     """Recall@3 oracle built by splicing the ALREADY-REGISTERED ANN oracle
     SQL in as derived tables — the oracle measures recall over byte-for-byte
@@ -452,6 +550,7 @@ def _recall_oracle() -> str:
     pq = ORACLE["t1_pq_ann"]
     ivfadc = ORACLE["t1_ivfadc"]
     ivfadc_rr = ORACLE["t1_ivfadc_rerank"]
+    sq8 = ORACLE["t1_sq8_ann"]
     return f"""
     WITH exact AS (SELECT q_id, c_id FROM ({bf}) t WHERE rank <= 3),
     exact_n AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id),
@@ -470,13 +569,15 @@ def _recall_oracle() -> str:
         UNION ALL
         SELECT 'ivfadc_rerank' AS method, q_id, neighbor_id AS c_id
         FROM ({ivfadc_rr}) t
+        UNION ALL
+        SELECT 'sq8' AS method, q_id, c_id FROM ({sq8}) t
     ),
     hits AS (SELECT method, c.q_id, count(*) AS n_hits
              FROM cand c JOIN exact e USING (q_id, c_id)
              GROUP BY 1, 2),
     base AS (SELECT m.method, e.q_id, e.n_exact
              FROM exact_n e
-             CROSS JOIN (SELECT unnest(['lsh', 'multiprobe', 'ivf', 'lsh_banded', 'pq', 'ivfadc', 'ivfadc_rerank']) AS method) m)
+             CROSS JOIN (SELECT unnest(['lsh', 'multiprobe', 'ivf', 'lsh_banded', 'pq', 'ivfadc', 'ivfadc_rerank', 'sq8']) AS method) m)
     SELECT b.method, b.q_id, coalesce(h.n_hits, 0) AS n_hits, b.n_exact,
            round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_exact, 4) AS recall
     FROM base b LEFT JOIN hits h ON b.method = h.method AND b.q_id = h.q_id
@@ -506,7 +607,7 @@ def t1_ann_recall(spark, sf_dir):
     parts = []
     for method in (
         "lsh", "multiprobe", "ivf", "lsh_banded", "pq", "ivfadc",
-        "ivfadc_rerank",
+        "ivfadc_rerank", "sq8",
     ):
         qname = {
             "lsh": "t1_ann_lsh_topk",
@@ -516,6 +617,7 @@ def t1_ann_recall(spark, sf_dir):
             "pq": "t1_pq_ann",
             "ivfadc": "t1_ivfadc",
             "ivfadc_rerank": "t1_ivfadc_rerank",
+            "sq8": "t1_sq8_ann",
         }[method]
         cand = QUERIES[qname](spark, sf_dir)
         if method in ("pq", "ivfadc", "ivfadc_rerank"):
