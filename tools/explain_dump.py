@@ -51,6 +51,7 @@ PICKS = [
     ("t1_gopher_rules", "Quality-rule battery: shuffle-free narrow map — one tokenization aliased and consumed by five LINEAR scalar array ops (no per-doc mode, no struct fold, no explode); integer-arithmetic thresholds only."),
     ("t1_dup_ngram_coverage", "Cross-doc duplicate-gram coverage: explode to md5(5-gram) keys, partial-aggregated shuffle for distinct-doc counts, one shuffle-join back on the gram hash, final doc_id aggregation — every exchange keyed on high-cardinality hashes, no skew."),
     ("t1_int8_quantize", "Quantization audit: pure per-row array math inside the scan stage (no shuffle, no UDF) — transform/filter/aggregate over the embedding array with integer picounit residual sums."),
+    ("t1_sq8_ann", "SQ8 compressed scan: int8 quantization as a narrow map, the 10-query batch broadcast over the corpus (deliberate linear scan — compression IS the bandwidth win), integer zip_with dot products, per-query rank window partitioned on q_id."),
 ]
 
 
