@@ -140,3 +140,48 @@ def test_zipf_and_compaction_empty(spark, sf_dir, tmp_path):
     pq.write_table(schema.empty_table(), out / "documents.parquet")
     assert QUERIES["t1_zipf_fit"](spark, str(out)).count() == 0
     assert QUERIES["t1_compaction_plan"](spark, str(out)).count() == 0
+
+
+def test_round5_filters_empty_corpus(spark, tmp_path):
+    """The round-5 curation queries over an EMPTY documents/embeddings
+    table must return empty frames, never throw — the gram frame caches
+    an empty relation, the rule stats fold over zero rows, and the
+    quantizer maps zero vectors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ght2dm_spark.queries import QUERIES
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float32())),
+                "label": pa.array([], type=pa.int32()),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    for name in (
+        "t1_gopher_rules",
+        "t1_dup_ngram_coverage",
+        "t1_source_dup_profile",
+        "t1_cross_source_leakage",
+        "t1_int8_quantize",
+        "t1_sq8_ann",
+        "t1_stream_quality_gate",
+    ):
+        assert QUERIES[name](spark, d).count() == 0, name
