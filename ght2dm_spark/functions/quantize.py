@@ -30,13 +30,18 @@ Q_SQL = (
 )
 
 #: Spark: per-vector absmax/127 scale over an ``embedding`` array column.
+#: The coalesce makes an EMPTY array scale 0 (its max is NULL) instead of
+#: poisoning every downstream expression with NULL — and in the SQ8 rank
+#: window a NULL score would order differently across engines.
 SCALE_SPARK = (
-    "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0D"
+    "coalesce(array_max(transform(embedding,"
+    " x -> abs(CAST(x AS DOUBLE)))), 0.0D) / 127.0D"
 )
 
 #: DuckDB spelling.
 SCALE_SQL = (
-    "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0"
+    "coalesce(list_max(list_transform(embedding,"
+    " x -> abs(CAST(x AS DOUBLE)))), 0) / 127.0"
 )
 
 

@@ -307,7 +307,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 shs.append("".join(tbl[bits]))
             yield pd.DataFrame({id_col: ids, "simhash": shs})
 
-    return d.mapInPandas(sh_batches, f"{id_col} long, simhash string")
+    id_type = df.schema[id_col].dataType.simpleString()
+    return d.mapInPandas(sh_batches, f"{id_col} {id_type}, simhash string")
 
 
 def simhash_sql(id_expr: str, text_expr: str, table: str) -> str:

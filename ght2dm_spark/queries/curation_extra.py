@@ -174,7 +174,10 @@ def t1_repetition_ratio(spark, sf_dir):
             n_out, r_out = [], []
             for t in pdf["text"]:
                 if t is None:
-                    n_out.append(None)
+                    # oracle parity: len([]) = 0 — NULL text has ZERO
+                    # bigrams (not NULL), exactly like the short-doc
+                    # branch below; only the ratio stays NULL
+                    n_out.append(0)
                     r_out.append(None)
                     continue
                 toks = [x for x in ws.split(t.lower()) if x]

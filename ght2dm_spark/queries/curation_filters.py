@@ -31,7 +31,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ght2dm_spark.functions.quantize import Q_SQL, SCALE_SPARK, spark_quant_exprs
+from ght2dm_spark.functions.quantize import (
+    Q_SQL,
+    SCALE_SPARK,
+    SCALE_SQL,
+    spark_quant_exprs,
+)
 from ght2dm_spark.functions.text import STOPWORDS, ws_tokens
 from ght2dm_spark.io import load_table
 from ght2dm_spark.queries.registry import register
@@ -52,7 +57,9 @@ _SPARK_GRAMS = (
     " i -> md5(array_join(slice(tk, i, 5), ' '))) ELSE array() END"
 )
 
-_SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+from ght2dm_spark.operators.neardup import TOKS_SQL
+
+_SQL_TOKS = TOKS_SQL.format(text="text")
 _SQL_GRAMS = (
     "CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),"
     " i -> md5(array_to_string(tk[i:i+4], ' '))) ELSE [] END"
@@ -325,9 +332,7 @@ def t1_cross_source_leakage(spark, sf_dir):
     "t1_int8_quantize",
     oracle=f"""
     WITH s AS (
-        SELECT vec_id, embedding,
-               list_max(list_transform(embedding,
-                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        SELECT vec_id, embedding, {SCALE_SQL} AS scale
         FROM embeddings
     ),
     q AS (
@@ -343,9 +348,11 @@ def t1_cross_source_leakage(spark, sf_dir):
            CAST(len(list_filter(qs, v -> abs(v) = 127)) AS BIGINT)
              AS n_saturated,
            CAST(len(list_filter(qs, v -> v = 0)) AS BIGINT) AS n_zero,
-           CAST(list_sum(qs) AS BIGINT) AS q_sum,
-           sqrt(CAST(CAST(list_sum(r2) AS BIGINT) AS DOUBLE)
-                / 1000000000000.0 / len(qs)) AS rmse
+           CAST(coalesce(list_sum(qs), 0) AS BIGINT) AS q_sum,
+           CASE WHEN len(qs) > 0 THEN
+               sqrt(CAST(CAST(coalesce(list_sum(r2), 0) AS BIGINT)
+                         AS DOUBLE) / 1000000000000.0 / len(qs))
+           END AS rmse
     FROM q
     """,
 )
@@ -387,7 +394,8 @@ def t1_int8_quantize(spark, sf_dir):
         F.expr("size(filter(qs, v -> v = 0))").cast("bigint").alias("n_zero"),
         F.expr("aggregate(qs, 0L, (a, v) -> a + v)").alias("q_sum"),
         F.expr(
-            "sqrt(CAST(r2m AS DOUBLE) / 1000000000000.0D / size(qs))"
+            "CASE WHEN size(qs) > 0 THEN"
+            " sqrt(CAST(r2m AS DOUBLE) / 1000000000000.0D / size(qs)) END"
         ).alias("rmse"),
     )
 

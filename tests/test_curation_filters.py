@@ -55,16 +55,17 @@ def edge_dir(tmp_path_factory):
     }
     pq.write_table(pa.table(docs), d / "documents.parquet")
     embs = {
-        "vec_id": [1, 2, 3],
+        "vec_id": [1, 2, 3, 4],
         "embedding": pa.array(
             [
                 [0.0, 0.0, 0.0, 0.0],
                 [1.0, -1.0, 0.5, 0.0],
                 [-2.0, 1.0, 0.25, -0.25],
+                [],  # zero-length vector: scale 0, rmse NULL — not a crash
             ],
             type=pa.list_(pa.float32()),
         ),
-        "label": [0, 1, 2],
+        "label": [0, 1, 2, 3],
     }
     pq.write_table(pa.table(embs), d / "embeddings.parquet")
     return str(d)
@@ -152,6 +153,11 @@ def test_int8_quantize_edge_values(spark, edge_dir):
     # negative absmax: q = [-127, 64, 16, -16]; saturation counts |q|=127
     v3 = got[3]
     assert (v3["n_saturated"], v3["q_sum"]) == (1, -63)
+    # zero-LENGTH vector: size(qs) = 0 must not divide (ANSI mode would
+    # crash the whole query — the round-5 review reproduction)
+    empty = got[4]
+    assert (empty["n_saturated"], empty["n_zero"], empty["q_sum"]) == (0, 0, 0)
+    assert empty["rmse"] is None
     # quantized values never escape int8 range (no -128)
     for v in got.values():
         assert abs(v["q_sum"]) <= 127 * 64

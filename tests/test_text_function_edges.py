@@ -105,3 +105,37 @@ def test_punct_ratio_translate_equals_regex_class(spark):
     ).collect()
     for r in got:
         assert r.fast == r.ref, (r.id, r.fast, r.ref)
+
+
+def test_repetition_ratio_null_text_zero_bigrams(spark, tmp_path):
+    """NULL text has ZERO bigrams, not NULL — the mapInPandas rewrite
+    regressed this (review reproduction: spark (1, None, None) vs oracle
+    (1, 0, None)); run the real query + oracle over a NULL-bearing
+    fixture so the contract can't silently drift again."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ght2dm_spark.queries import ORACLE, QUERIES
+    from tests.conftest import assert_oracle_match
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [None, "", "a b a b"],
+                "lang": ["en"] * 3,
+                "source": ["s0"] * 3,
+                "n_chars": [0, 0, 7],
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    df = QUERIES["t1_repetition_ratio"](spark, d)
+    assert_oracle_match(df, con, ORACLE["t1_repetition_ratio"], name="rep_null")
+    got = {r.doc_id: (r.n_bigrams, r.rep_ratio) for r in df.collect()}
+    assert got[1] == (0, None) and got[2] == (0, None)
+    con.close()
