@@ -179,7 +179,9 @@ def verify_aggregate(
         else None
     )
     if full is None:
-        return len(snapshot_files(dest)) == 0
+        # emptiness only — file names, never row contents, so the
+        # merge-on-read guard does not apply
+        return len(snapshot_files(dest, allow_deletes=True)) == 0
     expect = full.groupBy(*keys).agg(
         *[
             _DECOMPOSABLE[fn][0](col).alias(out)

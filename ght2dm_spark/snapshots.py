@@ -309,7 +309,11 @@ def prepare_commit(
     if meta:
         manifest["meta"] = meta
         if "batch_id" in meta:
-            stream_batch = int(meta["batch_id"])
+            # the exactly-once watermark only ADVANCES: a caller passing
+            # a smaller batch_id (metadata backfill) must not regress
+            # last_streamed_batch and reopen already-committed batches
+            b = int(meta["batch_id"])
+            stream_batch = b if stream_batch is None else max(stream_batch, b)
     if stream_batch is not None:
         manifest["stream_batch"] = stream_batch
     mname = f"m-{seq:06d}-{commit_id}.json"
@@ -559,6 +563,7 @@ def snapshot_files(
     path: str,
     version: int | None = None,
     prune: dict | None = None,
+    allow_deletes: bool = False,
 ) -> list[str]:
     """Absolute data-file paths of the live snapshot — or, with
     ``version``, of that historical seq (time travel; raises if the
@@ -569,12 +574,26 @@ def snapshot_files(
     row can match are dropped from the list — manifest-level data
     skipping, decided driver-side from the json before Spark plans any
     scan.  It is a SUPERSET guarantee: surviving files may still hold
-    no matching rows, so callers apply the real filter too."""
+    no matching rows, so callers apply the real filter too.
+
+    Raises on a snapshot carrying merge-on-read deletes unless
+    ``allow_deletes=True``: the raw file list is UNSOUND then — a scan
+    planned from these paths resurrects every deleted row.  Pass
+    allow_deletes only when the caller needs file NAMES/sizes (set
+    algebra, size planning), never row contents; row reads go through
+    :func:`read_snapshot`, which applies the delete files."""
     table = Path(path)
     name = _manifest_for(table, version)
     if name is None:
         return []
     m = _load_manifest(table, name)
+    if m.get("delete_files") and not allow_deletes:
+        raise ValueError(
+            f"{path}: snapshot carries merge-on-read deletes — reading "
+            "these file paths directly would resurrect deleted rows; "
+            "use read_snapshot(), or pass allow_deletes=True if only "
+            "the file names/sizes are needed"
+        )
     files = m["files"]
     if prune:
         stats = m.get("stats", {})
@@ -628,6 +647,7 @@ def read_increment(
     since_version: int,
     schema=None,
     upto_version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame | None:
     """Rows ADDED after ``since_version``: the live snapshot's files
     minus that version's — how a downstream consumer (feature builder,
@@ -654,8 +674,16 @@ def read_increment(
     from pre-window deletes, so the two pieces partition exactly.)
     """
     table = Path(path)
-    cur_files = set(snapshot_files(path, upto_version))
-    old_files = set(snapshot_files(path, since_version))
+    # resolve the window-end manifest ONCE: a second CURRENT read here
+    # (the old snapshot_files + _manifest_for pair) let a commit land in
+    # between, mixing manifest X's file window with manifest Y's delete
+    # set — the exact race the docstring tells CALLERS to avoid
+    cur_name = _manifest_for(table, upto_version)
+    if cur_name is None:
+        return None
+    m = _load_manifest(table, cur_name)
+    cur_files = {str(table / _DATA / f) for f in m["files"]}
+    old_files = set(snapshot_files(path, since_version, allow_deletes=True))
     if not old_files <= cur_files:
         raise ValueError(
             f"version {since_version} is not an append-ancestor of the "
@@ -665,8 +693,12 @@ def read_increment(
     new_files = sorted(cur_files - old_files)
     if not new_files:
         return None
-    m = _load_manifest(table, _manifest_for(table, upto_version))
-    return _read_files_with_deletes(spark, table, m, new_files, schema=schema)
+    # merge_schema: schema-evolving appends inside the window would
+    # otherwise be planned from one footer and silently drop the new
+    # columns from the increment (the compact_snapshot guard, here too)
+    return _read_files_with_deletes(
+        spark, table, m, new_files, schema=schema, merge_schema=merge_schema
+    )
 
 
 def read_delete_increment(
@@ -727,19 +759,30 @@ def compact_snapshot(
     their manifest min/max spans the whole keyspace and prunes nothing;
     periodic clustered compaction is what keeps the stats selective on
     an append-heavy table."""
-    files = snapshot_files(path)
+    table = Path(path)
+    # pin the base manifest ONCE and chain the prepare onto it: reading
+    # CURRENT here and letting prepare_commit re-read it later opens a
+    # read-modify-write window — a stream batch committing in between
+    # would pass the conflict check yet vanish under the overwrite
+    base = _read_current(table)
+    if base is None:
+        raise FileNotFoundError(f"nothing to compact: {path} has no snapshot")
+    m = _load_manifest(table, base)
+    files = [str(table / _DATA / f) for f in m["files"]]
     if not files:
         raise FileNotFoundError(f"nothing to compact: {path} has no snapshot")
     total = sum(os.path.getsize(f) for f in files)
     n = max(1, -(-total // target_file_bytes))  # ceil
-    # read through the snapshot (NOT the raw files): merge-on-read
+    # read through the pinned manifest (NOT the raw files): merge-on-read
     # deletes must be applied here, or the overwrite would resurrect
     # deleted rows — compaction is exactly where deletes materialize
     # and their key files age out of the manifest
     # merge_schema: append commits may have EVOLVED the schema; reading
     # from one footer would silently drop the evolved columns from the
     # rewrite — permanent loss once vacuum ages the old manifests out
-    df = read_snapshot(spark, path, merge_schema=True)
+    df = _read_files_with_deletes(
+        spark, table, m, files, merge_schema=True
+    )
     if cluster_by is None:
         df = df.coalesce(n)
     elif len(cluster_by) == 1:
@@ -750,7 +793,7 @@ def compact_snapshot(
         from ght2dm_spark.operators.layout import zorder_layout
 
         df = zorder_layout(df, cluster_by, n)
-    p = prepare_commit(df, path, mode="overwrite")
+    p = prepare_commit(df, path, mode="overwrite", parent=base)
     commit(p)
     return p
 
@@ -937,7 +980,18 @@ def apply_changes(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    state = read_snapshot(spark, path)
+    # pin the base manifest ONCE and chain the prepare onto it — the
+    # compact_snapshot rationale: state read and conflict-check base
+    # must be the same snapshot, or a commit landing between them is
+    # silently erased by the merged overwrite
+    table = Path(path)
+    base = _read_current(table)
+    state = None
+    if base is not None:
+        bm = _load_manifest(table, base)
+        bfiles = [str(table / _DATA / f) for f in bm["files"]]
+        if bfiles:
+            state = _read_files_with_deletes(spark, table, bm, bfiles)
     if state is None:
         merged = latest.where(F.col(op_col) != "D").select(*payload)
     else:
@@ -952,7 +1006,14 @@ def apply_changes(
         merged = untouched.unionByName(
             newer.where(F.col(op_col) != "D").select(*payload)
         )
-    p = prepare_commit(merged, path, mode="overwrite")
+    p = prepare_commit(merged, path, mode="overwrite", parent=base)
+    if base is None and p.parent is not None:
+        # never-committed race: prepare re-resolved CURRENT (parent=None
+        # means "use CURRENT") and another writer got there first
+        raise SnapshotConflictError(
+            f"{path}: table committed concurrently during first merge — "
+            "re-run apply_changes against the new snapshot"
+        )
     commit(p)
     return p
 
@@ -1006,7 +1067,16 @@ def vacuum(path: str, keep_manifests: int = 2) -> int:
     for mf in mdir.glob("m-*.json"):
         if mf.name not in keep_names:
             mf.unlink()
+            removed += 1
+    # crash-orphaned _atomic_write temps: a kill between the tmp write
+    # and os.replace leaves m-*.json.tmp-* / CURRENT.tmp-* behind, which
+    # no other glob here matches — they would otherwise accumulate
+    # forever on a long-lived table
+    for tmp in (*mdir.glob("m-*.json.tmp-*"), *table.glob("CURRENT.tmp-*")):
+        tmp.unlink()
+        removed += 1
     for stale in table.glob("_staging-*"):
         shutil.rmtree(stale, ignore_errors=True)
-        removed += 1
+        if not stale.exists():  # count only what actually went away
+            removed += 1
     return removed

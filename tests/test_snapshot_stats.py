@@ -190,7 +190,8 @@ def test_merge_on_read_deletes(spark, sf_dir, tmp_path):
     # delete two keys — data files must be untouched
     keys = spark.createDataFrame([(0,), (5,)], "n_nationkey bigint")
     commit(delete_rows(keys, table))
-    assert sorted(snapshot_files(table)) == files_before  # no rewrite
+    # names only: the delete commit must not rewrite data files
+    assert sorted(snapshot_files(table, allow_deletes=True)) == files_before
     live = read_snapshot(spark, table)
     got = {r.n_nationkey for r in live.collect()}
     assert 0 not in got and 5 not in got and len(got) == n0 - 2
@@ -430,16 +431,23 @@ def test_rewrite_small_files_targeted_compaction(spark, tmp_path):
     pre_seq = history(table)[-1]["seq"]
     before = {(r.k, r.v) for r in read_snapshot(spark, table).collect()}
     assert (0, 0) not in before and (10_000, 77) in before
-    n_files_before = len(snapshot_files(table))
+    # names/sizes only (the table carries MOR deletes) — opt in
+    n_files_before = len(snapshot_files(table, allow_deletes=True))
 
-    sizes = {Path(p).name: Path(p).stat().st_size for p in snapshot_files(table)}
+    sizes = {
+        Path(p).name: Path(p).stat().st_size
+        for p in snapshot_files(table, allow_deletes=True)
+    }
     big_size = max(sizes.values())
     p = rewrite_small_files(
         spark, table, small_bytes=big_size, target_file_bytes=1 << 30
     )
     assert p is not None
 
-    after_files = {Path(x).name for x in snapshot_files(table)}
+    # names only: kept files carry their masking delete files forward
+    after_files = {
+        Path(x).name for x in snapshot_files(table, allow_deletes=True)
+    }
     assert big_file <= after_files, "big file must be kept, not rewritten"
     assert len(after_files) < n_files_before, "small files must merge"
     after = {(r.k, r.v) for r in read_snapshot(spark, table).collect()}
