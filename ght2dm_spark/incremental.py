@@ -29,13 +29,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pathlib import Path
+
 from ght2dm_spark.snapshots import (
+    _DATA,
+    SnapshotConflictError,
+    _load_manifest,
+    _read_current,
+    _read_files_with_deletes,
     commit,
-    history,
     prepare_commit,
     read_increment,
     read_snapshot,
-    snapshot_files,
 )
 
 #: aggregate -> (delta partial, state merge) builders; a merge is the
@@ -54,8 +59,39 @@ def _validate_aggs(aggs: dict) -> None:
             raise ValueError(f"{out}: '{fn}' is not a decomposable aggregate")
 
 
-def _last_refreshed_version(dest: str) -> int | None:
-    return _last_meta(dest).get("source_version")
+def _tip_seq(path: str) -> int | None:
+    """Live snapshot's seq — O(1): one pointer read + one manifest
+    load, NOT a history() walk json-loading the whole parent chain
+    (which grows with table age, on the hot maintenance path)."""
+    table = Path(path)
+    name = _read_current(table)
+    if name is None:
+        return None
+    return int(_load_manifest(table, name)["seq"])
+
+
+def _dest_base(dest: str) -> tuple[str | None, dict, dict | None]:
+    """(CURRENT manifest name, its meta, the manifest itself) in ONE
+    resolution — every refresh/verify derives its watermark, its state
+    read, AND its conflict base from this single pin, so a commit
+    landing mid-refresh raises SnapshotConflictError instead of being
+    silently double-merged (the compact_snapshot/apply_changes race,
+    closed here the same way)."""
+    table = Path(dest)
+    name = _read_current(table)
+    if name is None:
+        return None, {}, None
+    m = _load_manifest(table, name)
+    return name, m.get("meta", {}), m
+
+
+def _read_pinned(spark, path: str, manifest: dict, schema=None):
+    files = [str(Path(path) / _DATA / f) for f in manifest["files"]]
+    if not files:
+        return None
+    return _read_files_with_deletes(
+        spark, Path(path), manifest, files, schema=schema
+    )
 
 
 def _require_no_deletes(
@@ -98,26 +134,33 @@ def refresh_aggregate(
     recorded version — rebuild by deleting ``dest``.
     """
     _validate_aggs(aggs)
-    src_hist = history(source)
-    if not src_hist:
+    src_version = _tip_seq(source)
+    if src_version is None:
         return False
-    src_version = src_hist[-1]["seq"]
 
     # EVERY read below is pinned at src_version: version and file set
     # must come from one manifest, or a commit landing between the two
     # reads (a same-driver stream sink, a concurrent runner) is folded
     # into this refresh yet recorded as unprocessed — and double-counted
     # by the next one.
-    last = _last_refreshed_version(dest)
+    # ONE dest resolution: watermark, prior state, and conflict base
+    dest_base, dmeta, dmanifest = _dest_base(dest)
+    last = dmeta.get("source_version")
+    # merge_schema when no schema is declared: a schema-evolving append
+    # inside the window must not be planned from one old footer
+    ms = schema is None
     if last is None:
-        delta = read_snapshot(spark, source, schema=schema, version=src_version)
+        delta = read_snapshot(
+            spark, source, schema=schema, version=src_version,
+            merge_schema=ms,
+        )
     else:
         if src_version == last:
             return False
         _require_no_deletes(spark, source, last, upto=src_version)
         delta = read_increment(
             spark, source, since_version=last, schema=schema,
-            upto_version=src_version,
+            upto_version=src_version, merge_schema=ms,
         )
     if delta is None:
         return False
@@ -128,7 +171,9 @@ def refresh_aggregate(
             for out, (fn, col) in aggs.items()
         ]
     )
-    state = read_snapshot(spark, dest)
+    state = (
+        _read_pinned(spark, dest, dmanifest) if dmanifest is not None else None
+    )
     if state is not None:
         merged = (
             state.select(partial.columns)
@@ -144,8 +189,14 @@ def refresh_aggregate(
     else:
         merged = partial
     p = prepare_commit(
-        merged, dest, mode="overwrite", meta={"source_version": src_version}
+        merged, dest, mode="overwrite",
+        meta={"source_version": src_version}, parent=dest_base,
     )
+    if dest_base is None and p.parent is not None:
+        raise SnapshotConflictError(
+            f"{dest}: table committed concurrently during first refresh — "
+            "re-run against the new snapshot"
+        )
     commit(p)
     return True
 
@@ -172,23 +223,30 @@ def verify_aggregate(
     freshness (an append landing between refresh and audit must not page
     anyone on a healthy table)."""
     _validate_aggs(aggs)
-    ver = _last_refreshed_version(dest)
+    # ONE dest resolution: the pinned version and the audited rows must
+    # come from the same manifest, or an audit racing a refresh
+    # recomputes at the old version against the new state and pages
+    # someone on a perfectly maintained table
+    _base, dmeta, dmanifest = _dest_base(dest)
+    ver = dmeta.get("source_version")
     full = (
         read_snapshot(spark, source, schema=schema, version=ver)
         if ver is not None
         else None
     )
     if full is None:
-        # emptiness only — file names, never row contents, so the
-        # merge-on-read guard does not apply
-        return len(snapshot_files(dest, allow_deletes=True)) == 0
+        # never refreshed (or the source vanished): healthy iff dest
+        # holds no files either
+        return dmanifest is None or not dmanifest["files"]
     expect = full.groupBy(*keys).agg(
         *[
             _DECOMPOSABLE[fn][0](col).alias(out)
             for out, (fn, col) in aggs.items()
         ]
     )
-    got: DataFrame | None = read_snapshot(spark, dest)
+    got: DataFrame | None = (
+        _read_pinned(spark, dest, dmanifest) if dmanifest is not None else None
+    )
     if got is None:
         return False
     cols = expect.columns
@@ -197,20 +255,6 @@ def verify_aggregate(
         a.exceptAll(b).isEmpty()
         and b.exceptAll(a).isEmpty()
     )
-
-
-def _last_meta(dest: str) -> dict:
-    """meta of dest's CURRENT manifest — O(1): one pointer read + one
-    manifest load, not a history() walk over the whole parent chain."""
-    from pathlib import Path
-
-    from ght2dm_spark.snapshots import _load_manifest, _read_current
-
-    table = Path(dest)
-    name = _read_current(table)
-    if name is None:
-        return {}
-    return _load_manifest(table, name).get("meta", {})
 
 
 def refresh_join(
@@ -239,18 +283,27 @@ def refresh_join(
     by a delta on one side — the same reason CDC pipelines never
     re-join history.  First call seeds with the full join.  Returns
     False when neither source moved."""
-    lh, rh = history(left_source), history(right_source)
-    if not lh or not rh:
+    lv, rv = _tip_seq(left_source), _tip_seq(right_source)
+    if lv is None or rv is None:
         return False
-    lv, rv = lh[-1]["seq"], rh[-1]["seq"]
-    meta = _last_meta(dest)
+    # ONE dest resolution: watermarks and conflict base (the
+    # refresh_aggregate race note applies doubly to an APPEND — an
+    # unpinned prepare would chain the duplicate delta onto the racer's
+    # commit and pass the conflict check)
+    dest_base, meta, _dm = _dest_base(dest)
     last_lv, last_rv = meta.get("left_version"), meta.get("right_version")
 
     if last_lv is None:
         # pinned at (lv, rv) — the recorded versions must be exactly
         # what was read (see refresh_aggregate's TOCTOU note)
-        left = read_snapshot(spark, left_source, schema=schema_left, version=lv)
-        right = read_snapshot(spark, right_source, schema=schema_right, version=rv)
+        left = read_snapshot(
+            spark, left_source, schema=schema_left, version=lv,
+            merge_schema=schema_left is None,
+        )
+        right = read_snapshot(
+            spark, right_source, schema=schema_right, version=rv,
+            merge_schema=schema_right is None,
+        )
         if left is None or right is None:
             return False
         p = prepare_commit(
@@ -258,18 +311,28 @@ def refresh_join(
             dest,
             mode="overwrite",
             meta={"left_version": lv, "right_version": rv},
+            parent=dest_base,
         )
+        if dest_base is None and p.parent is not None:
+            raise SnapshotConflictError(
+                f"{dest}: table committed concurrently during the seeding "
+                "join — re-run against the new snapshot"
+            )
         commit(p)
         return True
 
     if lv == last_lv and rv == last_rv:
         return False
-    _require_no_deletes(spark, left_source, last_lv, upto=lv)
-    _require_no_deletes(spark, right_source, last_rv, upto=rv)
+    # a side that did not move needs no delete audit either — the check
+    # walks the committed chain twice for a guaranteed-empty window
+    if lv != last_lv:
+        _require_no_deletes(spark, left_source, last_lv, upto=lv)
+    if rv != last_rv:
+        _require_no_deletes(spark, right_source, last_rv, upto=rv)
     dl = (
         read_increment(
             spark, left_source, since_version=last_lv, schema=schema_left,
-            upto_version=lv,
+            upto_version=lv, merge_schema=schema_left is None,
         )
         if lv != last_lv
         else None
@@ -277,7 +340,7 @@ def refresh_join(
     dr = (
         read_increment(
             spark, right_source, since_version=last_rv, schema=schema_right,
-            upto_version=rv,
+            upto_version=rv, merge_schema=schema_right is None,
         )
         if rv != last_rv
         else None
@@ -312,6 +375,7 @@ def refresh_join(
         dest,
         mode="append",
         meta={"left_version": lv, "right_version": rv},
+        parent=dest_base,
     )
     commit(p)
     return True

@@ -58,6 +58,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CURRENT = "CURRENT"
+#: meta keys carried from parent to child across EVERY commit (the
+#: incremental layer's refresh watermarks — snapshot-level state, like
+#: stream_batch); an explicit new value in ``meta`` still overrides.
+_STICKY_META = ("source_version", "left_version", "right_version")
 _MANIFESTS = "_manifests"
 _DATA = "data"
 
@@ -253,9 +257,11 @@ def prepare_commit(
     parent_fseqs: dict[str, int] = {}
     parent_dseqs: dict[str, int] = {}
     stream_batch: int | None = None
+    parent_meta: dict = {}
     seq = _max_staged_seq(table) + 1
     if base_name is not None:
         pm = _load_manifest(table, base_name)
+        parent_meta = pm.get("meta", {})
         # the last streamed batch id is snapshot-level state: carried
         # across EVERY commit mode (compaction is an overwrite!), so
         # exactly-once retry detection survives maintenance commits and
@@ -306,8 +312,17 @@ def prepare_commit(
         manifest["delete_files"] = parent_deletes
         manifest["delete_keys"] = parent_delete_keys
         manifest["delete_seqs"] = parent_dseqs
+    # refresh watermarks are snapshot-level STATE like stream_batch:
+    # a maintenance overwrite (compaction, clustering) that dropped them
+    # would silently degrade the next incremental refresh to a full
+    # reseed and break verify_aggregate's pinned-version audit
+    carried_meta = {
+        k: parent_meta[k] for k in _STICKY_META if k in parent_meta
+    }
+    merged_meta = {**carried_meta, **(meta or {})}
+    if merged_meta:
+        manifest["meta"] = merged_meta
     if meta:
-        manifest["meta"] = meta
         if "batch_id" in meta:
             # the exactly-once watermark only ADVANCES: a caller passing
             # a smaller batch_id (metadata backfill) must not regress

@@ -138,3 +138,54 @@ def test_vacuum_counts_manifest_removals(spark, tmp_path):
     # 4 committed versions, keep 2 → ≥2 manifests must count as removed
     removed = vacuum(table, keep_manifests=2)
     assert removed >= 2
+
+
+def test_refresh_aggregate_raises_instead_of_double_counting(
+    spark, tmp_path, monkeypatch
+):
+    """Two overlapping refreshes must not merge the same delta twice —
+    the second must hit SnapshotConflictError (it read dest's state
+    before the first one committed)."""
+    from ght2dm_spark.incremental import refresh_aggregate
+
+    src_t = str(tmp_path / "src")
+    dest = str(tmp_path / "agg")
+    commit(prepare_commit(_mk(spark, [(1, 10), (1, 5), (2, 7)]), src_t))
+    aggs = {"total": ("sum", "v"), "n": ("count", None)}
+    assert refresh_aggregate(spark, src_t, dest, ["k"], aggs)
+    # new source delta, then a racer refresh landing mid-merge
+    commit(prepare_commit(_mk(spark, [(1, 100)]), src_t, mode="append"))
+    orig = snap._stage_data_files
+    state = {"armed": True}
+
+    def stage_and_race(df, tbl, commit_id, *a, **k):
+        out = orig(df, tbl, commit_id, *a, **k)
+        if state["armed"] and str(tbl) == dest:
+            state["armed"] = False
+            refresh_aggregate(spark, src_t, dest, ["k"], aggs)  # racer wins
+        return out
+
+    monkeypatch.setattr(snap, "_stage_data_files", stage_and_race)
+    with pytest.raises(SnapshotConflictError):
+        refresh_aggregate(spark, src_t, dest, ["k"], aggs)
+    # the racer's (single) merge is the surviving state — no double count
+    got = {(r.k, r.total, r.n) for r in read_snapshot(spark, dest).collect()}
+    assert got == {(1, 115, 3), (2, 7, 1)}
+
+
+def test_refresh_watermark_survives_compaction(spark, tmp_path):
+    """compact_snapshot on the derived table must not drop the pinned
+    source_version — losing it silently degrades the next refresh to a
+    full reseed and breaks verify_aggregate's audit."""
+    from ght2dm_spark.incremental import refresh_aggregate, verify_aggregate
+
+    src_t = str(tmp_path / "src")
+    dest = str(tmp_path / "agg")
+    commit(prepare_commit(_mk(spark, [(1, 10), (2, 7)]), src_t))
+    aggs = {"total": ("sum", "v")}
+    assert refresh_aggregate(spark, src_t, dest, ["k"], aggs)
+    compact_snapshot(spark, dest)
+    # watermark intact: nothing new in the source → no commit, and the
+    # audit still knows which version the state covers
+    assert refresh_aggregate(spark, src_t, dest, ["k"], aggs) is False
+    assert verify_aggregate(spark, src_t, dest, ["k"], aggs) is True
