@@ -17,13 +17,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 
 from pyspark.sql import SparkSession
-from pyspark.sql.types import (
-    BooleanType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import StructType
 
 #: entity basename → importer, mirroring the reference's switch
 #: (``ght2dm.go:1036-1049``)
@@ -63,48 +57,39 @@ def read_config(path: str) -> RunConfig:
     )
 
 
+def _decode_schema(registered: StructType) -> StructType:
+    """Decode schema for read_bson_dumps, derived from the ONE schema
+    registry (schemas.py — previously hand-duplicated here, a drift
+    hazard): the registry entries include the file_date/file_pos scan
+    provenance that the reader APPENDS, so the decode schema is the
+    registry minus those two."""
+    return StructType(
+        [f for f in registered.fields if f.name not in ("file_date", "file_pos")]
+    )
+
+
 def _users_schema() -> StructType:
-    s = [
-        ("id", LongType()), ("login", StringType()), ("avatar_url", StringType()),
-        ("html_url", StringType()), ("type", StringType()), ("name", StringType()),
-        ("company", StringType()), ("bio", StringType()), ("location", StringType()),
-        ("email", StringType()), ("hireable", BooleanType()),
-        ("followers", LongType()), ("following", LongType()),
-        ("created_at", StringType()), ("updated_at", StringType()),
-    ]
-    return StructType([StructField(n, t) for n, t in s])
+    from ght2dm_spark.schemas import GH_USERS_RAW
+
+    return _decode_schema(GH_USERS_RAW)
 
 
 def _repos_schema() -> StructType:
-    s = [
-        ("id", LongType()), ("name", StringType()), ("full_name", StringType()),
-        ("description", StringType()), ("homepage", StringType()),
-        ("language", StringType()), ("default_branch", StringType()),
-        ("master_branch", StringType()), ("html_url", StringType()),
-        ("clone_url", StringType()), ("fork", BooleanType()),
-        ("forks_count", LongType()), ("open_issues_count", LongType()),
-        ("stargazers_count", LongType()), ("subscribers_count", LongType()),
-        ("watchers_count", LongType()), ("size_in_kb", LongType()),
-        ("created_at", StringType()), ("updated_at", StringType()),
-        ("pushed_at", StringType()), ("owner_login", StringType()),
-    ]
-    return StructType([StructField(n, t) for n, t in s])
+    from ght2dm_spark.schemas import GH_REPOS_RAW
+
+    return _decode_schema(GH_REPOS_RAW)
 
 
 def _members_schema() -> StructType:
-    return StructType(
-        [StructField(n, t) for n, t in
-         [("id", LongType()), ("login", StringType()), ("org", StringType()),
-          ("type", StringType())]]
-    )
+    from ght2dm_spark.schemas import GH_ORG_MEMBERS_RAW
+
+    return _decode_schema(GH_ORG_MEMBERS_RAW)
 
 
 def _collabs_schema() -> StructType:
-    return StructType(
-        [StructField(n, t) for n, t in
-         [("id", LongType()), ("login", StringType()), ("repo", StringType()),
-          ("owner", StringType())]]
-    )
+    from ght2dm_spark.schemas import GH_REPO_COLLABORATORS_RAW
+
+    return _decode_schema(GH_REPO_COLLABORATORS_RAW)
 
 
 def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
@@ -154,6 +139,15 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
     from pyspark.sql import Observation
 
     log = logging.getLogger(__name__)
+    if cfg.verbose or cfg.debug:
+        # the reference's -v/-d print unconditionally; under Python's
+        # default logging config (root at WARNING, no handler) these
+        # records would vanish while verbose's observe() cost still ran
+        log.setLevel(logging.DEBUG if cfg.debug else logging.INFO)
+        if not log.handlers:
+            h = logging.StreamHandler()
+            h.setFormatter(logging.Formatter("%(name)s: %(message)s"))
+            log.addHandler(h)
     out = Path(cfg.output_dir)
     written: dict[str, str] = {}
     prepared = []
@@ -207,20 +201,35 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
         provenance-free reject shapes (resolve_fk drops) can coalesce
         across folders, and for those "the row is already recorded" is
         the semantics we want."""
-        ex = _existing(name)
-        if ex is not None and set(df.columns) <= set(ex.columns):
-            df = df.exceptAll(ex.select(*df.columns))
+        ex = _existing(name, merge_schema=True)
+        if ex is not None:
+            if set(df.columns) <= set(ex.columns):
+                df = df.exceptAll(ex.select(*df.columns))
+            else:
+                # a widened reject shape (new provenance column) makes
+                # the multiset dedup unsound — append raw, but LOUDLY:
+                # silent skipping re-accumulated duplicates per rerun
+                log.warning(
+                    "%s: reject schema gained columns %s — skipping the "
+                    "cross-run dedup for this write (duplicates from "
+                    "re-scanned files may append)",
+                    name,
+                    sorted(set(df.columns) - set(ex.columns)),
+                )
         _write(name, df)
 
-    def _existing(name):
+    def _existing(name, merge_schema=False):
         if name in staged:
             # this run already staged the table — read the staged
             # manifest's pinned files so later folders see earlier ones
-            # (applies to fresh runs too: in-run accumulation)
+            # (applies to fresh runs too: in-run accumulation; schema
+            # drift is impossible within one run, so no merge needed)
             return read_prepared(spark, staged[name])
         if not cfg.incremental:
             return None
-        return read_snapshot(spark, str(out / name))
+        return read_snapshot(
+            spark, str(out / name), merge_schema=merge_schema
+        )
 
     def _dim(name):
         """Dimension table for a relation import: this run's STAGED
@@ -252,10 +261,36 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
     # validate EVERY folder before any staging work: a typo in the last
     # folder must fail in milliseconds, not after hours of decode/dedup
     # on the earlier ones (whose staged output would become vacuum
-    # garbage)
+    # garbage).  Three static checks: known entity basename, the
+    # directory exists, and every relation folder's dimension tables are
+    # satisfiable (an earlier folder in THIS config, or a committed
+    # snapshot on disk) — all readable from names and CURRENT pointers.
+    from ght2dm_spark.snapshots import _read_current
+
+    dim_tables = {
+        "org_members": ("gh_users", "gh_organizations"),
+        "repo_collaborators": ("gh_users", "repositories", "gh_repositories"),
+    }
+    produces = {
+        "users": {"users", "gh_users", "gh_organizations"},
+        "repos": {"repositories", "gh_repositories"},
+    }
+    run_products: set[str] = set()
     for folder in cfg.folders:
-        if os.path.basename(os.path.normpath(folder)) not in ENTITIES:
+        entity = os.path.basename(os.path.normpath(folder))
+        if entity not in ENTITIES:
             raise ValueError(f"unknown entity folder: {folder}")
+        if not os.path.isdir(folder):
+            raise ValueError(f"entity folder does not exist: {folder}")
+        for t in dim_tables.get(entity, ()):
+            if t not in run_products and _read_current(out / t) is None:
+                raise ValueError(
+                    f"{folder}: needs the {t} dimension, but no earlier "
+                    "folder in this config imports it and no committed "
+                    f"snapshot exists at {out / t} — order the dimension "
+                    "folder first (or run against a populated output dir)"
+                )
+        run_products |= produces.get(entity, set())
 
     for folder in cfg.folders:
         entity = os.path.basename(os.path.normpath(folder))
@@ -302,6 +337,7 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
             res = import_org_members(
                 good, _dim("gh_users"), _dim("gh_organizations"),
                 existing=_existing("gh_users_organizations"),
+                nocheck=cfg.nocheck,
             )
             _write("gh_users_organizations", res.gh_users_organizations)
             _write_rejects(
@@ -315,6 +351,7 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
                 good, _dim("gh_users"), _dim("repositories"),
                 _dim("gh_repositories"),
                 existing=_existing("users_repositories"),
+                nocheck=cfg.nocheck,
             )
             _write("users_repositories", res.users_repositories)
             _write_rejects(

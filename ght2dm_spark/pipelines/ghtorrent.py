@@ -286,11 +286,17 @@ def import_org_members(
     gh_users: DataFrame,
     gh_organizations: DataFrame,
     existing: DataFrame | None = None,
+    nocheck: bool = False,
 ) -> OrgMembersResult:
     """Entry point D-1 (``ght2dm.go:657-765``): resolve member/org logins
     via broadcast joins (J1/J2), drop unresolved with rejects (F9/E1),
     dedup pairs (F4's relation-exists probe also fires for rows inserted
-    earlier in the same run → distinct), anti-join vs existing."""
+    earlier in the same run → distinct), anti-join vs existing.
+
+    ``nocheck`` skips the distinct + anti-join — the reference gates
+    THIS importer's exists-probe on ``-nocheck`` too (``ght2dm.go:732``),
+    inserting duplicate relation rows freely; FK resolution still runs
+    (the reference resolves logins under nocheck as well)."""
     member = raw.select(_zs("login").alias("login"), _zs("org").alias("org"))
     u = gh_users.select(F.col("id").alias("gh_user_id"), "login")
     o = gh_organizations.select(
@@ -304,11 +310,13 @@ def import_org_members(
     rejects = witho.filter(
         F.col("gh_user_id").isNull() | F.col("gh_organization_id").isNull()
     ).select("login", "org")
-    pairs = good.select("gh_user_id", "gh_organization_id").distinct()
-    if existing is not None:
-        pairs = anti_join(
-            pairs, existing, ["gh_user_id", "gh_organization_id"]
-        )
+    pairs = good.select("gh_user_id", "gh_organization_id")
+    if not nocheck:
+        pairs = pairs.distinct()
+        if existing is not None:
+            pairs = anti_join(
+                pairs, existing, ["gh_user_id", "gh_organization_id"]
+            )
     return OrgMembersResult(pairs, rejects)
 
 
@@ -323,12 +331,17 @@ def import_repo_collaborators(
     repositories: DataFrame,
     gh_repositories: DataFrame,
     existing: DataFrame | None = None,
+    nocheck: bool = False,
 ) -> RepoCollaboratorsResult:
     """Entry point D-2 (``ght2dm.go:814-960``): key concat P6
     (owner || '/' || repo), resolve login → gh_users.id (which the
     reference binds as users_repositories.user_id — see module doc) and
     full_name → repositories.id through gh_repositories (J3), RI-drop
-    with rejects, distinct, anti-join vs existing."""
+    with rejects, distinct, anti-join vs existing.
+
+    ``nocheck`` skips the distinct + anti-join — the reference gates
+    THIS importer's exists-probe on ``-nocheck`` too (``ght2dm.go:891``);
+    FK resolution still runs either way."""
     coll = raw.select(
         _zs("login").alias("login"),
         full_name(_zs("owner"), _zs("repo")).alias("full_name"),
@@ -347,7 +360,9 @@ def import_repo_collaborators(
     rejects = withr.filter(
         F.col("user_id").isNull() | F.col("repository_id").isNull()
     ).select("login", "full_name")
-    pairs = good.select("user_id", "repository_id").distinct()
-    if existing is not None:
-        pairs = anti_join(pairs, existing, ["user_id", "repository_id"])
+    pairs = good.select("user_id", "repository_id")
+    if not nocheck:
+        pairs = pairs.distinct()
+        if existing is not None:
+            pairs = anti_join(pairs, existing, ["user_id", "repository_id"])
     return RepoCollaboratorsResult(pairs, rejects)

@@ -505,3 +505,59 @@ def test_bad_folder_fails_before_any_staging(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown entity"):
         run_from_config(spark, read_config(str(cfgp)))
     assert not (out / "users").exists(), "no staging before validation"
+
+
+def test_prevalidation_fails_fast_on_missing_folder(spark, tmp_path):
+    from ght2dm_spark.config import RunConfig
+
+    with pytest.raises(ValueError, match="does not exist"):
+        run_from_config(
+            spark,
+            RunConfig(
+                folders=[str(tmp_path / "users")],  # never created
+                output_dir=str(tmp_path / "out"),
+            ),
+        )
+
+
+def test_prevalidation_fails_fast_on_unsatisfied_dimension(spark, tmp_path):
+    """A relation folder whose dimensions come from neither an earlier
+    folder nor a committed snapshot must fail in milliseconds — before
+    any decode/staging work runs (the staged output of earlier folders
+    would otherwise become vacuum garbage hours later)."""
+    from ght2dm_spark.config import RunConfig
+
+    m = tmp_path / "org_members"
+    m.mkdir()
+    (m / "2014-01-01.bson").write_bytes(b"")
+    with pytest.raises(ValueError, match="needs the gh_users dimension"):
+        run_from_config(
+            spark,
+            RunConfig(folders=[str(m)], output_dir=str(tmp_path / "out")),
+        )
+
+
+def test_relation_importers_honor_nocheck(spark):
+    """The reference gates the org-member/collaborator exists-probes on
+    -nocheck too (ght2dm.go:732, 891): under nocheck, duplicate relation
+    rows insert freely and the existing table is not consulted; FK
+    resolution still runs."""
+    from ght2dm_spark.pipelines import import_org_members
+
+    raw = spark.createDataFrame(
+        [(1, "alice", "acme", "User"), (2, "alice", "acme", "User")],
+        "id long, login string, org string, type string",
+    )
+    users = spark.createDataFrame([(7, "alice")], "id long, login string")
+    orgs = spark.createDataFrame([(9, "acme")], "id long, login string")
+    existing = spark.createDataFrame(
+        [(7, 9)], "gh_user_id long, gh_organization_id long"
+    )
+    checked = import_org_members(raw, users, orgs, existing=existing)
+    assert checked.gh_users_organizations.count() == 0  # deduped + known
+    unchecked = import_org_members(
+        raw, users, orgs, existing=existing, nocheck=True
+    )
+    rows = unchecked.gh_users_organizations.collect()
+    assert len(rows) == 2  # duplicates kept, existing ignored
+    assert all((r.gh_user_id, r.gh_organization_id) == (7, 9) for r in rows)
