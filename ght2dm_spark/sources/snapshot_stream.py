@@ -68,20 +68,34 @@ def _current_seq(table: Path) -> int:
     return int(name.split("-")[1])
 
 
-def _manifests_at(table: Path, seqs: list[int]) -> dict[int, dict | None]:
-    """Committed manifests for ``seqs`` in ONE chain walk from CURRENT
-    (each step loads one manifest; a naive per-seq resolve would re-walk
-    the whole chain per seq — O(chain²) over a stream's life).  seq -1
-    maps to None (the pre-table state).  A vacuumed/unknown version
-    raises FileNotFoundError — the error a restarted checkpoint hits
-    when its start version aged out."""
+def _manifests_at(
+    table: Path, seqs: list[int]
+) -> dict[int, tuple[str, dict] | None]:
+    """Committed (name, manifest) pairs for ``seqs`` in ONE chain walk
+    from CURRENT (each step loads one manifest; a naive per-seq resolve
+    would re-walk the whole chain per seq — O(chain²) over a stream's
+    life).  seq -1 maps to None (the pre-table state).  A
+    vacuumed/unknown version raises FileNotFoundError — the error a
+    restarted checkpoint hits when its start version aged out.  A parent
+    CYCLE (hand-edited/corrupt manifest) raises instead of wedging the
+    streaming driver in an infinite walk every trigger — the same guard
+    snapshots._committed_chain carries."""
     want = {s for s in seqs if s >= 0}
-    out: dict[int, dict | None] = {s: None for s in seqs if s < 0}
+    out: dict[int, tuple[str, dict] | None] = {
+        s: None for s in seqs if s < 0
+    }
     name = _read_current(table)
+    seen: set[str] = set()
     while name is not None and want:
+        if name in seen:
+            raise ValueError(
+                f"{table}: manifest parent cycle at {name!r} — the chain "
+                "is corrupt; restore CURRENT from a good manifest"
+            )
+        seen.add(name)
         m = _load_manifest(table, name)
         if m["seq"] in want:
-            out[m["seq"]] = m
+            out[m["seq"]] = (name, m)
             want.discard(m["seq"])
         name = m.get("parent")
     if want:
@@ -118,8 +132,15 @@ class SnapshotStreamDataSource(DataSource):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
+        # one footer per STAGING GROUP: all files a single df.write
+        # staged share a schema and a name prefix ("{commit}{tag}-{i}"),
+        # so reading one representative per prefix unifies the identical
+        # schema at #commits footer opens instead of #files — an
+        # append-heavy table with 10⁴ small files otherwise spends
+        # minutes of serial driver I/O on every stream (re)start
+        reps = {f.rsplit("-", 1)[0]: f for f in files}
         sch = pa.unify_schemas(
-            [pq.read_schema(str(table / _DATA / f)) for f in files],
+            [pq.read_schema(str(table / _DATA / f)) for f in reps.values()],
             promote_options="permissive",
         )
         return from_arrow_schema(sch, prefer_timestamp_ntz=True)
@@ -142,16 +163,39 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         # start from empty: the existing snapshot arrives as batch 0
-        return {"seq": -1}
+        return {"seq": -1, "manifest": None}
 
     def latestOffset(self) -> dict:
-        return {"seq": _current_seq(Path(self.path))}
+        # the manifest NAME rides in the offset as table identity: seq
+        # alone cannot distinguish "this table, version 3" from "a table
+        # recreated at the same path whose new chain reached seq 3" —
+        # resuming a checkpoint against a recreated table must fail
+        # loudly, not silently skip the new table's first versions
+        name = _read_current(Path(self.path))
+        seq = -1 if name is None else int(name.split("-")[1])
+        return {"seq": seq, "manifest": name}
 
     def partitions(self, start: dict, end: dict):
         table = Path(self.path)
         ms = _manifests_at(table, [int(start["seq"]), int(end["seq"])])
-        m_old = ms[int(start["seq"])]
-        m_new = ms[int(end["seq"])]
+        pair_old = ms[int(start["seq"])]
+        pair_new = ms[int(end["seq"])]
+        m_old = pair_old[1] if pair_old is not None else None
+        m_new = pair_new[1] if pair_new is not None else None
+        # identity check: the offset's recorded manifest must be the one
+        # this chain resolves for that seq (absent on pre-identity
+        # checkpoints and on the -1 initial offset)
+        for rec, pair, which in (
+            (start.get("manifest"), pair_old, "start"),
+            (end.get("manifest"), pair_new, "end"),
+        ):
+            if rec is not None and pair is not None and rec != pair[0]:
+                raise ValueError(
+                    f"{self.path}: checkpointed {which} offset names "
+                    f"manifest {rec!r} but the live chain has {pair[0]!r} "
+                    f"at that version — the table was recreated at this "
+                    "path; restart the stream from a fresh checkpoint"
+                )
         old = set(_files_at(m_old))
         new = _files_at(m_new)
         if not old <= set(new):
@@ -208,6 +252,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
                         [arrays[c] for c in partition.columns],
                         names=list(partition.columns),
                     )
+                if batch.schema != partition.arrow_schema:
+                    # the file's PHYSICAL types, not the declared ones:
+                    # Spark's default INT96 timestamps read back as
+                    # timestamp[ns] (which the JVM arrow reader rejects
+                    # outright), and a permissive-unified promotion
+                    # (int32 file vs int64 declared) would crash the
+                    # JVM column accessor.  One cast per batch fixes
+                    # both; safe for ns→us because the snapshot layer's
+                    # writers produce µs-precision values (exact
+                    # multiples of 1000 ns)
+                    batch = batch.cast(partition.arrow_schema)
                 yield batch
 
     def commit(self, end: dict) -> None:

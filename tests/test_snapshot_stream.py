@@ -342,3 +342,96 @@ def test_snapshot_stream_surfaces_evolved_schema(spark, tmp_path):
         assert got == {(1, 10, None), (2, 20, "x")}
     finally:
         q.stop()
+
+
+def test_snapshot_stream_timestamp_column(spark, tmp_path):
+    """A timestamp-bearing table must stream: Spark's default parquet
+    output is INT96, which pyarrow reads back as timestamp[ns] — the
+    declared schema is µs, so read() must CAST each batch (yielding the
+    physical ns type terminated the query with UNSUPPORTED_ARROWTYPE;
+    the round-5 review's confirmed crasher)."""
+    import datetime as dt
+
+    from ght2dm_spark.sources.snapshot_stream import SnapshotStreamDataSource
+
+    spark.dataSource.register(SnapshotStreamDataSource)
+    table = str(tmp_path / "t")
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5)
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(1, ts)], "k long, ts timestamp_ntz"),
+            table,
+        )
+    )
+    q = (
+        spark.readStream.format("ght2dm_snapshot")
+        .load(table)
+        .writeStream.format("memory")
+        .queryName("snap_ts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [(r.k, r.ts) for r in spark.sql("SELECT * FROM snap_ts").collect()]
+        assert got == [(1, ts)]
+    finally:
+        q.stop()
+
+
+def test_snapshot_stream_promoted_types(spark, tmp_path):
+    """Permissive footer unification promotes int→long in the DECLARED
+    schema; read() must deliver pre-promotion files AT the declared type
+    (yielding the physical int32 crashed the JVM column accessor — the
+    review's second confirmed crasher)."""
+    from ght2dm_spark.sources.snapshot_stream import SnapshotStreamDataSource
+
+    spark.dataSource.register(SnapshotStreamDataSource)
+    table = str(tmp_path / "t")
+    commit(prepare_commit(spark.createDataFrame([(1, 10)], "k int, v int"), table))
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(2, 2**40)], "k long, v long"),
+            table,
+            mode="append",
+        )
+    )
+    q = (
+        spark.readStream.format("ght2dm_snapshot")
+        .load(table)
+        .writeStream.format("memory")
+        .queryName("snap_promo")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.k, r.v) for r in spark.sql("SELECT * FROM snap_promo").collect()}
+        assert got == {(1, 10), (2, 2**40)}
+    finally:
+        q.stop()
+
+
+def test_snapshot_stream_offsets_carry_table_identity(spark, tmp_path):
+    """A checkpoint resumed against a RECREATED table at the same path
+    must fail loudly, not silently skip the new table's first versions —
+    the offset records the manifest name and partitions() verifies it
+    resolves to the same manifest."""
+    import pytest as _pytest
+
+    from ght2dm_spark.sources.snapshot_stream import SnapshotStreamReader
+
+    table = str(tmp_path / "t")
+    commit(prepare_commit(spark.createDataFrame([(1,)], "k long"), table))
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(2,)], "k long"), table, mode="append"
+        )
+    )
+    reader = SnapshotStreamReader(
+        spark.createDataFrame([(1,)], "k long").schema, {"path": table}
+    )
+    start = {"seq": 0, "manifest": "m-000000-deadbeefcafe.json"}  # other table
+    end = reader.latestOffset()
+    with _pytest.raises(ValueError, match="recreated"):
+        reader.partitions(start, end)
