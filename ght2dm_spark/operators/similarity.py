@@ -222,7 +222,7 @@ def topk_neighbors(
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id).asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "cos", "rank")
     )

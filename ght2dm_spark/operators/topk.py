@@ -28,7 +28,9 @@ def top_k_per_group(
     rank_col: str | None = None,
 ) -> DataFrame:
     w = Window.partitionBy(*group).orderBy(*order)
-    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    out = df.withColumn("__rn", F.row_number().over(w).cast("long")).filter(
+        F.col("__rn") <= k
+    )
     if rank_col:
         return out.withColumnRenamed("__rn", rank_col)
     return out.drop("__rn")

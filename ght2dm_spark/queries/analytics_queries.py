@@ -111,7 +111,7 @@ def t1_window_distribution(spark, sf_dir):
     return load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
@@ -435,7 +435,7 @@ def t1_sequence_pattern(spark, sf_dir):
     )
     return s.select(
         "user_id",
-        F.length("seq").alias("n_events"),
+        F.length("seq").cast("long").alias("n_events"),
         F.col("seq").rlike("v[vc]*p").cast("int").alias(
             "converted_via_views"
         ),

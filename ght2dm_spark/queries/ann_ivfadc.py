@@ -167,7 +167,7 @@ def t1_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc, _ = _ivfadc_adc(spark, sf_dir)
     w = Window.partitionBy("q_id").orderBy("adc_dist", "id")
     return (
-        adc.withColumn("rank", F.row_number().over(w))
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _IA_TOPK)
         .select("q_id", "rank", F.col("id").alias("neighbor_id"), "adc_dist")
     )
@@ -322,7 +322,7 @@ def t1_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.partitionBy("q_id").orderBy("true_dist", "neighbor_id")
     return (
-        rr.withColumn("rank", F.row_number().over(wr))
+        rr.withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= _IA_TOPK)
         .select("q_id", "rank", "neighbor_id", "true_dist")
     )

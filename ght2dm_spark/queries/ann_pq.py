@@ -163,7 +163,7 @@ def t1_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy("adc_dist", "id")
     return (
-        adc.withColumn("rank", F.row_number().over(w))
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _PQ_TOPK)
         .select("q_id", "rank", F.col("id").alias("neighbor_id"), "adc_dist")
     )

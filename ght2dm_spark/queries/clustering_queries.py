@@ -328,7 +328,7 @@ def t1_ann_ivf_learned(spark, sf_dir):
     )
     wr = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(wr))
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("q_id", "c_id", F.round("cos", 6).alias("cos"), "rank")
     )

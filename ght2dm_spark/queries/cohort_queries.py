@@ -209,15 +209,17 @@ def t1_grouping_sets(spark, sf_dir):
     t1_rollup/t1_cube already cover) with grouping() flags
     disambiguating aggregated NULLs from data NULLs.  Spark's SQL front
     end plans this as a single Expand + one aggregation — one scan for
-    all three grains.  Decimal sum for cross-engine exactness."""
+    all three grains.  Decimal sum for cross-engine exactness; grouping()
+    is cast to BIGINT because Spark emits TINYINT where DuckDB emits
+    BIGINT and the driver's value hash is type-tagged (r05 red row)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "__gs_lineitem"
     )
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               grouping(l_returnflag) AS g_flag,
-               grouping(l_linestatus) AS g_status,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
                  AS sum_qty,
                count(*) AS n

@@ -45,9 +45,9 @@ def t1_window_ranking(spark, sf_dir):
     return load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
         F.lag("o_orderkey").over(w).alias("prev_order"),
         F.lead("o_orderkey").over(w).alias("next_order"),
     )
@@ -375,14 +375,14 @@ def t1_datetime_funcs(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.year("ts").alias("y"),
-        F.month("ts").alias("mo"),
-        F.dayofmonth("ts").alias("d"),
-        F.hour("ts").alias("h"),
-        F.minute("ts").alias("mi"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
         trunc_ntz("day", F.col("ts")).alias("day_bucket"),
         trunc_ntz("hour", F.col("ts")).alias("hour_bucket"),
-        F.dayofweek("ts").alias("dow"),
+        F.dayofweek("ts").cast("long").alias("dow"),
     )
 
 
@@ -408,12 +408,12 @@ def t1_string_funcs(spark, sf_dir):
         "doc_id",
         F.upper("lang").alias("lang_up"),
         F.substring("text", 1, 20).alias("prefix"),
-        F.length("text").alias("n_len"),
+        F.length("text").cast("long").alias("n_len"),
         F.concat_ws(":", "source", "lang").alias("tagged"),
         F.replace(F.col("lang"), F.lit("e"), F.lit("3")).alias("leet"),
         F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded"),
-        F.size(F.split("text", " ", -1)).alias("n_tokens"),
-        F.instr(F.col("text"), "spark").alias("spark_at"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+        F.instr(F.col("text"), "spark").cast("long").alias("spark_at"),
     )
 
 
@@ -443,9 +443,9 @@ def t1_array_funcs(spark, sf_dir):
     )
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.element_at("embedding", 1).alias("first_val"),
-        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
         F.round(sq, 4).alias("sq_norm"),
     )
 

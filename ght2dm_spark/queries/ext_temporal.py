@@ -179,7 +179,7 @@ def t1_time_rollup(spark, sf_dir):
     return out.select(
         "day",
         "hour",
-        F.col("grain").cast("int").alias("grain"),
+        F.col("grain").cast("long").alias("grain"),
         "n",
         F.col("_tv").cast("double").alias("total_value"),
     )
@@ -222,10 +222,10 @@ def t1_edit_distance(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.levenshtein("source", "lang").alias("src_lang_dist"),
+        F.levenshtein("source", "lang").cast("long").alias("src_lang_dist"),
         F.levenshtein(
             F.substring("text", 1, 10), F.substring("text", 6, 10)
-        ).alias("self_shift_dist"),
+        ).cast("long").alias("self_shift_dist"),
     )
 
 
@@ -286,7 +286,7 @@ def t1_fuzzy_blocking_join(spark, sf_dir):
             )
             & (F.length("dirty") == F.length("match")),
         )
-        .withColumn("dist", F.levenshtein("dirty", "match"))
+        .withColumn("dist", F.levenshtein("dirty", "match").cast("long"))
         .filter(F.col("dist") <= 1)
     )
     w = Window.partitionBy("probe_id").orderBy("dist", "match")
@@ -370,7 +370,7 @@ def t1_histogram_equidepth(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     b = ev.select(
-        "event_type", "value", F.ntile(4).over(w).alias("bucket")
+        "event_type", "value", F.ntile(4).over(w).cast("long").alias("bucket")
     )
     return b.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("n"),
@@ -400,7 +400,7 @@ def t1_topk_with_ties(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc())
     return (
-        d.select("lang", "doc_id", "n_chars", F.rank().over(w).alias("rk"))
+        d.select("lang", "doc_id", "n_chars", F.rank().over(w).cast("long").alias("rk"))
         .filter(F.col("rk") <= 3)
         .select("lang", "doc_id", "n_chars")
     )

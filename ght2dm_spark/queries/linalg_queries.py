@@ -148,6 +148,6 @@ def t1_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     mx = w.agg(F.max(F.abs("wi")).alias("mx"))
     return w.crossJoin(F.broadcast(mx)).select(
-        F.col("i").alias("dim_idx"),
+        F.col("i").cast("long").alias("dim_idx"),
         F.expr(f"wi div (mx div {_PI_SC})").alias("component"),
     )

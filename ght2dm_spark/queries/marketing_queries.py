@@ -211,12 +211,15 @@ def t1_rfm_segments(spark, sf_dir):
         "monetary",
         F.ntile(5)
         .over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
+        .cast("long")
         .alias("r_score"),
         F.ntile(5)
         .over(Window.orderBy("frequency", "user_id"))
+        .cast("long")
         .alias("f_score"),
         F.ntile(5)
         .over(Window.orderBy("monetary", "user_id"))
+        .cast("long")
         .alias("m_score"),
     )
     return s.select(
@@ -278,7 +281,7 @@ def t1_dow_seasonality(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         "event_type",
-        F.dayofweek("ts").alias("dow"),
+        F.dayofweek("ts").cast("long").alias("dow"),
         F.col("value").cast("decimal(18,2)").alias("v"),
     )
     per = base.groupBy("event_type", "dow").agg(

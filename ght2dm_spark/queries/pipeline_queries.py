@@ -65,8 +65,8 @@ def t1_pii_scrub(spark, sf_dir):
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
-        F.length(raw).alias("len_before"),
-        F.length(scrubbed).alias("len_after"),
+        F.length(raw).cast("long").alias("len_before"),
+        F.length(scrubbed).cast("long").alias("len_after"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
 

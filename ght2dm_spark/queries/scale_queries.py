@@ -112,7 +112,7 @@ def t1_regexp_funcs(spark, sf_dir):
     matches = F.regexp_extract_all("text", F.lit("[a-z]{7,}"), 0)
     return d.select(
         "doc_id",
-        F.size(matches).alias("n_long_words"),
+        F.size(matches).cast("long").alias("n_long_words"),
         F.when(F.size(matches) > 0, F.element_at(matches, 1)).alias(
             "first_long_word"
         ),

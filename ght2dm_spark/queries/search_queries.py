@@ -361,7 +361,7 @@ def t1_hybrid_rrf(spark, sf_dir):
         F.col("rrf").desc(), F.col("c_id").asc()
     )
     return (
-        fused.withColumn("rank", F.row_number().over(wf))
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
         .filter(F.col("rank") <= _RRF_K)
         .select("q_id", "c_id", F.col("rrf").cast("bigint").alias("rrf"),
                 F.col("rank").cast("int").alias("rank"))

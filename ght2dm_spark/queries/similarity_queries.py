@@ -279,7 +279,7 @@ def t1_ann_ivf_topk(spark, sf_dir):
     )
     wq = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(wq))
+        scored.withColumn("rank", F.row_number().over(wq).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("q_id", "c_id", F.round("cos", 6).alias("cos"), "rank")
     )
@@ -437,7 +437,7 @@ def t1_ann_lsh_banded(spark, sf_dir):
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("q_id", "c_id", F.round("cos", 6).alias("cos"), "rank")
     )
@@ -527,7 +527,7 @@ def t1_sq8_ann(spark, sf_dir):
         F.col("c_id").asc(),
     )
     return (
-        s.withColumn("rank", F.row_number().over(w))
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
         .select(
             "q_id", "c_id", "dot_int", F.col("rank").cast("bigint").alias("rank")
@@ -677,7 +677,7 @@ def t1_ann_euclidean_topk(spark, sf_dir):
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", d.alias("dist"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
     )
     return out.select("q_id", "c_id", F.round("dist", 6).alias("dist"), "rank")

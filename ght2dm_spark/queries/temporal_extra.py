@@ -75,7 +75,7 @@ def t1_pit_join(spark, sf_dir):
         "user_id",
         "valid_from",
         "dim_orderkey",
-        F.row_number().over(wv).alias("version"),
+        F.row_number().over(wv).cast("long").alias("version"),
     )
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     out = asof_join(

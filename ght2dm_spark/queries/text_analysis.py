@@ -45,11 +45,11 @@ def t1_text_token_counts(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        token_count("text").alias("n_ws_tokens"),
-        F.size(bpe_tokens("text")).alias("n_bpe_tokens"),
-        F.size(F.array_distinct(ws_tokens(F.lower(F.col("text"))))).alias(
-            "n_unique_tokens"
-        ),
+        token_count("text").cast("long").alias("n_ws_tokens"),
+        F.size(bpe_tokens("text")).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(ws_tokens(F.lower(F.col("text"))))).cast(
+            "long"
+        ).alias("n_unique_tokens"),
     )
 
 
@@ -127,7 +127,7 @@ def t1_text_quality(spark, sf_dir):
     n = F.col("n")
     return stats.select(
         "doc_id",
-        F.length("text").alias("n_chars"),
+        F.length("text").cast("long").alias("n_chars"),
         n.alias("n_tokens"),
         F.round(
             F.when(n > 0, F.col("tot").cast("double") / n), 6
@@ -179,9 +179,9 @@ def t1_text_lang_id(spark, sf_dir):
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         lang_id("text").alias("detected_lang"),
-        lang_marker_hits("text", "en").alias("en_hits"),
-        lang_marker_hits("text", "de").alias("de_hits"),
-        lang_marker_hits("text", "fr").alias("fr_hits"),
+        lang_marker_hits("text", "en").cast("long").alias("en_hits"),
+        lang_marker_hits("text", "de").cast("long").alias("de_hits"),
+        lang_marker_hits("text", "fr").cast("long").alias("fr_hits"),
     )
 
 

@@ -76,7 +76,7 @@ def q7_nation_volume(spark, sf_dir):
         joined.select(
             "supp_nation",
             "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
             _rev().alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")

@@ -146,7 +146,7 @@ def q8_market_share(spark, sf_dir):
         .join(cust_in_region, o.o_custkey == F.col("c_custkey"), "left_semi")
         .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
             _rev_col().alias("volume"),
             "supp_nation",
         )

@@ -101,7 +101,7 @@ def q9_product_profit(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
-        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.sum(_rev_col() - _cost_col()).cast("double").alias("profit")
         )

@@ -1,16 +1,28 @@
-"""Oracle output-type sweep — the r04 failure class made mechanical.
+"""Oracle output-type sweep — the r04/r05 failure classes made mechanical.
 
-DuckDB's bare ``sum()`` over integers is HUGEINT (int128); its
-client-side canonicalization of int128 is version-sensitive, which
-produced the only two r04 driver hash mismatches (values bit-exact,
-hashes different).  Every oracle must therefore CAST integer aggregates
-to BIGINT before they reach the output row.  DESCRIBE plans the query
-without executing it, so sweeping all ~250 oracles is cheap.
+Two classes of driver hash mismatch have occurred with bit-exact VALUES:
+
+* r04: DuckDB's bare ``sum()`` over integers is HUGEINT (int128); its
+  client-side canonicalization of int128 is version-sensitive.  Every
+  oracle must CAST integer aggregates to BIGINT.
+* r05: Spark's ``grouping()`` is TINYINT where DuckDB's is BIGINT — the
+  driver's value hash is type-tagged, so a too-NARROW Spark type fails
+  the same way a too-WIDE oracle type does.
+
+``test_no_oracle_emits_hugeint`` guards the first class (DESCRIBE only,
+no execution).  ``test_cross_engine_output_types`` guards both
+directions for EVERY oracle query: the Spark result schema (analysis
+only, no job) must map to the same canonical type as DuckDB's DESCRIBE
+output, column by column.
 """
 
 from __future__ import annotations
 
-from ght2dm_spark.queries import ORACLE
+import re
+
+from pyspark.sql import types as T
+
+from ght2dm_spark.queries import ORACLE, QUERIES
 
 
 def test_no_oracle_emits_hugeint(duck):
@@ -32,4 +44,90 @@ def test_no_oracle_emits_hugeint(duck):
     assert not offenders, (
         "HUGEINT-typed oracle outputs (CAST to BIGINT — the r04 "
         f"driver-hash failure class): {offenders}"
+    )
+
+
+# -- canonical type families ------------------------------------------------
+# Both engines' output types collapse onto one vocabulary; a per-column
+# family mismatch is exactly the condition under which a type-tagged value
+# hash can diverge on bit-exact values.
+
+_DUCK_SCALARS = {
+    "BIGINT": "int64", "INT8": "int64", "LONG": "int64",
+    "INTEGER": "int32", "INT4": "int32", "INT": "int32",
+    "SMALLINT": "int16", "INT2": "int16",
+    "TINYINT": "int8", "INT1": "int8",
+    "HUGEINT": "int128", "UHUGEINT": "uint128",
+    "UBIGINT": "uint64", "UINTEGER": "uint32",
+    "USMALLINT": "uint16", "UTINYINT": "uint8",
+    "DOUBLE": "float64", "FLOAT8": "float64",
+    "FLOAT": "float32", "FLOAT4": "float32", "REAL": "float32",
+    "VARCHAR": "string", "TEXT": "string",
+    "BOOLEAN": "bool", "BOOL": "bool",
+    "DATE": "date",
+    # sub-second units all canonicalize: the driver's pandas/arrow compare
+    # normalizes timestamp resolution (events.ts is ns-parquet and its
+    # queries have green driver rows), unlike integer WIDTH which it tags
+    "TIMESTAMP": "timestamp", "TIMESTAMP_NS": "timestamp",
+    "TIMESTAMP_MS": "timestamp", "TIMESTAMP_S": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp_ltz",
+    "BLOB": "binary",
+}
+
+
+def _norm_duck(t: str) -> str:
+    t = t.strip()
+    if t.endswith("[]"):
+        return f"array<{_norm_duck(t[:-2])}>"
+    u = t.upper()
+    m = re.fullmatch(r"DECIMAL\((\d+),(\d+)\)", u)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    return _DUCK_SCALARS.get(u, u.lower())
+
+
+_SPARK_SCALARS = [
+    (T.LongType, "int64"), (T.IntegerType, "int32"),
+    (T.ShortType, "int16"), (T.ByteType, "int8"),
+    (T.DoubleType, "float64"), (T.FloatType, "float32"),
+    (T.StringType, "string"), (T.BooleanType, "bool"),
+    (T.DateType, "date"), (T.TimestampNTZType, "timestamp"),
+    (T.TimestampType, "timestamp_ltz"), (T.BinaryType, "binary"),
+]
+
+
+def _norm_spark(dt) -> str:
+    if isinstance(dt, T.ArrayType):
+        return f"array<{_norm_spark(dt.elementType)}>"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    for cls, fam in _SPARK_SCALARS:
+        if isinstance(dt, cls):
+            return fam
+    return dt.simpleString()
+
+
+def test_cross_engine_output_types(spark, duck, sf_dir):
+    """Both-ways sweep: Spark result schema vs DuckDB DESCRIBE, every
+    oracle query, compared per column on the canonical family."""
+    offenders = {}
+    for name in sorted(ORACLE):
+        sql = ORACLE[name]
+        sdf = QUERIES[name](spark, sf_dir)
+        stypes = {f.name: _norm_spark(f.dataType) for f in sdf.schema.fields}
+        dtypes = {
+            c[0]: _norm_duck(c[1])
+            for c in duck.sql(f"DESCRIBE {sql}").fetchall()
+        }
+        diffs = {
+            c: (stypes.get(c), dtypes.get(c))
+            for c in set(stypes) | set(dtypes)
+            if stypes.get(c) != dtypes.get(c)
+        }
+        if diffs:
+            offenders[name] = diffs
+    assert not offenders, (
+        "cross-engine output-type mismatches (type-tagged driver hash "
+        "diverges on bit-exact values — cast the narrower/wider side): "
+        f"{offenders}"
     )
