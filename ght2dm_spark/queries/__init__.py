@@ -70,7 +70,7 @@ from ght2dm_spark.queries import ml_training  # noqa: E402,F401
 # puts never-driver-verified queries at the head of the walk and
 # already-verified ones at the tail — cumulative coverage, not re-checking.
 _DRIVER_VERIFIED = frozenset({
-    "q10_returned_items", "q11_important_parts", "q12_shipmode_priority",
+    "q10_returned_items", "q11_important_parts",
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
     "q16_supplier_relation", "q17_small_quantity",
     "q18_large_volume_customer", "q19_disjunctive_predicates",
@@ -84,97 +84,121 @@ _DRIVER_VERIFIED = frozenset({
     "t0_string_clean", "t0_surrogate_key", "t0_ts_cast", "t0_type_split",
     "t1_agg_suite", "t1_ann_bruteforce_topk", "t1_ann_euclidean_topk",
     "t1_ann_ivf_topk", "t1_ann_lsh_multiprobe", "t1_ann_lsh_topk",
-    "t1_ann_recall", "t1_approx_aggs", "t1_asof_join", "t1_audio_fingerprint",
-    "t1_bfs_levels", "t1_bloom_membership", "t1_bpe_encode", "t1_bpe_merges",
-    "t1_char_entropy", "t1_cms_sketch", "t1_corpus_build_pipeline", "t1_cube",
-    "t1_cusum_drift", "t1_dedup_exact", "t1_embedding_centroid",
-    "t1_embedding_neardup", "t1_event_funnel", "t1_hybrid_rrf",
+    "t1_ann_recall", "t1_asof_join", "t1_audio_fingerprint",
+    "t1_bfs_levels", "t1_bigram_surprisal", "t1_bloom_membership",
+    "t1_bm25_topk", "t1_bpe_encode", "t1_bpe_merges", "t1_char_entropy",
+    "t1_cms_sketch", "t1_cohort_retention", "t1_compaction_plan",
+    "t1_contamination_check", "t1_corpus_build_pipeline", "t1_cube",
+    "t1_cusum_drift", "t1_dedup_exact", "t1_dedup_keep_canonical",
+    "t1_doc_chunking", "t1_dsir_sample", "t1_embedding_centroid",
+    "t1_embedding_neardup", "t1_event_funnel", "t1_ewma",
+    "t1_full_outer_join", "t1_group_split", "t1_hash_sample",
+    "t1_histogram", "t1_hll_sketch", "t1_holt_linear", "t1_hybrid_rrf",
     "t1_image_ahash", "t1_ivfadc", "t1_ivfadc_rerank", "t1_json_map",
-    "t1_kcore", "t1_kmeans_clusters", "t1_kmv_sketch", "t1_label_propagation",
-    "t1_line_dedup", "t1_media_dedup", "t1_minhash_lsh_pairs",
-    "t1_minhash_signature", "t1_multimodal_audio", "t1_multimodal_decode",
-    "t1_multimodal_features", "t1_multimodal_frames", "t1_multimodal_video",
-    "t1_neardup_components", "t1_ngram_jaccard_pairs", "t1_ohlc",
-    "t1_pagerank", "t1_pandas_udf_scalar", "t1_pca_power", "t1_pit_join",
-    "t1_pivot", "t1_pq_ann", "t1_range_join", "t1_rolling_zscore",
-    "t1_rollup", "t1_salted_join", "t1_session_window", "t1_sessionize_gap",
-    "t1_set_ops", "t1_simhash", "t1_sliding_window", "t1_sql_api",
+    "t1_kcore", "t1_keyset_pagination", "t1_kmeans_clusters",
+    "t1_kmv_sketch", "t1_kn_surprisal", "t1_label_propagation",
+    "t1_lang_balance_sample", "t1_line_dedup", "t1_listagg",
+    "t1_media_dedup", "t1_merge_upsert", "t1_minhash_lsh_pairs",
+    "t1_minhash_signature", "t1_mode_per_group", "t1_multimodal_audio",
+    "t1_multimodal_decode", "t1_multimodal_features",
+    "t1_multimodal_frames", "t1_multimodal_video", "t1_neardup_components",
+    "t1_ngram_jaccard_pairs", "t1_ohlc", "t1_pagerank",
+    "t1_pandas_udf_scalar", "t1_pareto_front", "t1_pca_power",
+    "t1_percentile_exact", "t1_perceptron_quality", "t1_pii_scrub",
+    "t1_pit_join", "t1_pivot", "t1_pq_ann", "t1_range_join",
+    "t1_record_linkage", "t1_repetition_ratio", "t1_rolling_zscore",
+    "t1_rollup", "t1_salted_join", "t1_seasonal_decompose", "t1_semdedup",
+    "t1_semi_join", "t1_session_window", "t1_sessionize_gap", "t1_set_ops",
+    "t1_simhash", "t1_simhash_hamming_pairs", "t1_sliding_window",
+    "t1_snapshot_diff", "t1_span_dedup", "t1_sql_api",
     "t1_sql_parameterized", "t1_sql_pipe", "t1_ssjoin_prefix",
-    "t1_sssp_weighted", "t1_stream_dedup", "t1_stream_dedup_watermark",
-    "t1_stream_ohlc", "t1_stream_session_append", "t1_stream_stateful_counts",
-    "t1_stream_stream_join", "t1_stream_tumbling", "t1_text_fingerprint",
-    "t1_text_lang_id", "t1_text_quality", "t1_text_token_counts",
-    "t1_theilsen_slope", "t1_token_pmi", "t1_topk_global",
-    "t1_topk_per_group", "t1_tumbling_window", "t1_twap", "t1_union_evolved",
+    "t1_sssp_weighted", "t1_stat_moments", "t1_stratified_sample",
+    "t1_stream_dedup", "t1_stream_dedup_watermark", "t1_stream_ohlc",
+    "t1_stream_session_append", "t1_stream_stateful_counts",
+    "t1_stream_stream_join", "t1_stream_tumbling", "t1_temperature_mix",
+    "t1_text_fingerprint", "t1_text_lang_id", "t1_text_quality",
+    "t1_text_token_counts", "t1_tfidf_top_terms", "t1_theilsen_slope",
+    "t1_time_gapfill_series", "t1_token_budget_pack", "t1_token_pmi",
+    "t1_topk_global", "t1_topk_per_group", "t1_topk_with_ties",
+    "t1_train_test_split", "t1_triangle_count", "t1_tumbling_window",
+    "t1_twap", "t1_unigram_surprisal", "t1_union_evolved", "t1_url_dedup",
     "t1_user_feature_pipeline", "t1_video_sample_table",
+    "t1_weighted_median", "t1_window_distribution", "t1_window_first_last",
     "t1_window_range_frame", "t1_window_ranking", "t1_window_running",
-    "t1_winsorize_bounds", "t1_zorder_cluster",
+    "t1_window_time_range", "t1_winsorize_bounds", "t1_zipf_fit",
+    "t1_zorder_cluster",
 })
 
-# Round-5 window: EXACTLY 50 names (the r04 window listed ~62 and the driver
-# cut at 50, so the tail — including round 4's own queries — got zero rows;
-# budgeting to the real window size is part of the contract now).
+# Round-6 window: EXACTLY 50 names, budgeted to the driver cut.  Leads:
+# the two historical red rows (both root-caused and fixed), the judge's
+# named round-6 list, then never-verified names whose code changed in
+# the round-6 BIGINT alignment, then staples.  The ~29 overflow names
+# go in the round-7 window.  Import-time assertions below keep every
+# slot honest (registered + not already green).
 _LEAD = [
-    # requeues — the only red driver rows in r04 (hash only; bit-exact
-    # locally); both oracles version-proofed this round, so a red here
-    # again means the driver env diverges on BIGINT-only SQL
-    "t1_ewma",
-    "t1_temperature_mix",
-    # round-3/4 stragglers the r04 window cut at exactly 50
-    "t1_hll_sketch",
-    "t1_record_linkage",
-    "t1_perceptron_quality",
-    "t1_simhash_hamming_pairs",
-    "t1_kn_surprisal",
-    "t1_zipf_fit",
-    "t1_compaction_plan",
-    # changed THIS round (LM-size cutover / oracle BIGINT casts /
-    # RECURSIVE-CTE replay) — the new code paths need driver rows
-    "t1_unigram_surprisal",
-    "t1_bigram_surprisal",
-    "t1_holt_linear",
-    "t1_seasonal_decompose",
-    "t1_weighted_median",
-    # user-facing never-verified staples (judge's round-5 list)
-    "t1_tfidf_top_terms",
-    "t1_bm25_topk",
-    "t1_merge_upsert",
-    "t1_snapshot_diff",
-    "t1_contamination_check",
-    "t1_hash_sample",
-    "t1_percentile_exact",
-    "t1_cohort_retention",
-    "t1_triangle_count",
-    "t1_semi_join",
-    "t1_full_outer_join",
-    # window/agg staples
-    "t1_window_first_last",
-    "t1_window_distribution",
-    "t1_window_time_range",
     "t1_grouping_sets",
-    "t1_listagg",
-    "t1_histogram",
-    "t1_stat_moments",
-    "t1_mode_per_group",
-    "t1_topk_with_ties",
-    "t1_pareto_front",
-    "t1_keyset_pagination",
-    # dedup / sampling / curation categories + bench-headline members
-    "t1_dedup_keep_canonical",
-    "t1_span_dedup",
-    "t1_url_dedup",
-    "t1_semdedup",
-    "t1_dsir_sample",
-    "t1_train_test_split",
-    "t1_stratified_sample",
-    "t1_group_split",
-    "t1_pii_scrub",
-    "t1_doc_chunking",
-    "t1_token_budget_pack",
-    "t1_lang_balance_sample",
-    "t1_time_gapfill_series",
-    "t1_repetition_ratio",
+    "q12_shipmode_priority",
+    "t1_approx_aggs",
+    "t1_gopher_rules",
+    "t1_dup_ngram_coverage",
+    "t1_sq8_ann",
+    "t1_stream_quality_gate",
+    "t1_stream_contamination",
+    "t1_cross_source_leakage",
+    "t1_int8_quantize",
+    "t1_ann_ivf_learned",
+    "t1_ann_lsh_banded",
+    "t1_array_funcs",
+    "t1_datetime_funcs",
+    "t1_string_funcs",
+    "t1_regexp_funcs",
+    "t1_edit_distance",
+    "t1_fuzzy_blocking_join",
+    "t1_dow_seasonality",
+    "t1_histogram_equidepth",
+    "t1_rfm_segments",
+    "t1_sequence_pattern",
+    "t1_time_rollup",
+    "t1_sliding_distinct_users",
+    "t1_last_touch_attribution",
+    "t1_linear_attribution",
+    "t1_markov_transitions",
+    "t1_funnel_constrained",
+    "t1_longest_streak",
+    "t1_mom_growth",
+    "t1_top_n_other",
+    "t1_unpivot",
+    "t1_explode_outer",
+    "t1_json_extract",
+    "t1_variant_extract",
+    "t1_null_safe_join",
+    "t1_nearest_event_join",
+    "t1_interval_union",
+    "t1_scd2_history",
+    "t1_time_gapfill",
+    "t1_heavy_hitters",
+    "t1_topk_incremental",
+    "t1_profile_table",
+    "t1_dq_rules",
+    "t1_table_fingerprint",
+    "t1_k_anonymity",
+    "t1_salted_agg",
+    "t1_skew_audit",
+    "t1_deterministic_shuffle",
+    "t1_weighted_sample",
 ]
+
+
+# A window slot is wasted if it names a missing query or one that already
+# has a green driver row — assert the contract when the registry imports,
+# so a stale window fails every test run and the driver sim, not just the
+# per-round verify.
+assert len(_LEAD) == 50, f"window must budget exactly 50 names, got {len(_LEAD)}"
+assert len(set(_LEAD)) == len(_LEAD), "duplicate window entries"
+_missing = [n for n in _LEAD if n not in QUERIES]
+assert not _missing, f"window names not registered: {_missing}"
+_burned = sorted(set(_LEAD) & _DRIVER_VERIFIED)
+assert not _burned, f"window re-burns driver-green names: {_burned}"
 
 
 def _reorder() -> None:

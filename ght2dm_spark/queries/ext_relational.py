@@ -228,15 +228,50 @@ def t1_cube(spark, sf_dir):
 def t1_approx_aggs(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) and percentile_approx — sketch
     results differ across engines by design, so the driver records the
-    rows-only check; exact counterparts are oracle-checked in
-    t1_agg_suite."""
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    rows-only check.  To make that weaker check MEANINGFUL the query is
+    self-validating: each row carries the exact answers computed in the
+    same job, the declared error bounds as data, and a bounds_ok column
+    that raise_error()s the whole query if any estimate strays outside
+    its bound — an out-of-contract sketch turns the rows-only row red
+    instead of silently passing.  Bounds: HLL++ default rsd is 0.05, we
+    allow 3σ (15% relative); percentile_approx default accuracy 10000
+    bounds rank error at 1/accuracy, we allow the estimate to land
+    between the exact 45th and 55th percentiles.  Exact counterparts are
+    oracle-checked in t1_agg_suite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("_p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("_p55"),
+    )
+    rel_err = F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col(
+        "exact_orders"
+    )
+    in_bounds = (
+        (rel_err <= F.lit(0.15))
+        & (F.col("approx_median_price") >= F.col("_p45"))
+        & (F.col("approx_median_price") <= F.col("_p55"))
+    )
+    return agg.select(
+        "l_returnflag",
+        "approx_orders",
+        "exact_orders",
+        F.round(rel_err, 6).alias("cd_rel_err"),
+        F.lit(0.15).alias("cd_err_bound"),
+        "approx_median_price",
+        F.round("_p45", 2).alias("median_lo_bound"),
+        F.round("_p55", 2).alias("median_hi_bound"),
+        F.when(in_bounds, F.lit(True))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "approx_aggs out of bounds for flag %s", F.col("l_returnflag")
+                )
+            )
         )
+        .alias("bounds_ok"),
     )
 
 
