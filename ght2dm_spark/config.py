@@ -283,13 +283,28 @@ def run_from_config(spark: SparkSession, cfg: RunConfig) -> dict[str, str]:
         if not os.path.isdir(folder):
             raise ValueError(f"entity folder does not exist: {folder}")
         for t in dim_tables.get(entity, ()):
-            if t not in run_products and _read_current(out / t) is None:
-                raise ValueError(
-                    f"{folder}: needs the {t} dimension, but no earlier "
-                    "folder in this config imports it and no committed "
-                    f"snapshot exists at {out / t} — order the dimension "
-                    "folder first (or run against a populated output dir)"
-                )
+            if t in run_products:
+                continue
+            # A committed on-disk snapshot only satisfies the dimension
+            # when the run is INCREMENTAL — _dim/_existing consult disk
+            # solely under cfg.incremental, so accepting a snapshot here
+            # on a non-incremental run would pass validation and still
+            # fail hours later in _dim (the exact late failure this
+            # fail-fast sweep exists to prevent).
+            if cfg.incremental and _read_current(out / t) is not None:
+                continue
+            hint = (
+                f"a committed snapshot exists at {out / t} but this run "
+                "is not incremental (set incremental=true to read it)"
+                if _read_current(out / t) is not None
+                else f"no committed snapshot exists at {out / t}"
+            )
+            raise ValueError(
+                f"{folder}: needs the {t} dimension, but no earlier "
+                f"folder in this config imports it and {hint} — order "
+                "the dimension folder first (or run incrementally "
+                "against a populated output dir)"
+            )
         run_products |= produces.get(entity, set())
 
     for folder in cfg.folders:

@@ -70,6 +70,10 @@ _SQL_GRAM_CTE = f"""
 """
 
 
+#: one cached gram frame per (session, sf_dir) — see _gram_rows
+_GRAM_CACHE: dict[tuple[str, str], "object"] = {}
+
+
 def _gram_rows(spark, sf_dir):
     """(doc_id, source, g) — one row per 5-gram POSITION per document.
 
@@ -84,9 +88,16 @@ def _gram_rows(spark, sf_dir):
     ReusedExchange can never fire — without the cache the
     scan+tokenize+md5 pipeline runs twice per query (measured 2×
     "Scan parquet"/Generate in the formatted plan; the dedup_queries
-    fingerprint-frame precedent)."""
+    fingerprint-frame precedent).  MEMOIZED per (session, sf_dir) — the
+    shared-core framing made literal: the three gram-based queries in a
+    bench/correctness sweep pin ONE exploded frame for the session, not
+    one new ~n_tokens× frame per call."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _GRAM_CACHE.get(key)
+    if hit is not None:
+        return hit
     d = load_table(spark, sf_dir, "documents")
-    return (
+    out = (
         d.select(
             "doc_id",
             "source",
@@ -95,6 +106,8 @@ def _gram_rows(spark, sf_dir):
         .select("doc_id", "source", F.explode(F.expr(_SPARK_GRAMS)).alias("g"))
         .cache()
     )
+    _GRAM_CACHE[key] = out
+    return out
 
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -392,7 +405,12 @@ def t1_int8_quantize(spark, sf_dir):
         .cast("bigint")
         .alias("n_saturated"),
         F.expr("size(filter(qs, v -> v = 0))").cast("bigint").alias("n_zero"),
-        F.expr("aggregate(qs, 0L, (a, v) -> a + v)").alias("q_sum"),
+        # coalesce-to-0 mirrors the oracle's coalesce(list_sum(qs), 0):
+        # a NULL embedding must checksum to 0 on both engines, not NULL
+        # on one side
+        F.expr("coalesce(aggregate(qs, 0L, (a, v) -> a + v), 0L)").alias(
+            "q_sum"
+        ),
         F.expr(
             "CASE WHEN size(qs) > 0 THEN"
             " sqrt(CAST(r2m AS DOUBLE) / 1000000000000.0D / size(qs)) END"

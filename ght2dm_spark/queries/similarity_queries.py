@@ -458,8 +458,8 @@ def t1_ann_lsh_banded(spark, sf_dir):
     s AS (
         SELECT q.vec_id AS q_id, c.vec_id AS c_id,
                (q.scale * c.scale) AS sc,
-               CAST(list_sum(list_transform(range(1, len(q.qs) + 1),
-                    i -> q.qs[i] * c.qs[i])) AS BIGINT) AS dot_int
+               CAST(coalesce(list_sum(list_transform(range(1, len(q.qs) + 1),
+                    i -> q.qs[i] * c.qs[i])), 0) AS BIGINT) AS dot_int
         FROM qz q JOIN qz c
           ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
     ),
@@ -516,9 +516,12 @@ def t1_sq8_ann(spark, sf_dir):
             "q_id",
             "c_id",
             (F.col("q_scale") * F.col("c_scale")).alias("sc"),
+            # coalesce mirrors the oracle: a NULL embedding (or DuckDB's
+            # NULL list_sum on an empty product list) must read as a zero
+            # dot product on BOTH engines, not NULL on one side
             F.expr(
-                "aggregate(zip_with(q_qs, c_qs, (a, b) -> a * b),"
-                " 0L, (acc, x) -> acc + x)"
+                "coalesce(aggregate(zip_with(q_qs, c_qs, (a, b) -> a * b),"
+                " 0L, (acc, x) -> acc + x), 0L)"
             ).alias("dot_int"),
         )
     )

@@ -50,6 +50,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass
 from pathlib import Path
@@ -62,6 +63,10 @@ _CURRENT = "CURRENT"
 #: incremental layer's refresh watermarks — snapshot-level state, like
 #: stream_batch); an explicit new value in ``meta`` still overrides.
 _STICKY_META = ("source_version", "left_version", "right_version")
+# vacuum() only unlinks _atomic_write temps older than this — a fresh
+# tmp may belong to a concurrent writer between tmp-write and replace.
+_STALE_TMP_SECONDS = 300
+
 _MANIFESTS = "_manifests"
 _DATA = "data"
 
@@ -1086,10 +1091,19 @@ def vacuum(path: str, keep_manifests: int = 2) -> int:
     # crash-orphaned _atomic_write temps: a kill between the tmp write
     # and os.replace leaves m-*.json.tmp-* / CURRENT.tmp-* behind, which
     # no other glob here matches — they would otherwise accumulate
-    # forever on a long-lived table
+    # forever on a long-lived table.  Age-gated: a CONCURRENT writer mid
+    # _atomic_write (tmp written, os.replace pending) owns a fresh tmp,
+    # and unlinking it would crash that commit — only temps old enough
+    # that no live writer can still hold them are garbage.  unlink is
+    # missing_ok to tolerate racing vacuums.
+    cutoff = time.time() - _STALE_TMP_SECONDS
     for tmp in (*mdir.glob("m-*.json.tmp-*"), *table.glob("CURRENT.tmp-*")):
-        tmp.unlink()
-        removed += 1
+        try:
+            if tmp.stat().st_mtime < cutoff:
+                tmp.unlink(missing_ok=True)
+                removed += 1
+        except FileNotFoundError:
+            pass
     for stale in table.glob("_staging-*"):
         shutil.rmtree(stale, ignore_errors=True)
         if not stale.exists():  # count only what actually went away

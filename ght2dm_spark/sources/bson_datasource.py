@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import re
+import time
 from collections.abc import Iterator
 from datetime import date
 
@@ -47,6 +48,10 @@ from ght2dm_spark.sources.bson import (
     build_doc_row,
     stream_frames,
 )
+
+# Append-mode commits purge crash-orphaned .inprogress temps, but only
+# ones old enough that no live concurrent writer can still own them.
+_STALE_TEMP_SECONDS = 3600
 
 _META = ("file_date", "file_pos", "_corrupt")
 
@@ -277,6 +282,23 @@ class BsonDumpWriter(DataSourceWriter):
                     os.unlink(full)
                 elif fname.endswith(".bson.inprogress") and fname not in keep:
                     os.unlink(full)
+        else:
+            # Append mode must not accumulate crash orphans forever
+            # either, but unlike overwrite it cannot assume it owns the
+            # directory: a CONCURRENT append job's tasks may be mid-write
+            # right now, and their temps are not in OUR keep set.  Age-
+            # gate the purge — a temp untouched for an hour belongs to a
+            # task that died (live writers stream rows, refreshing mtime).
+            cutoff = time.time() - _STALE_TEMP_SECONDS
+            for fname in os.listdir(self.path):
+                if not fname.endswith(".bson.inprogress") or fname in keep:
+                    continue
+                full = os.path.join(self.path, fname)
+                try:
+                    if os.path.getmtime(full) < cutoff:
+                        os.unlink(full)
+                except FileNotFoundError:
+                    pass  # racing vacuum/commit already removed it
         for m in messages:
             if m is None:
                 continue

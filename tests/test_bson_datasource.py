@@ -244,6 +244,49 @@ def test_bson_overwrite_scopes_to_dataset_and_purges_temps(spark, tmp_path):
     assert all("2020-05-18" in n for n in dated), "old dataset replaced"
 
 
+def test_bson_append_leaves_no_temps_and_purges_only_stale_ones(
+    spark, tmp_path
+):
+    """Append-mode commit hygiene: a zero-row partition's temp never
+    survives the job, old crash orphans (past the staleness cutoff) are
+    purged, and a FRESH temp — possibly a concurrent job's live task —
+    is left alone."""
+    import os
+
+    from ght2dm_spark.sources import bson_datasource as mod
+
+    spark.dataSource.register(mod.BsonDataSource)
+    out = tmp_path / "dumps"
+    out.mkdir()
+    old = out / "users-2020-01-01-part00000-dead.bson.inprogress"
+    old.write_bytes(b"\x01")
+    os.utime(old, (1, 1))  # far past the staleness cutoff
+    fresh = out / "users-2020-01-02-part00001-live.bson.inprogress"
+    fresh.write_bytes(b"\x01")  # mtime = now: could be a live writer
+
+    # 8 rows / 32 partitions → most tasks see zero rows
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(8)], "id bigint, login string"
+    ).repartition(32)
+    df.write.format("ght2dm_bson").option("file_date", "2020-05-17").option(
+        "prefix", "users"
+    ).mode("append").save(str(out))
+
+    names = sorted(os.listdir(out))
+    temps = [n for n in names if n.endswith(".inprogress")]
+    assert temps == [fresh.name], (
+        "append commit must remove its own zero-row temps and stale "
+        f"orphans but keep fresh ones, left: {temps}"
+    )
+    assert (
+        spark.read.format("ght2dm_bson")
+        .schema("id bigint, login string, file_date date")
+        .load(str(out))
+        .count()
+        == 8
+    )
+
+
 def test_bson_writer_rejects_uncomposable_names(spark, tmp_path):
     """file_date must be a REAL calendar date (2020-99-99 wrote fine,
     then bricked every read), and a prefix that composes with the date

@@ -537,6 +537,40 @@ def test_prevalidation_fails_fast_on_unsatisfied_dimension(spark, tmp_path):
         )
 
 
+def test_prevalidation_disk_snapshot_requires_incremental(spark, tmp_path):
+    """A committed on-disk dimension snapshot satisfies validation ONLY
+    under incremental=True — at runtime _existing() consults disk solely
+    for incremental runs, so a non-incremental config relying on a disk
+    snapshot must fail in validation (with a hint), not hours later in
+    _dim."""
+    from ght2dm_spark.config import RunConfig
+
+    from ght2dm_spark.snapshots import write_table_atomic
+
+    out = tmp_path / "out"
+    for t in ("gh_users", "gh_organizations"):
+        write_table_atomic(
+            spark.createDataFrame([(1, "a")], "id long, login string"),
+            str(out / t),
+        )
+    m = tmp_path / "org_members"
+    m.mkdir()
+    (m / "2014-01-01.bson").write_bytes(b"")
+    with pytest.raises(ValueError, match="not incremental"):
+        run_from_config(
+            spark,
+            RunConfig(folders=[str(m)], output_dir=str(out)),
+        )
+    # the same config WITH incremental=True passes validation (the empty
+    # dump then simply imports zero relations)
+    run_from_config(
+        spark,
+        RunConfig(
+            folders=[str(m)], output_dir=str(out), incremental=True
+        ),
+    )
+
+
 def test_relation_importers_honor_nocheck(spark):
     """The reference gates the org-member/collaborator exists-probes on
     -nocheck too (ght2dm.go:732, 891): under nocheck, duplicate relation

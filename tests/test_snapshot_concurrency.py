@@ -115,15 +115,27 @@ def test_stream_batch_watermark_only_advances(spark, tmp_path):
 
 
 def test_vacuum_collects_atomic_write_orphans(spark, tmp_path):
+    import os
+
     table = tmp_path / "t"
     commit(prepare_commit(_mk(spark, [(1, 10)]), str(table)))
-    # crash leftovers from _atomic_write kills
-    (table / "_manifests" / "m-000099-dead.json.tmp-feedbeef").write_text("{}")
-    (table / "CURRENT.tmp-cafe").write_text("garbage")
+    # crash leftovers from _atomic_write kills — old enough to be garbage
+    dead_m = table / "_manifests" / "m-000099-dead.json.tmp-feedbeef"
+    dead_m.write_text("{}")
+    dead_c = table / "CURRENT.tmp-cafe"
+    dead_c.write_text("garbage")
+    os.utime(dead_m, (1, 1))
+    os.utime(dead_c, (1, 1))
+    # a FRESH tmp may belong to a concurrent writer between its tmp
+    # write and os.replace — vacuum must leave it alone
+    live_tmp = table / "CURRENT.tmp-beef"
+    live_tmp.write_text("mid-flight commit")
     removed = vacuum(str(table), keep_manifests=2)
     assert removed >= 2
     assert not list((table / "_manifests").glob("*.tmp-*"))
-    assert not list(table.glob("CURRENT.tmp-*"))
+    assert list(table.glob("CURRENT.tmp-*")) == [live_tmp], (
+        "age gate: fresh tmps survive vacuum"
+    )
     # the live snapshot is untouched
     assert read_snapshot(spark, str(table)).count() == 1
 
