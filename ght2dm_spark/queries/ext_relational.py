@@ -237,7 +237,13 @@ def t1_approx_aggs(spark, sf_dir):
     allow 3σ (15% relative); percentile_approx default accuracy 10000
     bounds rank error at 1/accuracy, we allow the estimate to land
     between the exact 45th and 55th percentiles.  Exact counterparts are
-    oracle-checked in t1_agg_suite."""
+    oracle-checked in t1_agg_suite.
+
+    Scale note: the exact countDistinct/percentile here are the AUDIT
+    arm, not the production path — at 100 TB a user runs the sketches
+    alone (one pass, bounded state) and audits bounds on a sampled
+    partition; at the gate SFs running both arms in one job is what
+    makes the driver row self-checking."""
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
