@@ -146,6 +146,10 @@ HEADLINE = [
     "t1_cross_source_leakage",
     "t1_int8_quantize",
     "t1_sq8_ann",
+    # round 6: incremental view maintenance (merge ≡ recompute)
+    "t1_ivm_retraction",
+    "t1_ivm_minmax_recompute",
+    "t1_ivm_join_delta",
 ]
 
 

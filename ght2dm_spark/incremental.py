@@ -18,6 +18,28 @@ is the difference between a nightly full groupBy over the corpus and a
 per-batch merge over |keys| rows — the same partial/final split Spark's
 own map-side combine uses, lifted across refreshes.
 
+Merge-on-read DELETE commits in the window are maintained too (the
+retraction half of incremental view maintenance), split by aggregate
+class exactly the way the IVM literature splits it:
+
+- count/sum views retract ARITHMETICALLY: the removed rows (the
+  pre-window snapshot semi-joined with the window's delete keys, the
+  scan footer-stat-pruned to the keys' range) aggregate into NEGATIVE
+  partials that merge through the same groupBy-sum as inserts —
+  O(delta) work, no recompute.  Groups whose row count reaches zero
+  drop, and a sum whose surviving inputs are all NULL re-NULLs, because
+  the state carries two hidden maintenance columns per view: ``__cnt``
+  (group liveness) and ``__nn_<out>`` (non-NULL input count per sum) —
+  the count-companion trick every retraction engine uses; they are
+  maintained from the seed commit on and excluded by
+  :func:`verify_aggregate`.
+- min/max views are NOT retractable (removing the current extreme needs
+  the runner-up, which the state doesn't hold), so the groups touched
+  by removed rows — and only those — are recomputed from the current
+  snapshot (semi-join on the affected keys); every other group still
+  merges arithmetically.  At 100 TB that is the difference between a
+  full nightly regroup and a scan bounded by the deleted keys' groups.
+
 Reference scope: the reference's incremental mode skips already-loaded
 dump files (``/root/reference/ght2dm.go`` date-window scan) but
 recomputes derived state from the database; this layer keeps derived
@@ -39,6 +61,7 @@ from ght2dm_spark.snapshots import (
     _read_files_with_deletes,
     commit,
     prepare_commit,
+    read_delete_increment,
     read_increment,
     read_snapshot,
 )
@@ -52,11 +75,126 @@ _DECOMPOSABLE = {
     "max": (lambda c: F.max(c), F.max),
 }
 
+#: hidden maintenance columns (see module docstring): group liveness +
+#: per-sum non-NULL input counts — what makes retraction exact.
+_CNT = "__cnt"
 
-def _validate_aggs(aggs: dict) -> None:
+
+def _nn(out: str) -> str:
+    return f"__nn_{out}"
+
+
+def _validate_aggs(keys: list[str], aggs: dict) -> None:
     for out, (fn, _c) in aggs.items():
         if fn not in _DECOMPOSABLE:
             raise ValueError(f"{out}: '{fn}' is not a decomposable aggregate")
+        if out.startswith("__"):
+            raise ValueError(
+                f"{out}: the '__' prefix is reserved for maintenance columns"
+            )
+    for k in keys:
+        if k.startswith("__"):
+            raise ValueError(
+                f"{k}: the '__' prefix is reserved for maintenance columns"
+            )
+
+
+def _state_cols(keys: list[str], aggs: dict) -> list[str]:
+    """Canonical dest column order: keys, user outputs, maintenance."""
+    cols = list(keys) + list(aggs)
+    cols.append(_CNT)
+    cols += [_nn(out) for out, (fn, _c) in aggs.items() if fn == "sum"]
+    return cols
+
+
+def _partials(df: DataFrame, keys: list[str], aggs: dict, sign: int = 1):
+    """One groupBy producing user partials AND maintenance partials.
+    ``sign=-1`` negates every column — the retraction partial; only
+    valid for count/sum views (the strategy split guards this)."""
+    exprs = []
+    for out, (fn, col) in aggs.items():
+        e = _DECOMPOSABLE[fn][0](col)
+        exprs.append((-e if sign < 0 else e).alias(out))
+    cnt = F.count(F.lit(1))
+    exprs.append((-cnt if sign < 0 else cnt).alias(_CNT))
+    for out, (fn, col) in aggs.items():
+        if fn == "sum":
+            nn = F.count(col)  # count(col) skips NULLs
+            exprs.append((-nn if sign < 0 else nn).alias(_nn(out)))
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def _merge_frames(frames: list[DataFrame], keys: list[str], aggs: dict):
+    """Merge partial/state frames: sum for count/sum and every
+    maintenance column, min/max for extremes."""
+    df = frames[0]
+    for x in frames[1:]:
+        df = df.unionByName(x)
+    exprs = [
+        _DECOMPOSABLE[fn][1](out).alias(out) for out, (fn, _c) in aggs.items()
+    ]
+    exprs.append(F.sum(_CNT).alias(_CNT))
+    for out, (fn, _c) in aggs.items():
+        if fn == "sum":
+            exprs.append(F.sum(_nn(out)).alias(_nn(out)))
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def _mask_sums(df: DataFrame, aggs: dict) -> DataFrame:
+    """Re-NULL a sum whose surviving non-NULL input count is zero —
+    the merged running sum of such a group is arithmetic 0, but SQL
+    recompute semantics say sum over no non-NULL inputs is NULL."""
+    for out, (fn, _c) in aggs.items():
+        if fn == "sum":
+            df = df.withColumn(
+                out, F.when(F.col(_nn(out)) > 0, F.col(out))
+            )
+    return df
+
+
+def _key_cond(a: DataFrame, b: DataFrame, keys: list[str]):
+    """NULL-safe conjunctive equality on the GROUP keys: groupBy treats
+    NULL as a real group, so the affected-group joins must match it
+    (plain `=` would silently never recompute a NULL-keyed group)."""
+    from functools import reduce
+    from operator import and_
+
+    return reduce(and_, [a[k].eqNullSafe(b[k]) for k in keys])
+
+
+def _removed_rows(
+    spark: SparkSession,
+    source: str,
+    last: int,
+    dkeys: DataFrame,
+    schema,
+) -> DataFrame | None:
+    """The rows the window's delete commits removed: every one was
+    visible at ``last`` (window deletes apply to every pre-window file;
+    rows inserted and deleted inside the window never surface from
+    read_increment), so they are exactly the pre-window snapshot
+    semi-joined with the new delete keys.  The scan is footer-stat
+    pruned to the delete keys' min/max per key column — the delete key
+    frame is delta-sized, so the bounds probe is a bounded metadata
+    collect (one row), and at 100 TB the prune is what keeps a
+    ten-key delete from scanning the table."""
+    key_cols = list(dkeys.columns)
+    dk = dkeys.distinct()
+    bounds = dk.agg(
+        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(key_cols)],
+        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(key_cols)],
+    ).first()
+    prune = {
+        c: (bounds[f"lo_{i}"], bounds[f"hi_{i}"])
+        for i, c in enumerate(key_cols)
+        if bounds[f"lo_{i}"] is not None
+    }
+    base = read_snapshot(
+        spark, source, schema=schema, version=last, prune=prune or None
+    )
+    if base is None:
+        return None
+    return base.join(dk, on=key_cols, how="leftsemi")
 
 
 def _tip_seq(path: str) -> int | None:
@@ -97,21 +235,20 @@ def _read_pinned(spark, path: str, manifest: dict, schema=None):
 def _require_no_deletes(
     spark: SparkSession, source: str, since: int, upto: int | None = None
 ) -> None:
-    """Incremental maintenance is APPEND-only: a merge-on-read delete
-    commit advances the source version without touching its data-file
-    list, so read_increment's containment check passes while the
-    derived state silently keeps the deleted rows forever (retracting a
-    key from a sum needs the deleted rows' VALUES, which the key file
-    doesn't carry).  Surface it loudly — rebuild from the full snapshot
-    (delete dest), or compact the source first."""
-    from ght2dm_spark.snapshots import read_delete_increment
-
+    """JOIN maintenance is APPEND-only: a merge-on-read delete commit
+    advances the source version without touching its data-file list, so
+    read_increment's containment check passes while the derived join
+    silently keeps the deleted rows' matches forever (retracting them
+    needs a per-output-row provenance the append-shaped dest doesn't
+    carry — deletes fold into aggregates, not joins).  Surface it
+    loudly — rebuild from the full snapshots (delete dest), or compact
+    the source first.  :func:`refresh_aggregate` handles deletes."""
     if read_delete_increment(spark, source, since, upto_version=upto) is not None:
         raise ValueError(
             f"{source}: merge-on-read delete commits landed after version "
-            f"{since} — incremental maintenance cannot retract aggregated "
-            "rows; rebuild the derived table (delete dest) or compact the "
-            "source to materialize deletes first"
+            f"{since} — incremental JOIN maintenance cannot retract "
+            "joined rows; rebuild the derived table (delete dest) or "
+            "compact the source to materialize deletes first"
         )
 
 
@@ -129,11 +266,18 @@ def refresh_aggregate(
     ``aggs`` maps output column -> (fn, source column), fn one of
     count/sum/min/max (column ignored for count).  Returns False when
     the source has nothing new (no commit made).  First call seeds from
-    the full snapshot; later calls merge deltas.  Raises (via
-    ``read_increment``) if the source was overwritten/compacted past the
-    recorded version — rebuild by deleting ``dest``.
+    the full snapshot; later calls merge deltas.  Merge-on-read delete
+    commits inside the window are retracted exactly (see the module
+    docstring for the count/sum-vs-min/max strategy split).  Raises
+    (via ``read_increment``) if the source was overwritten/compacted
+    past the recorded version — rebuild by deleting ``dest``.
+
+    The dest carries hidden maintenance columns (``__cnt``, and
+    ``__nn_<out>`` per sum); consumers select the declared outputs.
+    Aggregate columns should be integer/decimal (the verify discipline
+    below) — float retraction additionally suffers cancellation drift.
     """
-    _validate_aggs(aggs)
+    _validate_aggs(keys, aggs)
     src_version = _tip_seq(source)
     if src_version is None:
         return False
@@ -149,56 +293,97 @@ def refresh_aggregate(
     # merge_schema when no schema is declared: a schema-evolving append
     # inside the window must not be planned from one old footer
     ms = schema is None
-    if last is None:
-        delta = read_snapshot(
+
+    def _commit_state(merged: DataFrame) -> bool:
+        out = _mask_sums(merged, aggs).select(_state_cols(keys, aggs))
+        p = prepare_commit(
+            out, dest, mode="overwrite",
+            meta={"source_version": src_version}, parent=dest_base,
+        )
+        if dest_base is None and p.parent is not None:
+            raise SnapshotConflictError(
+                f"{dest}: table committed concurrently during first "
+                "refresh — re-run against the new snapshot"
+            )
+        commit(p)
+        return True
+
+    def _full_recompute() -> bool:
+        full = read_snapshot(
             spark, source, schema=schema, version=src_version,
             merge_schema=ms,
         )
-    else:
-        if src_version == last:
+        if full is None:
             return False
-        _require_no_deletes(spark, source, last, upto=src_version)
-        delta = read_increment(
-            spark, source, since_version=last, schema=schema,
-            upto_version=src_version, merge_schema=ms,
-        )
-    if delta is None:
+        return _commit_state(_partials(full, keys, aggs))
+
+    if last is None:
+        return _full_recompute()
+    if src_version == last:
         return False
 
-    partial = delta.groupBy(*keys).agg(
-        *[
-            _DECOMPOSABLE[fn][0](col).alias(out)
-            for out, (fn, col) in aggs.items()
-        ]
-    )
     state = (
         _read_pinned(spark, dest, dmanifest) if dmanifest is not None else None
     )
-    if state is not None:
-        merged = (
-            state.select(partial.columns)
-            .unionByName(partial)
-            .groupBy(*keys)
-            .agg(
-                *[
-                    _DECOMPOSABLE[fn][1](out).alias(out)
-                    for out, (fn, _c) in aggs.items()
-                ]
-            )
-        )
-    else:
-        merged = partial
-    p = prepare_commit(
-        merged, dest, mode="overwrite",
-        meta={"source_version": src_version}, parent=dest_base,
+    if state is not None and _CNT not in state.columns:
+        # legacy state from before delete-aware maintenance lacks the
+        # hidden columns retraction needs — upgrade with ONE in-place
+        # rebuild; every later refresh is O(delta) again
+        return _full_recompute()
+
+    dkeys = read_delete_increment(
+        spark, source, last, upto_version=src_version
     )
-    if dest_base is None and p.parent is not None:
-        raise SnapshotConflictError(
-            f"{dest}: table committed concurrently during first refresh — "
-            "re-run against the new snapshot"
+    delta = read_increment(
+        spark, source, since_version=last, schema=schema,
+        upto_version=src_version, merge_schema=ms,
+    )
+    if delta is None and dkeys is None:
+        return False
+
+    frames: list[DataFrame] = []
+    if state is not None:
+        frames.append(state.select(_state_cols(keys, aggs)))
+    if delta is not None:
+        frames.append(_partials(delta, keys, aggs))
+
+    if dkeys is None:
+        # delta is not None here (the None/None case returned above)
+        return _commit_state(_merge_frames(frames, keys, aggs))
+
+    removed = _removed_rows(spark, source, last, dkeys, schema)
+    if not frames:
+        # no prior state and no appended rows (delete-only window on an
+        # empty view) — a merge has nothing to start from; recompute
+        return _full_recompute()
+    fns = {fn for fn, _c in aggs.values()}
+    if fns <= {"count", "sum"}:
+        # arithmetic retraction: negative partials through the same
+        # merge; a group whose row count reaches zero disappears,
+        # exactly like a recompute
+        if removed is not None:
+            frames.append(_partials(removed, keys, aggs, sign=-1))
+        merged = _merge_frames(frames, keys, aggs).filter(F.col(_CNT) > 0)
+        return _commit_state(merged)
+
+    # min/max present: recompute ONLY the groups the removal touched,
+    # from the current snapshot; everything else merges arithmetically
+    merged = _merge_frames(frames, keys, aggs)
+    if removed is not None:
+        affected = removed.select(*keys).distinct()
+        merged = merged.join(
+            affected, _key_cond(merged, affected, keys), "left_anti"
         )
-    commit(p)
-    return True
+        cur = read_snapshot(
+            spark, source, schema=schema, version=src_version,
+            merge_schema=ms,
+        )
+        if cur is not None:
+            hit = cur.join(
+                affected, _key_cond(cur, affected, keys), "leftsemi"
+            )
+            merged = merged.unionByName(_partials(hit, keys, aggs))
+    return _commit_state(merged)
 
 
 def verify_aggregate(
@@ -222,7 +407,7 @@ def verify_aggregate(
     the live snapshot — verifying maintenance correctness independent of
     freshness (an append landing between refresh and audit must not page
     anyone on a healthy table)."""
-    _validate_aggs(aggs)
+    _validate_aggs(keys, aggs)
     # ONE dest resolution: the pinned version and the audited rows must
     # come from the same manifest, or an audit racing a refresh
     # recomputes at the old version against the new state and pages

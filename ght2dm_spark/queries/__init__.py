@@ -43,6 +43,7 @@ from ght2dm_spark.queries import chunking_queries  # noqa: E402,F401
 from ght2dm_spark.queries import contamination_queries  # noqa: E402,F401
 from ght2dm_spark.queries import corpus_build  # noqa: E402,F401
 from ght2dm_spark.queries import diff_queries  # noqa: E402,F401
+from ght2dm_spark.queries import ivm_queries  # noqa: E402,F401
 from ght2dm_spark.queries import curation_extra  # noqa: E402,F401
 from ght2dm_spark.queries import robust_stats  # noqa: E402,F401
 from ght2dm_spark.queries import udf_surface  # noqa: E402,F401

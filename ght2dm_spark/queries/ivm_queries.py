@@ -1,0 +1,276 @@
+"""Incremental view maintenance, proven cross-engine: each query runs
+the MERGE ALGORITHM the maintenance layer (``ght2dm_spark/incremental.py``)
+executes — partial states, negative retraction partials, targeted
+affected-group recompute — in one plan, and its oracle recomputes the
+view directly over the post-mutation row set.  A hash match therefore
+certifies the maintenance arithmetic itself, not just one engine's
+implementation of it (the compaction-planning pattern:
+t1_compaction_plan ↔ snapshots.rewrite_small_files; here
+t1_ivm_* ↔ incremental.refresh_aggregate, whose snapshot plumbing is
+pinned in tests/test_incremental.py and the random-sequence property
+test).
+
+Mutation battery over ``orders`` (orderkeys are dense 0..N):
+inserts are re-keyed copies of every 13th order; deletes hit every 10th
+orderkey plus one whole group (retraction query) or every 977th
+orderkey (min/max query, leaving most groups untouched so the
+anti-join/union split actually matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.queries.registry import register
+
+_G = 97  # group modulus: prime, coprime to every mutation modulus below
+_SHIFT = 6_000_000
+
+
+def _with_view_cols(df, key="o_orderkey"):
+    """(g, v): group key and a deliberately NULLABLE measure — NULL
+    unless the orderkey is a multiple of 5, so sums exercise SQL NULL
+    semantics, the hard part of retraction."""
+    k = F.col(key)
+    return df.select(
+        (k % _G).alias("g"),
+        F.when(k % 5 == 0, F.col("o_custkey")).alias("v"),
+        k.alias("k"),
+    )
+
+
+def _inserts(orders):
+    """The window's appended rows: every 13th order re-keyed past the
+    existing key range (a fresh batch whose keys never collide).  The
+    two probe groups (42: dropped wholesale, 7: non-NULLs emptied)
+    receive no inserts, so their invariants stay observable."""
+    ins = _with_view_cols(
+        orders.filter(F.col("o_orderkey") % 13 == 0).select(
+            (F.col("o_orderkey") + _SHIFT).alias("o_orderkey"), "o_custkey"
+        )
+    )
+    return ins.filter(~F.col("g").isin(42, 7))
+
+
+@register(
+    "t1_ivm_retraction",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey % {_G} AS g,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_custkey END AS v,
+               o_orderkey AS k
+        FROM orders
+    ),
+    ins AS (
+        SELECT * FROM (
+            SELECT (o_orderkey + {_SHIFT}) % {_G} AS g,
+                   CASE WHEN (o_orderkey + {_SHIFT}) % 5 = 0
+                        THEN o_custkey END AS v,
+                   o_orderkey + {_SHIFT} AS k
+            FROM orders WHERE o_orderkey % 13 = 0
+        ) WHERE g NOT IN (42, 7)
+    ),
+    final AS (
+        SELECT g, v FROM base
+        WHERE NOT (k % 10 = 0 OR g = 42 OR (g = 7 AND k % 5 = 0))
+        UNION ALL
+        SELECT g, v FROM ins
+    )
+    SELECT g, count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_v
+    FROM final GROUP BY g
+    """,
+)
+def t1_ivm_retraction(spark, sf_dir):
+    """Arithmetic retraction (count/sum IVM): the maintained view is
+    computed as state ∪ insert-partials ∪ NEGATIVE delete-partials
+    merged through one more groupBy-sum — never a recompute — with the
+    two invariants a retraction engine must hold, each pinned to a
+    probe group: a group whose row count reaches zero DROPS (group 42
+    is deleted wholesale and receives no inserts), and a sum whose
+    surviving non-NULL inputs reach zero re-NULLs instead of showing
+    arithmetic 0 (group 7 loses exactly its non-NULL rows; the ``nn``
+    companion count makes the merged 0 re-NULL — SQL sum over no
+    non-NULL inputs is NULL).  The oracle recomputes the view directly
+    over the post-mutation rows, so the hash match proves
+    merge ≡ recompute.  Engine half: incremental.refresh_aggregate's
+    count/sum strategy over real snapshot deltas.
+
+    Scale: every partial is one map-side-combinable groupBy over its
+    slice; the merge shuffles |groups| rows per frame, not row data —
+    at 100 TB the delete branch touches only the retraction slice
+    (footer-pruned in the engine), which is the entire point of IVM."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = _with_view_cols(orders)
+
+    def parts(df, sign):
+        s = F.lit(sign)
+        return df.groupBy("g").agg(
+            (F.count(F.lit(1)) * s).alias("n_rows"),
+            (F.sum("v") * s).alias("sum_v"),
+            (F.count("v") * s).alias("nn"),
+        )
+
+    state = parts(base, 1)
+    ins = parts(_inserts(orders), 1)
+    retract = parts(
+        base.filter(
+            (F.col("k") % 10 == 0)
+            | (F.col("g") == 42)
+            | ((F.col("g") == 7) & (F.col("k") % 5 == 0))
+        ),
+        -1,
+    )
+    merged = (
+        state.unionByName(ins)
+        .unionByName(retract)
+        .groupBy("g")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_v").alias("sum_v"),
+            F.sum("nn").alias("nn"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    return merged.select(
+        "g",
+        "n_rows",
+        F.when(F.col("nn") > 0, F.col("sum_v")).alias("sum_v"),
+    )
+
+
+@register(
+    "t1_ivm_minmax_recompute",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey % {_G} AS g, o_custkey AS c, o_orderkey AS k
+        FROM orders
+    ),
+    ins AS (
+        SELECT (o_orderkey + {_SHIFT}) % {_G} AS g, o_custkey AS c,
+               o_orderkey + {_SHIFT} AS k
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    final AS (
+        SELECT g, c FROM base WHERE k % 977 <> 0
+        UNION ALL
+        SELECT g, c FROM ins
+    )
+    SELECT g, count(*) AS n_rows, min(c) AS min_cust, max(c) AS max_cust
+    FROM final GROUP BY g
+    """,
+)
+def t1_ivm_minmax_recompute(spark, sf_dir):
+    """Targeted-recompute IVM (min/max views): deletes cannot be
+    retracted from an extreme (the runner-up is gone from the state),
+    so ONLY the groups containing a removed row are recomputed from the
+    post-mutation rows; every untouched group merges arithmetically
+    from state + insert partials (min of mins / sum of counts).  The
+    plan is literally anti-join(merged, affected) ∪ recompute(affected)
+    — and the oracle's direct recompute certifies the split loses
+    nothing.  The delete stride (977, prime) touches ~1/10 of the
+    groups, so both branches carry real rows.  Engine half:
+    incremental.refresh_aggregate's min/max strategy.
+
+    Scale: the recompute branch scans only rows whose group is
+    affected (a semi-join the engine bounds by the deleted keys'
+    groups); the merge branch never touches row data — at 100 TB a
+    ten-key delete recomputes ten groups, not the corpus."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        (F.col("o_orderkey") % _G).alias("g"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("k"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        ((F.col("o_orderkey") + _SHIFT) % _G).alias("g"),
+        F.col("o_custkey").alias("c"),
+        (F.col("o_orderkey") + _SHIFT).alias("k"),
+    )
+
+    def parts(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("c").alias("min_cust"),
+            F.max("c").alias("max_cust"),
+        )
+
+    removed = base.filter(F.col("k") % 977 == 0)
+    affected = removed.select("g").distinct()
+    merged = (
+        parts(base)
+        .unionByName(parts(ins))
+        .groupBy("g")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_cust").alias("min_cust"),
+            F.max("max_cust").alias("max_cust"),
+        )
+    )
+    untouched = merged.join(affected, "g", "left_anti")
+    final_rows = base.filter(F.col("k") % 977 != 0).unionByName(ins)
+    recomputed = parts(final_rows.join(affected, "g", "leftsemi"))
+    return untouched.unionByName(recomputed)
+
+
+@register(
+    "t1_ivm_join_delta",
+    oracle=f"""
+    WITH l0 AS (SELECT o_orderkey, o_custkey FROM orders
+                WHERE o_orderkey % 3 <> 0),
+    dl AS (SELECT o_orderkey, o_custkey FROM orders
+           WHERE o_orderkey % 3 = 0),
+    r0 AS (SELECT c_custkey, c_mktsegment FROM customer
+           WHERE c_custkey % 4 <> 0),
+    dr AS (SELECT c_custkey, c_mktsegment FROM customer
+           WHERE c_custkey % 4 = 0),
+    l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM dl),
+    r1 AS (SELECT * FROM r0 UNION ALL SELECT * FROM dr),
+    full_join AS (
+        SELECT o_custkey AS ck, c_mktsegment AS seg
+        FROM l1 JOIN r1 ON o_custkey = c_custkey
+    )
+    SELECT seg, ck % 7 AS bucket, count(*) AS n_pairs,
+           CAST(sum(ck) AS BIGINT) AS key_sum
+    FROM full_join GROUP BY seg, bucket
+    """,
+)
+def t1_ivm_join_delta(spark, sf_dir):
+    """Delta-join identity (join IVM): with both sides split into a
+    seeded base and a window delta (L = L0 ∪ ΔL, R = R0 ∪ ΔR), the
+    maintained join is the SEED plus exactly three delta terms —
+    ΔL⋈R0 ∪ L0⋈ΔR ∪ ΔL⋈ΔR — never a re-join of the bases.  The Spark
+    side builds the view from those four terms (the plan
+    incremental.refresh_join commits as one append); the oracle joins
+    the post-append sides wholesale, so the hash match proves the
+    identity loses and duplicates nothing.  Verified per (segment,
+    bucket) with counts plus an order-insensitive key checksum.
+
+    Scale: each delta term is bounded by a delta on at least one side
+    (broadcast when small); the seed never re-joins — at 100 TB this
+    is why CDC pipelines append delta joins instead of re-shuffling
+    history.  Engine half: incremental.refresh_join (pinned versions,
+    append commits, delete refusal) in tests/test_incremental.py."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    l0 = o.filter(F.col("o_orderkey") % 3 != 0)
+    dl = o.filter(F.col("o_orderkey") % 3 == 0)
+    r0 = c.filter(F.col("c_custkey") % 4 != 0)
+    dr = c.filter(F.col("c_custkey") % 4 == 0)
+    cond = F.col("o_custkey") == F.col("c_custkey")
+    seed = l0.join(r0, cond)
+    terms = (
+        seed.unionByName(dl.join(r0, cond))
+        .unionByName(l0.join(dr, cond))
+        .unionByName(dl.join(dr, cond))
+    )
+    return terms.select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("o_custkey") % 7).alias("bucket"),
+        F.col("o_custkey").alias("ck"),
+    ).groupBy("seg", "bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("ck").alias("key_sum"),
+    )

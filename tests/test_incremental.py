@@ -144,27 +144,152 @@ def test_refresh_join_is_incremental_and_exact(spark, sf_dir, tmp_path):
     assert m["meta"]["left_version"] == history(lsrc)[-1]["seq"]
 
 
-def test_refresh_raises_on_delete_commits(spark, sf_dir, tmp_path):
-    """A merge-on-read delete commit advances the source version without
-    changing its file list, so the append-increment path would silently
-    keep deleted rows in the derived state forever — refresh must refuse
-    loudly instead (retraction needs the deleted rows' values, which the
-    key file doesn't carry)."""
-    import pytest
+def test_refresh_retracts_deletes_arithmetically(spark, sf_dir, tmp_path):
+    """A count/sum view folds merge-on-read deletes in as NEGATIVE
+    partials — state after the refresh equals a full recompute, and a
+    group whose every row was deleted disappears entirely."""
+    from ght2dm_spark.snapshots import delete_rows
 
+    aggs = {"n": ("count", None), "cents": ("sum", "price_c")}
+    orders = load_table(spark, sf_dir, "orders")
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    commit(prepare_commit(_slice(orders, 0, 600), src, mode="append"))
+    assert refresh_aggregate(spark, src, dst, ["o_orderstatus"], aggs)
+
+    # delete every 'P' order (empties that group) plus some 'O'/'F' rows
+    base = read_snapshot(spark, src)
+    victims = base.filter(
+        (F.col("o_orderstatus") == "P") | (F.col("o_orderkey") % 7 == 0)
+    ).select("o_orderkey")
+    assert victims.count() > 0
+    commit(delete_rows(victims, src))
+
+    # delete-only window (no appended files) must still refresh
+    assert refresh_aggregate(spark, src, dst, ["o_orderstatus"], aggs)
+    assert verify_aggregate(spark, src, dst, ["o_orderstatus"], aggs)
+    got = {r["o_orderstatus"] for r in read_snapshot(spark, dst).collect()}
+    assert "P" not in got and got  # emptied group dropped, others remain
+
+    # appends and deletes sharing one window also reconcile
+    commit(prepare_commit(_slice(orders, 600, 10**9), src, mode="append"))
+    commit(
+        delete_rows(
+            read_snapshot(spark, src)
+            .filter(F.col("o_orderkey") % 11 == 0)
+            .select("o_orderkey"),
+            src,
+        )
+    )
+    assert refresh_aggregate(spark, src, dst, ["o_orderstatus"], aggs)
+    assert verify_aggregate(spark, src, dst, ["o_orderstatus"], aggs)
+
+
+def test_refresh_recomputes_affected_groups_for_minmax(
+    spark, sf_dir, tmp_path
+):
+    """Deleting a group's current extreme row cannot be retracted from
+    min/max state — the refresh recomputes exactly the touched groups
+    and the result still equals a full recompute."""
     from ght2dm_spark.snapshots import delete_rows
 
     orders = load_table(spark, sf_dir, "orders")
     src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
-    commit(prepare_commit(_slice(orders, 0, 400), src, mode="append"))
+    commit(prepare_commit(_slice(orders, 0, 10**9), src, mode="append"))
     assert refresh_aggregate(spark, src, dst, ["o_orderstatus"], AGGS)
+
+    # delete the max-key row of every group — the exact case negation
+    # can't handle
+    base = read_snapshot(spark, src)
+    tops = base.groupBy("o_orderstatus").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    ).select("o_orderkey")
+    commit(delete_rows(tops, src))
+    assert refresh_aggregate(spark, src, dst, ["o_orderstatus"], AGGS)
+    assert verify_aggregate(spark, src, dst, ["o_orderstatus"], AGGS)
+
+
+def test_retraction_renulls_all_null_sums(spark, tmp_path):
+    """Retraction keeps SQL NULL semantics: when the deleted rows carried
+    a group's only non-NULL sum inputs, the maintained sum goes back to
+    NULL (not arithmetic 0) while the group itself survives."""
+    from ght2dm_spark.snapshots import delete_rows
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    aggs = {"n": ("count", None), "s": ("sum", "v")}
+    rows = [(1, 10, 3), (2, 10, None), (3, 20, 5)]
     commit(
-        delete_rows(
-            spark.createDataFrame([(1,)], "o_orderkey long"), src
+        prepare_commit(
+            spark.createDataFrame(rows, "id long, k long, v long"), src
         )
     )
+    assert refresh_aggregate(spark, src, dst, ["k"], aggs)
+    commit(delete_rows(spark.createDataFrame([(1,)], "id long"), src))
+    assert refresh_aggregate(spark, src, dst, ["k"], aggs)
+    assert verify_aggregate(spark, src, dst, ["k"], aggs)
+    got = {r["k"]: (r["n"], r["s"]) for r in read_snapshot(spark, dst).collect()}
+    assert got == {10: (1, None), 20: (1, 5)}
+
+
+def test_legacy_state_without_maintenance_columns_rebuilds(spark, tmp_path):
+    """A dest committed before delete-aware maintenance lacks the hidden
+    columns — the next refresh upgrades it with one in-place rebuild and
+    keeps working (including through later deletes)."""
+    from ght2dm_spark.snapshots import delete_rows
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    aggs = {"n": ("count", None)}
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(1, 1), (1, 2), (2, 3)], "k long, id long"),
+            src,
+        )
+    )
+    # hand-write a legacy state: correct values, no __cnt, version pinned
+    legacy = spark.createDataFrame([(1, 2), (2, 1)], "k long, n long")
+    from ght2dm_spark.snapshots import history
+
+    ver = history(src)[-1]["seq"]
+    commit(prepare_commit(legacy, dst, meta={"source_version": ver}))
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(2, 4)], "k long, id long"),
+            src,
+            mode="append",
+        )
+    )
+    assert refresh_aggregate(spark, src, dst, ["k"], aggs)
+    assert verify_aggregate(spark, src, dst, ["k"], aggs)
+    commit(delete_rows(spark.createDataFrame([(3,)], "id long"), src))
+    assert refresh_aggregate(spark, src, dst, ["k"], aggs)
+    assert verify_aggregate(spark, src, dst, ["k"], aggs)
+
+
+def test_refresh_join_still_raises_on_delete_commits(spark, sf_dir, tmp_path):
+    """JOIN maintenance stays append-only: retracting a deleted row's
+    join matches needs per-output provenance the append-shaped dest
+    doesn't carry, so the refresh must refuse loudly."""
+    import pytest
+
+    from ght2dm_spark.incremental import refresh_join
+    from ght2dm_spark.snapshots import delete_rows
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    lsrc, rsrc, dest = (
+        str(tmp_path / "o"), str(tmp_path / "c"), str(tmp_path / "j"),
+    )
+    commit(prepare_commit(o, lsrc))
+    commit(prepare_commit(c, rsrc))
+    assert refresh_join(spark, lsrc, rsrc, dest, on=["o_custkey"])
+    commit(
+        delete_rows(spark.createDataFrame([(1,)], "o_orderkey long"), lsrc)
+    )
     with pytest.raises(ValueError, match="delete commits landed"):
-        refresh_aggregate(spark, src, dst, ["o_orderstatus"], AGGS)
+        refresh_join(spark, lsrc, rsrc, dest, on=["o_custkey"])
 
 
 def test_read_increment_upto_version_bounds_the_window(spark, tmp_path):

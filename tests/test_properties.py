@@ -1356,3 +1356,111 @@ def test_bpe_train_empty_vocab_returns_empty_merges(spark):
     bad = spark.createDataFrame([("o'hara", 5), ("", 2)], "word string, cnt long")
     merges2, vocab2 = train(bad, rounds=2)
     assert merges2.count() == 0 and vocab2.count() == 0
+
+
+_ivm_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.one_of(st.none(), st.integers(-9, 9))),
+    min_size=1,
+    max_size=6,
+)
+_ivm_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), _ivm_rows),
+        # delete by row-id INDEX (mapped onto live ids, so deletes
+        # usually hit; out-of-range indexes become no-match keys)
+        st.tuples(st.just("delete"), st.lists(st.integers(0, 30), min_size=1, max_size=5)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(first=_ivm_rows, ops=_ivm_ops)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_refresh_aggregate_random_insert_delete_sequences(
+    spark, tmp_path_factory, first, ops
+):
+    """Delete-aware incremental view maintenance equals a Python-model
+    recompute after EVERY refresh, for both maintenance strategies at
+    once: a count/sum view (arithmetic retraction with NULL-sum
+    re-masking) and a min/max view (targeted affected-group recompute)
+    maintained side by side off one randomly mutating source."""
+    from ght2dm_spark.incremental import refresh_aggregate, verify_aggregate
+    from ght2dm_spark.snapshots import (
+        commit,
+        delete_rows,
+        prepare_commit,
+        read_snapshot,
+    )
+
+    root = tmp_path_factory.mktemp("ivmprop")
+    src = str(root / "src")
+    d_arith = str(root / "arith")
+    d_mm = str(root / "mm")
+    A_ARITH = {"n": ("count", None), "s": ("sum", "v")}
+    A_MM = {"n": ("count", None), "s": ("sum", "v"), "mn": ("min", "v"), "mx": ("max", "v")}
+
+    live: dict[int, tuple[int, int | None]] = {}
+    next_id = 0
+
+    def mkdf(pairs):
+        nonlocal next_id
+        rows = []
+        for k, v in pairs:
+            rows.append((next_id, k, v))
+            live[next_id] = (k, v)
+            next_id += 1
+        return spark.createDataFrame(rows, "id long, k long, v long")
+
+    def model():
+        groups: dict[int, list] = {}
+        for k, v in live.values():
+            groups.setdefault(k, []).append(v)
+        out = {}
+        for k, vals in groups.items():
+            nn = [v for v in vals if v is not None]
+            out[k] = (
+                len(vals),
+                sum(nn) if nn else None,
+                min(nn) if nn else None,
+                max(nn) if nn else None,
+            )
+        return out
+
+    def check():
+        assert refresh_aggregate(spark, src, d_arith, ["k"], A_ARITH) is not None
+        assert refresh_aggregate(spark, src, d_mm, ["k"], A_MM) is not None
+        want = model()
+        df = read_snapshot(spark, d_arith)
+        got_a = {} if df is None else {
+            r["k"]: (r["n"], r["s"]) for r in df.collect()
+        }
+        assert got_a == {k: (n, s) for k, (n, s, _m, _x) in want.items()}
+        df = read_snapshot(spark, d_mm)
+        got_m = {} if df is None else {
+            r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in df.collect()
+        }
+        assert got_m == want
+        assert verify_aggregate(spark, src, d_arith, ["k"], A_ARITH)
+        assert verify_aggregate(spark, src, d_mm, ["k"], A_MM)
+
+    commit(prepare_commit(mkdf(first), src))
+    check()
+    for op, arg in ops:
+        if op == "append":
+            commit(prepare_commit(mkdf(arg), src, mode="append"))
+        else:
+            ids = sorted(live)
+            keys = sorted({ids[i % len(ids)] if ids else i for i in arg})
+            commit(
+                delete_rows(
+                    spark.createDataFrame([(i,) for i in keys], "id long"), src
+                )
+            )
+            for i in keys:
+                live.pop(i, None)
+        check()
