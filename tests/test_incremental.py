@@ -356,3 +356,81 @@ def test_verify_aggregate_ignores_post_refresh_appends(spark, tmp_path):
     # after the next refresh the new rows are covered and it still holds
     assert refresh_aggregate(spark, src, dst, ["k"], aggs)
     assert verify_aggregate(spark, src, dst, ["k"], aggs)
+
+
+def test_aggregate_sink_merges_batches_exactly_once(spark, tmp_path):
+    """The continuous-aggregate sink: each batch's partial merges into
+    state; a replayed or stale batch_id is a no-op (the foreachBatch
+    retry contract); the final state equals a full recompute."""
+    from ght2dm_spark.incremental import aggregate_sink
+    from ght2dm_spark.snapshots import read_snapshot
+
+    dst = str(tmp_path / "cagg")
+    aggs = {"n": ("count", None), "s": ("sum", "v")}
+    sink = aggregate_sink(dst, ["k"], aggs)
+
+    b0 = spark.createDataFrame([(1, 5), (1, None), (2, 2)], "k long, v long")
+    b1 = spark.createDataFrame([(1, 1), (3, 7)], "k long, v long")
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def state():
+        return {
+            r["k"]: (r["n"], r["s"])
+            for r in read_snapshot(spark, dst).collect()
+        }
+
+    want = {1: (3, 6), 2: (1, 2), 3: (1, 7)}
+    assert state() == want
+    # replay of the last batch and a stale earlier id must both no-op
+    sink(b1, 1)
+    sink(b0, 0)
+    assert state() == want
+
+
+def test_aggregate_sink_under_real_stream(spark, tmp_path):
+    """End-to-end: a file-source stream split into multiple micro-
+    batches (maxFilesPerTrigger=1) maintained by aggregate_sink equals
+    the batch groupBy over the same rows — the continuous-aggregate
+    freshness tier of the same view refresh_aggregate maintains."""
+    from ght2dm_spark.incremental import aggregate_sink
+    from ght2dm_spark.snapshots import last_streamed_batch, read_snapshot
+
+    src_dir = str(tmp_path / "in")
+    rows = [(i % 7, i % 11, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long, id long")
+    df.repartition(4).write.parquet(src_dir)
+
+    dst = str(tmp_path / "cagg")
+    aggs = {
+        "n": ("count", None),
+        "s": ("sum", "v"),
+        "mx": ("max", "id"),
+    }
+    stream = spark.readStream.schema("k long, v long, id long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(aggregate_sink(dst, ["k"], aggs))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert last_streamed_batch(dst) is not None and last_streamed_batch(dst) >= 1
+
+    got = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in read_snapshot(spark, dst).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.max("id").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
