@@ -499,6 +499,106 @@ def aggregate_sink(dest: str, keys: list[str], aggs: dict):
     return _sink
 
 
+def changefeed_aggregate_sink(
+    dest: str, keys: list[str], aggs: dict, op_col: str = "op"
+):
+    """``foreachBatch`` callable maintaining a count/sum aggregate over
+    a row-level CHANGEFEED — batches of rows tagged insert/delete in
+    ``op_col`` ('D' retracts, anything else adds), an update being a
+    delete of the before-image plus an insert of the after-image (the
+    Debezium/z-set model).  Each batch folds in as ONE signed partial
+    aggregate: weight +1/-1 per row, summed group-side — O(batch) work,
+    no base-table scan ever, because the feed carries the values being
+    retracted.
+
+    The committed state is the RAW weighted algebra (group counts may
+    be zero or transiently negative when a retraction is processed
+    before its matching insert): sums are commutative, so the state is
+    correct under ANY batch arrival order, and the consumable view is
+    produced by :func:`read_aggregate_view`, which applies the liveness
+    filter (``__cnt > 0``) and the NULL-sum re-mask at read time — the
+    z-set discipline: algebra in the state, policy at the view.
+    Exactly-once per batch id, same manifest watermark as
+    :func:`aggregate_sink`.
+
+    Only count/sum views qualify: a min/max cannot be maintained from
+    deltas (retracting the extreme needs the runner-up) — raise rather
+    than silently corrupt; route min/max views through
+    :func:`refresh_aggregate`'s affected-group recompute instead."""
+    _validate_aggs(keys, aggs)
+    bad = [out for out, (fn, _c) in aggs.items() if fn not in ("count", "sum")]
+    if bad:
+        raise ValueError(
+            f"{bad}: min/max cannot be maintained from a changefeed "
+            "(retraction needs the runner-up) — use refresh_aggregate"
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ght2dm_spark.snapshots import last_streamed_batch
+
+        last = last_streamed_batch(dest)
+        if last is not None and int(batch_id) <= last:
+            return
+        spark = batch_df.sparkSession
+        dest_base, _dmeta, dmanifest = _dest_base(dest)
+        w = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
+        exprs = []
+        for out, (fn, col) in aggs.items():
+            if fn == "count":
+                exprs.append(F.sum(w).alias(out))
+            else:
+                exprs.append(F.sum(F.col(col) * w).alias(out))
+        exprs.append(F.sum(w).alias(_CNT))
+        for out, (fn, col) in aggs.items():
+            if fn == "sum":
+                exprs.append(
+                    F.sum(
+                        F.when(F.col(col).isNotNull(), w).otherwise(F.lit(0))
+                    ).alias(_nn(out))
+                )
+        partial = batch_df.groupBy(*keys).agg(*exprs)
+        state = (
+            _read_pinned(spark, dest, dmanifest)
+            if dmanifest is not None
+            else None
+        )
+        frames = [partial]
+        if state is not None and _CNT in state.columns:
+            frames.insert(0, state.select(_state_cols(keys, aggs)))
+        merged = (
+            _merge_frames(frames, keys, aggs) if len(frames) > 1 else partial
+        )
+        # NO filter, NO mask: the raw algebra commits (see docstring)
+        p = prepare_commit(
+            merged.select(_state_cols(keys, aggs)), dest, mode="overwrite",
+            meta={"batch_id": int(batch_id)}, parent=dest_base,
+        )
+        commit(p)
+
+    return _sink
+
+
+def read_aggregate_view(spark: SparkSession, dest: str) -> DataFrame | None:
+    """The consumable view over a maintained aggregate table: groups
+    whose net row count is positive, each sum re-NULLed when its net
+    non-NULL input count is zero, maintenance columns dropped.  Works
+    over any dest this module maintains (the companion columns are
+    self-describing: ``__cnt`` + ``__nn_<out>``); None if the table has
+    never committed."""
+    df = read_snapshot(spark, dest)
+    if df is None:
+        return None
+    cols = df.columns
+    if _CNT not in cols:
+        return df  # legacy/foreign table: nothing to interpret
+    df = df.filter(F.col(_CNT) > 0)
+    for c in cols:
+        if c.startswith("__nn_"):
+            out = c[len("__nn_"):]
+            df = df.withColumn(out, F.when(F.col(c) > 0, F.col(out)))
+    return df.select([c for c in cols if not c.startswith("__")])
+
+
 def refresh_join(
     spark: SparkSession,
     left_source: str,

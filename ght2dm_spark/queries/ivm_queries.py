@@ -343,3 +343,94 @@ def t1_stream_continuous_agg(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "t1_stream_cdc_agg",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderkey % {_G} AS g,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_custkey END AS v
+        FROM orders
+    ),
+    final AS (
+        SELECT g, v + 1000 AS v FROM base WHERE k % 13 = 0
+        UNION ALL
+        SELECT g, v FROM base WHERE k % 13 <> 0 AND k % 10 <> 0
+    )
+    SELECT g, count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_v
+    FROM final GROUP BY g
+    """,
+)
+def t1_stream_cdc_agg(spark, sf_dir):
+    """Changefeed-maintained aggregate as a REAL streaming job: a CDC
+    feed derived from orders — every row inserted, every 13th updated
+    (delete of the before-image + insert of the after-image, value
+    +1000), every remaining 10th deleted WITH its values — is shuffled
+    across four parquet files and streamed with maxFilesPerTrigger=1,
+    so inserts, their retractions, and updates arrive in ARBITRARY
+    batch order.  incremental.changefeed_aggregate_sink folds each
+    batch in as one signed partial (z-set algebra: the committed state
+    tolerates transiently negative groups), and
+    incremental.read_aggregate_view applies the liveness filter +
+    NULL-sum re-mask at the end.  The oracle aggregates the net row
+    set wholesale — a hash match proves the commuted signed merges
+    equal the batch recompute regardless of arrival order.
+
+    Scale: per trigger, one map-side-combinable signed partial over the
+    batch plus a |groups|-row merge; the base table is NEVER rescanned
+    because the feed carries retracted values — the property that makes
+    changefeed aggregation viable at 100 TB/day feeds."""
+    import shutil
+    import tempfile
+
+    from ght2dm_spark.incremental import (
+        changefeed_aggregate_sink,
+        read_aggregate_view,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        k.alias("k"),
+        (k % _G).alias("g"),
+        F.when(k % 5 == 0, F.col("o_custkey")).alias("v"),
+    )
+    ins = base.select(F.lit("I").alias("op"), "g", "v")
+    upd_old = base.filter(F.col("k") % 13 == 0).select(
+        F.lit("D").alias("op"), "g", "v"
+    )
+    upd_new = base.filter(F.col("k") % 13 == 0).select(
+        F.lit("I").alias("op"), "g", (F.col("v") + 1000).alias("v")
+    )
+    dels = base.filter(
+        (F.col("k") % 10 == 0) & (F.col("k") % 13 != 0)
+    ).select(F.lit("D").alias("op"), "g", "v")
+    feed = ins.unionByName(upd_old).unionByName(upd_new).unionByName(dels)
+
+    root = tempfile.mkdtemp(prefix="ght2dm-cdcagg-")
+    try:
+        src, tbl = f"{root}/feed", f"{root}/state"
+        feed.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("op string, g long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                changefeed_aggregate_sink(
+                    tbl,
+                    ["g"],
+                    {"n_rows": ("count", None), "sum_v": ("sum", "v")},
+                )
+            )
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = read_aggregate_view(spark, tbl).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -434,3 +434,69 @@ def test_aggregate_sink_under_real_stream(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_changefeed_sink_is_order_independent_and_exact(spark, tmp_path):
+    """The z-set sink: signed partials commute, so even a retraction
+    processed BEFORE its matching insert (transiently negative state)
+    converges to the exact view once the feed completes; updates are
+    D(before)+I(after); replay is a no-op; the consumable view filters
+    dead groups and re-NULLs emptied sums at read time."""
+    from ght2dm_spark.incremental import (
+        changefeed_aggregate_sink,
+        read_aggregate_view,
+    )
+
+    dst = str(tmp_path / "zset")
+    aggs = {"n": ("count", None), "s": ("sum", "v")}
+    sink = changefeed_aggregate_sink(dst, ["k"], aggs)
+    schema = "op string, k long, v long"
+
+    # batch 0 arrives with a retraction whose insert is still in flight
+    sink(spark.createDataFrame([("D", 1, 5), ("I", 2, 3)], schema), 0)
+    mid = read_aggregate_view(spark, dst)
+    assert {r["k"] for r in mid.collect()} == {2}  # negative group hidden
+    # batch 1: the late insert, an update of k=2 (3 -> 10), an all-NULL
+    # survivor for k=4, and a group that nets to zero (k=9)
+    sink(
+        spark.createDataFrame(
+            [
+                ("I", 1, 5),
+                ("D", 2, 3),
+                ("I", 2, 10),
+                ("I", 4, None),
+                ("I", 4, 6),
+                ("D", 4, 6),
+                ("I", 9, 1),
+                ("D", 9, 1),
+            ],
+            schema,
+        ),
+        1,
+    )
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in read_aggregate_view(spark, dst).collect()
+    }
+    # k=1: insert+retraction cancel to the inserted row?  No: D(1,5) in
+    # batch 0 and I(1,5) in batch 1 cancel exactly -> group 1 nets to 0
+    # rows and is hidden; k=2 updated to 10; k=4 keeps only the NULL row
+    # (sum re-NULLs); k=9 netted out.
+    assert got == {2: (1, 10), 4: (1, None)}
+    # replayed batch ids are no-ops
+    sink(spark.createDataFrame([("I", 99, 1)], schema), 1)
+    sink(spark.createDataFrame([("I", 99, 1)], schema), 0)
+    assert {
+        r["k"] for r in read_aggregate_view(spark, dst).collect()
+    } == {2, 4}
+
+
+def test_changefeed_sink_rejects_minmax_views(spark, tmp_path):
+    import pytest
+
+    from ght2dm_spark.incremental import changefeed_aggregate_sink
+
+    with pytest.raises(ValueError, match="runner-up"):
+        changefeed_aggregate_sink(
+            str(tmp_path / "t"), ["k"], {"m": ("min", "v")}
+        )
