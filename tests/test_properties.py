@@ -1464,3 +1464,60 @@ def test_refresh_aggregate_random_insert_delete_sequences(
             for i in keys:
                 live.pop(i, None)
         check()
+
+
+_cf_batch = st.lists(
+    st.tuples(
+        st.sampled_from(["I", "D"]),
+        st.integers(0, 3),
+        st.one_of(st.none(), st.integers(-9, 9)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(batches=st.lists(_cf_batch, min_size=1, max_size=4))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_changefeed_sink_random_batches_match_model(
+    spark, tmp_path_factory, batches
+):
+    """The z-set sink over ARBITRARY signed batches (hypothesis may
+    generate retractions with no matching insert — net-negative groups)
+    equals a Python model of the same algebra after every batch: view
+    shows groups with net count > 0, sums over the net non-NULL weight
+    (re-NULLed when that weight is zero or negative)."""
+    from collections import Counter
+
+    from ght2dm_spark.incremental import (
+        changefeed_aggregate_sink,
+        read_aggregate_view,
+    )
+
+    dst = str(tmp_path_factory.mktemp("cfprop") / "t")
+    sink = changefeed_aggregate_sink(
+        dst, ["k"], {"n": ("count", None), "s": ("sum", "v")}
+    )
+    cnt: Counter = Counter()
+    ssum: Counter = Counter()
+    nn: Counter = Counter()
+    for i, batch in enumerate(batches):
+        sink(spark.createDataFrame(batch, "op string, k long, v long"), i)
+        for op, k, v in batch:
+            w = -1 if op == "D" else 1
+            cnt[k] += w
+            if v is not None:
+                ssum[k] += w * v
+                nn[k] += w
+        df = read_aggregate_view(spark, dst)
+        got = {r["k"]: (r["n"], r["s"]) for r in df.collect()}
+        want = {
+            k: (c, ssum[k] if nn[k] > 0 else None)
+            for k, c in cnt.items()
+            if c > 0
+        }
+        assert got == want, f"after batch {i}"
