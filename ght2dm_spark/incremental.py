@@ -442,6 +442,46 @@ def verify_aggregate(
     )
 
 
+def _sink_state(spark: SparkSession, dest: str, batch_id: int):
+    """ONE dest resolution for a sink invocation: the replay watermark,
+    the prior state, and the conflict base all come from the same
+    manifest — a separate last_streamed_batch() CURRENT read could see
+    an older watermark than the state read and re-merge a batch a racer
+    already committed.  Returns (skip, dest_base, state_or_None);
+    raises if the state predates the maintenance columns (a sink can't
+    rebuild it — the table isn't its source)."""
+    dest_base, _dmeta, dmanifest = _dest_base(dest)
+    state = None
+    if dmanifest is not None:
+        last = dmanifest.get("stream_batch")
+        if last is not None and int(batch_id) <= int(last):
+            return True, dest_base, None
+        state = _read_pinned(spark, dest, dmanifest)
+        if state is not None and _CNT not in state.columns:
+            raise ValueError(
+                f"{dest}: state predates the maintenance columns — a "
+                "streaming sink cannot rebuild it (the table is not its "
+                "source); delete the dest and replay, or upgrade it with "
+                "one refresh_aggregate over the batch source"
+            )
+    return False, dest_base, state
+
+
+def _commit_sink(
+    out: DataFrame, dest: str, batch_id: int, dest_base: str | None
+) -> None:
+    p = prepare_commit(
+        out, dest, mode="overwrite",
+        meta={"batch_id": int(batch_id)}, parent=dest_base,
+    )
+    if dest_base is None and p.parent is not None:
+        raise SnapshotConflictError(
+            f"{dest}: table committed concurrently during the first "
+            "micro-batch merge — re-run against the new snapshot"
+        )
+    commit(p)
+
+
 def aggregate_sink(dest: str, keys: list[str], aggs: dict):
     """``foreachBatch`` callable maintaining ``dest`` =
     ``stream.groupBy(keys).agg(...)`` — a CONTINUOUS AGGREGATE: each
@@ -470,31 +510,19 @@ def aggregate_sink(dest: str, keys: list[str], aggs: dict):
     _validate_aggs(keys, aggs)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        from ght2dm_spark.snapshots import last_streamed_batch
-
-        last = last_streamed_batch(dest)
-        if last is not None and int(batch_id) <= last:
-            return  # replayed batch — already merged
         spark = batch_df.sparkSession
-        dest_base, _dmeta, dmanifest = _dest_base(dest)
+        skip, dest_base, state = _sink_state(spark, dest, batch_id)
+        if skip:
+            return  # replayed batch — already merged
         partial = _partials(batch_df, keys, aggs)
-        state = (
-            _read_pinned(spark, dest, dmanifest)
-            if dmanifest is not None
-            else None
-        )
         frames = [partial]
-        if state is not None and _CNT in state.columns:
+        if state is not None:
             frames.insert(0, state.select(_state_cols(keys, aggs)))
         merged = (
             _merge_frames(frames, keys, aggs) if len(frames) > 1 else partial
         )
         out = _mask_sums(merged, aggs).select(_state_cols(keys, aggs))
-        p = prepare_commit(
-            out, dest, mode="overwrite",
-            meta={"batch_id": int(batch_id)}, parent=dest_base,
-        )
-        commit(p)
+        _commit_sink(out, dest, batch_id, dest_base)
 
     return _sink
 
@@ -534,13 +562,10 @@ def changefeed_aggregate_sink(
         )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        from ght2dm_spark.snapshots import last_streamed_batch
-
-        last = last_streamed_batch(dest)
-        if last is not None and int(batch_id) <= last:
-            return
         spark = batch_df.sparkSession
-        dest_base, _dmeta, dmanifest = _dest_base(dest)
+        skip, dest_base, state = _sink_state(spark, dest, batch_id)
+        if skip:
+            return
         w = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
         exprs = []
         for out, (fn, col) in aggs.items():
@@ -557,23 +582,16 @@ def changefeed_aggregate_sink(
                     ).alias(_nn(out))
                 )
         partial = batch_df.groupBy(*keys).agg(*exprs)
-        state = (
-            _read_pinned(spark, dest, dmanifest)
-            if dmanifest is not None
-            else None
-        )
         frames = [partial]
-        if state is not None and _CNT in state.columns:
+        if state is not None:
             frames.insert(0, state.select(_state_cols(keys, aggs)))
         merged = (
             _merge_frames(frames, keys, aggs) if len(frames) > 1 else partial
         )
         # NO filter, NO mask: the raw algebra commits (see docstring)
-        p = prepare_commit(
-            merged.select(_state_cols(keys, aggs)), dest, mode="overwrite",
-            meta={"batch_id": int(batch_id)}, parent=dest_base,
+        _commit_sink(
+            merged.select(_state_cols(keys, aggs)), dest, batch_id, dest_base
         )
-        commit(p)
 
     return _sink
 

@@ -500,3 +500,20 @@ def test_changefeed_sink_rejects_minmax_views(spark, tmp_path):
         changefeed_aggregate_sink(
             str(tmp_path / "t"), ["k"], {"m": ("min", "v")}
         )
+
+
+def test_sink_refuses_state_without_maintenance_columns(spark, tmp_path):
+    """A sink pointed at a table lacking the companion columns must
+    refuse (it cannot rebuild — the table is not its source), never
+    silently overwrite the prior state."""
+    import pytest
+
+    from ght2dm_spark.incremental import aggregate_sink
+
+    dst = str(tmp_path / "legacy")
+    commit(
+        prepare_commit(spark.createDataFrame([(1, 2)], "k long, n long"), dst)
+    )
+    sink = aggregate_sink(dst, ["k"], {"n": ("count", None)})
+    with pytest.raises(ValueError, match="maintenance columns"):
+        sink(spark.createDataFrame([(1,)], "k long"), 0)
