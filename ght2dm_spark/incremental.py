@@ -97,6 +97,11 @@ def _validate_aggs(keys: list[str], aggs: dict) -> None:
             raise ValueError(
                 f"{k}: the '__' prefix is reserved for maintenance columns"
             )
+    overlap = sorted(set(aggs) & set(keys))
+    if overlap:
+        raise ValueError(
+            f"aggregate output(s) {overlap} collide with group key names"
+        )
 
 
 def _state_cols(keys: list[str], aggs: dict) -> list[str]:

@@ -113,7 +113,16 @@ def _footer_stats(path: Path) -> dict[str, list]:
             st = c.statistics
             if st is None or not st.has_min_max:
                 continue
-            mn, mx = st.min, st.max
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow can't materialize min/max for some physical
+                # types (e.g. DECIMAL raises ArrowNotImplementedError).
+                # Stats are an optimization, never a correctness
+                # dependency — skip the column, keep the file prunable
+                # on the others.  Without this, the FIRST commit of any
+                # decimal-bearing table crashed in stats collection.
+                continue
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode("utf-8"), mx.decode("utf-8")

@@ -573,3 +573,46 @@ def test_compaction_preserves_evolved_schema(spark, tmp_path):
         for r in read_snapshot(spark, table, merge_schema=True).collect()
     }
     assert got == {(1, 10, None, None), (2, 20, "x", None), (3, 30, "y", 5)}
+
+
+def test_commit_tolerates_unstatable_column_types(spark, tmp_path):
+    """pyarrow cannot materialize footer min/max for some physical
+    types (DECIMAL raises ArrowNotImplementedError) — stats collection
+    must SKIP such columns, not crash the commit, and pruning on the
+    statable columns must still work."""
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.snapshots import (
+        commit,
+        prepare_commit,
+        read_snapshot,
+        snapshot_files,
+    )
+
+    table = str(tmp_path / "dec")
+    df = spark.createDataFrame(
+        [(1, "1.50"), (2, "2.25")], "k long, v string"
+    ).select("k", F.col("v").cast("decimal(18,2)").alias("v"))
+    commit(prepare_commit(df, table))  # used to raise in _footer_stats
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(100, None)], "k long, v string").select(
+                "k", F.col("v").cast("decimal(18,2)").alias("v")
+            ),
+            table,
+            mode="append",
+        )
+    )
+    assert read_snapshot(spark, table).count() == 3
+    # the long column still prunes (empty part files carry no stats and
+    # are conservatively kept — only stat-bearing files drop)
+    all_files = snapshot_files(table)
+    kept = snapshot_files(table, prune={"k": (50, None)})
+    assert len(kept) < len(all_files)
+    got = {
+        r.k for r in read_snapshot(spark, table, prune={"k": (50, None)}).collect()
+    }
+    assert got == {100}
+    # the decimal column is simply absent from the stats: a prune on it
+    # keeps every file
+    assert snapshot_files(table, prune={"v": (0, 1)}) == all_files
