@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -136,6 +137,32 @@ def _footer_stats(path: Path) -> dict[str, list]:
             hi[name] = mx if name not in hi else max(hi[name], mx)
         seen_all = present if g == 0 else (seen_all & present)
     return {k: [lo[k], hi[k]] for k in seen_all}
+
+
+#: same-family width chains: appends may move along a chain in either
+#: direction; the manifest records the WIDEST type seen and reads plan
+#: at it (Spark's parquet reader upcasts narrower physical files).
+_WIDTH_CHAINS = (
+    ["tinyint", "smallint", "int", "bigint"],
+    ["float", "double"],
+)
+
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
+
+
+def _widen_type(a: str, b: str) -> str | None:
+    """The wider of two simpleString types when both sit on one width
+    chain; None when the change is incompatible (different families).
+    Decimals widen by PRECISION at the same scale (the reader upcasts
+    narrower physicals to the declared precision); a scale change
+    reinterprets values and stays rejected."""
+    for chain in _WIDTH_CHAINS:
+        if a in chain and b in chain:
+            return chain[max(chain.index(a), chain.index(b))]
+    da, db = _DECIMAL_RE.match(a), _DECIMAL_RE.match(b)
+    if da and db and da.group(2) == db.group(2):
+        return a if int(da.group(1)) >= int(db.group(1)) else b
+    return None
 
 
 def _file_survives(stats: dict[str, list] | None, prune: dict) -> bool:
@@ -305,6 +332,45 @@ def prepare_commit(
     elif mode == "append":
         mode = "overwrite"  # first commit: append == overwrite
 
+    # Fail-fast schema contract: an INCOMPATIBLY type-changing append
+    # (string -> double, bigint -> string, ...) produces a table NO
+    # read path can plan — plain reads hit
+    # PARQUET_COLUMN_DATA_TYPE_MISMATCH, and mergeSchema refuses to
+    # merge conflicting leaf types — so reject it at commit time,
+    # naming the columns, instead of bricking every subsequent read.
+    # Same-family WIDTH changes (tinyint..bigint, float/double) stay
+    # legal in either direction: the manifest records the WIDEST type
+    # seen, and the merge-schema read path plans the scan at that
+    # declared type (Spark's parquet reader upcasts narrower physical
+    # files), which is also what the snapshot STREAM source does.
+    # Column ADDITIONS (and absences) stay legal: ordinary evolution.
+    # Recording the commit's logical schema in the manifest is what
+    # makes the check O(1) instead of a footer walk over the parent's
+    # file list.
+    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    parent_schema: dict[str, str] = {}
+    if base_name is not None and mode == "append":
+        parent_schema = pm.get("schema", {})
+        merged_types: dict[str, str] = {}
+        conflicts: dict[str, tuple[str, str]] = {}
+        for c, t in new_schema.items():
+            if c in parent_schema and parent_schema[c] != t:
+                wide = _widen_type(parent_schema[c], t)
+                if wide is None:
+                    conflicts[c] = (parent_schema[c], t)
+                else:
+                    merged_types[c] = wide
+        if conflicts:
+            detail = ", ".join(
+                f"{c}: {old} -> {new}" for c, (old, new) in sorted(conflicts.items())
+            )
+            raise ValueError(
+                f"{path}: append changes existing column type(s) "
+                f"({detail}) — no read path can plan the mixed files; "
+                "cast the DataFrame to the table's types, or overwrite"
+            )
+        new_schema = {**new_schema, **merged_types}
+
     commit_id = uuid.uuid4().hex[:12]
     new_files, new_stats = _stage_data_files(df, table, commit_id)
     stats = {**parent_stats, **new_stats}
@@ -315,6 +381,7 @@ def prepare_commit(
         "mode": mode,
         "files": parent_files + new_files,
         "stats": stats,
+        "schema": {**parent_schema, **new_schema},
         # legacy manifests lack file_seqs; readers default absent files
         # to seq 0 (every delete applies — the old, conservative rule)
         "file_seqs": {
@@ -456,6 +523,8 @@ def delete_rows(
             **{d: seq for d in new_dels},
         },
     }
+    if pm.get("schema"):
+        manifest["schema"] = pm["schema"]
     if pm.get("stream_batch") is not None:
         manifest["stream_batch"] = pm["stream_batch"]
     mname = f"m-{seq:06d}-{commit_id}.json"
@@ -484,7 +553,17 @@ def _read_files_with_deletes(
     stays visible.  Files group by which suffix of the seq-ordered
     delete list applies to them (≤ #deletes+1 groups); each group is one
     scan + one broadcast anti-join.  Legacy manifests without the seq
-    maps degrade to the old conservative rule (every delete applies)."""
+    maps degrade to the old conservative rule (every delete applies).
+
+    A merge-schema read on a manifest that RECORDS its schema plans the
+    scan at that declared schema instead of footer unification: the
+    recorded schema already accumulates evolved columns AND width
+    promotions (int files upcast to a declared bigint — footer
+    mergeSchema would refuse that merge), and skipping the footer walk
+    is free speed."""
+    if schema is None and merge_schema and m.get("schema"):
+        schema = ", ".join(f"`{c}` {t}" for c, t in m["schema"].items())
+        merge_schema = False
     reader = spark.read.schema(schema) if schema is not None else spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -899,7 +978,7 @@ def rewrite_small_files(
             **{f: seq for f in new_files},
         },
     }
-    for carried in ("delete_files", "delete_keys", "delete_seqs"):
+    for carried in ("delete_files", "delete_keys", "delete_seqs", "schema"):
         if carried in m:
             manifest[carried] = m[carried]
     if m.get("stream_batch") is not None:

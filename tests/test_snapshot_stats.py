@@ -616,3 +616,73 @@ def test_commit_tolerates_unstatable_column_types(spark, tmp_path):
     # the decimal column is simply absent from the stats: a prune on it
     # keeps every file
     assert snapshot_files(table, prune={"v": (0, 1)}) == all_files
+
+
+def test_append_rejects_incompatible_type_change(spark, tmp_path):
+    """A cross-family type change (string -> bigint here) would produce
+    a table NO read path can plan (plain reads type-mismatch,
+    mergeSchema refuses conflicting leaf types) — prepare_commit must
+    reject it at commit time, naming the column.  Column ADDITIONS stay
+    legal, and same-family WIDTH changes are accepted in either
+    direction: the manifest records the widest type and merge-schema
+    reads plan the scan at it, so int files upcast to the declared
+    bigint."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.snapshots import commit, prepare_commit, read_snapshot
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k int, s string")
+    commit(prepare_commit(df, t))
+    with pytest.raises(ValueError, match="s: string -> int"):
+        prepare_commit(
+            df.select("k", F.lit(7).alias("s")), t, mode="append"
+        )
+    # widening append (int -> bigint) + a new column, then a NARROWER
+    # append back (int into the now-bigint table): all legal, and the
+    # merge-schema read delivers every row at the declared wide types
+    commit(
+        prepare_commit(
+            spark.createDataFrame(
+                [(2**40, "b", 9)], "k long, s string, extra long"
+            ),
+            t,
+            mode="append",
+        )
+    )
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(3, "c")], "k int, s string"),
+            t,
+            mode="append",
+        )
+    )
+    got = read_snapshot(spark, t, merge_schema=True)
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert {r.k for r in got.collect()} == {1, 2**40, 3}
+
+
+def test_append_widens_decimal_precision_same_scale(spark, tmp_path):
+    """Decimal appends widen by precision at the same scale (the reader
+    upcasts narrower physicals to the declared precision); a SCALE
+    change reinterprets values and stays rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.snapshots import commit, prepare_commit, read_snapshot
+
+    t = str(tmp_path / "t")
+
+    def dec(val, typ):
+        return spark.createDataFrame([(val,)], "v string").select(
+            F.col("v").cast(typ).alias("v")
+        )
+
+    commit(prepare_commit(dec("1.50", "decimal(18,2)"), t))
+    commit(prepare_commit(dec("2.25", "decimal(38,2)"), t, mode="append"))
+    got = read_snapshot(spark, t, merge_schema=True)
+    assert dict(got.dtypes)["v"] == "decimal(38,2)"
+    assert {str(r.v) for r in got.collect()} == {"1.50", "2.25"}
+    with pytest.raises(ValueError, match="v: decimal"):
+        prepare_commit(dec("3.125", "decimal(38,3)"), t, mode="append")
