@@ -517,3 +517,39 @@ def test_sink_refuses_state_without_maintenance_columns(spark, tmp_path):
     sink = aggregate_sink(dst, ["k"], {"n": ("count", None)})
     with pytest.raises(ValueError, match="maintenance columns"):
         sink(spark.createDataFrame([(1,)], "k long"), 0)
+
+
+def test_sink_and_refresh_produce_identical_state(spark, sf_dir, tmp_path):
+    """One aggregate definition, two freshness tiers: feeding the same
+    rows through per-batch aggregate_sink merges and through
+    refresh_aggregate over snapshot appends must produce EXACTLY the
+    same state rows — maintenance columns included."""
+    from ght2dm_spark.incremental import aggregate_sink, refresh_aggregate
+    from ght2dm_spark.snapshots import read_snapshot
+
+    orders = load_table(spark, sf_dir, "orders")
+    batches = [
+        _slice(orders, lo, hi).select(
+            "o_orderstatus", "price_c", "o_orderkey"
+        )
+        for lo, hi in [(0, 400), (400, 900), (900, 10**9)]
+    ]
+
+    src = str(tmp_path / "src")
+    via_refresh = str(tmp_path / "refresh")
+    via_sink = str(tmp_path / "sink")
+    sink = aggregate_sink(via_sink, ["o_orderstatus"], AGGS)
+    for i, b in enumerate(batches):
+        commit(prepare_commit(b, src, mode="append"))
+        assert refresh_aggregate(
+            spark, src, via_refresh, ["o_orderstatus"], AGGS
+        )
+        sink(b, i)
+        a = read_snapshot(spark, via_refresh)
+        s = read_snapshot(spark, via_sink)
+        assert sorted(a.columns) == sorted(s.columns)
+        cols = sorted(a.columns)
+        assert (
+            a.select(cols).exceptAll(s.select(cols)).isEmpty()
+            and s.select(cols).exceptAll(a.select(cols)).isEmpty()
+        ), f"state diverged after batch {i}"
