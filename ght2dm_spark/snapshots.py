@@ -165,6 +165,47 @@ def _widen_type(a: str, b: str) -> str | None:
     return None
 
 
+def _parent_schema_from_footers(
+    table: Path, files: list[str]
+) -> dict[str, str] | None:
+    """One-time upgrade for pre-schema-recording manifests: reconstruct
+    the parent snapshot's logical schema from its data files' parquet
+    footers (arrow schema -> Spark types; same-family width differences
+    unified via :func:`_widen_type`).  Recording only the APPEND's
+    columns against a schema-less parent would make the recorded schema
+    the read plan for the whole table and silently drop legacy-only
+    columns from every merge-schema read — and permanently from
+    compaction's rewrite.  Returns None when any footer is unreadable
+    or two files disagree incompatibly; the caller then records NO
+    schema, keeping the legacy footer-mergeSchema read behavior instead
+    of planning at a wrong declared schema.  Cost: one footer walk on
+    the first post-upgrade append only — the resulting manifest records
+    the full schema, so every later append is O(1) again."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    merged: dict[str, str] = {}
+    for f in files:
+        try:
+            sch = from_arrow_schema(
+                pq.ParquetFile(table / _DATA / f).schema_arrow,
+                prefer_timestamp_ntz=True,
+            )
+        except Exception:
+            return None
+        for fld in sch.fields:
+            t = fld.dataType.simpleString()
+            prev = merged.get(fld.name)
+            if prev is None or prev == t:
+                merged[fld.name] = t
+            else:
+                wide = _widen_type(prev, t)
+                if wide is None:
+                    return None
+                merged[fld.name] = wide
+    return merged
+
+
 def _file_survives(stats: dict[str, list] | None, prune: dict) -> bool:
     """Can a file with these footer stats contain a row matching the
     conjunctive range predicate ``prune`` ({col: (lo, hi)})?  Missing
@@ -349,8 +390,20 @@ def prepare_commit(
     # file list.
     new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     parent_schema: dict[str, str] = {}
+    record_schema = True
     if base_name is not None and mode == "append":
-        parent_schema = pm.get("schema", {})
+        if "schema" in pm:
+            parent_schema = pm["schema"]
+        else:
+            # pre-upgrade manifest: reconstruct the parent schema from
+            # its footers (one-time cost), or record no schema at all —
+            # recording just the append's columns would narrow every
+            # subsequent merge-schema read to them
+            reconstructed = _parent_schema_from_footers(table, parent_files)
+            if reconstructed is None:
+                record_schema = False
+            else:
+                parent_schema = reconstructed
         merged_types: dict[str, str] = {}
         conflicts: dict[str, tuple[str, str]] = {}
         for c, t in new_schema.items():
@@ -381,7 +434,6 @@ def prepare_commit(
         "mode": mode,
         "files": parent_files + new_files,
         "stats": stats,
-        "schema": {**parent_schema, **new_schema},
         # legacy manifests lack file_seqs; readers default absent files
         # to seq 0 (every delete applies — the old, conservative rule)
         "file_seqs": {
@@ -389,6 +441,8 @@ def prepare_commit(
             **{f: seq for f in new_files},
         },
     }
+    if record_schema:
+        manifest["schema"] = {**parent_schema, **new_schema}
     if parent_deletes:
         manifest["delete_files"] = parent_deletes
         manifest["delete_keys"] = parent_delete_keys

@@ -686,3 +686,95 @@ def test_append_widens_decimal_precision_same_scale(spark, tmp_path):
     assert {str(r.v) for r in got.collect()} == {"1.50", "2.25"}
     with pytest.raises(ValueError, match="v: decimal"):
         prepare_commit(dec("3.125", "decimal(38,3)"), t, mode="append")
+
+
+def _strip_schema(table: Path) -> None:
+    """Simulate a pre-schema-recording (legacy) manifest."""
+    name = (table / "CURRENT").read_text().strip()
+    mpath = table / "_manifests" / name
+    m = json.loads(mpath.read_text())
+    m.pop("schema", None)
+    mpath.write_text(json.dumps(m))
+
+
+def test_legacy_manifest_append_reconstructs_full_schema(spark, tmp_path):
+    """Appending onto a pre-upgrade manifest (no recorded schema) must
+    reconstruct the PARENT's schema from its footers before recording —
+    recording only the append's columns would make merge-schema reads
+    (and compaction's rewrite) silently drop legacy-only columns."""
+    from ght2dm_spark.snapshots import compact_snapshot
+
+    t = str(tmp_path / "t")
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(1, "keepme")], "a int, b string"), t
+        )
+    )
+    _strip_schema(Path(t))
+    # legal column-subset append: only column a
+    commit(
+        prepare_commit(spark.createDataFrame([(2,)], "a int"), t, mode="append")
+    )
+    m = _manifest(Path(t))
+    assert m["schema"] == {"a": "int", "b": "string"}
+    got = read_snapshot(spark, t, merge_schema=True)
+    assert set(got.columns) == {"a", "b"}
+    assert {r.b for r in got.collect()} == {"keepme", None}
+    # compaction reads merge-schema and overwrites: b must survive it
+    compact_snapshot(spark, t)
+    got = read_snapshot(spark, t, merge_schema=True)
+    assert {r.b for r in got.collect()} == {"keepme", None}
+
+
+def test_legacy_manifest_append_keeps_parent_width(spark, tmp_path):
+    """A narrower append onto a legacy bigint table must record the
+    parent's bigint (reconstructed from footers), not the append's int —
+    else reads plan bigint files at a declared int type and fail."""
+    t = str(tmp_path / "t")
+    commit(prepare_commit(spark.createDataFrame([(2**40,)], "k long"), t))
+    _strip_schema(Path(t))
+    commit(
+        prepare_commit(spark.createDataFrame([(3,)], "k int"), t, mode="append")
+    )
+    m = _manifest(Path(t))
+    assert m["schema"] == {"k": "bigint"}
+    got = read_snapshot(spark, t, merge_schema=True)
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert {r.k for r in got.collect()} == {2**40, 3}
+    # and the fail-fast check still runs against the reconstructed
+    # schema: a cross-family change is rejected, not recorded
+    import pytest
+
+    _strip_schema(Path(t))
+    with pytest.raises(ValueError, match="k: bigint -> string"):
+        prepare_commit(
+            spark.createDataFrame([("x",)], "k string"), t, mode="append"
+        )
+
+
+def test_legacy_schema_reconstruction_failure_records_nothing(
+    spark, tmp_path, monkeypatch
+):
+    """When the parent's schema cannot be reconstructed (unreadable
+    footer, irreconcilable legacy files), the append must record NO
+    schema — falling back to footer-mergeSchema reads — rather than a
+    wrong declared schema."""
+    import ght2dm_spark.snapshots as snap
+
+    t = str(tmp_path / "t")
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(1, "b1")], "a int, b string"), t
+        )
+    )
+    _strip_schema(Path(t))
+    monkeypatch.setattr(
+        snap, "_parent_schema_from_footers", lambda table, files: None
+    )
+    commit(
+        prepare_commit(spark.createDataFrame([(2,)], "a int"), t, mode="append")
+    )
+    m = _manifest(Path(t))
+    assert "schema" not in m
+    got = read_snapshot(spark, t, merge_schema=True)
+    assert {r.b for r in got.collect()} == {"b1", None}
