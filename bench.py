@@ -150,6 +150,7 @@ HEADLINE = [
     "t1_ivm_retraction",
     "t1_ivm_minmax_recompute",
     "t1_ivm_join_delta",
+    "t1_ivm_join_retraction",
 ]
 
 

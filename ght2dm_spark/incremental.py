@@ -40,6 +40,12 @@ class exactly the way the IVM literature splits it:
   merges arithmetically.  At 100 TB that is the difference between a
   full nightly regroup and a scan bounded by the deleted keys' groups.
 
+Joins are maintained the same way (:func:`refresh_join`): the bilinear
+delta identity over SIGNED deltas — appends weigh +1, delete-removed
+rows weigh −1, weights multiply through the join — appending z-set rows
+with a hidden ``__w`` that :func:`read_join_view` nets at read time and
+:func:`consolidate_join` folds on the maintenance cadence.
+
 Reference scope: the reference's incremental mode skips already-loaded
 dump files (``/root/reference/ght2dm.go`` date-window scan) but
 recomputes derived state from the database; this layer keeps derived
@@ -78,6 +84,10 @@ _DECOMPOSABLE = {
 #: hidden maintenance columns (see module docstring): group liveness +
 #: per-sum non-NULL input counts — what makes retraction exact.
 _CNT = "__cnt"
+
+#: hidden z-set weight column on join dests: each maintained output row
+#: carries +1 (joined in) or −1 (retracted); the view nets them.
+_W = "__w"
 
 
 def _nn(out: str) -> str:
@@ -173,6 +183,7 @@ def _removed_rows(
     last: int,
     dkeys: DataFrame,
     schema,
+    merge_schema: bool = False,
 ) -> DataFrame | None:
     """The rows the window's delete commits removed: every one was
     visible at ``last`` (window deletes apply to every pre-window file;
@@ -195,11 +206,38 @@ def _removed_rows(
         if bounds[f"lo_{i}"] is not None
     }
     base = read_snapshot(
-        spark, source, schema=schema, version=last, prune=prune or None
+        spark, source, schema=schema, version=last, prune=prune or None,
+        merge_schema=merge_schema,
     )
     if base is None:
         return None
     return base.join(dk, on=key_cols, how="leftsemi")
+
+
+def _group_prune(affected: DataFrame) -> dict | None:
+    """Footer-prune bounds for the affected GROUP keys: min/max per key
+    column, from a delta-sized frame (one bounded one-row collect).  A
+    column with a NULL among the affected keys is skipped — groupBy
+    keeps NULL as a real group but parquet footer stats ignore NULLs,
+    so bounds-pruning on that column could drop the very files holding
+    the NULL-keyed group's rows."""
+    cols = affected.columns
+    row = affected.agg(
+        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(cols)],
+        *[
+            F.max(F.col(c).isNull().cast("int")).alias(f"null_{i}")
+            for i, c in enumerate(cols)
+        ],
+    ).first()
+    if row is None:
+        return None
+    prune = {
+        c: (row[f"lo_{i}"], row[f"hi_{i}"])
+        for i, c in enumerate(cols)
+        if row[f"lo_{i}"] is not None and not row[f"null_{i}"]
+    }
+    return prune or None
 
 
 def _tip_seq(path: str) -> int | None:
@@ -235,26 +273,6 @@ def _read_pinned(spark, path: str, manifest: dict, schema=None):
     return _read_files_with_deletes(
         spark, Path(path), manifest, files, schema=schema
     )
-
-
-def _require_no_deletes(
-    spark: SparkSession, source: str, since: int, upto: int | None = None
-) -> None:
-    """JOIN maintenance is APPEND-only: a merge-on-read delete commit
-    advances the source version without touching its data-file list, so
-    read_increment's containment check passes while the derived join
-    silently keeps the deleted rows' matches forever (retracting them
-    needs a per-output-row provenance the append-shaped dest doesn't
-    carry — deletes fold into aggregates, not joins).  Surface it
-    loudly — rebuild from the full snapshots (delete dest), or compact
-    the source first.  :func:`refresh_aggregate` handles deletes."""
-    if read_delete_increment(spark, source, since, upto_version=upto) is not None:
-        raise ValueError(
-            f"{source}: merge-on-read delete commits landed after version "
-            f"{since} — incremental JOIN maintenance cannot retract "
-            "joined rows; rebuild the derived table (delete dest) or "
-            "compact the source to materialize deletes first"
-        )
 
 
 def refresh_aggregate(
@@ -301,16 +319,10 @@ def refresh_aggregate(
 
     def _commit_state(merged: DataFrame) -> bool:
         out = _mask_sums(merged, aggs).select(_state_cols(keys, aggs))
-        p = prepare_commit(
-            out, dest, mode="overwrite",
-            meta={"source_version": src_version}, parent=dest_base,
+        _commit_guarded(
+            out, dest, {"source_version": src_version}, dest_base,
+            "first refresh",
         )
-        if dest_base is None and p.parent is not None:
-            raise SnapshotConflictError(
-                f"{dest}: table committed concurrently during first "
-                "refresh — re-run against the new snapshot"
-            )
-        commit(p)
         return True
 
     def _full_recompute() -> bool:
@@ -356,7 +368,7 @@ def refresh_aggregate(
         # delta is not None here (the None/None case returned above)
         return _commit_state(_merge_frames(frames, keys, aggs))
 
-    removed = _removed_rows(spark, source, last, dkeys, schema)
+    removed = _removed_rows(spark, source, last, dkeys, schema, merge_schema=ms)
     if not frames:
         # no prior state and no appended rows (delete-only window on an
         # empty view) — a merge has nothing to start from; recompute
@@ -379,9 +391,13 @@ def refresh_aggregate(
         merged = merged.join(
             affected, _key_cond(merged, affected, keys), "left_anti"
         )
+        # the recompute only needs the affected groups' rows — prune the
+        # scan to their key range via the manifest footer stats, exactly
+        # like _removed_rows does for the delete keys (without it, a
+        # ten-key delete on a min/max view re-scans the whole table)
         cur = read_snapshot(
             spark, source, schema=schema, version=src_version,
-            merge_schema=ms,
+            merge_schema=ms, prune=_group_prune(affected),
         )
         if cur is not None:
             hit = cur.join(
@@ -419,8 +435,14 @@ def verify_aggregate(
     # someone on a perfectly maintained table
     _base, dmeta, dmanifest = _dest_base(dest)
     ver = dmeta.get("source_version")
+    # merge_schema mirrors refresh_aggregate's reads: the audit must
+    # plan a schema-evolved source the same way the refresh did, not
+    # from one arbitrary footer
     full = (
-        read_snapshot(spark, source, schema=schema, version=ver)
+        read_snapshot(
+            spark, source, schema=schema, version=ver,
+            merge_schema=schema is None,
+        )
         if ver is not None
         else None
     )
@@ -472,19 +494,32 @@ def _sink_state(spark: SparkSession, dest: str, batch_id: int):
     return False, dest_base, state
 
 
+def _commit_guarded(
+    out: DataFrame, dest: str, meta: dict, dest_base: str | None, what: str
+) -> None:
+    """Overwrite-commit ``out`` onto the pinned ``dest_base``, closing
+    the first-commit race: prepare_commit can only detect a concurrent
+    writer via parent mismatch when a base exists, so when the caller
+    pinned None (first refresh/batch) and a parent appeared meanwhile,
+    raise instead of silently clobbering it.  One helper for every
+    maintenance writer — the conflict idiom must not drift between the
+    refresh, the sink, and future writers."""
+    p = prepare_commit(out, dest, mode="overwrite", meta=meta, parent=dest_base)
+    if dest_base is None and p.parent is not None:
+        raise SnapshotConflictError(
+            f"{dest}: table committed concurrently during {what} — "
+            "re-run against the new snapshot"
+        )
+    commit(p)
+
+
 def _commit_sink(
     out: DataFrame, dest: str, batch_id: int, dest_base: str | None
 ) -> None:
-    p = prepare_commit(
-        out, dest, mode="overwrite",
-        meta={"batch_id": int(batch_id)}, parent=dest_base,
+    _commit_guarded(
+        out, dest, {"batch_id": int(batch_id)}, dest_base,
+        "the first micro-batch merge",
     )
-    if dest_base is None and p.parent is not None:
-        raise SnapshotConflictError(
-            f"{dest}: table committed concurrently during the first "
-            "micro-batch merge — re-run against the new snapshot"
-        )
-    commit(p)
 
 
 def aggregate_sink(dest: str, keys: list[str], aggs: dict):
@@ -632,22 +667,34 @@ def refresh_join(
     schema_right=None,
 ) -> bool:
     """Maintain ``dest`` = ``left INNER JOIN right ON on`` reading only
-    the rows appended to either side since the last refresh — the
-    delta-join identity Δ(L⋈R) = ΔL⋈R₀ ∪ L₀⋈ΔR ∪ ΔL⋈ΔR, where L₀/R₀
-    are TIME-TRAVEL reads of each source at the version the last
-    refresh covered (pinned in the commit meta).  The three delta terms
-    land as ONE append commit, so a crash mid-refresh leaves the old
-    state and its versions intact and the next refresh re-derives the
-    same delta.
+    the rows appended to — or deleted from — either side since the last
+    refresh: the bilinear delta identity Δ(L⋈R) = ΔL⋈R₀ ∪ L₀⋈ΔR ∪
+    ΔL⋈ΔR, where L₀/R₀ are TIME-TRAVEL reads of each source at the
+    version the last refresh covered (pinned in the commit meta) and
+    each Δ is a SIGNED z-set: appended rows weigh +1, rows removed by
+    merge-on-read delete commits weigh −1 (their values recovered by
+    the same footer-pruned pre-window semi-join the aggregate path
+    uses).  Weights multiply through the join — two deleted parents
+    yield (−1)·(−1) = +1 in the cross term, which is exactly what makes
+    the algebra cancel to the true net change — and the signed output
+    rows land as ONE append commit carrying a hidden ``__w`` column.
+    Consumers read :func:`read_join_view`, which consolidates weights
+    and keeps net-positive rows at their multiplicity (algebra in the
+    state, policy at the view — the same z-set discipline as the
+    changefeed aggregate).  A crash mid-refresh leaves the old state
+    and its versions intact; the next refresh re-derives the same
+    delta.
 
-    Valid for append-only sources (exactly read_increment's contract —
-    an overwrite/compaction on either side raises there; and the
-    retention window must keep the pinned versions' manifests, so
-    vacuum no deeper than the refresh cadence).  At 100 TB this turns a
-    nightly full O(|L|·|R|-shuffle) join into three joins each bounded
-    by a delta on one side — the same reason CDC pipelines never
-    re-join history.  First call seeds with the full join.  Returns
-    False when neither source moved."""
+    Sources may append and delete but not overwrite (read_increment's
+    containment contract — a compaction on either side raises there;
+    and the retention window must keep the pinned versions' manifests,
+    so vacuum no deeper than the refresh cadence).  Non-key column
+    names must be disjoint across the two sources (the join output
+    carries both sides' payloads).  At 100 TB this turns a nightly full
+    O(|L|·|R|-shuffle) join into three joins each bounded by a delta on
+    one side — the same reason CDC pipelines never re-join history.
+    First call seeds with the full join.  Returns False when neither
+    source moved."""
     lv, rv = _tip_seq(left_source), _tip_seq(right_source)
     if lv is None or rv is None:
         return False
@@ -671,65 +718,80 @@ def refresh_join(
         )
         if left is None or right is None:
             return False
-        p = prepare_commit(
-            left.join(right, on),
-            dest,
-            mode="overwrite",
-            meta={"left_version": lv, "right_version": rv},
-            parent=dest_base,
+        _commit_guarded(
+            left.join(right, on).withColumn(_W, F.lit(1)),
+            dest, {"left_version": lv, "right_version": rv}, dest_base,
+            "the seeding join",
         )
-        if dest_base is None and p.parent is not None:
-            raise SnapshotConflictError(
-                f"{dest}: table committed concurrently during the seeding "
-                "join — re-run against the new snapshot"
-            )
-        commit(p)
         return True
 
     if lv == last_lv and rv == last_rv:
         return False
-    # a side that did not move needs no delete audit either — the check
-    # walks the committed chain twice for a guaranteed-empty window
-    if lv != last_lv:
-        _require_no_deletes(spark, left_source, last_lv, upto=lv)
-    if rv != last_rv:
-        _require_no_deletes(spark, right_source, last_rv, upto=rv)
-    dl = (
-        read_increment(
-            spark, left_source, since_version=last_lv, schema=schema_left,
-            upto_version=lv, merge_schema=schema_left is None,
+
+    def _signed_delta(source, last, upto, schema, wcol):
+        """Appends (+1) ∪ removed rows (−1) for one side's window, or
+        None when the side has neither."""
+        if upto == last:
+            return None
+        ms = schema is None
+        parts = []
+        added = read_increment(
+            spark, source, since_version=last, schema=schema,
+            upto_version=upto, merge_schema=ms,
         )
-        if lv != last_lv
-        else None
-    )
-    dr = (
-        read_increment(
-            spark, right_source, since_version=last_rv, schema=schema_right,
-            upto_version=rv, merge_schema=schema_right is None,
-        )
-        if rv != last_rv
-        else None
-    )
+        if added is not None:
+            parts.append(added.withColumn(wcol, F.lit(1)))
+        dkeys = read_delete_increment(spark, source, last, upto_version=upto)
+        if dkeys is not None:
+            removed = _removed_rows(
+                spark, source, last, dkeys, schema, merge_schema=ms
+            )
+            if removed is not None:
+                parts.append(removed.withColumn(wcol, F.lit(-1)))
+        if not parts:
+            return None
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionByName(x)
+        return out
+
+    dl = _signed_delta(left_source, last_lv, lv, schema_left, "__wl")
+    dr = _signed_delta(right_source, last_rv, rv, schema_right, "__wr")
     # each time-travel base is needed only by its opposite delta term —
     # skip the manifest load and plan build when that term is absent
     # (the static-dimension common case)
     r0 = (
-        read_snapshot(spark, right_source, schema=schema_right, version=last_rv)
+        read_snapshot(
+            spark, right_source, schema=schema_right, version=last_rv,
+            merge_schema=schema_right is None,
+        )
         if dl is not None
         else None
     )
     l0 = (
-        read_snapshot(spark, left_source, schema=schema_left, version=last_lv)
+        read_snapshot(
+            spark, left_source, schema=schema_left, version=last_lv,
+            merge_schema=schema_left is None,
+        )
         if dr is not None
         else None
     )
+
+    def _weigh(term: DataFrame) -> DataFrame:
+        cols = term.columns
+        w = F.lit(1)
+        for c in ("__wl", "__wr"):
+            if c in cols:
+                w = w * F.col(c)
+        return term.withColumn(_W, w).drop("__wl", "__wr")
+
     parts = []
     if dl is not None and r0 is not None:
-        parts.append(dl.join(r0, on))
+        parts.append(_weigh(dl.join(r0, on)))
     if dr is not None and l0 is not None:
-        parts.append(l0.join(dr, on))
+        parts.append(_weigh(l0.join(dr, on)))
     if dl is not None and dr is not None:
-        parts.append(dl.join(dr, on))
+        parts.append(_weigh(dl.join(dr, on)))
     if not parts:
         return False
     delta = parts[0]
@@ -744,3 +806,94 @@ def refresh_join(
     )
     commit(p)
     return True
+
+
+def read_join_view(spark: SparkSession, dest: str) -> DataFrame | None:
+    """The consumable view over a :func:`refresh_join`-maintained table:
+    signed rows consolidate (groupBy every payload column, net weight),
+    net-positive rows surface at their multiplicity, retracted rows
+    vanish.  Rows from a pre-weight legacy seed count +1 each
+    (``coalesce(__w, 1)``).  None if the table has never committed.
+
+    The consolidation is one shuffle over the dest — delta-sized per
+    refresh window once :func:`consolidate_join` folds history, table-
+    sized otherwise; run consolidation on the maintenance cadence that
+    keeps the raw z-set short."""
+    df = read_snapshot(spark, dest, merge_schema=True)
+    if df is None:
+        return None
+    if _W not in df.columns:
+        return df  # never-refreshed foreign table
+    payload = [c for c in df.columns if c != _W]
+    net = (
+        df.groupBy(*payload)
+        .agg(F.sum(F.coalesce(F.col(_W), F.lit(1))).alias(_W))
+        .filter(F.col(_W) > 0)
+    )
+    return (
+        net.withColumn(
+            "__dup", F.explode(F.sequence(F.lit(1), F.col(_W).cast("int")))
+        )
+        .select(payload)
+    )
+
+
+def consolidate_join(spark: SparkSession, dest: str) -> bool:
+    """Maintenance compaction for a join z-set: overwrite ``dest`` with
+    its consolidated rows (net weight per distinct payload, zero-weight
+    rows dropped), pinned against the base manifest so a refresh racing
+    the consolidation conflicts loudly instead of losing its delta.
+    The pinned left/right versions survive via sticky meta.  Returns
+    False when the table has never committed."""
+    dest_base, _meta, dmanifest = _dest_base(dest)
+    if dmanifest is None:
+        return False
+    df = _read_pinned(spark, dest, dmanifest)
+    if df is None:
+        return False
+    if _W not in df.columns:
+        return False  # legacy seed only: nothing to fold
+    payload = [c for c in df.columns if c != _W]
+    net = (
+        df.groupBy(*payload)
+        .agg(F.sum(F.coalesce(F.col(_W), F.lit(1))).alias(_W))
+        .filter(F.col(_W) != 0)
+    )
+    _commit_guarded(net, dest, {}, dest_base, "join consolidation")
+    return True
+
+
+def verify_join(
+    spark: SparkSession,
+    left_source: str,
+    right_source: str,
+    dest: str,
+    on: list[str],
+    schema_left=None,
+    schema_right=None,
+) -> bool:
+    """Audit: :func:`read_join_view` over the maintained state ≡ the
+    full join recomputed at the SOURCE VERSIONS pinned in dest's meta
+    (multiset-exact both ways), independent of commits that landed
+    after the refresh — the join-side twin of :func:`verify_aggregate`."""
+    _base, dmeta, dmanifest = _dest_base(dest)
+    lv, rv = dmeta.get("left_version"), dmeta.get("right_version")
+    if lv is None or rv is None:
+        return dmanifest is None or not dmanifest["files"]
+    left = read_snapshot(
+        spark, left_source, schema=schema_left, version=lv,
+        merge_schema=schema_left is None,
+    )
+    right = read_snapshot(
+        spark, right_source, schema=schema_right, version=rv,
+        merge_schema=schema_right is None,
+    )
+    got = read_join_view(spark, dest)
+    if left is None or right is None:
+        return got is None or got.isEmpty()
+    expect = left.join(right, on)
+    if got is None:
+        return expect.isEmpty()
+    cols = expect.columns
+    a, b = expect.select(cols), got.select(cols)
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

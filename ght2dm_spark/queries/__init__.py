@@ -134,11 +134,12 @@ _DRIVER_VERIFIED = frozenset({
 # the two historical red rows (both root-caused and fixed), the judge's
 # named round-6 list, then never-verified names whose code changed in
 # the round-6 BIGINT alignment, then staples.  The overflow (the ~29
-# pre-round-6 names plus the five round-6 additions: t1_ivm_retraction,
-# t1_ivm_minmax_recompute, t1_ivm_join_delta, t1_stream_continuous_agg,
-# t1_stream_cdc_agg — all sim-green at sf0.01 AND sf0.1) goes in the
-# round-7 window.  Import-time assertions below keep every slot honest
-# (registered + not already green).
+# pre-round-6 names plus the round-6 additions: t1_ivm_retraction,
+# t1_ivm_minmax_recompute, t1_ivm_join_delta, t1_ivm_join_retraction,
+# t1_stream_continuous_agg, t1_stream_cdc_agg — all sim-green at
+# sf0.01 AND sf0.1) goes in the round-7 window.  Import-time
+# assertions below keep every slot honest (registered + not already
+# green).
 _LEAD = [
     "t1_grouping_sets",
     "q12_shipmode_priority",

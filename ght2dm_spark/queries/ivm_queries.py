@@ -250,7 +250,8 @@ def t1_ivm_join_delta(spark, sf_dir):
     (broadcast when small); the seed never re-joins — at 100 TB this
     is why CDC pipelines append delta joins instead of re-shuffling
     history.  Engine half: incremental.refresh_join (pinned versions,
-    append commits, delete refusal) in tests/test_incremental.py."""
+    append commits; its delete-retraction side is driven end-to-end by
+    t1_ivm_join_retraction) in tests/test_incremental.py."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
@@ -431,6 +432,108 @@ def t1_stream_cdc_agg(spark, sf_dir):
         )
         q.awaitTermination()
         out = read_aggregate_view(spark, tbl).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "t1_ivm_join_retraction",
+    oracle=f"""
+    WITH l1 AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT o_orderkey + {_SHIFT} AS o_orderkey, o_custkey
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    r1 AS (
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 11 <> 0
+    ),
+    net AS (
+        SELECT l1.o_orderkey AS okey, l1.o_custkey AS ck,
+               r1.c_mktsegment AS seg
+        FROM l1 JOIN r1 ON l1.o_custkey = r1.c_custkey
+    )
+    SELECT seg, ck % 7 AS bucket, count(*) AS n_pairs,
+           CAST(sum(ck) AS BIGINT) AS key_sum,
+           CAST(sum(okey) AS BIGINT) AS okey_sum
+    FROM net GROUP BY seg, bucket
+    """,
+)
+def t1_ivm_join_retraction(spark, sf_dir):
+    """Delete-aware join maintenance driven through the REAL engine:
+    orders and customer are committed as snapshot tables, the join view
+    is seeded by incremental.refresh_join, then one window delivers an
+    append (every 13th order re-keyed) plus merge-on-read deletes on
+    BOTH sides (every 10th orderkey; every 11th custkey) — so the
+    refresh folds all three signed delta terms, including the
+    both-sides-deleted ΔL⋈ΔR cross whose (−1)·(−1) weight must cancel
+    to the correct net.  consolidate_join then folds the z-set and
+    read_join_view nets it; the oracle joins the post-mutation sides
+    wholesale.  A hash match proves signed-weight maintenance ≡ full
+    recompute, end to end through commit/refresh/consolidate/view.
+
+    Scale: each delta term is bounded by a window delta on at least one
+    side; retraction never rescans the base (removed L rows come from
+    the footer-pruned pre-window semi-join), and the consolidation is
+    the maintenance-cadence fold that keeps the z-set delta-sized —
+    the CDC-pipeline shape at 100 TB.  Engine half: refresh_join /
+    read_join_view / consolidate_join / verify_join in
+    tests/test_incremental.py and the random-sequence property test."""
+    import shutil
+    import tempfile
+
+    from ght2dm_spark.incremental import (
+        consolidate_join,
+        read_join_view,
+        refresh_join,
+    )
+    from ght2dm_spark.snapshots import commit, delete_rows, prepare_commit
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="ght2dm-joinivm-")
+    try:
+        lsrc, rsrc, dest = f"{root}/L", f"{root}/R", f"{root}/J"
+        commit(prepare_commit(o, lsrc))
+        commit(prepare_commit(c, rsrc))
+        refresh_join(spark, lsrc, rsrc, dest, on=["o_custkey"])  # seed
+        ins = o.filter(F.col("o_orderkey") % 13 == 0).select(
+            (F.col("o_orderkey") + _SHIFT).alias("o_orderkey"), "o_custkey"
+        )
+        commit(prepare_commit(ins, lsrc, mode="append"))
+        commit(
+            delete_rows(
+                o.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey"),
+                lsrc,
+            )
+        )
+        commit(
+            delete_rows(
+                c.filter(F.col("o_custkey") % 11 == 0).select("o_custkey"),
+                rsrc,
+            )
+        )
+        refresh_join(spark, lsrc, rsrc, dest, on=["o_custkey"])
+        consolidate_join(spark, dest)
+        view = read_join_view(spark, dest)
+        out = (
+            view.select(
+                F.col("c_mktsegment").alias("seg"),
+                (F.col("o_custkey") % 7).alias("bucket"),
+                F.col("o_custkey").alias("ck"),
+                F.col("o_orderkey").alias("okey"),
+            )
+            .groupBy("seg", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("ck").alias("key_sum"),
+                F.sum("okey").alias("okey_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out

@@ -103,7 +103,7 @@ def test_refresh_join_is_incremental_and_exact(spark, sf_dir, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from ght2dm_spark.incremental import refresh_join
+    from ght2dm_spark.incremental import read_join_view, refresh_join
     from ght2dm_spark.io import load_table
     from ght2dm_spark.snapshots import commit, history, prepare_commit, read_snapshot
 
@@ -129,7 +129,7 @@ def test_refresh_join_is_incremental_and_exact(spark, sf_dir, tmp_path):
     commit(prepare_commit(c.filter(F.col("o_custkey") % 2 == 1), rsrc, mode="append"))
     assert refresh_join(spark, lsrc, rsrc, dest, on=["o_custkey"])
 
-    got = read_snapshot(spark, dest)
+    got = read_join_view(spark, dest)
     full = read_snapshot(spark, lsrc).join(read_snapshot(spark, rsrc), "o_custkey")
     assert got.count() == full.count() > 0
     cols = sorted(got.columns)
@@ -264,13 +264,20 @@ def test_legacy_state_without_maintenance_columns_rebuilds(spark, tmp_path):
     assert verify_aggregate(spark, src, dst, ["k"], aggs)
 
 
-def test_refresh_join_still_raises_on_delete_commits(spark, sf_dir, tmp_path):
-    """JOIN maintenance stays append-only: retracting a deleted row's
-    join matches needs per-output provenance the append-shaped dest
-    doesn't carry, so the refresh must refuse loudly."""
-    import pytest
-
-    from ght2dm_spark.incremental import refresh_join
+def test_refresh_join_retracts_deletes_with_signed_weights(
+    spark, sf_dir, tmp_path
+):
+    """Merge-on-read deletes on either (or both) sides fold into the
+    maintained join as −1-weighted output rows; the consolidated view
+    equals the full recompute after every window, including the
+    both-sides-deleted cross term whose (−1)·(−1) weight must cancel
+    to the correct net."""
+    from ght2dm_spark.incremental import (
+        consolidate_join,
+        read_join_view,
+        refresh_join,
+        verify_join,
+    )
     from ght2dm_spark.snapshots import delete_rows
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -285,11 +292,69 @@ def test_refresh_join_still_raises_on_delete_commits(spark, sf_dir, tmp_path):
     commit(prepare_commit(o, lsrc))
     commit(prepare_commit(c, rsrc))
     assert refresh_join(spark, lsrc, rsrc, dest, on=["o_custkey"])
+    assert verify_join(spark, lsrc, rsrc, dest, on=["o_custkey"])
+
+    def _check():
+        got = read_join_view(spark, dest)
+        full = read_snapshot(spark, lsrc).join(
+            read_snapshot(spark, rsrc), "o_custkey"
+        )
+        cols = sorted(full.columns)
+        a, b = full.select(cols), got.select(cols)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+        assert verify_join(spark, lsrc, rsrc, dest, on=["o_custkey"])
+
+    # left-side-only delete window
     commit(
-        delete_rows(spark.createDataFrame([(1,)], "o_orderkey long"), lsrc)
+        delete_rows(
+            read_snapshot(spark, lsrc)
+            .filter(F.col("o_orderkey") % 5 == 0)
+            .select("o_orderkey"),
+            lsrc,
+        )
     )
-    with pytest.raises(ValueError, match="delete commits landed"):
-        refresh_join(spark, lsrc, rsrc, dest, on=["o_custkey"])
+    assert refresh_join(spark, lsrc, rsrc, dest, on=["o_custkey"])
+    _check()
+
+    # both sides delete in ONE window — exercises the ΔL⋈ΔR (+1) term
+    surviving = read_snapshot(spark, lsrc)
+    victims_l = surviving.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey"
+    )
+    victims_r = (
+        surviving.join(victims_l, "o_orderkey")
+        .select("o_custkey")
+        .distinct()
+        .limit(20)
+    )
+    assert victims_l.count() > 0 and victims_r.count() > 0
+    commit(delete_rows(victims_l, lsrc))
+    commit(delete_rows(victims_r, rsrc))
+    assert refresh_join(spark, lsrc, rsrc, dest, on=["o_custkey"])
+    _check()
+
+    # appends and deletes sharing a window
+    commit(
+        prepare_commit(
+            spark.createDataFrame(
+                [(10**9, 1), (10**9 + 1, 2)], "o_orderkey long, o_custkey long"
+            ),
+            lsrc,
+            mode="append",
+        )
+    )
+    commit(
+        delete_rows(spark.createDataFrame([(9,)], "o_orderkey long"), lsrc)
+    )
+    assert refresh_join(spark, lsrc, rsrc, dest, on=["o_custkey"])
+    _check()
+
+    # consolidation folds the z-set without changing the view, and the
+    # pinned versions survive (verify_join still passes)
+    before = read_join_view(spark, dest).count()
+    assert consolidate_join(spark, dest)
+    assert read_join_view(spark, dest).count() == before
+    _check()
 
 
 def test_read_increment_upto_version_bounds_the_window(spark, tmp_path):
@@ -553,3 +618,106 @@ def test_sink_and_refresh_produce_identical_state(spark, sf_dir, tmp_path):
             a.select(cols).exceptAll(s.select(cols)).isEmpty()
             and s.select(cols).exceptAll(a.select(cols)).isEmpty()
         ), f"state diverged after batch {i}"
+
+
+def test_delete_window_refresh_on_schema_evolved_source(spark, tmp_path):
+    """Every read inside a delete-window refresh — including the
+    removed-rows scan — must plan the schema-evolved source at its
+    recorded/merged schema, not from one arbitrary footer: here the
+    seed file lacks the sum column and carries a narrower key type, so
+    a one-footer plan either misses ``v`` or mis-types ``k``.  The
+    audit (verify_aggregate) must plan the same way."""
+    from ght2dm_spark.snapshots import delete_rows
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    aggs = {"n": ("count", None), "s": ("sum", "v")}
+    # seed: no column v, int k
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(1, 10), (2, 10), (3, 20)], "id int, k int"),
+            src,
+        )
+    )
+    # evolution: v appears, k widens to bigint
+    commit(
+        prepare_commit(
+            spark.createDataFrame(
+                [(4, 10, 7), (5, 20, 9)], "id bigint, k bigint, v bigint"
+            ),
+            src,
+            mode="append",
+        )
+    )
+    assert refresh_aggregate(spark, src, dst, ["k"], aggs)
+    assert verify_aggregate(spark, src, dst, ["k"], aggs)
+    # a delete commit whose window refresh must semi-join the PRE-window
+    # snapshot (mixed files) with the delete keys: ids 1 (no-v file) and
+    # 4 (v-bearing file)
+    commit(delete_rows(spark.createDataFrame([(1,), (4,)], "id bigint"), src))
+    assert refresh_aggregate(spark, src, dst, ["k"], aggs)
+    assert verify_aggregate(spark, src, dst, ["k"], aggs)
+    got = {r["k"]: (r["n"], r["s"]) for r in read_snapshot(spark, dst).collect()}
+    assert got == {10: (1, None), 20: (2, 9)}
+
+
+def test_minmax_recompute_prunes_scan_to_affected_groups(spark, tmp_path):
+    """The min/max affected-group recompute passes footer-prune bounds
+    for the touched groups' key range — a delete clustered in one file's
+    range must not rescan the other files — and skips the prune on a key
+    column whose affected groups include NULL (parquet stats ignore
+    NULLs, so bounds could drop the NULL group's files)."""
+    import ght2dm_spark.incremental as inc
+    from ght2dm_spark.snapshots import delete_rows
+
+    aggs = {"n": ("count", None), "mn": ("min", "v"), "mx": ("max", "v")}
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    # two files clustered by group range, plus a NULL-group row in the
+    # second file
+    commit(
+        prepare_commit(
+            spark.createDataFrame(
+                [(1, 10, 5), (2, 10, 8), (3, 11, 2)], "id long, k long, v long"
+            ).coalesce(1),
+            src,
+        )
+    )
+    commit(
+        prepare_commit(
+            spark.createDataFrame(
+                [(4, 100, 50), (5, None, 7), (6, None, 3)],
+                "id long, k long, v long",
+            ).coalesce(1),
+            src,
+            mode="append",
+        )
+    )
+    assert refresh_aggregate(spark, src, dst, ["k"], aggs)
+
+    calls = []
+    real = inc.read_snapshot
+
+    def spy(spark_, path, **kw):
+        calls.append(kw.get("prune"))
+        return real(spark_, path, **kw)
+
+    inc.read_snapshot, orig = spy, inc.read_snapshot
+    try:
+        # delete a row of group 10 only: the recompute scan must carry
+        # prune bounds covering just k=10
+        commit(delete_rows(spark.createDataFrame([(1,)], "id long"), src))
+        assert refresh_aggregate(spark, src, dst, ["k"], aggs)
+        pruned = [p for p in calls if p and "k" in p]
+        assert pruned and pruned[-1]["k"] == (10, 10)
+        calls.clear()
+        # delete a NULL-group row: prune on k must be skipped entirely
+        commit(delete_rows(spark.createDataFrame([(5,)], "id long"), src))
+        assert refresh_aggregate(spark, src, dst, ["k"], aggs)
+        assert not [p for p in calls if p and "k" in p]
+    finally:
+        inc.read_snapshot = orig
+    assert verify_aggregate(spark, src, dst, ["k"], aggs)
+    got = {
+        r["k"]: (r["n"], r["mn"], r["mx"])
+        for r in read_snapshot(spark, dst).collect()
+    }
+    assert got == {10: (1, 8, 8), 11: (1, 2, 2), 100: (1, 50, 50), None: (1, 3, 3)}

@@ -1432,8 +1432,11 @@ def test_refresh_aggregate_random_insert_delete_sequences(
         return out
 
     def check():
-        assert refresh_aggregate(spark, src, d_arith, ["k"], A_ARITH) is not None
-        assert refresh_aggregate(spark, src, d_mm, ["k"], A_MM) is not None
+        # every check() follows a fresh source commit, so both refreshes
+        # must actually commit (return True — `is not None` would pass
+        # for a silently no-op'd False)
+        assert refresh_aggregate(spark, src, d_arith, ["k"], A_ARITH)
+        assert refresh_aggregate(spark, src, d_mm, ["k"], A_MM)
         want = model()
         df = read_snapshot(spark, d_arith)
         got_a = {} if df is None else {
@@ -1521,3 +1524,100 @@ def test_changefeed_sink_random_batches_match_model(
             if c > 0
         }
         assert got == want, f"after batch {i}"
+
+
+_jm_rows = st.lists(
+    st.integers(0, 3),  # join-key per inserted row
+    min_size=1,
+    max_size=4,
+)
+_jm_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["L", "R"]),
+        st.one_of(
+            st.tuples(st.just("append"), _jm_rows),
+            st.tuples(
+                st.just("delete"), st.lists(st.integers(0, 30), min_size=1, max_size=3)
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(first_l=_jm_rows, first_r=_jm_rows, ops=_jm_ops)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_refresh_join_random_insert_delete_sequences(
+    spark, tmp_path_factory, first_l, first_r, ops
+):
+    """Signed-weight join maintenance equals a Python-model full join
+    after EVERY window, under random append/delete sequences on both
+    sides — including duplicate join keys (output multiplicities), a
+    row deleted the window it appeared, and both sides deleting in one
+    window (the (−1)·(−1) cross term)."""
+    from ght2dm_spark.incremental import (
+        read_join_view,
+        refresh_join,
+        verify_join,
+    )
+    from ght2dm_spark.snapshots import (
+        commit,
+        delete_rows,
+        prepare_commit,
+    )
+
+    root = tmp_path_factory.mktemp("joinprop")
+    lsrc, rsrc, dest = str(root / "L"), str(root / "R"), str(root / "J")
+    live = {"L": {}, "R": {}}  # side -> id -> join key
+    next_id = {"L": 0, "R": 0}
+
+    def mkdf(side, keys):
+        rows = []
+        for k in keys:
+            i = next_id[side]
+            rows.append((i, k))
+            live[side][i] = k
+            next_id[side] += 1
+        idc = "lid" if side == "L" else "rid"
+        return spark.createDataFrame(rows, f"{idc} long, k long")
+
+    def model():
+        out = []
+        for li, lk in live["L"].items():
+            for ri, rk in live["R"].items():
+                if lk == rk:
+                    out.append((lk, li, ri))
+        return sorted(out)
+
+    def check():
+        assert refresh_join(spark, lsrc, rsrc, dest, on=["k"])
+        got = read_join_view(spark, dest)
+        rows = sorted((r["k"], r["lid"], r["rid"]) for r in got.collect())
+        assert rows == model()
+        assert verify_join(spark, lsrc, rsrc, dest, on=["k"])
+
+    commit(prepare_commit(mkdf("L", first_l), lsrc))
+    commit(prepare_commit(mkdf("R", first_r), rsrc))
+    check()
+    for side, (op, arg) in ops:
+        src = lsrc if side == "L" else rsrc
+        idc = "lid" if side == "L" else "rid"
+        if op == "append":
+            commit(prepare_commit(mkdf(side, arg), src, mode="append"))
+        else:
+            ids = sorted(live[side])
+            keys = sorted({ids[i % len(ids)] if ids else i for i in arg})
+            commit(
+                delete_rows(
+                    spark.createDataFrame([(i,) for i in keys], f"{idc} long"),
+                    src,
+                )
+            )
+            for i in keys:
+                live[side].pop(i, None)
+        check()
