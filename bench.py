@@ -151,6 +151,7 @@ HEADLINE = [
     "t1_ivm_minmax_recompute",
     "t1_ivm_join_delta",
     "t1_ivm_join_retraction",
+    "t1_stream_cdc_join",
 ]
 
 

@@ -44,7 +44,10 @@ Joins are maintained the same way (:func:`refresh_join`): the bilinear
 delta identity over SIGNED deltas — appends weigh +1, delete-removed
 rows weigh −1, weights multiply through the join — appending z-set rows
 with a hidden ``__w`` that :func:`read_join_view` nets at read time and
-:func:`consolidate_join` folds on the maintenance cadence.
+:func:`consolidate_join` folds on the maintenance cadence.  The
+streaming tier is :func:`changefeed_join_sink`: the same bilinear
+algebra per micro-batch over a combined L/R CDC feed, exactly-once
+across its three state tables by commit order.
 
 Reference scope: the reference's incremental mode skips already-loaded
 dump files (``/root/reference/ght2dm.go`` date-window scan) but
@@ -66,6 +69,8 @@ from ght2dm_spark.snapshots import (
     _read_current,
     _read_files_with_deletes,
     commit,
+    commit_stream_batch,
+    last_streamed_batch,
     prepare_commit,
     read_delete_increment,
     read_increment,
@@ -897,3 +902,116 @@ def verify_join(
     cols = expect.columns
     a, b = expect.select(cols), got.select(cols)
     return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+def changefeed_join_sink(
+    dest: str,
+    on: list[str],
+    left_cols: list[str],
+    right_cols: list[str],
+    side_col: str = "side",
+    op_col: str = "op",
+):
+    """``foreachBatch`` callable maintaining ``dest/join`` =
+    ``L INNER JOIN R ON on`` over ONE combined row-level changefeed:
+    each batch row is tagged with its relation in ``side_col`` ('L' or
+    'R') and insert/delete in ``op_col`` ('D' retracts, anything else
+    adds), carrying that side's payload columns (the other side's
+    NULL).  ``left_cols``/``right_cols`` name each side's payload
+    INCLUDING the join keys; non-key names must be disjoint.
+
+    State is three snapshot tables under ``dest``: ``left`` and
+    ``right`` hold each side's signed z-set (payload + ``__w``),
+    ``join`` holds signed join outputs read via :func:`read_join_view`.
+    Per batch the delta is the bilinear identity over the PRE-batch
+    side states — ΔJ = ΔL⋈R⁻ ∪ L⁻⋈ΔR ∪ ΔL⋈ΔR, weights multiplying —
+    and the side states are joined RAW (signed, unconsolidated):
+    bilinearity makes Σ(wΔ·wᵢ) over a row's occurrences equal
+    wΔ·(net w), so no consolidation is needed for correctness;
+    :func:`consolidate_join` folds any of the three tables on the
+    maintenance cadence.
+
+    Exactly-once across THREE tables without a transaction: every
+    commit carries the batch id (skip-at-or-below per table), and the
+    commit ORDER is join, then left, then right.  A replayed batch
+    therefore always evaluates its delta against side states the
+    original attempt had not yet advanced — crash before the join
+    commit redoes everything against unchanged states; crash after it
+    skips the join and only re-appends the side deltas, which are
+    derived from the redelivered batch alone.  Empty deltas still
+    commit, so the watermarks advance in lockstep.
+
+    At 100 TB/day this is the streaming tier of join maintenance: the
+    nightly :func:`refresh_join` over snapshot deltas and this
+    per-batch merge maintain the same view — no base re-join ever, the
+    feed carries retracted values, and each batch costs three joins
+    bounded by the batch on at least one side."""
+    dup = sorted(
+        (set(left_cols) & set(right_cols)) - set(on)
+    )
+    if dup:
+        raise ValueError(
+            f"non-key columns shared by both sides: {dup} — the join "
+            "output cannot carry two columns of one name"
+        )
+    missing = [k for k in on if k not in left_cols or k not in right_cols]
+    if missing:
+        raise ValueError(f"join key(s) {missing} must appear in both sides' columns")
+
+    jtbl = str(Path(dest) / "join")
+    ltbl = str(Path(dest) / "left")
+    rtbl = str(Path(dest) / "right")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
+        dl = (
+            batch_df.filter(F.col(side_col) == "L")
+            .select(*left_cols, w.alias("__wl"))
+        )
+        dr = (
+            batch_df.filter(F.col(side_col) == "R")
+            .select(*right_cols, w.alias("__wr"))
+        )
+        last_j = last_streamed_batch(jtbl)
+        if last_j is None or int(batch_id) > int(last_j):
+            # PRE-batch side states: the side commits below happen after
+            # this read, and a replay that skips this branch never
+            # re-reads them — the ordering that makes the identity exact
+            lc = read_snapshot(spark, ltbl, merge_schema=True)
+            rc = read_snapshot(spark, rtbl, merge_schema=True)
+            def _as(df, wcol):
+                return df.withColumnRenamed(_W, wcol) if df is not None else None
+            lc, rc = _as(lc, "__wl"), _as(rc, "__wr")
+
+            def _weigh(term: DataFrame) -> DataFrame:
+                wexpr = F.lit(1)
+                for c in ("__wl", "__wr"):
+                    if c in term.columns:
+                        wexpr = wexpr * F.col(c)
+                return term.withColumn(_W, wexpr).drop("__wl", "__wr")
+
+            out_cols = (
+                list(on)
+                + [c for c in left_cols if c not in on]
+                + [c for c in right_cols if c not in on]
+                + [_W]
+            )
+            parts = []
+            if rc is not None:
+                parts.append(_weigh(dl.join(rc, on)))
+            if lc is not None:
+                parts.append(_weigh(lc.join(dr, on)))
+            parts.append(_weigh(dl.join(dr, on)))
+            delta = parts[0].select(out_cols)
+            for x in parts[1:]:
+                delta = delta.unionByName(x.select(out_cols))
+            commit_stream_batch(delta, jtbl, batch_id)
+        commit_stream_batch(
+            dl.withColumnRenamed("__wl", _W), ltbl, batch_id
+        )
+        commit_stream_batch(
+            dr.withColumnRenamed("__wr", _W), rtbl, batch_id
+        )
+
+    return _sink
+

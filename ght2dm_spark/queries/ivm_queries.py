@@ -537,3 +537,132 @@ def t1_ivm_join_retraction(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "t1_stream_cdc_join",
+    oracle=f"""
+    WITH l1 AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderkey % 10 <> 0 AND o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey + 1 AS o_custkey
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    r1 AS (
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 11 <> 0
+    ),
+    net AS (
+        SELECT l1.o_orderkey AS okey, l1.o_custkey AS ck,
+               r1.c_mktsegment AS seg
+        FROM l1 JOIN r1 ON l1.o_custkey = r1.c_custkey
+    )
+    SELECT seg, ck % 7 AS bucket, count(*) AS n_pairs,
+           CAST(sum(ck) AS BIGINT) AS key_sum,
+           CAST(sum(okey) AS BIGINT) AS okey_sum
+    FROM net GROUP BY seg, bucket
+    """,
+)
+def t1_stream_cdc_join(spark, sf_dir):
+    """Streaming join maintenance as a REAL streaming job: a combined
+    CDC feed over orders (L) and customer (R) — every row inserted,
+    every 13th order UPDATED to the next custkey (delete before-image +
+    insert after-image), every remaining 10th order and every 11th
+    customer deleted WITH values — is shuffled across four parquet
+    files and streamed with maxFilesPerTrigger=1, so partners, their
+    retractions, and updates arrive in ARBITRARY batch order.
+    incremental.changefeed_join_sink folds each batch in via the
+    bilinear identity against the pre-batch side states (three
+    exactly-once commits per batch: join, left, right), and
+    read_join_view nets the signed outputs.  The oracle joins the net
+    row sets wholesale — a hash match proves the per-batch signed
+    delta joins compose to the batch recompute regardless of arrival
+    order.
+
+    Scale: per trigger, three joins bounded by the batch on at least
+    one side; no base re-join ever (the feed carries retracted
+    values) — the CDC-join shape at 100 TB/day."""
+    import shutil
+    import tempfile
+
+    from ght2dm_spark.incremental import changefeed_join_sink, read_join_view
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    k = F.col("o_orderkey")
+    l_ins = o.select(
+        F.lit("L").alias("side"), F.lit("I").alias("op"),
+        "o_orderkey", "o_custkey", F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    upd_old = o.filter(k % 13 == 0).select(
+        F.lit("L").alias("side"), F.lit("D").alias("op"),
+        "o_orderkey", "o_custkey", F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    upd_new = o.filter(k % 13 == 0).select(
+        F.lit("L").alias("side"), F.lit("I").alias("op"),
+        "o_orderkey", (F.col("o_custkey") + 1).alias("o_custkey"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    l_del = o.filter((k % 10 == 0) & (k % 13 != 0)).select(
+        F.lit("L").alias("side"), F.lit("D").alias("op"),
+        "o_orderkey", "o_custkey", F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    r_ins = c.select(
+        F.lit("R").alias("side"), F.lit("I").alias("op"),
+        F.lit(None).cast("long").alias("o_orderkey"), "o_custkey", "c_mktsegment",
+    )
+    r_del = c.filter(F.col("o_custkey") % 11 == 0).select(
+        F.lit("R").alias("side"), F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("o_orderkey"), "o_custkey", "c_mktsegment",
+    )
+    feed = (
+        l_ins.unionByName(upd_old).unionByName(upd_new)
+        .unionByName(l_del).unionByName(r_ins).unionByName(r_del)
+    )
+
+    root = tempfile.mkdtemp(prefix="ght2dm-cdcjoin-")
+    try:
+        src, dest = f"{root}/feed", f"{root}/state"
+        feed.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "side string, op string, o_orderkey long, "
+                "o_custkey long, c_mktsegment string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                changefeed_join_sink(
+                    dest, on=["o_custkey"],
+                    left_cols=["o_custkey", "o_orderkey"],
+                    right_cols=["o_custkey", "c_mktsegment"],
+                )
+            )
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        view = read_join_view(spark, f"{dest}/join")
+        out = (
+            view.select(
+                F.col("c_mktsegment").alias("seg"),
+                (F.col("o_custkey") % 7).alias("bucket"),
+                F.col("o_custkey").alias("ck"),
+                F.col("o_orderkey").alias("okey"),
+            )
+            .groupBy("seg", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("ck").alias("key_sum"),
+                F.sum("okey").alias("okey_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

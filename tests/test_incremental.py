@@ -721,3 +721,67 @@ def test_minmax_recompute_prunes_scan_to_affected_groups(spark, tmp_path):
         for r in read_snapshot(spark, dst).collect()
     }
     assert got == {10: (1, 8, 8), 11: (1, 2, 2), 100: (1, 50, 50), None: (1, 3, 3)}
+
+
+
+def test_changefeed_join_sink_out_of_order_and_replay(spark, tmp_path):
+    """The combined-feed join sink is exact under arbitrary batch
+    arrival order (an R partner arriving before its L row, a delete
+    racing its insert), idempotent under batch replay, and its view
+    equals the net join after every batch."""
+    from ght2dm_spark.incremental import changefeed_join_sink, read_join_view
+
+    dest = str(tmp_path / "cj")
+    sink = changefeed_join_sink(
+        dest, on=["k"], left_cols=["k", "lid"], right_cols=["k", "tag"]
+    )
+    SCHEMA = "side string, op string, k long, lid long, tag string"
+
+    def b(rows):
+        return spark.createDataFrame(rows, SCHEMA)
+
+    # batch 0: L rows for keys 1,2 (no partners yet) + R row for key 3
+    sink(b([("L", "I", 1, 10, None), ("L", "I", 2, 20, None),
+            ("R", "I", 3, None, "c")]), 0)
+    assert read_join_view(spark, f"{dest}/join").count() == 0
+    # batch 1: partners arrive out of order; plus L row for key 3
+    sink(b([("R", "I", 1, None, "a"), ("R", "I", 2, None, "b"),
+            ("L", "I", 3, 30, None)]), 1)
+    got = {
+        (r["k"], r["lid"], r["tag"])
+        for r in read_join_view(spark, f"{dest}/join").collect()
+    }
+    assert got == {(1, 10, "a"), (2, 20, "b"), (3, 30, "c")}
+    # batch 2: delete L(2) and R(1) in one batch; duplicate L insert on 3
+    sink(b([("L", "D", 2, 20, None), ("R", "D", 1, None, "a"),
+            ("L", "I", 3, 31, None)]), 2)
+    got = sorted(
+        (r["k"], r["lid"], r["tag"])
+        for r in read_join_view(spark, f"{dest}/join").collect()
+    )
+    assert got == [(3, 30, "c"), (3, 31, "c")]
+    # replay batch 2 (same id): state unchanged
+    sink(b([("L", "D", 2, 20, None), ("R", "D", 1, None, "a"),
+            ("L", "I", 3, 31, None)]), 2)
+    again = sorted(
+        (r["k"], r["lid"], r["tag"])
+        for r in read_join_view(spark, f"{dest}/join").collect()
+    )
+    assert again == got
+
+
+def test_changefeed_join_sink_rejects_colliding_columns(spark, tmp_path):
+    import pytest
+
+    from ght2dm_spark.incremental import changefeed_join_sink
+
+    with pytest.raises(ValueError, match="shared by both sides"):
+        changefeed_join_sink(
+            str(tmp_path / "x"), on=["k"],
+            left_cols=["k", "v"], right_cols=["k", "v"],
+        )
+    with pytest.raises(ValueError, match="must appear in both"):
+        changefeed_join_sink(
+            str(tmp_path / "x"), on=["k"],
+            left_cols=["k", "a"], right_cols=["b"],
+        )

@@ -1621,3 +1621,63 @@ def test_refresh_join_random_insert_delete_sequences(
             for i in keys:
                 live[side].pop(i, None)
         check()
+
+
+_cj_batch = st.lists(
+    st.tuples(
+        st.sampled_from(["L", "R"]),
+        st.sampled_from(["I", "D"]),
+        st.integers(0, 2),          # join key
+        st.integers(0, 3),          # payload tag
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(batches=st.lists(_cj_batch, min_size=1, max_size=4))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_changefeed_join_random_batches_match_model(
+    spark, tmp_path_factory, batches
+):
+    """The combined-feed join sink over ARBITRARY signed batches equals
+    a Python z-set model after every batch: net-positive (L-row, R-row)
+    weight products at their multiplicity, regardless of arrival order
+    and of retractions preceding their inserts."""
+    from collections import Counter
+
+    from ght2dm_spark.incremental import changefeed_join_sink, read_join_view
+
+    dest = str(tmp_path_factory.mktemp("cjprop") / "t")
+    sink = changefeed_join_sink(
+        dest, on=["k"], left_cols=["k", "lv"], right_cols=["k", "rv"]
+    )
+    lw: Counter = Counter()
+    rw: Counter = Counter()
+    SCHEMA = "side string, op string, k long, lv long, rv long"
+    for i, batch in enumerate(batches):
+        rows = [
+            ("L", op, k, v, None) if side == "L" else ("R", op, k, None, v)
+            for side, op, k, v in batch
+        ]
+        sink(spark.createDataFrame(rows, SCHEMA), i)
+        for side, op, k, v in batch:
+            d = 1 if op == "I" else -1
+            (lw if side == "L" else rw)[(k, v)] += d
+        want = Counter()
+        for (lk, lv), a in lw.items():
+            for (rk, rv), b in rw.items():
+                if lk == rk and a * b != 0:
+                    want[(lk, lv, rv)] += a * b
+        expect = sorted(
+            key for key, n in want.items() for _ in range(n) if n > 0
+        )
+        got = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in read_join_view(spark, f"{dest}/join").collect()
+        )
+        assert got == expect
