@@ -94,6 +94,16 @@ _CNT = "__cnt"
 #: carries +1 (joined in) or −1 (retracted); the view nets them.
 _W = "__w"
 
+#: max distinct keys collected driver-side for IN-predicate pushdown
+#: (_key_prune) — past this, only the (cheaper, coarser) min/max footer
+#: prune applies.  Measured (tools/prof_ivm.py): 10 keys at 18M rows
+#: cut the retraction scan 2.7s → 0.6s (row-group stats), 100 keys
+#: stayed neutral at 1.5M rows, but ~1,500 literals cost MORE than the
+#: scan they saved (1.5-3s of plan/filter overhead) — large uniform
+#: key sets are better served by the plain scan.  256 keeps the
+#: pushdown on the point-delete shape it exists for.
+_PUSHDOWN_CAP = 256
+
 
 def _nn(out: str) -> str:
     return f"__nn_{out}"
@@ -194,40 +204,62 @@ def _removed_rows(
     visible at ``last`` (window deletes apply to every pre-window file;
     rows inserted and deleted inside the window never surface from
     read_increment), so they are exactly the pre-window snapshot
-    semi-joined with the new delete keys.  The scan is footer-stat
-    pruned to the delete keys' min/max per key column — the delete key
-    frame is delta-sized, so the bounds probe is a bounded metadata
-    collect (one row), and at 100 TB the prune is what keeps a
-    ten-key delete from scanning the table."""
+    semi-joined with the new delete keys.  Two prune layers, one
+    bounded driver action for both (delete sets are delta-sized):
+    file-level footer min/max bounds via the manifest, and — when the
+    distinct key set fits ``_PUSHDOWN_CAP`` — per-column IN predicates
+    pushed into the parquet scan, where ROW-GROUP stats, dictionaries,
+    and bloom filters (``prepare_commit(bloom_cols=...)`` tables) skip
+    at a granularity file-level stats cannot.  That second layer is
+    what bounds a uniformly-spread delete-key set, which defeats range
+    pruning by construction (every file's range straddles the keys).
+    The exact semi-join stays: the IN lists are per-column supersets
+    of the conjunctive key tuples."""
     key_cols = list(dkeys.columns)
     dk = dkeys.distinct()
-    bounds = dk.agg(
-        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(key_cols)],
-        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(key_cols)],
-    ).first()
-    prune = {
-        c: (bounds[f"lo_{i}"], bounds[f"hi_{i}"])
-        for i, c in enumerate(key_cols)
-        if bounds[f"lo_{i}"] is not None
-    }
+    prune, in_lists = _key_prune(dk, null_keys_match=False)
     base = read_snapshot(
-        spark, source, schema=schema, version=last, prune=prune or None,
+        spark, source, schema=schema, version=last, prune=prune,
         merge_schema=merge_schema,
     )
     if base is None:
         return None
+    if in_lists:
+        for c, vals in in_lists.items():
+            base = base.filter(F.col(c).isin(vals))
     return base.join(dk, on=key_cols, how="leftsemi")
 
 
-def _group_prune(affected: DataFrame) -> dict | None:
-    """Footer-prune bounds for the affected GROUP keys: min/max per key
-    column, from a delta-sized frame (one bounded one-row collect).  A
-    column with a NULL among the affected keys is skipped — groupBy
-    keeps NULL as a real group but parquet footer stats ignore NULLs,
-    so bounds-pruning on that column could drop the very files holding
-    the NULL-keyed group's rows."""
-    cols = affected.columns
-    row = affected.agg(
+def _key_prune(
+    keys_df: DataFrame, null_keys_match: bool
+) -> tuple[dict | None, dict[str, list] | None]:
+    """Both prune layers for a delta-sized key frame, from ONE bounded
+    driver action: (file-level footer min/max bounds, per-column IN
+    lists for scan pushdown) — the IN lists are what bound a
+    uniformly-spread key set that defeats range pruning, letting
+    row-group stats / dictionaries / bloom filters skip inside files.
+    Past ``_PUSHDOWN_CAP`` distinct keys, falls back to bounds only.
+
+    ``null_keys_match`` is the semantic switch: group keys (eqNullSafe
+    joins) treat NULL as a real key, so a column containing NULL can
+    neither bounds-prune (parquet stats ignore NULLs) nor IN-filter
+    (isin never matches NULL) — it is skipped entirely.  Delete keys
+    (plain joins) never match NULL, so NULL values just drop from the
+    lists."""
+    cols = keys_df.columns
+    head = keys_df.limit(_PUSHDOWN_CAP + 1).collect()
+    if len(head) <= _PUSHDOWN_CAP:
+        prune: dict = {}
+        in_lists: dict[str, list] = {}
+        for c in cols:
+            vals = [r[c] for r in head]
+            nn = [v for v in vals if v is not None]
+            if not nn or (null_keys_match and len(nn) < len(vals)):
+                continue
+            prune[c] = (min(nn), max(nn))
+            in_lists[c] = nn
+        return prune or None, in_lists or None
+    row = keys_df.agg(
         *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(cols)],
         *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(cols)],
         *[
@@ -236,13 +268,14 @@ def _group_prune(affected: DataFrame) -> dict | None:
         ],
     ).first()
     if row is None:
-        return None
+        return None, None
     prune = {
         c: (row[f"lo_{i}"], row[f"hi_{i}"])
         for i, c in enumerate(cols)
-        if row[f"lo_{i}"] is not None and not row[f"null_{i}"]
+        if row[f"lo_{i}"] is not None
+        and not (null_keys_match and row[f"null_{i}"])
     }
-    return prune or None
+    return prune or None, None
 
 
 def _tip_seq(path: str) -> int | None:
@@ -397,13 +430,19 @@ def refresh_aggregate(
             affected, _key_cond(merged, affected, keys), "left_anti"
         )
         # the recompute only needs the affected groups' rows — prune the
-        # scan to their key range via the manifest footer stats, exactly
-        # like _removed_rows does for the delete keys (without it, a
-        # ten-key delete on a min/max view re-scans the whole table)
+        # scan to their key range via the manifest footer stats AND push
+        # the keys into the scan as IN predicates (row-group/bloom
+        # skipping), exactly like _removed_rows does for delete keys
+        # (without it, a ten-key delete on a min/max view re-scans the
+        # whole table)
+        gprune, gins = _key_prune(affected, null_keys_match=True)
         cur = read_snapshot(
             spark, source, schema=schema, version=src_version,
-            merge_schema=ms, prune=_group_prune(affected),
+            merge_schema=ms, prune=gprune,
         )
+        if cur is not None and gins:
+            for c, vals in gins.items():
+                cur = cur.filter(F.col(c).isin(vals))
         if cur is not None:
             hit = cur.join(
                 affected, _key_cond(cur, affected, keys), "leftsemi"

@@ -280,7 +280,7 @@ def _max_staged_seq(table: Path) -> int:
 
 def _stage_data_files(
     df: DataFrame, table: Path, commit_id: str, tag: str = "",
-    collect_stats: bool = True,
+    collect_stats: bool = True, bloom_cols: list[str] | None = None,
 ) -> tuple[list[str], dict[str, dict]]:
     """Write ``df`` as parquet under commit-scoped names in data/,
     fsyncing EVERY data file and then the directory before returning —
@@ -288,9 +288,20 @@ def _stage_data_files(
     is fsynced; if the data blocks were not, a power loss after the
     pointer flip would leave a live snapshot referencing truncated
     files, violating the kill-at-any-point contract).  Returns
-    (file names, footer stats per name)."""
+    (file names, footer stats per name).
+
+    ``bloom_cols`` turns on parquet BLOOM FILTERS for those columns
+    (``parquet.bloom.filter.enabled#col``): executor-side, written into
+    each file's footer, and consumed automatically by Spark's reader
+    for pushed-down = / IN predicates — the point-lookup complement to
+    the manifest's min/max stats when keys are NOT clustered (a
+    uniformly-spread delete-key set defeats range pruning; blooms still
+    skip the row groups that cannot hold the keys)."""
     staging = table / f"_staging-{commit_id}"
-    df.write.mode("overwrite").parquet(str(staging))
+    writer = df.write.mode("overwrite")
+    for c in bloom_cols or ():
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.parquet(str(staging))
     names: list[str] = []
     stats: dict[str, dict] = {}
     for i, part in enumerate(sorted(staging.glob("*.parquet"))):
@@ -312,6 +323,7 @@ def prepare_commit(
     mode: str = "overwrite",
     parent: str | None = None,
     meta: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> PreparedCommit:
     """Stage a new snapshot of ``path`` from ``df`` without publishing it.
 
@@ -425,7 +437,9 @@ def prepare_commit(
         new_schema = {**new_schema, **merged_types}
 
     commit_id = uuid.uuid4().hex[:12]
-    new_files, new_stats = _stage_data_files(df, table, commit_id)
+    new_files, new_stats = _stage_data_files(
+        df, table, commit_id, bloom_cols=bloom_cols
+    )
     stats = {**parent_stats, **new_stats}
 
     manifest = {

@@ -785,3 +785,61 @@ def test_changefeed_join_sink_rejects_colliding_columns(spark, tmp_path):
             str(tmp_path / "x"), on=["k"],
             left_cols=["k", "a"], right_cols=["b"],
         )
+
+
+def test_removed_rows_pushes_delete_keys_into_the_scan(spark, tmp_path):
+    """The retraction scan carries the delete keys as a pushed IN
+    predicate (row-group/dictionary/bloom skipping inside files) in
+    addition to the manifest-level footer prune — the layer that still
+    bounds a uniformly-spread key set, which defeats range pruning by
+    construction."""
+    from ght2dm_spark.incremental import _removed_rows
+    from ght2dm_spark.snapshots import delete_rows
+
+    src = str(tmp_path / "src")
+    rows = [(i, i % 5) for i in range(1000)]
+    commit(
+        prepare_commit(
+            spark.createDataFrame(rows, "id long, g long"), src,
+            bloom_cols=["id"],
+        )
+    )
+    # uniformly spread keys: min/max covers the whole range
+    commit(
+        delete_rows(
+            spark.createDataFrame([(3,), (505,), (997,)], "id long"), src
+        )
+    )
+    removed = _removed_rows(
+        spark, src, last=0,  # the seed commit's seq (pre-delete)
+        dkeys=spark.createDataFrame([(3,), (505,), (997,)], "id long"),
+        schema=None, merge_schema=True,
+    )
+    plan = removed._sc._jvm.PythonSQLUtils.explainString(
+        removed._jdf.queryExecution(), "formatted"
+    )
+    assert "In(id" in plan  # pushed to the parquet scan
+    assert {r["id"] for r in removed.collect()} == {3, 505, 997}
+
+
+def test_bloom_cols_are_written_to_data_files(spark, tmp_path):
+    """prepare_commit(bloom_cols=...) turns on parquet bloom filters:
+    same data, visibly larger file (the bloom lives in the footer
+    region), and the table reads back identically."""
+    import os
+
+    t_plain, t_bloom = str(tmp_path / "p"), str(tmp_path / "b")
+    df = spark.range(0, 200_000).selectExpr("id", "id % 97 AS g").coalesce(1)
+    commit(prepare_commit(df, t_plain))
+    commit(prepare_commit(df, t_bloom, bloom_cols=["id"]))
+
+    def _bytes(t):
+        d = os.path.join(t, "data")
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert _bytes(t_bloom) > _bytes(t_plain) + 100_000
+    assert read_snapshot(spark, t_bloom).count() == 200_000
