@@ -304,12 +304,15 @@ def _dest_base(dest: str) -> tuple[str | None, dict, dict | None]:
     return name, m.get("meta", {}), m
 
 
-def _read_pinned(spark, path: str, manifest: dict, schema=None):
+def _read_pinned(
+    spark, path: str, manifest: dict, schema=None, merge_schema: bool = False
+):
     files = [str(Path(path) / _DATA / f) for f in manifest["files"]]
     if not files:
         return None
     return _read_files_with_deletes(
-        spark, Path(path), manifest, files, schema=schema
+        spark, Path(path), manifest, files, schema=schema,
+        merge_schema=merge_schema,
     )
 
 
@@ -425,7 +428,14 @@ def refresh_aggregate(
     # from the current snapshot; everything else merges arithmetically
     merged = _merge_frames(frames, keys, aggs)
     if removed is not None:
-        affected = removed.select(*keys).distinct()
+        # materialize once: affected embeds the pruned removed-rows
+        # scan, and it is consumed three times (pushdown collect,
+        # anti-join, recompute semi-join) — without the checkpoint each
+        # use re-executes that scan; the frame itself is delta-bounded
+        # (distinct group keys of the removed rows)
+        affected = (
+            removed.select(*keys).distinct().localCheckpoint(eager=True)
+        )
         merged = merged.join(
             affected, _key_cond(merged, affected, keys), "left_anti"
         )
@@ -701,6 +711,54 @@ def read_aggregate_view(spark: SparkSession, dest: str) -> DataFrame | None:
     return df.select([c for c in cols if not c.startswith("__")])
 
 
+#: weight columns the join machinery owns — a payload column by one of
+#: these names would be silently clobbered by withColumn, corrupting
+#: multiplicities; every source/feed read fails loudly instead.
+_RESERVED_W = ("__w", "__wl", "__wr")
+
+
+def _check_no_reserved(df: DataFrame, what: str) -> None:
+    bad = sorted(set(df.columns) & set(_RESERVED_W))
+    if bad:
+        raise ValueError(
+            f"{what} carries reserved weight column(s) {bad} — rename "
+            "them; the join maintenance machinery owns __w/__wl/__wr"
+        )
+
+
+def _weigh(term: DataFrame) -> DataFrame:
+    """Collapse per-side signed weights into one ``__w`` (product) —
+    shared by the batch refresh and the streaming sink so the weight
+    semantics cannot drift between tiers."""
+    w = F.lit(1)
+    for c in ("__wl", "__wr"):
+        if c in term.columns:
+            w = w * F.col(c)
+    return term.withColumn(_W, w).drop("__wl", "__wr")
+
+
+def _net_join(df: DataFrame) -> tuple[DataFrame, list[str]]:
+    """Consolidate a join z-set: net weight per distinct payload row
+    (legacy weightless rows count +1).  Returns (net frame, payload
+    column list); callers apply their own weight policy filter."""
+    payload = [c for c in df.columns if c != _W]
+    net = df.groupBy(*payload).agg(
+        F.sum(F.coalesce(F.col(_W), F.lit(1))).alias(_W)
+    )
+    return net, payload
+
+
+def _expand_view(net: DataFrame, payload: list[str]) -> DataFrame:
+    """Net-positive rows at their multiplicity, weight dropped."""
+    return (
+        net.filter(F.col(_W) > 0)
+        .withColumn(
+            "__dup", F.explode(F.sequence(F.lit(1), F.col(_W).cast("int")))
+        )
+        .select(payload)
+    )
+
+
 def refresh_join(
     spark: SparkSession,
     left_source: str,
@@ -762,6 +820,8 @@ def refresh_join(
         )
         if left is None or right is None:
             return False
+        _check_no_reserved(left, left_source)
+        _check_no_reserved(right, right_source)
         _commit_guarded(
             left.join(right, on).withColumn(_W, F.lit(1)),
             dest, {"left_version": lv, "right_version": rv}, dest_base,
@@ -774,7 +834,10 @@ def refresh_join(
 
     def _signed_delta(source, last, upto, schema, wcol):
         """Appends (+1) ∪ removed rows (−1) for one side's window, or
-        None when the side has neither."""
+        None when the side has neither.  allowMissingColumns: a
+        schema-evolving append shares the window with a delete — the
+        appended frame carries the new column, the pre-window removed
+        rows cannot; they surface NULL for it, the merge-schema rule."""
         if upto == last:
             return None
         ms = schema is None
@@ -784,6 +847,7 @@ def refresh_join(
             upto_version=upto, merge_schema=ms,
         )
         if added is not None:
+            _check_no_reserved(added, source)
             parts.append(added.withColumn(wcol, F.lit(1)))
         dkeys = read_delete_increment(spark, source, last, upto_version=upto)
         if dkeys is not None:
@@ -796,7 +860,7 @@ def refresh_join(
             return None
         out = parts[0]
         for x in parts[1:]:
-            out = out.unionByName(x)
+            out = out.unionByName(x, allowMissingColumns=True)
         return out
 
     dl = _signed_delta(left_source, last_lv, lv, schema_left, "__wl")
@@ -821,14 +885,6 @@ def refresh_join(
         else None
     )
 
-    def _weigh(term: DataFrame) -> DataFrame:
-        cols = term.columns
-        w = F.lit(1)
-        for c in ("__wl", "__wr"):
-            if c in cols:
-                w = w * F.col(c)
-        return term.withColumn(_W, w).drop("__wl", "__wr")
-
     parts = []
     if dl is not None and r0 is not None:
         parts.append(_weigh(dl.join(r0, on)))
@@ -840,7 +896,10 @@ def refresh_join(
         return False
     delta = parts[0]
     for x in parts[1:]:
-        delta = delta.unionByName(x)
+        # terms can disagree on columns when only one side evolved in
+        # the window (dl carries the new column, l0 does not) — missing
+        # columns surface NULL, the merge-schema rule
+        delta = delta.unionByName(x, allowMissingColumns=True)
     p = prepare_commit(
         delta,
         dest,
@@ -868,18 +927,8 @@ def read_join_view(spark: SparkSession, dest: str) -> DataFrame | None:
         return None
     if _W not in df.columns:
         return df  # never-refreshed foreign table
-    payload = [c for c in df.columns if c != _W]
-    net = (
-        df.groupBy(*payload)
-        .agg(F.sum(F.coalesce(F.col(_W), F.lit(1))).alias(_W))
-        .filter(F.col(_W) > 0)
-    )
-    return (
-        net.withColumn(
-            "__dup", F.explode(F.sequence(F.lit(1), F.col(_W).cast("int")))
-        )
-        .select(payload)
-    )
+    net, payload = _net_join(df)
+    return _expand_view(net, payload)
 
 
 def consolidate_join(spark: SparkSession, dest: str) -> bool:
@@ -892,18 +941,19 @@ def consolidate_join(spark: SparkSession, dest: str) -> bool:
     dest_base, _meta, dmanifest = _dest_base(dest)
     if dmanifest is None:
         return False
-    df = _read_pinned(spark, dest, dmanifest)
+    # merge_schema: delta appends evolve the dest's schema (a source
+    # column added mid-history); planning from one arbitrary footer
+    # here would overwrite-commit the table WITHOUT the evolved column
+    # — permanent loss through a maintenance op
+    df = _read_pinned(spark, dest, dmanifest, merge_schema=True)
     if df is None:
         return False
     if _W not in df.columns:
         return False  # legacy seed only: nothing to fold
-    payload = [c for c in df.columns if c != _W]
-    net = (
-        df.groupBy(*payload)
-        .agg(F.sum(F.coalesce(F.col(_W), F.lit(1))).alias(_W))
-        .filter(F.col(_W) != 0)
+    net, _payload = _net_join(df)
+    _commit_guarded(
+        net.filter(F.col(_W) != 0), dest, {}, dest_base, "join consolidation"
     )
-    _commit_guarded(net, dest, {}, dest_base, "join consolidation")
     return True
 
 
@@ -916,10 +966,14 @@ def verify_join(
     schema_left=None,
     schema_right=None,
 ) -> bool:
-    """Audit: :func:`read_join_view` over the maintained state ≡ the
-    full join recomputed at the SOURCE VERSIONS pinned in dest's meta
+    """Audit: the netted view over the maintained state ≡ the full join
+    recomputed at the SOURCE VERSIONS pinned in dest's meta
     (multiset-exact both ways), independent of commits that landed
-    after the refresh — the join-side twin of :func:`verify_aggregate`."""
+    after the refresh — the join-side twin of :func:`verify_aggregate`.
+    The audited rows come from the SAME pinned manifest as the
+    versions (one _dest_base resolution), not a second CURRENT read —
+    a refresh landing mid-audit must not page anyone on a healthy
+    table."""
     _base, dmeta, dmanifest = _dest_base(dest)
     lv, rv = dmeta.get("left_version"), dmeta.get("right_version")
     if lv is None or rv is None:
@@ -932,7 +986,18 @@ def verify_join(
         spark, right_source, schema=schema_right, version=rv,
         merge_schema=schema_right is None,
     )
-    got = read_join_view(spark, dest)
+    state = (
+        _read_pinned(spark, dest, dmanifest, merge_schema=True)
+        if dmanifest is not None
+        else None
+    )
+    got = None
+    if state is not None:
+        if _W in state.columns:
+            net, payload = _net_join(state)
+            got = _expand_view(net, payload)
+        else:
+            got = state
     if left is None or right is None:
         return got is None or got.isEmpty()
     expect = left.join(right, on)
@@ -995,6 +1060,19 @@ def changefeed_join_sink(
     missing = [k for k in on if k not in left_cols or k not in right_cols]
     if missing:
         raise ValueError(f"join key(s) {missing} must appear in both sides' columns")
+    payload = set(left_cols) | set(right_cols)
+    reserved = sorted(payload & set(_RESERVED_W))
+    if reserved:
+        raise ValueError(
+            f"payload column(s) {reserved} collide with the reserved "
+            "weight names __w/__wl/__wr — rename them"
+        )
+    tags = sorted({side_col, op_col} & payload)
+    if tags:
+        raise ValueError(
+            f"side/op tag column(s) {tags} also appear in the payload "
+            "columns — the feed tags are consumed, not joined"
+        )
 
     jtbl = str(Path(dest) / "join")
     ltbl = str(Path(dest) / "left")
@@ -1021,14 +1099,6 @@ def changefeed_join_sink(
             def _as(df, wcol):
                 return df.withColumnRenamed(_W, wcol) if df is not None else None
             lc, rc = _as(lc, "__wl"), _as(rc, "__wr")
-
-            def _weigh(term: DataFrame) -> DataFrame:
-                wexpr = F.lit(1)
-                for c in ("__wl", "__wr"):
-                    if c in term.columns:
-                        wexpr = wexpr * F.col(c)
-                return term.withColumn(_W, wexpr).drop("__wl", "__wr")
-
             out_cols = (
                 list(on)
                 + [c for c in left_cols if c not in on]

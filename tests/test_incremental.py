@@ -843,3 +843,95 @@ def test_bloom_cols_are_written_to_data_files(spark, tmp_path):
 
     assert _bytes(t_bloom) > _bytes(t_plain) + 100_000
     assert read_snapshot(spark, t_bloom).count() == 200_000
+
+
+def test_refresh_join_and_consolidate_on_schema_evolved_source(
+    spark, tmp_path
+):
+    """A window that both evolves a side's schema (new column) and
+    deletes a pre-window row must refresh (the signed delta unions
+    frames planned at different schemas — missing columns surface
+    NULL), and consolidation must plan the evolved dest at its merged
+    schema: an overwrite that planned from one old footer would
+    permanently drop the evolved column."""
+    from ght2dm_spark.incremental import (
+        consolidate_join,
+        read_join_view,
+        refresh_join,
+        verify_join,
+    )
+    from ght2dm_spark.snapshots import delete_rows
+
+    lsrc, rsrc, dest = (
+        str(tmp_path / "L"), str(tmp_path / "R"), str(tmp_path / "J"),
+    )
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, lid long"),
+            lsrc,
+        )
+    )
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string"),
+            rsrc,
+        )
+    )
+    assert refresh_join(spark, lsrc, rsrc, dest, on=["k"])
+    # one window: append with NEW column extra + delete a pre-window row
+    commit(
+        prepare_commit(
+            spark.createDataFrame(
+                [(1, 11, 7)], "k long, lid long, extra long"
+            ),
+            lsrc,
+            mode="append",
+        )
+    )
+    commit(delete_rows(spark.createDataFrame([(20,)], "lid long"), lsrc))
+    assert refresh_join(spark, lsrc, rsrc, dest, on=["k"])
+    assert verify_join(spark, lsrc, rsrc, dest, on=["k"])
+
+    def _rows():
+        return sorted(
+            (r["k"], r["lid"], r["extra"], r["tag"])
+            for r in read_join_view(spark, dest).collect()
+        )
+
+    want = [(1, 10, None, "a"), (1, 11, 7, "a")]
+    assert _rows() == want
+    # consolidation must not lose the evolved column (every run, not
+    # just when the lexicographically-first file happens to carry it)
+    assert consolidate_join(spark, dest)
+    assert _rows() == want
+    assert verify_join(spark, lsrc, rsrc, dest, on=["k"])
+
+
+def test_join_maintenance_rejects_reserved_weight_columns(spark, tmp_path):
+    """A payload column named like the hidden weight columns would be
+    silently clobbered by withColumn — every surface refuses loudly."""
+    import pytest
+
+    from ght2dm_spark.incremental import changefeed_join_sink, refresh_join
+
+    lsrc, rsrc, dest = (
+        str(tmp_path / "L"), str(tmp_path / "R"), str(tmp_path / "J"),
+    )
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(1, 5)], "k long, __w long"), lsrc
+        )
+    )
+    commit(
+        prepare_commit(spark.createDataFrame([(1, "a")], "k long, t string"), rsrc)
+    )
+    with pytest.raises(ValueError, match="reserved weight"):
+        refresh_join(spark, lsrc, rsrc, dest, on=["k"])
+    with pytest.raises(ValueError, match="reserved weight"):
+        changefeed_join_sink(
+            dest, on=["k"], left_cols=["k", "__wl"], right_cols=["k", "t"]
+        )
+    with pytest.raises(ValueError, match="feed tags"):
+        changefeed_join_sink(
+            dest, on=["k"], left_cols=["k", "op"], right_cols=["k", "t"]
+        )
