@@ -152,6 +152,7 @@ HEADLINE = [
     "t1_ivm_join_delta",
     "t1_ivm_join_retraction",
     "t1_stream_cdc_join",
+    "t1_wet_roundtrip",
 ]
 
 

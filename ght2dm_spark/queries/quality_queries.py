@@ -114,3 +114,80 @@ def t1_dq_rules(spark, sf_dir):
             F.col("n_violations").cast("double") / F.col("n"), 6
         ).alias("violation_rate"),
     )
+
+
+@register(
+    "t1_wet_roundtrip",
+    oracle="""
+    WITH d AS (
+        SELECT 'https://corpus.example/' || CAST(doc_id AS VARCHAR) AS uri,
+               COALESCE(text, '') AS text,
+               doc_id % 7 AS bucket
+        FROM documents
+    )
+    SELECT bucket,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(CAST(('0x' || substr(md5(uri || chr(0) || text), 1, 8))
+                    AS BIGINT)) AS BIGINT) AS checksum
+    FROM d GROUP BY bucket
+    """,
+)
+def t1_wet_roundtrip(spark, sf_dir):
+    """WARC/WET ingestion proven by byte accounting: the documents
+    table is written out as real WET files (sources/warc.write_wet —
+    executor-side, one gzip-member-per-record like a crawl), read back
+    through the WET source (binaryFile → mapInPandas record splitter
+    with corrupt routing), and the round trip is audited per doc_id
+    bucket with counts, character totals, and an order-insensitive
+    md5 checksum over (uri, text) pairs.  The oracle computes the same
+    from the documents table directly — a hash match proves the
+    writer's framing and the reader's parsing preserve every byte.
+
+    Scale: one whole file per task in both directions (file count =
+    parallelism, the crawl-segment shape); the parser is an
+    Arrow-batched narrow map, no shuffle until the final bucket
+    aggregate."""
+    import shutil
+    import tempfile
+
+    from ght2dm_spark.sources.warc import read_wet, write_wet
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://corpus.example/"), F.col("doc_id").cast("string")
+        ).alias("uri"),
+        F.lit("2024-01-01T00:00:00Z").alias("date"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    root = tempfile.mkdtemp(prefix="ght2dm-wetq-")
+    try:
+        write_wet(docs, root, n_files=4).collect()  # the write action
+        back = read_wet(spark, root).filter(F.col("warc_type") == "conversion")
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat("target_uri", F.lit("\x00"), "text")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        out = (
+            back.select(
+                (
+                    F.element_at(F.split("target_uri", "/"), -1).cast("long")
+                    % 7
+                ).alias("bucket"),
+                F.length("text").alias("len"),
+                h.alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("len").alias("sum_chars"),
+                F.sum("h").alias("checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
