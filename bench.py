@@ -153,6 +153,7 @@ HEADLINE = [
     "t1_ivm_join_retraction",
     "t1_stream_cdc_join",
     "t1_wet_roundtrip",
+    "t1_ivm_avg",
 ]
 
 

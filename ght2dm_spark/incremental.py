@@ -11,8 +11,10 @@ in the commit meta.  A crash mid-refresh leaves the old derived state
 (and its recorded version) intact — the next refresh simply re-reads the
 same delta.
 
-Only DECOMPOSABLE aggregates participate (count/sum/min/max, and avg as
-sum+count): their merge is another aggregate of the same shape, which is
+Only DECOMPOSABLE aggregates participate (count/sum/min/max, and avg —
+maintained as its exact (sum, non-NULL count) companion pair, divided
+only at commit/view time): their merge is another aggregate of the same
+shape, which is
 what makes the refresh O(delta) instead of O(history).  At 100 TB this
 is the difference between a nightly full groupBy over the corpus and a
 per-batch merge over |keys| rows — the same partial/final split Spark's
@@ -78,12 +80,23 @@ from ght2dm_spark.snapshots import (
 )
 
 #: aggregate -> (delta partial, state merge) builders; a merge is the
-#: aggregate that combines two partial rows for the same key.
+#: aggregate that combines two partial rows for the same key.  avg is
+#: special-cased throughout: its STATE is the exact (sum, non-NULL
+#: count) pair in hidden companions — storing the divided value would
+#: make the next merge irrecoverable (sum ≠ avg·count in floats) — and
+#: the visible column is (re)computed as sum/count at every
+#: commit/view; its dict entry here is only the recompute aggregate
+#: the audit uses.  Use integer/decimal-cents input columns (the
+#: repo-wide exact-moment discipline): a float sum accumulates in
+#: different orders across merges and the exact audit would flag a
+#: healthy table; a DECIMAL avg additionally disagrees with Spark's
+#: scale-adjusting native avg, so keep avg inputs integral.
 _DECOMPOSABLE = {
     "count": (lambda c: F.count(F.lit(1)), F.sum),
     "sum": (lambda c: F.sum(c), F.sum),
     "min": (lambda c: F.min(c), F.min),
     "max": (lambda c: F.max(c), F.max),
+    "avg": (lambda c: F.avg(c), None),
 }
 
 #: hidden maintenance columns (see module docstring): group liveness +
@@ -107,6 +120,11 @@ _PUSHDOWN_CAP = 256
 
 def _nn(out: str) -> str:
     return f"__nn_{out}"
+
+
+def _sumcol(out: str) -> str:
+    """Hidden exact-sum companion for an avg output."""
+    return f"__sum_{out}"
 
 
 def _validate_aggs(keys: list[str], aggs: dict) -> None:
@@ -133,51 +151,82 @@ def _state_cols(keys: list[str], aggs: dict) -> list[str]:
     """Canonical dest column order: keys, user outputs, maintenance."""
     cols = list(keys) + list(aggs)
     cols.append(_CNT)
-    cols += [_nn(out) for out, (fn, _c) in aggs.items() if fn == "sum"]
+    cols += [_nn(out) for out, (fn, _c) in aggs.items() if fn in ("sum", "avg")]
+    cols += [_sumcol(out) for out, (fn, _c) in aggs.items() if fn == "avg"]
     return cols
 
 
 def _partials(df: DataFrame, keys: list[str], aggs: dict, sign: int = 1):
     """One groupBy producing user partials AND maintenance partials.
     ``sign=-1`` negates every column — the retraction partial; only
-    valid for count/sum views (the strategy split guards this)."""
+    valid for count/sum/avg views (the strategy split guards this).
+    An avg's visible slot is a NULL placeholder here: the real state is
+    its (sum, non-NULL count) companion pair, and the display value is
+    computed from the MERGED companions at commit/view time."""
     exprs = []
     for out, (fn, col) in aggs.items():
+        if fn == "avg":
+            exprs.append(F.max(F.lit(None).cast("double")).alias(out))
+            continue
         e = _DECOMPOSABLE[fn][0](col)
         exprs.append((-e if sign < 0 else e).alias(out))
     cnt = F.count(F.lit(1))
     exprs.append((-cnt if sign < 0 else cnt).alias(_CNT))
     for out, (fn, col) in aggs.items():
-        if fn == "sum":
+        if fn in ("sum", "avg"):
             nn = F.count(col)  # count(col) skips NULLs
             exprs.append((-nn if sign < 0 else nn).alias(_nn(out)))
+    for out, (fn, col) in aggs.items():
+        if fn == "avg":
+            s = F.sum(col)
+            exprs.append((-s if sign < 0 else s).alias(_sumcol(out)))
     return df.groupBy(*keys).agg(*exprs)
 
 
 def _merge_frames(frames: list[DataFrame], keys: list[str], aggs: dict):
     """Merge partial/state frames: sum for count/sum and every
-    maintenance column, min/max for extremes."""
+    maintenance column, min/max for extremes; an avg merges ONLY its
+    exact companions (the display slot is recomputed afterwards)."""
     df = frames[0]
     for x in frames[1:]:
         df = df.unionByName(x)
     exprs = [
-        _DECOMPOSABLE[fn][1](out).alias(out) for out, (fn, _c) in aggs.items()
+        _DECOMPOSABLE[fn][1](out).alias(out)
+        for out, (fn, _c) in aggs.items()
+        if fn != "avg"
     ]
     exprs.append(F.sum(_CNT).alias(_CNT))
     for out, (fn, _c) in aggs.items():
-        if fn == "sum":
+        if fn in ("sum", "avg"):
             exprs.append(F.sum(_nn(out)).alias(_nn(out)))
-    return df.groupBy(*keys).agg(*exprs)
+    for out, (fn, _c) in aggs.items():
+        if fn == "avg":
+            exprs.append(F.sum(_sumcol(out)).alias(_sumcol(out)))
+    merged = df.groupBy(*keys).agg(*exprs)
+    for out, (fn, _c) in aggs.items():
+        if fn == "avg":
+            merged = merged.withColumn(out, F.lit(None).cast("double"))
+    return merged
 
 
 def _mask_sums(df: DataFrame, aggs: dict) -> DataFrame:
-    """Re-NULL a sum whose surviving non-NULL input count is zero —
-    the merged running sum of such a group is arithmetic 0, but SQL
-    recompute semantics say sum over no non-NULL inputs is NULL."""
+    """Finalize the visible columns from the exact state: re-NULL a sum
+    whose surviving non-NULL input count is zero (the merged running
+    sum of such a group is arithmetic 0, but SQL recompute semantics
+    say sum over no non-NULL inputs is NULL), and compute each avg as
+    exact-sum / non-NULL-count (NULL when that count is zero)."""
     for out, (fn, _c) in aggs.items():
         if fn == "sum":
             df = df.withColumn(
                 out, F.when(F.col(_nn(out)) > 0, F.col(out))
+            )
+        elif fn == "avg":
+            df = df.withColumn(
+                out,
+                F.when(
+                    F.col(_nn(out)) > 0,
+                    F.col(_sumcol(out)).cast("double") / F.col(_nn(out)),
+                ),
             )
     return df
 
@@ -383,9 +432,12 @@ def refresh_aggregate(
     state = (
         _read_pinned(spark, dest, dmanifest) if dmanifest is not None else None
     )
-    if state is not None and _CNT not in state.columns:
-        # legacy state from before delete-aware maintenance lacks the
-        # hidden columns retraction needs — upgrade with ONE in-place
+    if state is not None and not (
+        set(_state_cols(keys, aggs)) <= set(state.columns)
+    ):
+        # legacy state (pre-maintenance-columns) OR a changed view
+        # definition (new output, sum turned into avg, ...) lacks
+        # companions the merge needs — upgrade with ONE in-place
         # rebuild; every later refresh is O(delta) again
         return _full_recompute()
 
@@ -415,7 +467,7 @@ def refresh_aggregate(
         # empty view) — a merge has nothing to start from; recompute
         return _full_recompute()
     fns = {fn for fn, _c in aggs.values()}
-    if fns <= {"count", "sum"}:
+    if fns <= {"count", "sum", "avg"}:
         # arithmetic retraction: negative partials through the same
         # merge; a group whose row count reaches zero disappears,
         # exactly like a recompute
@@ -523,14 +575,21 @@ def verify_aggregate(
     )
 
 
-def _sink_state(spark: SparkSession, dest: str, batch_id: int):
+def _sink_state(
+    spark: SparkSession,
+    dest: str,
+    batch_id: int,
+    required: list[str] | None = None,
+):
     """ONE dest resolution for a sink invocation: the replay watermark,
     the prior state, and the conflict base all come from the same
     manifest — a separate last_streamed_batch() CURRENT read could see
     an older watermark than the state read and re-merge a batch a racer
     already committed.  Returns (skip, dest_base, state_or_None);
-    raises if the state predates the maintenance columns (a sink can't
-    rebuild it — the table isn't its source)."""
+    raises if the state lacks any ``required`` maintenance column —
+    pre-maintenance legacy, or a CHANGED view definition — because a
+    sink cannot rebuild state (the table isn't its source), unlike
+    refresh_aggregate, which rebuilds in place."""
     dest_base, _dmeta, dmanifest = _dest_base(dest)
     state = None
     if dmanifest is not None:
@@ -538,12 +597,15 @@ def _sink_state(spark: SparkSession, dest: str, batch_id: int):
         if last is not None and int(batch_id) <= int(last):
             return True, dest_base, None
         state = _read_pinned(spark, dest, dmanifest)
-        if state is not None and _CNT not in state.columns:
+        if state is not None and not (
+            set(required or [_CNT]) <= set(state.columns)
+        ):
             raise ValueError(
-                f"{dest}: state predates the maintenance columns — a "
-                "streaming sink cannot rebuild it (the table is not its "
-                "source); delete the dest and replay, or upgrade it with "
-                "one refresh_aggregate over the batch source"
+                f"{dest}: state lacks maintenance column(s) this view "
+                "definition needs — a streaming sink cannot rebuild it "
+                "(the table is not its source); delete the dest and "
+                "replay, or upgrade it with one refresh_aggregate over "
+                "the batch source"
             )
     return False, dest_base, state
 
@@ -605,7 +667,9 @@ def aggregate_sink(dest: str, keys: list[str], aggs: dict):
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        skip, dest_base, state = _sink_state(spark, dest, batch_id)
+        skip, dest_base, state = _sink_state(
+            spark, dest, batch_id, required=_state_cols(keys, aggs)
+        )
         if skip:
             return  # replayed batch — already merged
         partial = _partials(batch_df, keys, aggs)
@@ -643,12 +707,18 @@ def changefeed_aggregate_sink(
     Exactly-once per batch id, same manifest watermark as
     :func:`aggregate_sink`.
 
-    Only count/sum views qualify: a min/max cannot be maintained from
-    deltas (retracting the extreme needs the runner-up) — raise rather
-    than silently corrupt; route min/max views through
-    :func:`refresh_aggregate`'s affected-group recompute instead."""
+    Only count/sum/avg views qualify (an avg is its exact
+    (sum, non-NULL count) companion pair in the state, divided at the
+    view): a min/max cannot be maintained from deltas (retracting the
+    extreme needs the runner-up) — raise rather than silently corrupt;
+    route min/max views through :func:`refresh_aggregate`'s
+    affected-group recompute instead."""
     _validate_aggs(keys, aggs)
-    bad = [out for out, (fn, _c) in aggs.items() if fn not in ("count", "sum")]
+    bad = [
+        out
+        for out, (fn, _c) in aggs.items()
+        if fn not in ("count", "sum", "avg")
+    ]
     if bad:
         raise ValueError(
             f"{bad}: min/max cannot be maintained from a changefeed "
@@ -657,24 +727,30 @@ def changefeed_aggregate_sink(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        skip, dest_base, state = _sink_state(spark, dest, batch_id)
+        skip, dest_base, state = _sink_state(
+            spark, dest, batch_id, required=_state_cols(keys, aggs)
+        )
         if skip:
             return
         w = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
+        nn_w = lambda col: F.sum(  # noqa: E731 — signed non-NULL weight
+            F.when(F.col(col).isNotNull(), w).otherwise(F.lit(0))
+        )
         exprs = []
         for out, (fn, col) in aggs.items():
             if fn == "count":
                 exprs.append(F.sum(w).alias(out))
+            elif fn == "avg":
+                exprs.append(F.max(F.lit(None).cast("double")).alias(out))
             else:
                 exprs.append(F.sum(F.col(col) * w).alias(out))
         exprs.append(F.sum(w).alias(_CNT))
         for out, (fn, col) in aggs.items():
-            if fn == "sum":
-                exprs.append(
-                    F.sum(
-                        F.when(F.col(col).isNotNull(), w).otherwise(F.lit(0))
-                    ).alias(_nn(out))
-                )
+            if fn in ("sum", "avg"):
+                exprs.append(nn_w(col).alias(_nn(out)))
+        for out, (fn, col) in aggs.items():
+            if fn == "avg":
+                exprs.append(F.sum(F.col(col) * w).alias(_sumcol(out)))
         partial = batch_df.groupBy(*keys).agg(*exprs)
         frames = [partial]
         if state is not None:
@@ -693,10 +769,11 @@ def changefeed_aggregate_sink(
 def read_aggregate_view(spark: SparkSession, dest: str) -> DataFrame | None:
     """The consumable view over a maintained aggregate table: groups
     whose net row count is positive, each sum re-NULLed when its net
-    non-NULL input count is zero, maintenance columns dropped.  Works
-    over any dest this module maintains (the companion columns are
-    self-describing: ``__cnt`` + ``__nn_<out>``); None if the table has
-    never committed."""
+    non-NULL input count is zero, each avg computed as its exact-sum
+    companion over its non-NULL count, maintenance columns dropped.
+    Works over any dest this module maintains (the companion columns
+    are self-describing: ``__cnt`` + ``__nn_<out>`` + ``__sum_<out>``);
+    None if the table has never committed."""
     df = read_snapshot(spark, dest)
     if df is None:
         return None
@@ -704,10 +781,22 @@ def read_aggregate_view(spark: SparkSession, dest: str) -> DataFrame | None:
     if _CNT not in cols:
         return df  # legacy/foreign table: nothing to interpret
     df = df.filter(F.col(_CNT) > 0)
+    avg_outs = {
+        c[len("__sum_"):] for c in cols if c.startswith("__sum_")
+    }
     for c in cols:
         if c.startswith("__nn_"):
             out = c[len("__nn_"):]
-            df = df.withColumn(out, F.when(F.col(c) > 0, F.col(out)))
+            if out in avg_outs:
+                df = df.withColumn(
+                    out,
+                    F.when(
+                        F.col(c) > 0,
+                        F.col(_sumcol(out)).cast("double") / F.col(c),
+                    ),
+                )
+            else:
+                df = df.withColumn(out, F.when(F.col(c) > 0, F.col(out)))
     return df.select([c for c in cols if not c.startswith("__")])
 
 

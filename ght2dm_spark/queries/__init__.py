@@ -137,8 +137,8 @@ _DRIVER_VERIFIED = frozenset({
 # pre-round-6 names plus the round-6 additions: t1_ivm_retraction,
 # t1_ivm_minmax_recompute, t1_ivm_join_delta, t1_ivm_join_retraction,
 # t1_stream_continuous_agg, t1_stream_cdc_agg, t1_stream_cdc_join,
-# t1_wet_roundtrip — all sim-green at sf0.01 AND sf0.1) goes in the
-# round-7 window.  Import-time
+# t1_wet_roundtrip, t1_ivm_avg — all sim-green at sf0.01 AND sf0.1)
+# goes in the round-7 window.  Import-time
 # assertions below keep every slot honest (registered + not already
 # green).
 _LEAD = [

@@ -666,3 +666,92 @@ def t1_stream_cdc_join(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "t1_ivm_avg",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey % {_G} AS g,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_custkey END AS v,
+               o_orderkey AS k
+        FROM orders
+    ),
+    ins AS (
+        SELECT * FROM (
+            SELECT (o_orderkey + {_SHIFT}) % {_G} AS g,
+                   CASE WHEN (o_orderkey + {_SHIFT}) % 5 = 0
+                        THEN o_custkey END AS v,
+                   o_orderkey + {_SHIFT} AS k
+            FROM orders WHERE o_orderkey % 13 = 0
+        ) WHERE g NOT IN (42, 7)
+    ),
+    final AS (
+        SELECT g, v FROM base
+        WHERE NOT (k % 10 = 0 OR g = 42 OR (g = 7 AND k % 5 = 0))
+        UNION ALL
+        SELECT g, v FROM ins
+    )
+    SELECT g, count(*) AS n_rows,
+           CASE WHEN count(v) > 0
+                THEN CAST(sum(v) AS DOUBLE) / count(v) END AS avg_v
+    FROM final GROUP BY g
+    """,
+)
+def t1_ivm_avg(spark, sf_dir):
+    """avg under retraction, driven through the REAL engine: the same
+    mutation battery as t1_ivm_retraction (every 13th order re-keyed in,
+    every 10th deleted, probe group 42 dropped wholesale, probe group 7
+    losing exactly its non-NULL inputs) runs against
+    incremental.refresh_aggregate with a first-class avg view.  The
+    state never stores a divided value — it carries the exact
+    (sum, non-NULL count) companion pair, retracts arithmetically, and
+    divides only at commit time — so group 7's avg re-NULLs exactly
+    (sum over zero non-NULL inputs) instead of showing 0/0 noise, and
+    group 42 drops.  The oracle recomputes avg from the net rows as
+    CAST(sum AS DOUBLE)/count: a hash match proves the maintained
+    division is bit-identical to the recompute (exact integer operands,
+    one double division on each engine).
+
+    Scale: identical to the count/sum retraction path — partials are
+    map-side-combinable, the merge shuffles |groups| rows, the delete
+    branch reads only the footer-pruned/IN-pushed retraction slice."""
+    import shutil
+    import tempfile
+
+    from ght2dm_spark.incremental import refresh_aggregate
+    from ght2dm_spark.snapshots import (
+        commit,
+        delete_rows,
+        prepare_commit,
+        read_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = _with_view_cols(orders)
+    root = tempfile.mkdtemp(prefix="ght2dm-ivmavg-")
+    try:
+        src, dst = f"{root}/src", f"{root}/agg"
+        commit(prepare_commit(base.select("g", "v", "k"), src))
+        aggs = {"n_rows": ("count", None), "avg_v": ("avg", "v")}
+        refresh_aggregate(spark, src, dst, ["g"], aggs)
+        commit(
+            prepare_commit(
+                _inserts(orders).select("g", "v", "k"), src, mode="append"
+            )
+        )
+        victims = base.filter(
+            (F.col("k") % 10 == 0)
+            | (F.col("g") == 42)
+            | ((F.col("g") == 7) & (F.col("k") % 5 == 0))
+        ).select("k")
+        commit(delete_rows(victims, src))
+        refresh_aggregate(spark, src, dst, ["g"], aggs)
+        out = (
+            read_snapshot(spark, dst)
+            .select("g", "n_rows", "avg_v")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -580,7 +580,7 @@ def test_sink_refuses_state_without_maintenance_columns(spark, tmp_path):
         prepare_commit(spark.createDataFrame([(1, 2)], "k long, n long"), dst)
     )
     sink = aggregate_sink(dst, ["k"], {"n": ("count", None)})
-    with pytest.raises(ValueError, match="maintenance columns"):
+    with pytest.raises(ValueError, match="maintenance column"):
         sink(spark.createDataFrame([(1,)], "k long"), 0)
 
 
@@ -935,3 +935,74 @@ def test_join_maintenance_rejects_reserved_weight_columns(spark, tmp_path):
         changefeed_join_sink(
             dest, on=["k"], left_cols=["k", "op"], right_cols=["k", "t"]
         )
+
+
+def test_refresh_avg_maintained_exactly(spark, tmp_path):
+    """avg is first-class: the state carries its exact (sum, non-NULL
+    count) companions, retraction is arithmetic, a group whose non-NULL
+    inputs all vanish re-NULLs its avg while count survives, and the
+    audit (which recomputes with F.avg) passes after every window."""
+    from ght2dm_spark.snapshots import delete_rows
+
+    aggs = {"n": ("count", None), "m": ("avg", "v")}
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    rows = [(1, 10, 4), (2, 10, None), (3, 10, 8), (4, 20, 5)]
+    commit(
+        prepare_commit(
+            spark.createDataFrame(rows, "id long, k long, v long"), src
+        )
+    )
+    assert refresh_aggregate(spark, src, dst, ["k"], aggs)
+    assert verify_aggregate(spark, src, dst, ["k"], aggs)
+    got = {r["k"]: (r["n"], r["m"]) for r in read_snapshot(spark, dst).collect()}
+    assert got == {10: (3, 6.0), 20: (1, 5.0)}
+    # append + delete in one window: group 10 loses a non-NULL input
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(5, 20, 7)], "id long, k long, v long"),
+            src, mode="append",
+        )
+    )
+    commit(delete_rows(spark.createDataFrame([(3,)], "id long"), src))
+    assert refresh_aggregate(spark, src, dst, ["k"], aggs)
+    assert verify_aggregate(spark, src, dst, ["k"], aggs)
+    got = {r["k"]: (r["n"], r["m"]) for r in read_snapshot(spark, dst).collect()}
+    assert got == {10: (2, 4.0), 20: (2, 6.0)}
+    # delete the last non-NULL input of group 10: avg re-NULLs, count stays
+    commit(delete_rows(spark.createDataFrame([(1,)], "id long"), src))
+    assert refresh_aggregate(spark, src, dst, ["k"], aggs)
+    assert verify_aggregate(spark, src, dst, ["k"], aggs)
+    got = {r["k"]: (r["n"], r["m"]) for r in read_snapshot(spark, dst).collect()}
+    assert got == {10: (1, None), 20: (2, 6.0)}
+
+
+def test_changefeed_sink_maintains_avg(spark, tmp_path):
+    """The z-set sink maintains avg through out-of-order retractions:
+    the committed state is the raw signed (sum, count) algebra and the
+    view divides — so an update (D old + I new) lands exactly even when
+    split across batches in either order."""
+    from ght2dm_spark.incremental import (
+        changefeed_aggregate_sink,
+        read_aggregate_view,
+    )
+
+    dst = str(tmp_path / "t")
+    sink = changefeed_aggregate_sink(
+        dst, ["k"], {"n": ("count", None), "m": ("avg", "v")}
+    )
+    S = "op string, k long, v long"
+    # batch 0: retraction of a not-yet-seen row (out-of-order update)
+    sink(spark.createDataFrame([("D", 1, 4)], S), 0)
+    assert read_aggregate_view(spark, dst).count() == 0
+    # batch 1: the original insert + its replacement + another group
+    sink(
+        spark.createDataFrame(
+            [("I", 1, 4), ("I", 1, 10), ("I", 2, None)], S
+        ),
+        1,
+    )
+    got = {
+        r["k"]: (r["n"], r["m"])
+        for r in read_aggregate_view(spark, dst).collect()
+    }
+    assert got == {1: (1, 10.0), 2: (1, None)}
