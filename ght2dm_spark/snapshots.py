@@ -444,6 +444,7 @@ def prepare_commit(
 
     manifest = {
         "seq": seq,
+        "ts": time.time(),
         "parent": base_name,
         "mode": mode,
         "files": parent_files + new_files,
@@ -577,6 +578,7 @@ def delete_rows(
     seq = _max_staged_seq(table) + 1
     manifest = {
         "seq": seq,
+        "ts": time.time(),
         "parent": base_name,
         "mode": "delete",
         "files": list(pm["files"]),
@@ -711,20 +713,59 @@ def _committed_chain(table: Path) -> list[tuple[str, dict]]:
 
 def history(path: str) -> list[dict]:
     """Committed versions oldest-first (the CURRENT parent chain), each
-    with seq/mode/file count — data files are immutable, so every
-    retained entry is a readable point-in-time version."""
+    with seq/mode/file count/commit timestamp — data files are
+    immutable, so every retained entry is a readable point-in-time
+    version (``ts`` is None for pre-timestamp legacy manifests)."""
     return [
         {
             "manifest": name,
             "seq": m["seq"],
             "mode": m["mode"],
             "n_files": len(m["files"]),
+            "ts": m.get("ts"),
         }
         for name, m in reversed(_committed_chain(Path(path)))
     ]
 
 
-def _manifest_for(table: Path, version: int | None) -> str | None:
+def _as_epoch(as_of) -> float:
+    """Normalize an AS OF instant: epoch seconds, datetime, or an ISO
+    string (naive strings are taken as UTC — manifest timestamps are
+    epoch seconds, timezone-free by construction)."""
+    import datetime as dt
+
+    if isinstance(as_of, (int, float)):
+        return float(as_of)
+    if isinstance(as_of, str):
+        as_of = dt.datetime.fromisoformat(as_of.replace("Z", "+00:00"))
+    if isinstance(as_of, dt.datetime):
+        if as_of.tzinfo is None:
+            as_of = as_of.replace(tzinfo=dt.timezone.utc)
+        return as_of.timestamp()
+    raise TypeError(f"as_of: expected epoch/datetime/ISO string, got {as_of!r}")
+
+
+def _manifest_for(
+    table: Path, version: int | None, as_of=None
+) -> str | None:
+    if version is not None and as_of is not None:
+        raise ValueError("pass version OR as_of, not both")
+    if as_of is not None:
+        # newest committed manifest staged at-or-before the instant;
+        # chain timestamps are monotone (a child is always staged after
+        # its pinned parent, single-driver commit discipline).  Legacy
+        # manifests without ts sort as arbitrarily old — they qualify
+        # for any instant, but only after every stamped-younger
+        # manifest has been ruled out.
+        epoch = _as_epoch(as_of)
+        for name, m in _committed_chain(table):
+            ts = m.get("ts")
+            if ts is None or float(ts) <= epoch:
+                return name
+        raise FileNotFoundError(
+            f"no committed snapshot of {table} at or before {as_of!r} "
+            "(table did not exist yet, or the manifest was vacuumed)"
+        )
     if version is None:
         return _read_current(table)
     for name, m in _committed_chain(table):
@@ -740,6 +781,7 @@ def snapshot_files(
     version: int | None = None,
     prune: dict | None = None,
     allow_deletes: bool = False,
+    as_of=None,
 ) -> list[str]:
     """Absolute data-file paths of the live snapshot — or, with
     ``version``, of that historical seq (time travel; raises if the
@@ -757,9 +799,10 @@ def snapshot_files(
     planned from these paths resurrects every deleted row.  Pass
     allow_deletes only when the caller needs file NAMES/sizes (set
     algebra, size planning), never row contents; row reads go through
-    :func:`read_snapshot`, which applies the delete files."""
+    :func:`read_snapshot`, which applies the delete files.  ``as_of``
+    as in :func:`read_snapshot` (time travel by instant)."""
     table = Path(path)
-    name = _manifest_for(table, version)
+    name = _manifest_for(table, version, as_of=as_of)
     if name is None:
         return []
     m = _load_manifest(table, name)
@@ -784,6 +827,7 @@ def read_snapshot(
     version: int | None = None,
     prune: dict | None = None,
     merge_schema: bool = False,
+    as_of=None,
 ) -> DataFrame | None:
     """DataFrame over the live snapshot's pinned file list (or a
     historical ``version``'s), or None if the table has never committed
@@ -795,9 +839,14 @@ def read_snapshot(
     ``merge_schema=True`` unions the file schemas (schema evolution:
     append commits may add columns; old files surface NULL for them).
     Without it Spark plans from one file's schema — cheaper, right for
-    tables whose writers never evolve."""
+    tables whose writers never evolve.
+
+    ``as_of`` (epoch seconds / datetime / ISO string, exclusive with
+    ``version``) time-travels by INSTANT instead of seq: the newest
+    snapshot committed at-or-before it — AS OF TIMESTAMP semantics,
+    bounded by the vacuum retention like seq travel."""
     table = Path(path)
-    name = _manifest_for(table, version)
+    name = _manifest_for(table, version, as_of=as_of)
     if name is None:
         return None
     m = _load_manifest(table, name)  # ONE load; snapshot_files would re-walk
@@ -1037,6 +1086,7 @@ def rewrite_small_files(
     parent_fseqs = m.get("file_seqs", {})
     manifest = {
         "seq": seq,
+        "ts": time.time(),
         "parent": base,
         "mode": "rewrite",
         "files": kept + new_files,

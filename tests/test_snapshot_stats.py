@@ -778,3 +778,51 @@ def test_legacy_schema_reconstruction_failure_records_nothing(
     assert "schema" not in m
     got = read_snapshot(spark, t, merge_schema=True)
     assert {r.b for r in got.collect()} == {"b1", None}
+
+
+def test_as_of_timestamp_time_travel(spark, tmp_path):
+    """AS OF TIMESTAMP semantics: the newest snapshot committed
+    at-or-before the instant; before the table existed raises; exclusive
+    with seq travel; epoch/datetime/ISO forms all accepted; a legacy
+    (pre-timestamp) manifest still resolves as the fallback."""
+    import datetime as dt
+    import time as _time
+
+    import pytest
+
+    t = str(tmp_path / "t")
+    commit(prepare_commit(spark.createDataFrame([(1,)], "v int"), t))
+    t0 = _time.time()
+    _time.sleep(0.05)
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(2,)], "v int"), t, mode="append"
+        )
+    )
+    t1 = _time.time()
+
+    assert {r.v for r in read_snapshot(spark, t, as_of=t0).collect()} == {1}
+    assert {r.v for r in read_snapshot(spark, t, as_of=t1).collect()} == {1, 2}
+    iso = dt.datetime.fromtimestamp(t0, dt.timezone.utc).isoformat()
+    assert {r.v for r in read_snapshot(spark, t, as_of=iso).collect()} == {1}
+    # only the seed commit's files (one commit-id prefix)
+    seed_files = snapshot_files(t, as_of=t0)
+    assert seed_files and len(
+        {Path(f).name.split("-")[0] for f in seed_files}
+    ) == 1
+    assert len(snapshot_files(t)) > len(seed_files)
+
+    hist = __import__("ght2dm_spark.snapshots", fromlist=["history"]).history(t)
+    assert all(h["ts"] is not None for h in hist)
+    with pytest.raises(FileNotFoundError, match="did not exist"):
+        read_snapshot(spark, t, as_of=t0 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, t, version=0, as_of=t0)
+
+    # legacy manifest without ts: qualifies as arbitrarily old
+    name = (Path(t) / "CURRENT").read_text().strip()
+    mpath = Path(t) / "_manifests" / name
+    m = json.loads(mpath.read_text())
+    del m["ts"]
+    mpath.write_text(json.dumps(m))
+    assert {r.v for r in read_snapshot(spark, t, as_of=t1).collect()} == {1, 2}
