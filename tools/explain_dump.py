@@ -54,6 +54,7 @@ PICKS = [
     ("t1_sq8_ann", "SQ8 compressed scan: int8 quantization as a narrow map, the 10-query batch broadcast over the corpus (deliberate linear scan — compression IS the bandwidth win), integer zip_with dot products, per-query rank window partitioned on q_id."),
     ("t1_ivm_retraction", "IVM arithmetic retraction: three partials (state, inserts, NEGATIVE deletes) union into a |groups|-keyed merge — every exchange carries partially-aggregated group rows (map-side combine absorbs the scan), never row data, and there is NO recompute branch or join anywhere in the plan; liveness filter + NULL-sum re-mask are scalar projections after the final HashAggregate."),
     ("t1_ivm_minmax_recompute", "IVM targeted recompute: the affected-group set (distinct over the removed slice) drives a broadcast anti-join on the merged state and a broadcast semi-join bounding the recompute scan — untouched groups never touch row data, and the recompute branch is pruned to affected keys."),
+    ("t1_ivm_join_delta", "Join IVM (the bilinear delta identity): the seed join plus three delta terms — each term an equi-join bounded by a window delta on at least one side (broadcast where the delta is small), unioned and aggregated once; the bases are never re-joined, which is the whole point at CDC scale."),
 ]
 
 
