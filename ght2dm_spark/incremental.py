@@ -85,12 +85,11 @@ from ght2dm_spark.snapshots import (
 #: count) pair in hidden companions — storing the divided value would
 #: make the next merge irrecoverable (sum ≠ avg·count in floats) — and
 #: the visible column is (re)computed as sum/count at every
-#: commit/view; its dict entry here is only the recompute aggregate
-#: the audit uses.  Use integer/decimal-cents input columns (the
-#: repo-wide exact-moment discipline): a float sum accumulates in
-#: different orders across merges and the exact audit would flag a
-#: healthy table; a DECIMAL avg additionally disagrees with Spark's
-#: scale-adjusting native avg, so keep avg inputs integral.
+#: commit/view (the audit recomputes it the same exact way — see
+#: verify_aggregate, which never uses F.avg).  Use integer/
+#: decimal-cents input columns (the repo-wide exact-moment
+#: discipline): a float sum accumulates in different orders across
+#: merges and the exact audit would flag a healthy table.
 _DECOMPOSABLE = {
     "count": (lambda c: F.count(F.lit(1)), F.sum),
     "sum": (lambda c: F.sum(c), F.sum),
@@ -125,6 +124,30 @@ def _nn(out: str) -> str:
 def _sumcol(out: str) -> str:
     """Hidden exact-sum companion for an avg output."""
     return f"__sum_{out}"
+
+
+def _view_def(aggs: dict) -> dict:
+    """JSON-shaped pin of the view definition, recorded in every commit
+    meta (sticky across maintenance overwrites).  Column identity of a
+    changed definition is undetectable from the state COLUMNS alone —
+    swapping an avg's input column, or turning an avg into a sum whose
+    companions happen to exist, keeps the schema while changing the
+    semantics — so the definition itself is the compared contract."""
+    return {
+        out: [fn, col if (col is None or isinstance(col, str)) else str(col)]
+        for out, (fn, col) in aggs.items()
+    }
+
+
+def _def_changed(stored_def, aggs: dict, state_cols: list[str], state) -> bool:
+    """Does the committed state belong to a DIFFERENT view definition?
+    Compare the pinned definition when one was recorded; for legacy
+    states without a pin, fall back to exact column-set equality
+    (catching pre-maintenance states and added/dropped companions —
+    but not same-schema semantic changes, which only the pin sees)."""
+    if stored_def is not None:
+        return stored_def != _view_def(aggs)
+    return set(state_cols) != set(state.columns)
 
 
 def _validate_aggs(keys: list[str], aggs: dict) -> None:
@@ -410,7 +433,9 @@ def refresh_aggregate(
     def _commit_state(merged: DataFrame) -> bool:
         out = _mask_sums(merged, aggs).select(_state_cols(keys, aggs))
         _commit_guarded(
-            out, dest, {"source_version": src_version}, dest_base,
+            out, dest,
+            {"source_version": src_version, "view_def": _view_def(aggs)},
+            dest_base,
             "first refresh",
         )
         return True
@@ -432,12 +457,13 @@ def refresh_aggregate(
     state = (
         _read_pinned(spark, dest, dmanifest) if dmanifest is not None else None
     )
-    if state is not None and not (
-        set(_state_cols(keys, aggs)) <= set(state.columns)
+    if state is not None and _def_changed(
+        dmeta.get("view_def"), aggs, _state_cols(keys, aggs), state
     ):
         # legacy state (pre-maintenance-columns) OR a changed view
-        # definition (new output, sum turned into avg, ...) lacks
-        # companions the merge needs — upgrade with ONE in-place
+        # definition — including same-schema semantic changes like
+        # avg→sum or a swapped input column, caught by the pinned
+        # definition — cannot merge; upgrade with ONE in-place
         # rebuild; every later refresh is O(delta) again
         return _full_recompute()
 
@@ -556,11 +582,18 @@ def verify_aggregate(
         # never refreshed (or the source vanished): healthy iff dest
         # holds no files either
         return dmanifest is None or not dmanifest["files"]
+    # avg recomputes as exact-sum / non-NULL-count — the SAME operands
+    # and single double division the maintained state uses — never
+    # F.avg, whose order-dependent double accumulation can differ in
+    # the last bit once partial sums exceed 2^53 and would flag a
+    # healthy table
+    def _expect_expr(out, fn, col):
+        if fn == "avg":
+            return (F.sum(col).cast("double") / F.count(col)).alias(out)
+        return _DECOMPOSABLE[fn][0](col).alias(out)
+
     expect = full.groupBy(*keys).agg(
-        *[
-            _DECOMPOSABLE[fn][0](col).alias(out)
-            for out, (fn, col) in aggs.items()
-        ]
+        *[_expect_expr(out, fn, col) for out, (fn, col) in aggs.items()]
     )
     got: DataFrame | None = (
         _read_pinned(spark, dest, dmanifest) if dmanifest is not None else None
@@ -579,33 +612,39 @@ def _sink_state(
     spark: SparkSession,
     dest: str,
     batch_id: int,
-    required: list[str] | None = None,
+    keys: list[str] | None = None,
+    aggs: dict | None = None,
 ):
     """ONE dest resolution for a sink invocation: the replay watermark,
     the prior state, and the conflict base all come from the same
     manifest — a separate last_streamed_batch() CURRENT read could see
     an older watermark than the state read and re-merge a batch a racer
     already committed.  Returns (skip, dest_base, state_or_None);
-    raises if the state lacks any ``required`` maintenance column —
-    pre-maintenance legacy, or a CHANGED view definition — because a
-    sink cannot rebuild state (the table isn't its source), unlike
-    refresh_aggregate, which rebuilds in place."""
-    dest_base, _dmeta, dmanifest = _dest_base(dest)
+    raises if the state belongs to a DIFFERENT view definition (the
+    pinned-definition compare, falling back to exact column-set
+    equality for pre-pin legacy state) — a sink cannot rebuild state
+    (the table isn't its source), unlike refresh_aggregate, which
+    rebuilds in place."""
+    dest_base, dmeta, dmanifest = _dest_base(dest)
     state = None
     if dmanifest is not None:
         last = dmanifest.get("stream_batch")
         if last is not None and int(batch_id) <= int(last):
             return True, dest_base, None
         state = _read_pinned(spark, dest, dmanifest)
-        if state is not None and not (
-            set(required or [_CNT]) <= set(state.columns)
+        if (
+            state is not None
+            and aggs is not None
+            and _def_changed(
+                dmeta.get("view_def"), aggs, _state_cols(keys, aggs), state
+            )
         ):
             raise ValueError(
-                f"{dest}: state lacks maintenance column(s) this view "
-                "definition needs — a streaming sink cannot rebuild it "
-                "(the table is not its source); delete the dest and "
-                "replay, or upgrade it with one refresh_aggregate over "
-                "the batch source"
+                f"{dest}: committed state belongs to a different view "
+                "definition (or lacks maintenance columns) — a streaming "
+                "sink cannot rebuild it (the table is not its source); "
+                "delete the dest and replay, or upgrade it with one "
+                "refresh_aggregate over the batch source"
             )
     return False, dest_base, state
 
@@ -630,11 +669,17 @@ def _commit_guarded(
 
 
 def _commit_sink(
-    out: DataFrame, dest: str, batch_id: int, dest_base: str | None
+    out: DataFrame,
+    dest: str,
+    batch_id: int,
+    dest_base: str | None,
+    aggs: dict | None = None,
 ) -> None:
+    meta: dict = {"batch_id": int(batch_id)}
+    if aggs is not None:
+        meta["view_def"] = _view_def(aggs)
     _commit_guarded(
-        out, dest, {"batch_id": int(batch_id)}, dest_base,
-        "the first micro-batch merge",
+        out, dest, meta, dest_base, "the first micro-batch merge"
     )
 
 
@@ -668,7 +713,7 @@ def aggregate_sink(dest: str, keys: list[str], aggs: dict):
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         skip, dest_base, state = _sink_state(
-            spark, dest, batch_id, required=_state_cols(keys, aggs)
+            spark, dest, batch_id, keys=keys, aggs=aggs
         )
         if skip:
             return  # replayed batch — already merged
@@ -680,7 +725,7 @@ def aggregate_sink(dest: str, keys: list[str], aggs: dict):
             _merge_frames(frames, keys, aggs) if len(frames) > 1 else partial
         )
         out = _mask_sums(merged, aggs).select(_state_cols(keys, aggs))
-        _commit_sink(out, dest, batch_id, dest_base)
+        _commit_sink(out, dest, batch_id, dest_base, aggs=aggs)
 
     return _sink
 
@@ -728,7 +773,7 @@ def changefeed_aggregate_sink(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         skip, dest_base, state = _sink_state(
-            spark, dest, batch_id, required=_state_cols(keys, aggs)
+            spark, dest, batch_id, keys=keys, aggs=aggs
         )
         if skip:
             return
@@ -760,7 +805,8 @@ def changefeed_aggregate_sink(
         )
         # NO filter, NO mask: the raw algebra commits (see docstring)
         _commit_sink(
-            merged.select(_state_cols(keys, aggs)), dest, batch_id, dest_base
+            merged.select(_state_cols(keys, aggs)), dest, batch_id,
+            dest_base, aggs=aggs,
         )
 
     return _sink

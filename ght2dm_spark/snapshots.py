@@ -63,7 +63,7 @@ _CURRENT = "CURRENT"
 #: meta keys carried from parent to child across EVERY commit (the
 #: incremental layer's refresh watermarks — snapshot-level state, like
 #: stream_batch); an explicit new value in ``meta`` still overrides.
-_STICKY_META = ("source_version", "left_version", "right_version")
+_STICKY_META = ("source_version", "left_version", "right_version", "view_def")
 # vacuum() only unlinks _atomic_write temps older than this — a fresh
 # tmp may belong to a concurrent writer between tmp-write and replace.
 _STALE_TMP_SECONDS = 300
@@ -753,14 +753,33 @@ def _manifest_for(
     if as_of is not None:
         # newest committed manifest staged at-or-before the instant;
         # chain timestamps are monotone (a child is always staged after
-        # its pinned parent, single-driver commit discipline).  Legacy
-        # manifests without ts sort as arbitrarily old — they qualify
-        # for any instant, but only after every stamped-younger
-        # manifest has been ruled out.
+        # its pinned parent, single-driver commit discipline).  A
+        # ts-less (legacy) manifest has an unknown instant, but chain
+        # order still bounds it from BELOW: it was committed after
+        # every manifest beneath it, so its effective ts is at least
+        # the newest stamped ts at-or-below — which rules it out when
+        # that bound already exceeds the instant (a legacy manifest
+        # ABOVE stamped ones must not resolve for an instant before
+        # them).  With no stamped bound at all it sorts as arbitrarily
+        # old (the all-legacy fallback).
         epoch = _as_epoch(as_of)
-        for name, m in _committed_chain(table):
+        chain = _committed_chain(table)
+        below_max: list[float | None] = []
+        cur: float | None = None
+        for _name, m in reversed(chain):  # oldest-first accumulation
             ts = m.get("ts")
-            if ts is None or float(ts) <= epoch:
+            if ts is not None:
+                cur = float(ts) if cur is None else max(cur, float(ts))
+            below_max.append(cur)
+        below_max.reverse()
+        for (name, m), lb in zip(chain, below_max):
+            ts = m.get("ts")
+            eff = (
+                float(ts)
+                if ts is not None
+                else (lb if lb is not None else float("-inf"))
+            )
+            if eff <= epoch:
                 return name
         raise FileNotFoundError(
             f"no committed snapshot of {table} at or before {as_of!r} "

@@ -203,7 +203,10 @@ def encode_wet_record(
         f"Content-Type: text/plain\r\n"
         f"Content-Length: {len(payload)}\r\n"
         f"\r\n"
-    ).encode("ascii")
+        # UTF-8, not ascii: real crawls carry internationalized URIs,
+        # and an encode crash here would abort the whole write task —
+        # the reader decodes headers utf-8/replace symmetrically
+    ).encode("utf-8")
     return headers + payload + _CRLF + _CRLF
 
 
@@ -240,18 +243,22 @@ def write_wet(
             "urn:ght2dm:warcinfo", "2000-01-01T00:00:00Z",
             "software: ght2dm_spark write_wet\r\n", warc_type="warcinfo",
         )
-        chunks = [gzip.compress(info, mtime=0) if compress else info]
         n = 0
-        for pdf in batches:
-            for uri, date, text in zip(pdf["uri"], pdf["date"], pdf["text"]):
-                rec = encode_wet_record(str(uri), str(date), str(text or ""))
-                # one gzip MEMBER per record, mtime pinned: the crawl
-                # convention, and byte-deterministic for a given layout
-                chunks.append(gzip.compress(rec, mtime=0) if compress else rec)
-                n += 1
+        # stream records straight to disk — buffering the whole file
+        # would hold it in task memory; a task RETRY rewrites the same
+        # deterministic path in "wb", so a torn partial file never
+        # survives a successful job
         with open(os.path.join(out_dir, name), "wb") as f:
-            for c in chunks:
-                f.write(c)
+            f.write(gzip.compress(info, mtime=0) if compress else info)
+            for pdf in batches:
+                for uri, date, text in zip(
+                    pdf["uri"], pdf["date"], pdf["text"]
+                ):
+                    rec = encode_wet_record(str(uri), str(date), str(text or ""))
+                    # one gzip MEMBER per record, mtime pinned: the crawl
+                    # convention, and byte-deterministic for a given layout
+                    f.write(gzip.compress(rec, mtime=0) if compress else rec)
+                    n += 1
         yield pd.DataFrame({"file": [name], "n_records": [n]})
 
     return sel.mapInPandas(write_part, schema="file string, n_records long")

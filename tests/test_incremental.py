@@ -1006,3 +1006,41 @@ def test_changefeed_sink_maintains_avg(spark, tmp_path):
         for r in read_aggregate_view(spark, dst).collect()
     }
     assert got == {1: (1, 10.0), 2: (1, None)}
+
+
+def test_changed_view_definition_rebuilds_or_refuses(spark, tmp_path):
+    """The view definition is pinned in the commit meta: redefining a
+    maintained output from avg to sum (same state columns would even
+    exist) triggers a full rebuild in refresh_aggregate — never a
+    semantically-wrong merge of a divided value into a sum — and a
+    streaming sink, which cannot rebuild, refuses loudly."""
+    import pytest
+
+    from ght2dm_spark.incremental import aggregate_sink
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    rows = [(1, 10, 4), (2, 10, 8)]
+    commit(
+        prepare_commit(
+            spark.createDataFrame(rows, "id long, k long, v long"), src
+        )
+    )
+    assert refresh_aggregate(spark, src, dst, ["k"], {"s": ("avg", "v")})
+    got = {r["k"]: r["s"] for r in read_snapshot(spark, dst).collect()}
+    assert got == {10: 6.0}
+    # redefine s as SUM over the same column; append so the refresh runs
+    commit(
+        prepare_commit(
+            spark.createDataFrame([(3, 10, 1)], "id long, k long, v long"),
+            src, mode="append",
+        )
+    )
+    aggs2 = {"s": ("sum", "v")}
+    assert refresh_aggregate(spark, src, dst, ["k"], aggs2)
+    assert verify_aggregate(spark, src, dst, ["k"], aggs2)
+    got = {r["k"]: r["s"] for r in read_snapshot(spark, dst).collect()}
+    assert got == {10: 13}  # a wrong merge would have shown 6.0 + 1
+    # the sink sees the definition mismatch and refuses
+    sink = aggregate_sink(dst, ["k"], {"s": ("avg", "v")})
+    with pytest.raises(ValueError, match="different view definition"):
+        sink(spark.createDataFrame(rows, "id long, k long, v long"), 99)

@@ -826,3 +826,33 @@ def test_as_of_timestamp_time_travel(spark, tmp_path):
     del m["ts"]
     mpath.write_text(json.dumps(m))
     assert {r.v for r in read_snapshot(spark, t, as_of=t1).collect()} == {1, 2}
+
+
+def test_as_of_legacy_manifest_above_stamped_is_bounded_below(spark, tmp_path):
+    """A ts-less manifest ABOVE stamped ones was committed after them
+    (chain order = commit order), so an instant BEFORE those stamped
+    commits must resolve past it — not short-circuit on the unknown."""
+    import time as _time
+
+    t = str(tmp_path / "t")
+    commit(prepare_commit(spark.createDataFrame([(1,)], "v int"), t))
+    t0 = _time.time()
+    _time.sleep(0.05)
+    commit(
+        prepare_commit(spark.createDataFrame([(2,)], "v int"), t, mode="append")
+    )
+    commit(
+        prepare_commit(spark.createDataFrame([(3,)], "v int"), t, mode="append")
+    )
+    # strip ts from the NEWEST manifest only (an old-writer commit)
+    name = (Path(t) / "CURRENT").read_text().strip()
+    mpath = Path(t) / "_manifests" / name
+    m = json.loads(mpath.read_text())
+    del m["ts"]
+    mpath.write_text(json.dumps(m))
+    # as_of before the second commit: must return the SEED, not the
+    # ts-less tip (whose effective instant is bounded below by the
+    # stamped second commit)
+    assert {r.v for r in read_snapshot(spark, t, as_of=t0).collect()} == {1}
+    # live read unaffected
+    assert {r.v for r in read_snapshot(spark, t).collect()} == {1, 2, 3}

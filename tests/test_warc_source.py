@@ -116,3 +116,18 @@ def test_write_read_round_trip(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_write_wet_handles_non_ascii_uri_and_text(spark, tmp_path):
+    """Internationalized URIs and non-ASCII text must round-trip (UTF-8
+    headers and payload), not crash the writer task."""
+    df = spark.createDataFrame(
+        [("https://例え.jp/ページ", "2024-01-01T00:00:00Z", "naïve café — 测试")],
+        "uri string, date string, text string",
+    )
+    out = str(tmp_path / "wet")
+    assert write_wet(df, out, n_files=1).collect()[0]["n_records"] == 1
+    got = read_wet(spark, out).filter("warc_type = 'conversion'").collect()
+    assert len(got) == 1
+    assert got[0]["target_uri"] == "https://例え.jp/ページ"
+    assert got[0]["text"] == "naïve café — 测试"
