@@ -197,8 +197,7 @@ def t1_histogram(spark, sf_dir):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-             AS sum_qty,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -209,9 +208,12 @@ def t1_grouping_sets(spark, sf_dir):
     t1_rollup/t1_cube already cover) with grouping() flags
     disambiguating aggregated NULLs from data NULLs.  Spark's SQL front
     end plans this as a single Expand + one aggregation — one scan for
-    all three grains.  Decimal sum for cross-engine exactness; grouping()
-    is cast to BIGINT because Spark emits TINYINT where DuckDB emits
-    BIGINT and the driver's value hash is type-tagged (r05 red row)."""
+    all three grains.  grouping() is cast to BIGINT because Spark emits
+    TINYINT where DuckDB emits BIGINT (r05 red row); the quantity sum is
+    BIGINT because l_quantity is integral and DECIMAL(38,2) output is
+    int128-backed in DuckDB (HUGEINT storage), the hash class behind the
+    r04-r06 value-hash reds — the registry-wide discipline is to never
+    emit decimals wider than precision 18 (tests/test_oracle_types.py)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "__gs_lineitem"
     )
@@ -220,8 +222,7 @@ def t1_grouping_sets(spark, sf_dir):
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
                CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-                 AS sum_qty,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
                count(*) AS n
         FROM __gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())

@@ -38,12 +38,46 @@ def test_no_oracle_emits_hugeint(duck):
             (c[0], c[1])
             for c in cols
             if "INT128" in c[1].upper() or "HUGEINT" in c[1].upper()
+            or _wide_decimal(c[1])
         ]
         if bad:
             offenders[name] = bad
     assert not offenders, (
-        "HUGEINT-typed oracle outputs (CAST to BIGINT — the r04 "
-        f"driver-hash failure class): {offenders}"
+        "HUGEINT- or wide-DECIMAL-typed oracle outputs (CAST to BIGINT "
+        "or DOUBLE — the r04/r06 driver-hash failure class; DuckDB backs "
+        f"DECIMAL(>18,*) with int128 storage): {offenders}"
+    )
+
+
+def _wide_decimal(ducktype: str) -> bool:
+    """DECIMAL with precision >18 is int128-backed in DuckDB (HUGEINT
+    storage) — the same version-sensitive client canonicalization class
+    as bare HUGEINT (r06: ``t1_grouping_sets`` hashed red on bit-exact
+    DECIMAL(38,2) values two rounds running)."""
+    m = re.search(r"DECIMAL\((\d+),(\d+)\)", ducktype.upper())
+    return bool(m) and int(m.group(1)) > 18
+
+
+def test_no_spark_query_emits_wide_decimal(spark, sf_dir):
+    """Mirror guard on the Spark side: no declared query's OUTPUT schema
+    may carry a decimal wider than precision 18 (analysis only, no job).
+    Intermediate wide decimals are fine — only the driver-hashed output
+    columns are constrained."""
+    offenders = {}
+    for name in sorted(QUERIES):
+        if name not in ORACLE:
+            continue
+        sdf = QUERIES[name](spark, sf_dir)
+        bad = [
+            (f.name, f.dataType.simpleString())
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, T.DecimalType) and f.dataType.precision > 18
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "Spark outputs with DECIMAL precision >18 (int128-storage hash "
+        f"class on the oracle side — emit BIGINT or DOUBLE): {offenders}"
     )
 
 
