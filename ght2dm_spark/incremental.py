@@ -132,11 +132,14 @@ def _view_def(aggs: dict) -> dict:
     changed definition is undetectable from the state COLUMNS alone —
     swapping an avg's input column, or turning an avg into a sum whose
     companions happen to exist, keeps the schema while changing the
-    semantics — so the definition itself is the compared contract."""
-    return {
-        out: [fn, col if (col is None or isinstance(col, str)) else str(col)]
-        for out, (fn, col) in aggs.items()
-    }
+    semantics — so the definition itself is the compared contract.
+
+    Inputs are restricted to STRING column names (_validate_aggs): a
+    pyspark Column's repr is not a stable serialization contract, and a
+    repr change across PySpark versions would invalidate every pinned
+    definition — silently full-rebuilding refreshed views and hard-
+    stopping streaming sinks on healthy tables."""
+    return {out: [fn, col] for out, (fn, col) in aggs.items()}
 
 
 def _def_changed(stored_def, aggs: dict, state_cols: list[str], state) -> bool:
@@ -154,6 +157,15 @@ def _validate_aggs(keys: list[str], aggs: dict) -> None:
     for out, (fn, _c) in aggs.items():
         if fn not in _DECOMPOSABLE:
             raise ValueError(f"{out}: '{fn}' is not a decomposable aggregate")
+        if _c is not None and not isinstance(_c, str):
+            # the input column is PINNED in every commit's view_def and
+            # compared across sessions/versions — a Column object's repr
+            # is not a stable serialization contract (see _view_def)
+            raise TypeError(
+                f"{out}: aggregate input must be a column NAME (str), "
+                f"got {type(_c).__name__} — expression inputs would pin "
+                "an unstable serialization in the view definition"
+            )
         if out.startswith("__"):
             raise ValueError(
                 f"{out}: the '__' prefix is reserved for maintenance columns"

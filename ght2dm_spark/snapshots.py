@@ -244,6 +244,22 @@ def _load_manifest(table: Path, name: str) -> dict:
         return json.load(f)
 
 
+def _stamp_ts(parent_manifest: dict | None) -> float:
+    """Commit timestamp for a new manifest, clamped to be >= the
+    parent's.  The AS OF resolver's newest-first "first eff <= epoch"
+    scan relies on chain timestamps being monotone; a wall-clock step
+    BACK (NTP correction) between two commits would otherwise stamp a
+    child earlier than its parent and let an AS OF instant resolve to a
+    snapshot newer than a skipped ancestor.  The invariant is enforced
+    at stamping time, not assumed."""
+    ts = time.time()
+    if parent_manifest:
+        pts = parent_manifest.get("ts")
+        if pts is not None:
+            ts = max(ts, float(pts))
+    return ts
+
+
 class SnapshotConflictError(RuntimeError):
     """Raised by :func:`commit` when CURRENT moved after this snapshot
     was prepared — another writer published first.  The optimistic-
@@ -352,6 +368,7 @@ def prepare_commit(
     parent_dseqs: dict[str, int] = {}
     stream_batch: int | None = None
     parent_meta: dict = {}
+    pm: dict = {}
     seq = _max_staged_seq(table) + 1
     if base_name is not None:
         pm = _load_manifest(table, base_name)
@@ -444,7 +461,7 @@ def prepare_commit(
 
     manifest = {
         "seq": seq,
-        "ts": time.time(),
+        "ts": _stamp_ts(pm),
         "parent": base_name,
         "mode": mode,
         "files": parent_files + new_files,
@@ -578,7 +595,7 @@ def delete_rows(
     seq = _max_staged_seq(table) + 1
     manifest = {
         "seq": seq,
-        "ts": time.time(),
+        "ts": _stamp_ts(pm),
         "parent": base_name,
         "mode": "delete",
         "files": list(pm["files"]),
@@ -752,16 +769,17 @@ def _manifest_for(
         raise ValueError("pass version OR as_of, not both")
     if as_of is not None:
         # newest committed manifest staged at-or-before the instant;
-        # chain timestamps are monotone (a child is always staged after
-        # its pinned parent, single-driver commit discipline).  A
-        # ts-less (legacy) manifest has an unknown instant, but chain
-        # order still bounds it from BELOW: it was committed after
-        # every manifest beneath it, so its effective ts is at least
-        # the newest stamped ts at-or-below — which rules it out when
-        # that bound already exceeds the instant (a legacy manifest
-        # ABOVE stamped ones must not resolve for an instant before
-        # them).  With no stamped bound at all it sorts as arbitrarily
-        # old (the all-legacy fallback).
+        # chain timestamps are monotone (enforced at stamping time by
+        # _stamp_ts).  A ts-less (legacy) manifest has an unknown
+        # instant; it is bounded from BELOW by chain order (it was
+        # committed after every manifest beneath it, so its effective
+        # ts is at least the newest stamped ts at-or-below) and
+        # estimated from ABOVE by its manifest file's mtime (manifests
+        # are write-once, so mtime ~ commit time; a copied/touched file
+        # inflates the estimate, which only makes resolution MORE
+        # conservative — it skips to an older ancestor, never returns
+        # future data for a historical instant).  eff = max(mtime, lb):
+        # the mtime estimate clamped up to the chain-order bound.
         epoch = _as_epoch(as_of)
         chain = _committed_chain(table)
         below_max: list[float | None] = []
@@ -774,11 +792,14 @@ def _manifest_for(
         below_max.reverse()
         for (name, m), lb in zip(chain, below_max):
             ts = m.get("ts")
-            eff = (
-                float(ts)
-                if ts is not None
-                else (lb if lb is not None else float("-inf"))
-            )
+            if ts is not None:
+                eff = float(ts)
+            else:
+                try:
+                    mtime = (table / _MANIFESTS / name).stat().st_mtime
+                except OSError:
+                    mtime = float("-inf")
+                eff = max(mtime, lb if lb is not None else float("-inf"))
             if eff <= epoch:
                 return name
         raise FileNotFoundError(
@@ -1105,7 +1126,7 @@ def rewrite_small_files(
     parent_fseqs = m.get("file_seqs", {})
     manifest = {
         "seq": seq,
-        "ts": time.time(),
+        "ts": _stamp_ts(m),
         "parent": base,
         "mode": "rewrite",
         "files": kept + new_files,

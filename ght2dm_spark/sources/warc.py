@@ -148,8 +148,11 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
                 try:
                     raw = _maybe_gunzip(base, bytes(content))
                 except OSError as e:
+                    # rec_pos None, not 0: a whole-file gzip failure has
+                    # no record position, and 0 would collide with the
+                    # provenance of a real record 0 elsewhere
                     rows.append(
-                        (None, None, None, None, None, None, base, 0,
+                        (None, None, None, None, None, None, base, None,
                          f"gzip: {e}")
                     )
                     continue
@@ -236,7 +239,8 @@ def write_wet(
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         ext = ".wet.gz" if compress else ".wet"
         name = f"part-{pid:05d}{ext}"
         info = encode_wet_record(
@@ -244,11 +248,17 @@ def write_wet(
             "software: ght2dm_spark write_wet\r\n", warc_type="warcinfo",
         )
         n = 0
-        # stream records straight to disk — buffering the whole file
-        # would hold it in task memory; a task RETRY rewrites the same
-        # deterministic path in "wb", so a torn partial file never
-        # survives a successful job
-        with open(os.path.join(out_dir, name), "wb") as f:
+        # Task-commit protocol: stream to an ATTEMPT-UNIQUE temp name
+        # (taskAttemptId is unique across retries AND concurrent
+        # speculative attempts — two attempts of one partition never
+        # share a file descriptor), then os.rename onto the final
+        # deterministic path at task end.  rename is atomic on POSIX,
+        # so readers never observe a torn file and last-completed-
+        # attempt-wins yields identical bytes either way (the payload is
+        # deterministic per partition).  The leading "." keeps an
+        # aborted attempt's temp invisible to read_wet's "*.wet*" glob.
+        tmp = os.path.join(out_dir, f".{name}.attempt-{ctx.taskAttemptId()}.tmp")
+        with open(tmp, "wb") as f:
             f.write(gzip.compress(info, mtime=0) if compress else info)
             for pdf in batches:
                 for uri, date, text in zip(
@@ -259,6 +269,7 @@ def write_wet(
                     # convention, and byte-deterministic for a given layout
                     f.write(gzip.compress(rec, mtime=0) if compress else rec)
                     n += 1
+        os.rename(tmp, os.path.join(out_dir, name))
         yield pd.DataFrame({"file": [name], "n_records": [n]})
 
     return sel.mapInPandas(write_part, schema="file string, n_records long")
