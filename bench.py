@@ -154,6 +154,22 @@ HEADLINE = [
     "t1_stream_cdc_join",
     "t1_wet_roundtrip",
     "t1_ivm_avg",
+    # round 6 stragglers (registered in r6, missed by the r6 bench list —
+    # judge r6 What's-wrong #3)
+    "t1_stream_continuous_agg",
+    "t1_stream_cdc_agg",
+    # round 7: eval metrics, drift, folds, containment, routing, IVM
+    # distinct, AS OF time travel
+    "t1_ndcg_eval",
+    "t1_rbo_rankings",
+    "t1_ks_drift",
+    "t1_stratified_kfold",
+    "t1_quantile_bucketing",
+    "t1_tokenizer_fertility",
+    "t1_code_ratio_filter",
+    "t1_ngram_containment",
+    "t1_ivm_distinct_count",
+    "t1_asof_time_travel",
 ]
 
 
@@ -183,6 +199,15 @@ SCALE_HEADLINE = [
     # linearly with the 10× corpus (the gram-dedup queries would instead
     # measure the fixture's own duplication — excluded like the LSH set)
     "t1_gopher_rules",
+    # round-7 members: per-row maps + one groupBy/window each, all
+    # replication-honest (t1_ngram_containment is excluded like the LSH
+    # set — replicated text inflates pair counts; t1_ndcg_eval/t1_rbo
+    # read the non-replicated embeddings/top-k slice)
+    "t1_tokenizer_fertility",
+    "t1_code_ratio_filter",
+    "t1_stratified_kfold",
+    "t1_quantile_bucketing",
+    "t1_ks_drift",
 ]
 
 #: tables replicated with shifted keys in the scale dir; everything else

@@ -63,6 +63,7 @@ from ght2dm_spark.queries import sketch_queries  # noqa: E402,F401
 from ght2dm_spark.queries import linalg_queries  # noqa: E402,F401
 from ght2dm_spark.queries import layout_queries  # noqa: E402,F401
 from ght2dm_spark.queries import ml_training  # noqa: E402,F401
+from ght2dm_spark.queries import eval_queries  # noqa: E402,F401
 
 # Names with a green driver CORRECTNESS row in rounds 1-4 (r04 verified 48
 # of its 50-query window; the two hash failures are requeued at the head of
@@ -71,7 +72,7 @@ from ght2dm_spark.queries import ml_training  # noqa: E402,F401
 # puts never-driver-verified queries at the head of the walk and
 # already-verified ones at the tail — cumulative coverage, not re-checking.
 _DRIVER_VERIFIED = frozenset({
-    "q10_returned_items", "q11_important_parts",
+    "q10_returned_items", "q11_important_parts", "q12_shipmode_priority",
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
     "q16_supplier_relation", "q17_small_quantity",
     "q18_large_volume_customer", "q19_disjunctive_predicates",
@@ -84,114 +85,130 @@ _DRIVER_VERIFIED = frozenset({
     "t0_newest_wins_dedup", "t0_or_lookup", "t0_ri_rejects",
     "t0_string_clean", "t0_surrogate_key", "t0_ts_cast", "t0_type_split",
     "t1_agg_suite", "t1_ann_bruteforce_topk", "t1_ann_euclidean_topk",
-    "t1_ann_ivf_topk", "t1_ann_lsh_multiprobe", "t1_ann_lsh_topk",
-    "t1_ann_recall", "t1_asof_join", "t1_audio_fingerprint",
+    "t1_ann_ivf_learned", "t1_ann_ivf_topk", "t1_ann_lsh_banded",
+    "t1_ann_lsh_multiprobe", "t1_ann_lsh_topk", "t1_ann_recall",
+    "t1_array_funcs", "t1_asof_join", "t1_audio_fingerprint",
     "t1_bfs_levels", "t1_bigram_surprisal", "t1_bloom_membership",
     "t1_bm25_topk", "t1_bpe_encode", "t1_bpe_merges", "t1_char_entropy",
     "t1_cms_sketch", "t1_cohort_retention", "t1_compaction_plan",
-    "t1_contamination_check", "t1_corpus_build_pipeline", "t1_cube",
-    "t1_cusum_drift", "t1_dedup_exact", "t1_dedup_keep_canonical",
-    "t1_doc_chunking", "t1_dsir_sample", "t1_embedding_centroid",
-    "t1_embedding_neardup", "t1_event_funnel", "t1_ewma",
-    "t1_full_outer_join", "t1_group_split", "t1_hash_sample",
-    "t1_histogram", "t1_hll_sketch", "t1_holt_linear", "t1_hybrid_rrf",
-    "t1_image_ahash", "t1_ivfadc", "t1_ivfadc_rerank", "t1_json_map",
-    "t1_kcore", "t1_keyset_pagination", "t1_kmeans_clusters",
-    "t1_kmv_sketch", "t1_kn_surprisal", "t1_label_propagation",
-    "t1_lang_balance_sample", "t1_line_dedup", "t1_listagg",
+    "t1_contamination_check", "t1_corpus_build_pipeline",
+    "t1_cross_source_leakage", "t1_cube", "t1_cusum_drift",
+    "t1_datetime_funcs", "t1_dedup_exact", "t1_dedup_keep_canonical",
+    "t1_deterministic_shuffle", "t1_doc_chunking", "t1_dow_seasonality",
+    "t1_dq_rules", "t1_dsir_sample", "t1_dup_ngram_coverage",
+    "t1_edit_distance", "t1_embedding_centroid", "t1_embedding_neardup",
+    "t1_event_funnel", "t1_ewma", "t1_explode_outer", "t1_full_outer_join",
+    "t1_funnel_constrained", "t1_fuzzy_blocking_join", "t1_gopher_rules",
+    "t1_group_split", "t1_hash_sample", "t1_heavy_hitters", "t1_histogram",
+    "t1_histogram_equidepth", "t1_hll_sketch", "t1_holt_linear",
+    "t1_hybrid_rrf", "t1_image_ahash", "t1_int8_quantize",
+    "t1_interval_union", "t1_ivfadc", "t1_ivfadc_rerank", "t1_json_extract",
+    "t1_json_map", "t1_k_anonymity", "t1_kcore", "t1_keyset_pagination",
+    "t1_kmeans_clusters", "t1_kmv_sketch", "t1_kn_surprisal",
+    "t1_label_propagation", "t1_lang_balance_sample",
+    "t1_last_touch_attribution", "t1_line_dedup", "t1_linear_attribution",
+    "t1_listagg", "t1_longest_streak", "t1_markov_transitions",
     "t1_media_dedup", "t1_merge_upsert", "t1_minhash_lsh_pairs",
-    "t1_minhash_signature", "t1_mode_per_group", "t1_multimodal_audio",
-    "t1_multimodal_decode", "t1_multimodal_features",
+    "t1_minhash_signature", "t1_mode_per_group", "t1_mom_growth",
+    "t1_multimodal_audio", "t1_multimodal_decode", "t1_multimodal_features",
     "t1_multimodal_frames", "t1_multimodal_video", "t1_neardup_components",
-    "t1_ngram_jaccard_pairs", "t1_ohlc", "t1_pagerank",
-    "t1_pandas_udf_scalar", "t1_pareto_front", "t1_pca_power",
-    "t1_percentile_exact", "t1_perceptron_quality", "t1_pii_scrub",
-    "t1_pit_join", "t1_pivot", "t1_pq_ann", "t1_range_join",
-    "t1_record_linkage", "t1_repetition_ratio", "t1_rolling_zscore",
-    "t1_rollup", "t1_salted_join", "t1_seasonal_decompose", "t1_semdedup",
-    "t1_semi_join", "t1_session_window", "t1_sessionize_gap", "t1_set_ops",
-    "t1_simhash", "t1_simhash_hamming_pairs", "t1_sliding_window",
-    "t1_snapshot_diff", "t1_span_dedup", "t1_sql_api",
-    "t1_sql_parameterized", "t1_sql_pipe", "t1_ssjoin_prefix",
+    "t1_nearest_event_join", "t1_ngram_jaccard_pairs", "t1_null_safe_join",
+    "t1_ohlc", "t1_pagerank", "t1_pandas_udf_scalar", "t1_pareto_front",
+    "t1_pca_power", "t1_percentile_exact", "t1_perceptron_quality",
+    "t1_pii_scrub", "t1_pit_join", "t1_pivot", "t1_pq_ann",
+    "t1_profile_table", "t1_range_join", "t1_record_linkage",
+    "t1_regexp_funcs", "t1_repetition_ratio", "t1_rfm_segments",
+    "t1_rolling_zscore", "t1_rollup", "t1_salted_agg", "t1_salted_join",
+    "t1_scd2_history", "t1_seasonal_decompose", "t1_semdedup",
+    "t1_semi_join", "t1_sequence_pattern", "t1_session_window",
+    "t1_sessionize_gap", "t1_set_ops", "t1_simhash",
+    "t1_simhash_hamming_pairs", "t1_skew_audit", "t1_sliding_distinct_users",
+    "t1_sliding_window", "t1_snapshot_diff", "t1_span_dedup", "t1_sq8_ann",
+    "t1_sql_api", "t1_sql_parameterized", "t1_sql_pipe", "t1_ssjoin_prefix",
     "t1_sssp_weighted", "t1_stat_moments", "t1_stratified_sample",
-    "t1_stream_dedup", "t1_stream_dedup_watermark", "t1_stream_ohlc",
+    "t1_stream_contamination", "t1_stream_dedup",
+    "t1_stream_dedup_watermark", "t1_stream_ohlc", "t1_stream_quality_gate",
     "t1_stream_session_append", "t1_stream_stateful_counts",
-    "t1_stream_stream_join", "t1_stream_tumbling", "t1_temperature_mix",
-    "t1_text_fingerprint", "t1_text_lang_id", "t1_text_quality",
-    "t1_text_token_counts", "t1_tfidf_top_terms", "t1_theilsen_slope",
-    "t1_time_gapfill_series", "t1_token_budget_pack", "t1_token_pmi",
-    "t1_topk_global", "t1_topk_per_group", "t1_topk_with_ties",
+    "t1_stream_stream_join", "t1_stream_tumbling", "t1_string_funcs",
+    "t1_table_fingerprint", "t1_temperature_mix", "t1_text_fingerprint",
+    "t1_text_lang_id", "t1_text_quality", "t1_text_token_counts",
+    "t1_tfidf_top_terms", "t1_theilsen_slope", "t1_time_gapfill",
+    "t1_time_gapfill_series", "t1_time_rollup", "t1_token_budget_pack",
+    "t1_token_pmi", "t1_top_n_other", "t1_topk_global",
+    "t1_topk_incremental", "t1_topk_per_group", "t1_topk_with_ties",
     "t1_train_test_split", "t1_triangle_count", "t1_tumbling_window",
-    "t1_twap", "t1_unigram_surprisal", "t1_union_evolved", "t1_url_dedup",
-    "t1_user_feature_pipeline", "t1_video_sample_table",
-    "t1_weighted_median", "t1_window_distribution", "t1_window_first_last",
+    "t1_twap", "t1_unigram_surprisal", "t1_union_evolved", "t1_unpivot",
+    "t1_url_dedup", "t1_user_feature_pipeline", "t1_variant_extract",
+    "t1_video_sample_table", "t1_weighted_median", "t1_weighted_sample",
+    "t1_window_distribution", "t1_window_first_last",
     "t1_window_range_frame", "t1_window_ranking", "t1_window_running",
     "t1_window_time_range", "t1_winsorize_bounds", "t1_zipf_fit",
     "t1_zorder_cluster",
 })
 
-# Round-6 window: EXACTLY 50 names, budgeted to the driver cut.  Leads:
-# the two historical red rows (both root-caused and fixed), the judge's
-# named round-6 list, then never-verified names whose code changed in
-# the round-6 BIGINT alignment, then staples.  The overflow (the ~29
-# pre-round-6 names plus the round-6 additions: t1_ivm_retraction,
-# t1_ivm_minmax_recompute, t1_ivm_join_delta, t1_ivm_join_retraction,
-# t1_stream_continuous_agg, t1_stream_cdc_agg, t1_stream_cdc_join,
-# t1_wet_roundtrip, t1_ivm_avg — all sim-green at sf0.01 AND sf0.1)
-# goes in the round-7 window.  Import-time
-# assertions below keep every slot honest (registered + not already
-# green).
+# Round-7 window: EXACTLY 50 names — the ENTIRE remaining verification
+# ledger.  Head: t1_grouping_sets (r5+r6 hash-red; root-caused to the
+# int128-backed DECIMAL(38,2) output, now BIGINT on both sides), then
+# every never-driver-verified name (the 29 pre-round-6 tail + the 9
+# round-6 IVM/CDC/WET additions), then the 10 round-7 additions
+# (eval metrics, KS drift, k-fold, bucketing, containment, fertility,
+# code routing, IVM distinct-count, AS OF time travel).  After a clean
+# r7 run the cumulative ledger closes at 268/269 — everything except
+# t1_approx_aggs, which is rows-only BY DESIGN (self-validating error
+# bounds, no DuckDB oracle) and already has its r6 rows-only row, so a
+# window slot on it would be wasted.  Import-time assertions below keep
+# every slot honest (registered + not already green).
 _LEAD = [
     "t1_grouping_sets",
-    "q12_shipmode_priority",
-    "t1_approx_aggs",
-    "t1_gopher_rules",
-    "t1_dup_ngram_coverage",
-    "t1_sq8_ann",
-    "t1_stream_quality_gate",
-    "t1_stream_contamination",
-    "t1_cross_source_leakage",
-    "t1_int8_quantize",
-    "t1_ann_ivf_learned",
-    "t1_ann_lsh_banded",
-    "t1_array_funcs",
-    "t1_datetime_funcs",
-    "t1_string_funcs",
-    "t1_regexp_funcs",
-    "t1_edit_distance",
-    "t1_fuzzy_blocking_join",
-    "t1_dow_seasonality",
-    "t1_histogram_equidepth",
-    "t1_rfm_segments",
-    "t1_sequence_pattern",
-    "t1_time_rollup",
-    "t1_sliding_distinct_users",
-    "t1_last_touch_attribution",
-    "t1_linear_attribution",
-    "t1_markov_transitions",
-    "t1_funnel_constrained",
-    "t1_longest_streak",
-    "t1_mom_growth",
-    "t1_top_n_other",
-    "t1_unpivot",
-    "t1_explode_outer",
-    "t1_json_extract",
-    "t1_variant_extract",
-    "t1_null_safe_join",
-    "t1_nearest_event_join",
-    "t1_interval_union",
-    "t1_scd2_history",
-    "t1_time_gapfill",
-    "t1_heavy_hitters",
-    "t1_topk_incremental",
-    "t1_profile_table",
-    "t1_dq_rules",
-    "t1_table_fingerprint",
-    "t1_k_anonymity",
-    "t1_salted_agg",
-    "t1_skew_audit",
-    "t1_deterministic_shuffle",
-    "t1_weighted_sample",
+    "t1_ab_lift",
+    "t1_acf",
+    "t1_auc_metric",
+    "t1_benford_audit",
+    "t1_churn_labels",
+    "t1_corrupt_json_routing",
+    "t1_crosstab_chisq",
+    "t1_drift_tvd",
+    "t1_embedding_drift",
+    "t1_graph_jaccard",
+    "t1_grouped_agg_udf",
+    "t1_grouped_map_scale",
+    "t1_inverted_index",
+    "t1_ivm_avg",
+    "t1_ivm_join_delta",
+    "t1_ivm_join_retraction",
+    "t1_ivm_minmax_recompute",
+    "t1_ivm_retraction",
+    "t1_join_cardinality_audit",
+    "t1_knn_classify",
+    "t1_knn_confusion",
+    "t1_loghist_quantiles",
+    "t1_mad_outliers",
+    "t1_mann_kendall",
+    "t1_map_in_arrow",
+    "t1_mmr_rerank",
+    "t1_negative_sampling",
+    "t1_pandas_udwf",
+    "t1_python_udf_row",
+    "t1_python_udtf",
+    "t1_quality_logit",
+    "t1_regression_per_group",
+    "t1_source_dup_profile",
+    "t1_stream_cdc_agg",
+    "t1_stream_cdc_join",
+    "t1_stream_continuous_agg",
+    "t1_stream_static_join",
+    "t1_textrank_keywords",
+    "t1_wet_roundtrip",
+    "t1_ivm_distinct_count",
+    "t1_asof_time_travel",
+    "t1_ndcg_eval",
+    "t1_rbo_rankings",
+    "t1_ks_drift",
+    "t1_stratified_kfold",
+    "t1_quantile_bucketing",
+    "t1_tokenizer_fertility",
+    "t1_code_ratio_filter",
+    "t1_ngram_containment",
 ]
 
 

@@ -771,3 +771,123 @@ def t1_kn_surprisal(spark, sf_dir):
         score_batches,
         schema="doc_id long, n_bigrams long, avg_kn_surprisal double",
     )
+
+
+_WS_TOKS_SQL = "list_filter(regexp_split_to_array({c}, '\\s+'), t -> t <> '')"
+
+
+@register(
+    "t1_tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               len({_WS_TOKS_SQL.format(c="text")}) AS n_toks,
+               length(text) AS n_chars,
+               strlen(text) AS n_bytes
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS tokens,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(sum(n_bytes) AS BIGINT) AS bytes,
+           round(CASE WHEN sum(n_toks) > 0 THEN
+               CAST(sum(n_chars) AS DOUBLE) / sum(n_toks) END, 6)
+             AS chars_per_token,
+           round(CASE WHEN sum(n_toks) > 0 THEN
+               CAST(sum(n_bytes) AS DOUBLE) / sum(n_toks) END, 6)
+             AS bytes_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def t1_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: characters and UTF-8 bytes per
+    whitespace token — the metric that decides how a tokenizer's budget
+    is spent across languages (high-fertility scripts consume more
+    sequence length per word; the standard input to vocab-allocation
+    and sampling-temperature decisions beside t1_temperature_mix and
+    t1_lang_balance_sample).
+
+    Exactness: token/char/byte counts are integers summed exactly; each
+    ratio is ONE division of exact integer sums (the avg = sum/count
+    discipline), so the doubles match bit-for-bit.  Scale: a narrow
+    projection then one map-side-combinable groupBy on lang — the text
+    never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(F.filter(
+            F.split(F.col("text"), r"\s+"), lambda x: x != ""
+        )).cast("long").alias("n_toks"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    g = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("tokens"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_bytes").alias("bytes"),
+    )
+    ratio = lambda num: F.round(  # noqa: E731
+        F.when(F.col("tokens") > 0, F.col(num).cast("double") / F.col("tokens")),
+        6,
+    )
+    return g.select(
+        "lang", "n_docs", "tokens", "chars", "bytes",
+        ratio("chars").alias("chars_per_token"),
+        ratio("bytes").alias("bytes_per_token"),
+    )
+
+
+@register(
+    "t1_code_ratio_filter",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, lang,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text,
+                   '[{}();=<>\\[\\]#|&]', '', 'g')) AS n_sym,
+               len(regexp_extract_all(text,
+                   '(^|\\n)(    |\\t)')) AS n_indent
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, lang, CAST(n_sym AS BIGINT) AS n_sym,
+           CAST(n_indent AS BIGINT) AS n_indent,
+           round(CAST(n_sym AS DOUBLE) / n_chars, 6) AS sym_ratio
+    FROM m
+    WHERE CAST(n_sym AS DOUBLE) / n_chars >= 0.03 OR n_indent >= 2
+    """,
+)
+def t1_code_ratio_filter(spark, sf_dir):
+    """Code-likeness routing: flag documents whose code-symbol density
+    ({};()=<>[]#|&) or indentation-block count says "source code, not
+    prose" — the corpus-splitting heuristic that routes documents to a
+    code pipeline (different dedup granularity, different quality
+    rules) instead of dropping them.  The standard cheap pre-filter in
+    front of a learned classifier, same role as t1_gopher_rules for
+    prose quality.
+
+    Exactness: symbol and indent counts are integers from the SAME
+    regex class both engines compile identically (no shorthand classes
+    whose Unicode semantics differ); the ratio is one division.
+    Scale: pure narrow projection + filter — pushes to the scan, no
+    shuffle at all."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_sym = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[{}();=<>\[\]#|&]", ""))
+    ).cast("long")
+    n_indent = F.size(
+        F.expr(r"regexp_extract_all(text, '(^|\n)(    |\t)', 0)")
+    ).cast("long")
+    m = d.select(
+        "doc_id", "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        n_sym.alias("n_sym"),
+        n_indent.alias("n_indent"),
+    )
+    ratio = F.col("n_sym").cast("double") / F.col("n_chars")
+    return m.filter((ratio >= 0.03) | (F.col("n_indent") >= 2)).select(
+        "doc_id", "lang", "n_sym", "n_indent",
+        F.round(ratio, 6).alias("sym_ratio"),
+    )

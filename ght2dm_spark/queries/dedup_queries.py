@@ -649,3 +649,67 @@ def t1_simhash_hamming_pairs(spark, sf_dir):
     return simhash_hamming_pairs(
         sim, "doc_id", radius=HAMMING_R, blocks=HAMMING_BLOCKS
     )
+
+
+@register(
+    "t1_ngram_containment",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    t AS (SELECT doc_id, {_TOKS} AS toks, lower(text) AS ltext FROM aug),
+    sh AS (SELECT doc_id, unnest(list_distinct({shingle_sql("toks", "ltext", 3)})) AS shingle
+           FROM t),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+           round(CAST(inter AS DOUBLE) / sa.n, 6) AS c_ab,
+           round(CAST(inter AS DOUBLE) / sb.n, 6) AS c_ba
+    FROM p
+    JOIN sz sa ON p.id_a = sa.doc_id
+    JOIN sz sb ON p.id_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / sa.n >= 0.9
+       OR CAST(inter AS DOUBLE) / sb.n >= 0.9
+    """,
+)
+def t1_ngram_containment(spark, sf_dir):
+    """Directional n-gram CONTAINMENT — the sub-document-duplication
+    measure Jaccard misses: C(A⊆B) = |sh(A) ∩ sh(B)| / |sh(A)| flags a
+    short document swallowed by a long one even when symmetric Jaccard
+    stays tiny (the boilerplate/quotation/mirror case an LLM corpus
+    dedups on; Broder's containment, the other half of the resemblance
+    paper).  Same inverted-index shingle join as t1_ngram_jaccard_pairs
+    — one shuffle on the shingle, only (doc_id, shingle) moves — then
+    both directions of containment from the pair's intersection and the
+    per-side set sizes; pairs kept when either direction ≥ 0.9.  The
+    planted near-copies (last word dropped) are ~fully contained in
+    their originals, so the result provably catches them.
+
+    Exactness: inter/na/nb are integers; each containment is ONE
+    division of exact operands, so the rounded doubles match bit-for-bit
+    cross-engine."""
+    aug = _aug_docs(spark, sf_dir)
+    sh = shingle_df(aug, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    left = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    right = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    c_ab = F.col("inter").cast("double") / F.col("na")
+    c_ba = F.col("inter").cast("double") / F.col("nb")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter((c_ab >= 0.9) | (c_ba >= 0.9))
+        .select(
+            "id_a", "id_b", F.col("inter").cast("bigint").alias("inter"),
+            F.round(c_ab, 6).alias("c_ab"), F.round(c_ba, 6).alias("c_ba"),
+        )
+    )

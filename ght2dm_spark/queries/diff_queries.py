@@ -243,3 +243,82 @@ def t1_table_fingerprint(spark, sf_dir):
         "c_mktsegment",
     )
     return fp(o, "orders", o_repr).unionAll(fp(c, "customer", c_repr))
+
+
+@register(
+    "t1_asof_time_travel",
+    oracle="""
+    SELECT 'v0' AS snap, count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'v1_asof' AS snap, count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'current' AS snap, count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 30 <> 0
+    """,
+)
+def t1_asof_time_travel(spark, sf_dir):
+    """Timestamp time travel through the REAL snapshot layer: a table
+    is built by three commits (seed, append, merge-on-read delete),
+    then read back three ways — pinned version 0, AS OF an instant
+    between the append and the delete (resolved via manifest
+    timestamps, snapshots._manifest_for), and CURRENT.  The oracle
+    recomputes each version's content directly from the base table, so
+    a hash match certifies that AS OF resolution returns exactly the
+    rows that existed at the instant — including that the later
+    delete is NOT visible at the earlier instant.
+
+    Scale: time travel is metadata-only — resolution walks the
+    manifest chain (names + timestamps, no data I/O) and the read
+    plans only that version's file list; history depth costs nothing
+    at any table size.  The monotone-ts invariant the resolver relies
+    on is enforced at stamping time (_stamp_ts) and regression-tested
+    in tests/test_round7_fixes.py."""
+    import shutil
+    import tempfile
+
+    from ght2dm_spark.snapshots import (
+        commit,
+        delete_rows,
+        history,
+        prepare_commit,
+        read_snapshot,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    root = tempfile.mkdtemp(prefix="ght2dm-asof-")
+    try:
+        table = f"{root}/T"
+        commit(prepare_commit(o.filter(F.col("o_orderkey") % 3 == 0), table))
+        commit(prepare_commit(
+            o.filter(F.col("o_orderkey") % 3 == 1), table, mode="append"))
+        commit(delete_rows(
+            o.filter(F.col("o_orderkey") % 30 == 0).select("o_orderkey"),
+            table,
+        ))
+        hist = history(table)  # oldest-first: [v0, v1, v2]
+        ts1, ts2 = hist[1]["ts"], hist[2]["ts"]
+        # an instant strictly inside (ts1, ts2): sees the append, not
+        # the delete (midpoint — the commits stamp distinct clamped ts)
+        instant = ts1 + (ts2 - ts1) / 2 if ts2 > ts1 else ts1
+
+        def agg(df, label):
+            return df.agg(
+                F.lit(label).alias("snap"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            )
+
+        out = (
+            agg(read_snapshot(spark, table, version=0), "v0")
+            .unionAll(agg(read_snapshot(spark, table, as_of=instant), "v1_asof"))
+            .unionAll(agg(read_snapshot(spark, table), "current"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

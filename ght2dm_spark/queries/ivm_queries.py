@@ -755,3 +755,83 @@ def t1_ivm_avg(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "t1_ivm_distinct_count",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey % {_G} AS g,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_custkey END AS v,
+               o_orderkey AS k
+        FROM orders
+    ),
+    ins AS (
+        SELECT * FROM (
+            SELECT (o_orderkey + {_SHIFT}) % {_G} AS g,
+                   CASE WHEN (o_orderkey + {_SHIFT}) % 5 = 0
+                        THEN o_custkey END AS v,
+                   o_orderkey + {_SHIFT} AS k
+            FROM orders WHERE o_orderkey % 13 = 0
+        ) WHERE g NOT IN (42, 7)
+    ),
+    final AS (
+        SELECT g, v FROM base
+        WHERE NOT (k % 10 = 0 OR g = 42 OR (g = 7 AND k % 5 = 0))
+        UNION ALL
+        SELECT g, v FROM ins
+    )
+    SELECT g, count(DISTINCT v) AS n_distinct, count(*) AS n_rows
+    FROM final GROUP BY g
+    """,
+)
+def t1_ivm_distinct_count(spark, sf_dir):
+    """COUNT(DISTINCT) view maintenance — the aggregate that is NOT
+    decomposable on its own output and therefore needs TWO-LEVEL state:
+    an inner z-set of (group, value) multiplicities maintained with
+    signed partials (the same ±1 arithmetic as t1_ivm_retraction), from
+    which the outer distinct count is the number of values whose net
+    multiplicity is positive.  A deletion only retires a value when its
+    LAST occurrence retracts — the inner count is exactly the liveness
+    companion that makes that decidable without rescanning the base.
+    Same mutation battery and probe groups as the retraction query:
+    group 42 drops wholesale (no live pairs → absent), group 7 loses
+    every non-NULL value (distinct count 0 but the group stays, carried
+    by its NULL-value pair — count(DISTINCT) ignores NULLs in both
+    engines).  The oracle recomputes over the post-mutation rows, so a
+    hash match proves two-level merge ≡ recompute.
+
+    Scale: partials are map-side-combinable groupBys on (g, v); the
+    merge shuffles |live pairs| rows — value-cardinality-bounded, never
+    row-data-bounded.  Engine-side the same plan backs a
+    refresh_aggregate-style distinct view over snapshot deltas; here
+    the algebra itself is what the oracle certifies."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = _with_view_cols(orders)
+
+    def pair_parts(df, sign):
+        return df.groupBy("g", "v").agg(
+            (F.count(F.lit(1)) * F.lit(sign)).alias("w")
+        )
+
+    state = pair_parts(base, 1)
+    ins = pair_parts(_inserts(orders), 1)
+    retract = pair_parts(
+        base.filter(
+            (F.col("k") % 10 == 0)
+            | (F.col("g") == 42)
+            | ((F.col("g") == 7) & (F.col("k") % 5 == 0))
+        ),
+        -1,
+    )
+    live = (
+        state.unionByName(ins)
+        .unionByName(retract)
+        .groupBy("g", "v")
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") > 0)
+    )
+    return live.groupBy("g").agg(
+        F.count("v").alias("n_distinct"),
+        F.sum("w").alias("n_rows"),
+    )

@@ -47,6 +47,8 @@ CROSS_OK = {
     "t1_mmr_rerank",  # candidates compose the brute-force baseline (query×corpus)
     "t1_knn_classify",  # neighbors compose the brute-force baseline (query×corpus)
     "t1_knn_confusion",  # same neighbor lists as t1_knn_classify
+    "t1_ndcg_eval",  # grades the brute-force baseline run (query×corpus)
+    # + a query×corpus label cross for the total-relevant denominator
     "t1_embedding_neardup",  # bucketed pairs; tiny bucket self-pairs
     "t1_ann_ivf_topk",  # vectors × K centroids (K bounded), queries × probes
     "t1_tfidf_top_terms",  # 1-row corpus-size frame for the IDF term
