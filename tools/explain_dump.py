@@ -55,6 +55,11 @@ PICKS = [
     ("t1_ivm_retraction", "IVM arithmetic retraction: three partials (state, inserts, NEGATIVE deletes) union into a |groups|-keyed merge — every exchange carries partially-aggregated group rows (map-side combine absorbs the scan), never row data, and there is NO recompute branch or join anywhere in the plan; liveness filter + NULL-sum re-mask are scalar projections after the final HashAggregate."),
     ("t1_ivm_minmax_recompute", "IVM targeted recompute: the affected-group set (distinct over the removed slice) drives a broadcast anti-join on the merged state and a broadcast semi-join bounding the recompute scan — untouched groups never touch row data, and the recompute branch is pruned to affected keys."),
     ("t1_ivm_join_delta", "Join IVM (the bilinear delta identity): the seed join plus three delta terms — each term an equi-join bounded by a window delta on at least one side (broadcast where the delta is small), unioned and aggregated once; the bases are never re-joined, which is the whole point at CDC scale."),
+    ("t1_ivm_distinct_count", "COUNT(DISTINCT) IVM: signed (group, value) partials union into ONE (g, v)-keyed merge — map-side combine collapses each slice to its pair multiplicities before the exchange — then a liveness filter and a second |groups|-keyed aggregate; no recompute branch, no join, state bounded by live value cardinality."),
+    ("t1_ngram_containment", "Containment dedup: the same shingle inverted-index equi-join as the Jaccard pair query (one shuffle keyed on the shingle, only (doc_id, shingle) moves), two broadcast-joined size frames, containment as scalar projections — no all-pairs product anywhere."),
+    ("t1_ks_drift", "Two-sample KS: one (type, value) groupBy collapses rows to the distinct support BEFORE the cumulative window, so the window state is support-sized; the per-type n0/n1 frame broadcasts; max is order-independent — no float accumulation in the plan."),
+    ("t1_ndcg_eval", "Retrieval eval: the 10-query batch broadcast over one corpus scan (the brute-force baseline shape), rank window partitioned on q_id, then rank-bounded arithmetic — eval cost after the scoring join touches 10×10 rows, with discounts as literals (no log2 calls in the plan)."),
+    ("t1_quantile_bucketing", "Equal-frequency binning: NTILE over a per-stratum rank window (partitioned — no global sort), then one map-side-combinable groupBy; only (lang, n_chars, doc_id) ever shuffles."),
 ]
 
 
