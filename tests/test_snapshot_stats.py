@@ -819,13 +819,25 @@ def test_as_of_timestamp_time_travel(spark, tmp_path):
     with pytest.raises(ValueError, match="not both"):
         read_snapshot(spark, t, version=0, as_of=t0)
 
-    # legacy manifest without ts: qualifies as arbitrarily old
+    # Legacy manifest without ts: its commit instant is ESTIMATED from
+    # the manifest file's mtime (round-7 upper bound — an instant before
+    # the estimate resolves to the stamped ancestor, the conservative
+    # direction: older data, never future data).  Rewriting the file
+    # here reset its mtime to "now", so t1 (captured before the rewrite)
+    # now resolves the stamped seed, while an instant at/after the
+    # mtime estimate resolves the legacy manifest.
     name = (Path(t) / "CURRENT").read_text().strip()
     mpath = Path(t) / "_manifests" / name
     m = json.loads(mpath.read_text())
     del m["ts"]
     mpath.write_text(json.dumps(m))
-    assert {r.v for r in read_snapshot(spark, t, as_of=t1).collect()} == {1, 2}
+    assert {r.v for r in read_snapshot(spark, t, as_of=t1).collect()} == {1}
+    assert {
+        r.v
+        for r in read_snapshot(
+            spark, t, as_of=mpath.stat().st_mtime + 1
+        ).collect()
+    } == {1, 2}
 
 
 def test_as_of_legacy_manifest_above_stamped_is_bounded_below(spark, tmp_path):
