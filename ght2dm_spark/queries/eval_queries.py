@@ -355,7 +355,8 @@ _KNUTH = 2654435761  # Knuth multiplicative constant, spliced both sides
     "t1_stratified_kfold",
     oracle=f"""
     WITH f AS (SELECT lang, n_chars,
-                      (doc_id * {_KNUTH}) % 4294967296 % {KFOLD} AS fold
+                      ((doc_id % 1000003) * {_KNUTH}) % 4294967296
+                        % {KFOLD} AS fold
                FROM documents)
     SELECT lang, CAST(fold AS BIGINT) AS fold,
            count(*) AS n_docs,
@@ -375,7 +376,13 @@ def t1_stratified_kfold(spark, sf_dir):
     Scale: fold assignment is a narrow map; the audit is one
     map-side-combinable groupBy on (lang, fold) — k×|langs| rows."""
     d = load_table(spark, sf_dir, "documents")
-    fold = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(4294967296) % F.lit(KFOLD)
+    # reduce the id into a small prime field BEFORE the Knuth multiply:
+    # ids can be billions-large (the scale dir shifts them by 1e9 per
+    # copy) and id × 2654435761 overflows BIGINT under ANSI mode —
+    # caught by the 10× scale point, not the base tables
+    fold = (
+        (F.col("doc_id") % F.lit(1_000_003)) * F.lit(_KNUTH)
+    ) % F.lit(4294967296) % F.lit(KFOLD)
     return (
         d.select("lang", "n_chars", fold.alias("fold"))
         .groupBy("lang", "fold")
