@@ -170,6 +170,20 @@ HEADLINE = [
     "t1_ngram_containment",
     "t1_ivm_distinct_count",
     "t1_asof_time_travel",
+    # round 7, second wave: SQL surface, eval/attribution, corpus stats,
+    # top-k IVM, snapshot tags
+    "t1_lateral_topn_join",
+    "t1_groupby_all",
+    "t1_rolling_median",
+    "t1_calibration_bins",
+    "t1_overlap_join",
+    "t1_time_decay_attribution",
+    "t1_oov_rate",
+    "t1_vocab_growth",
+    "t1_hashed_ngram_features",
+    "t1_ccnet_buckets",
+    "t1_ivm_topk_retraction",
+    "t1_snapshot_tag_read",
 ]
 
 
@@ -208,6 +222,12 @@ SCALE_HEADLINE = [
     "t1_stratified_kfold",
     "t1_quantile_bucketing",
     "t1_ks_drift",
+    # wave 2 (t1_overlap_join / t1_time_decay_attribution are excluded:
+    # user_id is NOT shifted in the scale dir, so per-user pair counts
+    # would grow quadratically — measuring the fixture, not the plan)
+    "t1_groupby_all",
+    "t1_calibration_bins",
+    "t1_oov_rate",
 ]
 
 #: tables replicated with shifted keys in the scale dir; everything else

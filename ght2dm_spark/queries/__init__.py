@@ -64,6 +64,7 @@ from ght2dm_spark.queries import linalg_queries  # noqa: E402,F401
 from ght2dm_spark.queries import layout_queries  # noqa: E402,F401
 from ght2dm_spark.queries import ml_training  # noqa: E402,F401
 from ght2dm_spark.queries import eval_queries  # noqa: E402,F401
+from ght2dm_spark.queries import corpus_stats  # noqa: E402,F401 (after curation_extra: t1_ccnet_buckets splices its oracle)
 
 # Names with a green driver CORRECTNESS row in rounds 1-4 (r04 verified 48
 # of its 50-query window; the two hash failures are requeued at the head of

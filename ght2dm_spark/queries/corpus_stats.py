@@ -1,0 +1,325 @@
+"""Corpus-level statistical audits: OOV rate against a corpus-derived
+vocabulary, Heaps'-law vocabulary growth, FastText-style hashed n-gram
+features, and CCNet-style perplexity bucketing — the profiling layer a
+training-data pipeline runs between curation and tokenization.
+
+Token extraction matches the registry-wide contract (ASCII ``\\s+``
+split of lowercased text, empty tokens dropped) so every query here
+shares parity with the green token-counting/surprisal queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.operators.neardup import hex2int_sql
+from ght2dm_spark.queries.registry import ORACLE, register
+
+_WS_TOKS_SQL = "list_filter(regexp_split_to_array(lower({c}), '\\s+'), t -> t <> '')"
+
+VOCAB_K = 1000
+
+
+def _tok_stream(spark, sf_dir):
+    """(doc_id, lang, tok) exploded token stream, ASCII-split parity."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    return d.select(
+        "doc_id", "lang", F.explode(toks).alias("tok")
+    )
+
+
+@register(
+    "t1_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest({_WS_TOKS_SQL.format(c="text")}) AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+    vocab AS (
+        SELECT tok FROM cnt ORDER BY n DESC, tok ASC LIMIT {VOCAB_K}
+    )
+    SELECT lang,
+           count(*) AS n_occurrences,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab v ON tok.tok = v.tok
+    GROUP BY lang
+    """,
+)
+def t1_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per language against the corpus top-K
+    vocabulary — the coverage audit that sizes a tokenizer's vocab
+    budget and flags languages a shared vocabulary underserves (the
+    fertility query's companion: fertility says how many tokens a
+    language costs, OOV says how many it cannot even express).  The
+    vocabulary is the top-1000 tokens by global count with a total
+    tiebreak (count desc, token asc) so both engines pick the same set.
+
+    Scale: one vocab-sized groupBy, a rank-bounded top-K, and a
+    broadcast left join of the K-row vocabulary against the token
+    stream — the stream never shuffles for the membership test."""
+    tok = _tok_stream(spark, sf_dir)
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        cnt.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(VOCAB_K)
+        .select(F.col("tok").alias("vtok"))
+    )
+    j = tok.join(
+        F.broadcast(vocab), tok["tok"] == vocab["vtok"], "left"
+    )
+    oov = F.when(F.col("vtok").isNull(), 1).otherwise(0)
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.round(
+            F.sum(oov).cast("double") / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
+    )
+
+
+GROWTH_BUCKETS = 10
+
+
+@register(
+    "t1_vocab_growth",
+    oracle=f"""
+    WITH n AS (SELECT max(doc_id) + 1 AS id_span FROM documents),
+    d AS (
+        SELECT doc_id,
+               CAST(floor(doc_id * {GROWTH_BUCKETS}
+                    / (SELECT id_span FROM n)) AS BIGINT) + 1 AS bucket,
+               {_WS_TOKS_SQL.format(c="text")} AS toks
+        FROM documents
+    ),
+    tok AS (SELECT bucket, unnest(toks) AS tok FROM d),
+    first_seen AS (
+        SELECT tok, min(bucket) AS first_bucket FROM tok GROUP BY tok
+    ),
+    new_types AS (
+        SELECT first_bucket AS bucket, count(*) AS n_new
+        FROM first_seen GROUP BY first_bucket
+    ),
+    occ AS (SELECT bucket, count(*) AS n_occ FROM tok GROUP BY bucket)
+    SELECT occ.bucket,
+           CAST(coalesce(new_types.n_new, 0) AS BIGINT) AS new_types,
+           CAST(sum(coalesce(new_types.n_new, 0))
+                OVER (ORDER BY occ.bucket) AS BIGINT) AS cum_types,
+           CAST(sum(occ.n_occ) OVER (ORDER BY occ.bucket) AS BIGINT)
+             AS cum_tokens
+    FROM occ LEFT JOIN new_types ON occ.bucket = new_types.bucket
+    """,
+)
+def t1_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth: distinct-type count as a function
+    of corpus size, measured at ten id-range corpus-prefix checkpoints
+    (stable ids are dense in the base corpus, so ranges ARE prefixes) — the
+    curve that predicts how much NEW vocabulary another 10 TB of a
+    source will contribute (flattening curve = diminishing data value,
+    the practical dedup/mixing signal).  Computed without rescanning
+    prefixes: each type's FIRST-occurrence bucket (min over an ordered
+    decile assignment) turns cumulative-distinct into one groupBy plus
+    a ten-row cumulative window.
+
+    Scale: the min-bucket aggregate is vocab-sized and map-side
+    combinable; the prefix bucket is PURE ARITHMETIC over the stable id
+    against a broadcast 1-row id-span frame — deliberately NOT a global
+    rank window, which would single-task-sort the corpus; nothing
+    quadratic anywhere.  The only window left runs over the
+    10-row bucket aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    span = docs.agg((F.max("doc_id") + 1).alias("id_span"))
+    d = docs.crossJoin(F.broadcast(span)).select(
+        "doc_id",
+        (
+            F.floor(
+                F.col("doc_id") * GROWTH_BUCKETS / F.col("id_span")
+            ).cast("bigint")
+            + 1
+        ).alias("bucket"),
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+        ).alias("toks"),
+    )
+    tok = d.select("bucket", F.explode("toks").alias("tok"))
+    first_seen = tok.groupBy("tok").agg(F.min("bucket").alias("first_bucket"))
+    new_types = first_seen.groupBy(
+        F.col("first_bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    occ = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_occ"))
+    w = Window.orderBy("bucket")
+    j = occ.join(new_types, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        "n_occ",
+    )
+    return j.select(
+        "bucket",
+        F.col("n_new").cast("bigint").alias("new_types"),
+        F.sum("n_new").over(w).cast("bigint").alias("cum_types"),
+        F.sum("n_occ").over(w).cast("bigint").alias("cum_tokens"),
+    )
+
+
+HASH_DIM = 262_144  # 2^18 feature buckets
+
+
+@register(
+    "t1_hashed_ngram_features",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_WS_TOKS_SQL.format(c="text")} AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT lang,
+               toks[i] || ' ' || toks[i + 1] AS bigram
+        FROM t, unnest(range(1, len(toks))) AS u(i)
+        WHERE len(toks) >= 2
+    ),
+    f AS (
+        SELECT lang,
+               {hex2int_sql("md5(bigram)", 1, 8)} % {HASH_DIM} AS feature_id
+        FROM bg
+    ),
+    cnt AS (
+        SELECT lang, feature_id, count(*) AS n
+        FROM f GROUP BY lang, feature_id
+    ),
+    r AS (
+        SELECT lang, feature_id, n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, feature_id ASC) AS rank
+        FROM cnt
+    )
+    SELECT lang, CAST(feature_id AS BIGINT) AS feature_id, n,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def t1_hashed_ngram_features(spark, sf_dir):
+    """Hashed bigram features (the fastText / hashing-trick input
+    layer): every adjacent token pair maps to one of 2^18 buckets via a
+    PORTABLE md5-slice hash — feature extraction whose ids are
+    identical across engines, runs, and partitionings, unlike
+    engine-native hash().  Emitted: each language's top-5 features with
+    collision-inclusive counts, i.e. exactly what a linear classifier
+    over hashed features would train on.
+
+    Scale: bigram explosion is a narrow map (positional zip of the
+    token array with its own tail — no self-join); the count groupBy
+    keys on (lang, feature_id), high-cardinality and uniform by
+    construction of the hash; top-5 is a rank window over the
+    |features|-sized aggregate, never the stream."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    t = d.select("lang", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bg = t.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> concat(x, ' ', toks[i + 1]))"
+            )
+        ).alias("bigram"),
+    )
+    fid = (
+        F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10).cast("long")
+        % HASH_DIM
+    )
+    cnt = (
+        bg.select("lang", fid.alias("feature_id"))
+        .groupBy("lang", "feature_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("feature_id").asc()
+    )
+    return (
+        cnt.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "lang", F.col("feature_id").cast("bigint").alias("feature_id"),
+            "n", "rank",
+        )
+    )
+
+
+@register(
+    "t1_ccnet_buckets",
+    oracle=f"""
+    WITH surp AS ({{surprisal_oracle}}),
+    langd AS (
+        SELECT s.doc_id, d.lang, s.avg_surprisal
+        FROM surp s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    b AS (
+        SELECT lang, avg_surprisal,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY avg_surprisal ASC, doc_id ASC)
+                 AS bucket
+        FROM langd
+    )
+    SELECT lang,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           round(min(avg_surprisal), 6) AS lo,
+           round(max(avg_surprisal), 6) AS hi
+    FROM b GROUP BY lang, bucket
+    """,
+)
+def t1_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020): per
+    language, documents split into head/middle/tail terciles of their
+    LM surprisal — the canonical quality triage that keeps 'head' as
+    clean training data, samples 'middle', and drops or re-scores
+    'tail'.  The score is the registry's unigram surprisal (the exact
+    fixed-point construction t1_unigram_surprisal pins cross-engine);
+    this query adds the per-language tercile assignment over a total
+    order (score, then doc id) and emits each bucket's size and
+    observed score range.
+
+    Scale: scoring is the surprisal query's two-pass shape; the
+    bucketing is one rank window per language partition over (score,
+    id) — |docs| rows of (lang, score, id), no text."""
+    from ght2dm_spark.queries.curation_extra import t1_unigram_surprisal
+
+    surp = t1_unigram_surprisal(spark, sf_dir).select(
+        "doc_id", "avg_surprisal"
+    )
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    langd = surp.join(lang, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_surprisal").asc(), F.col("doc_id").asc()
+    )
+    b = langd.select(
+        "lang", "avg_surprisal", F.ntile(3).over(w).alias("bucket")
+    )
+    name = (
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+    )
+    return b.groupBy("lang", name.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("avg_surprisal"), 6).alias("lo"),
+        F.round(F.max("avg_surprisal"), 6).alias("hi"),
+    )
+
+
+# splice the (already-registered) surprisal oracle into the bucket
+# oracle — the t1_ann_recall composition pattern
+ORACLE["t1_ccnet_buckets"] = ORACLE["t1_ccnet_buckets"].format(
+    surprisal_oracle=ORACLE["t1_unigram_surprisal"]
+)

@@ -322,3 +322,72 @@ def t1_asof_time_travel(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "t1_snapshot_tag_read",
+    oracle="""
+    SELECT 'baseline' AS snap, count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'current' AS snap, count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    """,
+)
+def t1_snapshot_tag_read(spark, sf_dir):
+    """Named version pins (Iceberg-style TAGS) driven end-to-end: a
+    table is seeded, tagged 'baseline', appended TWICE, then VACUUMED
+    with keep_manifests=1 — which would normally destroy the seed
+    version — and both the tag and CURRENT are read back.  The oracle
+    recomputes both contents, so a hash match certifies that (a) tag
+    resolution returns exactly the pinned version's rows and (b) the
+    tag acted as a vacuum retention ROOT: the pinned manifest and its
+    data files survived a retention window that dropped every other
+    ancestor.  This is the 'corpus we trained run X on' contract — the
+    reproducibility anchor a training pipeline needs from its table
+    format (snapshots.tag_snapshot / list_tags / vacuum).
+
+    Scale: tags are one pointer file each; resolution is a driver-side
+    read, retention cost is unchanged (the tagged version's files were
+    already on disk)."""
+    import shutil
+    import tempfile
+
+    from ght2dm_spark.snapshots import (
+        commit,
+        prepare_commit,
+        read_snapshot,
+        tag_snapshot,
+        vacuum,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    root = tempfile.mkdtemp(prefix="ght2dm-tag-")
+    try:
+        table = f"{root}/T"
+        commit(prepare_commit(o.filter(F.col("o_orderkey") % 3 == 0), table))
+        tag_snapshot(table, "baseline")
+        commit(prepare_commit(
+            o.filter(F.col("o_orderkey") % 3 == 1), table, mode="append"))
+        commit(prepare_commit(
+            o.filter(F.col("o_orderkey") % 3 == 2), table, mode="append"))
+        # retention that would drop the seed — the tag must keep it
+        vacuum(table, keep_manifests=1)
+
+        def agg(df, label):
+            return df.agg(
+                F.lit(label).alias("snap"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            )
+
+        out = (
+            agg(read_snapshot(spark, table, tag="baseline"), "baseline")
+            .unionAll(agg(read_snapshot(spark, table), "current"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

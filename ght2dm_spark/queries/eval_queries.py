@@ -444,3 +444,60 @@ def t1_quantile_bucketing(spark, sf_dir):
             "n", "lo", "hi",
         )
     )
+
+
+CAL_BINS = 10
+_CAL_CAP = 2000  # chars at which the length prior saturates
+
+
+@register(
+    "t1_calibration_bins",
+    oracle=f"""
+    WITH m AS (
+        SELECT least(n_chars, {_CAL_CAP}) AS capped,
+               CAST(floor(least(n_chars, {_CAL_CAP}) * {CAL_BINS}
+                    / ({_CAL_CAP} + 1)) AS BIGINT) AS bin,
+               CASE WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         * 10 >= length(text) * 7
+                    THEN 1 ELSE 0 END AS label
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT bin, count(*) AS n,
+           round(CAST(sum(capped) AS DOUBLE) / (count(*) * {_CAL_CAP}), 6)
+             AS mean_score,
+           round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS frac_positive
+    FROM m GROUP BY bin
+    """,
+)
+def t1_calibration_bins(spark, sf_dir):
+    """Reliability-diagram binning — the calibration audit run on any
+    scoring stage before its scores gate data (a quality classifier
+    whose 0.9 bucket is only 60% positive needs recalibrating, not a
+    higher threshold).  Here the audited score is the capped-length
+    prior (score = min(n_chars, cap)/cap) against an alphabetic-mass
+    label; the mechanics — equal-width score bins, per-bin count, mean
+    score and positive fraction — are score-agnostic.
+
+    Exactness: the bin index and the label comparison are pure integer
+    arithmetic (the alpha-ratio test is cross-multiplied, never a float
+    threshold); each emitted fraction is ONE division of exact integer
+    sums.  Scale: narrow map + one small groupBy — bins rows never
+    exceed CAL_BINS."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    capped = F.least(F.col("n_chars"), F.lit(_CAL_CAP))
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    m = d.select(
+        capped.alias("capped"),
+        F.floor(capped * CAL_BINS / (_CAL_CAP + 1)).cast("bigint")
+        .alias("bin"),
+        F.when(alpha * 10 >= F.length("text") * 7, 1).otherwise(0)
+        .alias("label"),
+    )
+    return m.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("capped").cast("double") / (F.count(F.lit(1)) * _CAL_CAP), 6
+        ).alias("mean_score"),
+        F.round(F.sum("label").cast("double") / F.count(F.lit(1)), 6)
+        .alias("frac_positive"),
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
@@ -894,3 +895,79 @@ def t1_ivm_distinct_count(spark, sf_dir):
         F.count("v").alias("n_distinct"),
         F.sum("w").alias("n_rows"),
     )
+
+
+@register(
+    "t1_ivm_topk_retraction",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey % {_G} AS g, o_custkey AS c, o_orderkey AS k
+        FROM orders
+    ),
+    ins AS (
+        SELECT (o_orderkey + {_SHIFT}) % {_G} AS g, o_custkey AS c,
+               o_orderkey + {_SHIFT} AS k
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    final AS (
+        SELECT g, c, k FROM base WHERE k % 977 <> 0
+        UNION ALL
+        SELECT g, c, k FROM ins
+    ),
+    r AS (
+        SELECT g, c, k,
+               row_number() OVER (PARTITION BY g
+                                  ORDER BY c DESC, k ASC) AS rank
+        FROM final
+    )
+    SELECT g, CAST(rank AS BIGINT) AS rank, c, k FROM r WHERE rank <= 3
+    """,
+)
+def t1_ivm_topk_retraction(spark, sf_dir):
+    """Delete-aware TOP-K view maintenance — the generalization of the
+    min/max split (k=1) to ranked state: inserts merge monotonically
+    (top-k of state ∪ inserts IS the new top-k, because the state holds
+    the old top-k and nothing else can enter), while a delete in a
+    group may promote a row the k-bounded state no longer holds — so
+    exactly the delete-touched groups recompute from post-mutation
+    rows, everything else re-ranks k+|ins| state rows.  The plan is
+    anti-join(merged, affected) ∪ recompute(affected), and the oracle's
+    direct top-3 over the final row set certifies the split.  Same
+    mutation battery as the min/max query (977-stride deletes touch
+    ~1/10 of groups, so both branches carry real rows); the (c DESC,
+    k ASC) order is total, so ranks are engine-identical.
+
+    Scale: untouched groups carry O(k + window inserts) rows through
+    one rank window — never row data; the recompute branch is
+    semi-join-bounded by the affected groups exactly like
+    incremental.refresh_aggregate's min/max strategy.  At 100 TB a
+    ten-key delete re-ranks ten groups, not the corpus."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        (F.col("o_orderkey") % _G).alias("g"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("k"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        ((F.col("o_orderkey") + _SHIFT) % _G).alias("g"),
+        F.col("o_custkey").alias("c"),
+        (F.col("o_orderkey") + _SHIFT).alias("k"),
+    )
+    w = Window.partitionBy("g").orderBy(F.col("c").desc(), F.col("k").asc())
+
+    def top3(df):
+        return (
+            df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= 3)
+        )
+
+    state = top3(base).select("g", "c", "k")  # the maintained k-bounded state
+    removed = base.filter(F.col("k") % 977 == 0)
+    affected = removed.select("g").distinct()
+    # insert-only merge: re-rank state ∪ window inserts (k+|ins| rows/group)
+    merged = top3(state.unionByName(ins))
+    untouched = merged.join(affected, "g", "left_anti")
+    final_rows = base.filter(F.col("k") % 977 != 0).unionByName(ins)
+    recomputed = top3(final_rows.join(affected, "g", "leftsemi"))
+    out = untouched.unionByName(recomputed)
+    return out.select("g", "rank", "c", "k")

@@ -304,3 +304,108 @@ def t1_dow_seasonality(spark, sf_dir):
             "seasonal_idx"
         ),
     )
+
+
+#: 2^(-gap_days/7) rounded to 9 places for gap 0..7 — Python-computed
+#: half-life decay weights spliced into BOTH engines as identical
+#: decimal literals (the eval_queries NDCG discipline: no pow() at
+#: query time).
+_DECAY_W = [round(2 ** (-g / 7.0), 9) for g in range(8)]
+
+
+def _decay_case(gap_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {g} THEN {_DECAY_W[g]:.9f}" for g in range(8)
+    )
+    return f"(CASE {gap_col} {whens} END)"
+
+
+@register(
+    "t1_time_decay_attribution",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS conv_id, user_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT event_id AS touch_id, user_id, event_type,
+               epoch_us(ts) AS t_us
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pair AS (
+        SELECT p.conv_id, t.touch_id, t.event_type,
+               CAST(floor((p.p_us - t.t_us) / 86400000000) AS BIGINT)
+                 AS gap_d
+        FROM p JOIN t ON p.user_id = t.user_id
+         AND t.t_us <= p.p_us AND p.p_us - t.t_us < 8 * 86400000000
+    ),
+    wtd AS (
+        SELECT conv_id, touch_id, event_type,
+               CAST({_decay_case("gap_d")} AS DECIMAL(18,9)) AS w
+        FROM pair
+    ),
+    tot AS (SELECT conv_id, sum(w) AS sum_w FROM wtd GROUP BY conv_id),
+    credit AS (
+        SELECT wtd.event_type,
+               CAST(round(CAST(wtd.w AS DOUBLE) / CAST(tot.sum_w AS DOUBLE),
+                          9) AS DECIMAL(18,9)) AS c
+        FROM wtd JOIN tot ON wtd.conv_id = tot.conv_id
+    )
+    SELECT event_type, count(*) AS n_touches,
+           round(CAST(sum(c) AS DOUBLE), 6) AS total_credit
+    FROM credit GROUP BY event_type
+    """,
+)
+def t1_time_decay_attribution(spark, sf_dir):
+    """Time-decay multi-touch attribution (7-day half-life): every
+    click/view in the week before a purchase shares that conversion's
+    credit in proportion to 2^(-age/half_life) — the standard middle
+    ground between t1_last_touch_attribution (winner-take-all) and
+    t1_linear_attribution (flat split), rewarding recency without
+    zeroing early touches.
+
+    Exactness: decay weights are spliced decimal literals keyed by the
+    INTEGER day gap; per-conversion weight totals are exact decimal
+    sums; each credit is one double division rounded to 9 and re-summed
+    as fixed-point, so channel totals are order-independent.  Scale:
+    the touch join shuffles on user_id with the window predicate inside
+    the per-key join (never a cross product), and credits aggregate
+    map-side to |channels| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id",
+        epoch_us("ts").alias("p_us"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"), "user_id", "event_type",
+        epoch_us("ts").alias("t_us"),
+    )
+    day_us = 86_400_000_000
+    pair = (
+        p.join(t, ["user_id"])
+        .filter(
+            (F.col("t_us") <= F.col("p_us"))
+            & (F.col("p_us") - F.col("t_us") < 8 * day_us)
+        )
+        .select(
+            "conv_id", "touch_id", "event_type",
+            F.floor((F.col("p_us") - F.col("t_us")) / day_us)
+            .cast("bigint").alias("gap_d"),
+        )
+    )
+    wtd = pair.select(
+        "conv_id", "touch_id", "event_type",
+        F.expr(f"CAST({_decay_case('gap_d')} AS DECIMAL(18,9))").alias("w"),
+    )
+    tot = wtd.groupBy("conv_id").agg(F.sum("w").alias("sum_w"))
+    credit = wtd.join(tot, "conv_id").select(
+        "event_type",
+        F.expr(
+            "CAST(round(CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE), 9)"
+            " AS DECIMAL(18,9))"
+        ).alias("c"),
+    )
+    return credit.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("c").cast("double"), 6).alias("total_credit"),
+    )

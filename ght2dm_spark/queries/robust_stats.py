@@ -464,3 +464,51 @@ def t1_mann_kendall(spark, sf_dir):
         .otherwise("flat")
         .alias("trend"),
     )
+
+
+@register(
+    "t1_rolling_median",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_id, value,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS vals
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, event_id,
+           list_sort(vals)[(len(vals) + 1) // 2] AS med7
+    FROM w WHERE user_id % 50 = 0
+    """,
+)
+def t1_rolling_median(spark, sf_dir):
+    """Trailing 7-row rolling MEDIAN per entity — the robust smoother
+    for spiky metrics where a rolling mean chases outliers (the
+    complement of t1_rolling_zscore, which FLAGS them).  The median is
+    the LOWER-median element selected from the sorted trailing frame —
+    pure element selection, no interpolation, so the emitted double is
+    a data value and bit-identical cross-engine (the t1_winsorize_bounds
+    lesson: interpolating quantiles differ by 1 ulp between engines;
+    discrete ranks cannot).
+
+    Scale: one partitioned ordered window; the frame materializes ≤7
+    values per row (constant state), so memory is row-bounded — unlike
+    a percentile-over-window, which some engines buffer per partition.
+    The user_id filter keeps the emitted slice driver-comparable while
+    the window runs over full per-user history."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    vals = F.collect_list("value").over(w)
+    med = F.expr(
+        "element_at(array_sort(__vals), CAST((size(__vals) + 1) / 2 AS INT))"
+    )
+    return (
+        e.select("user_id", "event_id", vals.alias("__vals"))
+        .filter(F.col("user_id") % 50 == 0)
+        .select("user_id", "event_id", med.alias("med7"))
+    )

@@ -98,3 +98,75 @@ def t1_sql_pipe(spark, sf_dir):
            GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "t1_lateral_topn_join",
+    oracle="""
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n JOIN LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+    ) c ON true
+    """,
+)
+def t1_lateral_topn_join(spark, sf_dir):
+    """LATERAL correlated subquery join (SQL:1999 LATERAL, Spark 3.2+):
+    per outer row, a dependent top-N probe — the declarative form of
+    "top 2 customers per nation" that arrives as LATERAL in ports from
+    Postgres/DuckDB SQL.  Catalyst DECORRELATES it: the planned shape
+    is the same window/aggregate rewrite t1_topk_per_group builds by
+    hand (no nation-by-nation re-execution), which is exactly why the
+    surface is safe to accept at scale — the lateral is syntax, the
+    plan is one shuffle.
+
+    Scale: decorrelation turns O(|outer|) probes into one partitioned
+    rank; the alternative (actually iterating the outer side) would be
+    a driver loop, which is the anti-pattern this query proves Spark
+    avoids."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "__lat_nation"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__lat_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM __lat_nation n JOIN LATERAL (
+            SELECT c_name, c_acctbal FROM __lat_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+        ) c ON true
+        """
+    )
+
+
+@register(
+    "t1_groupby_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+           count(*) AS n,
+           CAST(sum(l_quantity) AS BIGINT) AS qty
+    FROM lineitem GROUP BY ALL
+    """,
+)
+def t1_groupby_all(spark, sf_dir):
+    """GROUP BY ALL (Spark 3.4+ / DuckDB / Snowflake dialect): the
+    grouping key list is inferred as every non-aggregate select item —
+    including computed expressions — so wide exploratory rollups don't
+    repeat their key expressions.  Pure front-end sugar: the plan is
+    the ordinary partial-aggregate + single-shuffle HashAggregate, so
+    accepting the syntax costs nothing at scale."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__gba_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+               count(*) AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS qty
+        FROM __gba_lineitem GROUP BY ALL
+        """
+    )

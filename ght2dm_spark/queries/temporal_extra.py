@@ -394,3 +394,75 @@ def t1_interval_union(spark, sf_dir):
         F.sum(new_block).alias("n_blocks"),
         F.sum(contrib).alias("covered_us"),
     )
+
+
+@register(
+    "t1_overlap_join",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s_us,
+               epoch_us(ts) + 3600000000 AS e_us
+        FROM events WHERE user_id % 40 = 0
+    ),
+    a AS (SELECT * FROM iv WHERE event_id % 2 = 0),
+    b AS (SELECT * FROM iv WHERE event_id % 2 = 1),
+    p AS (
+        SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+               least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS ov_us
+        FROM a JOIN b ON a.user_id = b.user_id
+         AND a.s_us < b.e_us AND b.s_us < a.e_us
+    )
+    SELECT user_id, count(*) AS n_pairs,
+           CAST(sum(ov_us) AS BIGINT) AS overlap_us,
+           CAST(max(ov_us) AS BIGINT) AS max_overlap_us
+    FROM p GROUP BY user_id
+    """,
+)
+def t1_overlap_join(spark, sf_dir):
+    """Pairwise interval-OVERLAP join with overlap durations — the
+    temporal join behind ad-exposure × session attribution, machine
+    co-residency billing, and on-call overlap audits (t1_interval_union
+    measures one set's coverage; this measures how two sets intersect
+    each other).  Two interval sets per user (even/odd events, one-hour
+    spans) join on the user key plus the strict-overlap predicate
+    a.start < b.end AND b.start < a.end; each pair contributes
+    min(ends) − max(starts) integer microseconds.
+
+    Scale: the equi key (user_id) carries the shuffle; the range
+    predicates evaluate inside the per-key join — never a cross
+    product (the t1_range_join discipline).  Per-user interval counts
+    bound the pair work; a production run adds coarse time-bucket
+    blocking to the key exactly like the range join does.  Durations
+    stay integer micros end to end."""
+    iv = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 40 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            epoch_us("ts").alias("s_us"),
+            (epoch_us("ts") + F.lit(3_600_000_000)).alias("e_us"),
+        )
+    )
+    a = iv.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", F.col("event_id").alias("a_id"),
+        F.col("s_us").alias("a_s"), F.col("e_us").alias("a_e"),
+    )
+    b = iv.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", F.col("event_id").alias("b_id"),
+        F.col("s_us").alias("b_s"), F.col("e_us").alias("b_e"),
+    )
+    p = a.join(
+        b,
+        ["user_id"],
+    ).filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+    ov = F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+    return (
+        p.select("user_id", ov.alias("ov_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("ov_us").cast("bigint").alias("overlap_us"),
+            F.max("ov_us").cast("bigint").alias("max_overlap_us"),
+        )
+    )

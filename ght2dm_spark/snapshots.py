@@ -11,6 +11,7 @@ complete, so a killed job loses BOTH versions.  Here a table is::
     <table>/
       data/<commit>-<part>.parquet   -- immutable data files
       _manifests/m-<seq>-<id>.json   -- file list per snapshot (+ parent)
+      _tags/<name>                   -- named version pins (vacuum roots)
       CURRENT                        -- name of the live manifest
 
 and a commit is (1) write data files into ``data/``, (2) write a
@@ -70,6 +71,8 @@ _STALE_TMP_SECONDS = 300
 
 _MANIFESTS = "_manifests"
 _DATA = "data"
+_TAGS = "_tags"
+_TAG_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
 
 
 def _fsync_file(path: Path) -> None:
@@ -745,6 +748,66 @@ def history(path: str) -> list[dict]:
     ]
 
 
+def tag_snapshot(path: str, name: str, version: int | None = None) -> str:
+    """Pin a committed version under a human-stable NAME (Iceberg-style
+    tag): ``_tags/<name>`` holds the manifest filename, written with
+    the same fsync'd atomic-replace discipline as CURRENT.  Defaults to
+    the current version; pass ``version`` to tag an older retained one.
+    Tags are retention roots — :func:`vacuum` keeps a tagged manifest
+    and its data files regardless of ``keep_manifests`` — so "the
+    corpus we trained run X on" stays readable as the table moves on.
+    Re-tagging an existing name atomically moves it.  Returns the
+    pinned manifest filename."""
+    if not _TAG_NAME_RE.match(name or ""):
+        raise ValueError(
+            f"invalid tag name {name!r} (alnum start, then [A-Za-z0-9._-], "
+            "max 64 chars)"
+        )
+    table = Path(path)
+    mname = _manifest_for(table, version)
+    if mname is None:
+        raise FileNotFoundError(f"{path}: no committed snapshot to tag")
+    tdir = table / _TAGS
+    tdir.mkdir(parents=True, exist_ok=True)
+    _atomic_write(tdir / name, mname)
+    return mname
+
+
+def list_tags(path: str) -> dict[str, str]:
+    """tag name → pinned manifest filename (empty if no tags)."""
+    tdir = Path(path) / _TAGS
+    if not tdir.is_dir():
+        return {}
+    out: dict[str, str] = {}
+    for f in sorted(tdir.iterdir()):
+        if f.is_file() and _TAG_NAME_RE.match(f.name):
+            out[f.name] = f.read_text().strip()
+    return out
+
+
+def delete_tag(path: str, name: str) -> bool:
+    """Drop a tag (the pinned version becomes ordinary retention-
+    governed history).  True if the tag existed."""
+    f = Path(path) / _TAGS / name
+    if not _TAG_NAME_RE.match(name or "") or not f.is_file():
+        return False
+    f.unlink()
+    return True
+
+
+def _resolve_tag(table: Path, tag: str) -> str:
+    tags = list_tags(str(table))
+    if tag not in tags:
+        raise FileNotFoundError(f"{table}: no tag {tag!r} (have {sorted(tags)})")
+    mname = tags[tag]
+    if not (table / _MANIFESTS / mname).is_file():
+        raise FileNotFoundError(
+            f"{table}: tag {tag!r} pins {mname}, which no longer exists — "
+            "was it vacuumed by an older engine version without tag roots?"
+        )
+    return mname
+
+
 def _as_epoch(as_of) -> float:
     """Normalize an AS OF instant: epoch seconds, datetime, or an ISO
     string (naive strings are taken as UTC — manifest timestamps are
@@ -763,10 +826,12 @@ def _as_epoch(as_of) -> float:
 
 
 def _manifest_for(
-    table: Path, version: int | None, as_of=None
+    table: Path, version: int | None, as_of=None, tag: str | None = None
 ) -> str | None:
-    if version is not None and as_of is not None:
-        raise ValueError("pass version OR as_of, not both")
+    if sum(x is not None for x in (version, as_of, tag)) > 1:
+        raise ValueError("pass version OR as_of OR tag, not several")
+    if tag is not None:
+        return _resolve_tag(table, tag)
     if as_of is not None:
         # newest committed manifest staged at-or-before the instant;
         # chain timestamps are monotone (enforced at stamping time by
@@ -822,6 +887,7 @@ def snapshot_files(
     prune: dict | None = None,
     allow_deletes: bool = False,
     as_of=None,
+    tag: str | None = None,
 ) -> list[str]:
     """Absolute data-file paths of the live snapshot — or, with
     ``version``, of that historical seq (time travel; raises if the
@@ -842,7 +908,7 @@ def snapshot_files(
     :func:`read_snapshot`, which applies the delete files.  ``as_of``
     as in :func:`read_snapshot` (time travel by instant)."""
     table = Path(path)
-    name = _manifest_for(table, version, as_of=as_of)
+    name = _manifest_for(table, version, as_of=as_of, tag=tag)
     if name is None:
         return []
     m = _load_manifest(table, name)
@@ -868,6 +934,7 @@ def read_snapshot(
     prune: dict | None = None,
     merge_schema: bool = False,
     as_of=None,
+    tag: str | None = None,
 ) -> DataFrame | None:
     """DataFrame over the live snapshot's pinned file list (or a
     historical ``version``'s), or None if the table has never committed
@@ -884,9 +951,12 @@ def read_snapshot(
     ``as_of`` (epoch seconds / datetime / ISO string, exclusive with
     ``version``) time-travels by INSTANT instead of seq: the newest
     snapshot committed at-or-before it — AS OF TIMESTAMP semantics,
-    bounded by the vacuum retention like seq travel."""
+    bounded by the vacuum retention like seq travel.  ``tag``
+    (exclusive with both) reads the version pinned by
+    :func:`tag_snapshot` — tags are vacuum retention roots, so a
+    tagged read outlives the retention window."""
     table = Path(path)
-    name = _manifest_for(table, version, as_of=as_of)
+    name = _manifest_for(table, version, as_of=as_of, tag=tag)
     if name is None:
         return None
     m = _load_manifest(table, name)  # ONE load; snapshot_files would re-walk
@@ -1300,8 +1370,9 @@ def cdc_sink(path: str, key_cols: list[str], order_col: str, op_col: str = "op")
 
 def vacuum(path: str, keep_manifests: int = 2) -> int:
     """Retain the ``keep_manifests`` newest COMMITTED versions (the
-    CURRENT parent chain — always including CURRENT itself) and delete
-    everything else: older chain manifests, manifests staged by crashed
+    CURRENT parent chain — always including CURRENT itself) plus every
+    TAGGED version (:func:`tag_snapshot` pins are retention roots) and
+    delete everything else: older chain manifests, manifests staged by crashed
     runs (unreachable from CURRENT), data files referenced by neither,
     and stale staging dirs.  Returns files/dirs removed.
 
@@ -1321,6 +1392,19 @@ def vacuum(path: str, keep_manifests: int = 2) -> int:
     chain = _committed_chain(table)
     keep = chain[: max(keep_manifests, 1)] if chain else []
     keep_names = {name for name, _ in keep}
+    # tags are retention ROOTS: a tagged manifest (and its files) stays
+    # readable regardless of chain depth — "the snapshot run X trained
+    # on" must survive routine retention.  A tag pointing at an
+    # already-vacuumed manifest (older engine, manual deletion) is
+    # skipped rather than fatal: vacuum must still be able to run.
+    for tname, mname in list_tags(str(table)).items():
+        if mname in keep_names:
+            continue
+        try:
+            keep.append((mname, _load_manifest(table, mname)))
+            keep_names.add(mname)
+        except FileNotFoundError:
+            pass
     live: set[str] = set()
     for _, m in keep:
         live.update(m["files"])

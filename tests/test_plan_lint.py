@@ -75,6 +75,7 @@ CROSS_OK = {
     "t1_perceptron_quality",  # 1-row weight/mean frames broadcast per epoch
     "t1_loghist_quantiles",  # 3-row quantile spec × ≤16-row histogram pick
     "t1_pca_power",  # 1-row mean/vector/max-abs frames broadcast per round
+    "t1_vocab_growth",  # 1-row id-span frame for the prefix-bucket arithmetic
 }
 
 # Queries whose plan legitimately contains an unpartitioned ORDERED
@@ -89,6 +90,7 @@ GLOBAL_WINDOW_OK = {
     "t1_rfm_segments",  # quintile windows over the |users|-row aggregate;
     # 100 TB form broadcasts approx-quantile cut points (docstring)
     "t1_loghist_quantiles",  # cumsum over the ≤16-row log histogram
+    "t1_vocab_growth",  # cumsum over the 10-row bucket aggregate
 }
 
 # Streaming queries drive a memory sink; their final plan is the sink

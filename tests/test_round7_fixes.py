@@ -181,3 +181,85 @@ def test_sq8_ann_null_embedding_fixture_matches_oracle(spark, sf_dir, tmp_path):
     got = QUERIES["t1_sq8_ann"](spark, str(fix))
     assert_oracle_match(got, con, ORACLE["t1_sq8_ann"], name="t1_sq8_ann+null")
     con.close()
+
+
+# -- snapshot tags (named version pins, vacuum retention roots) ---------------
+
+
+def _mk(spark, rows, schema="k long, v long"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_tag_pins_version_and_survives_vacuum(spark, tmp_path):
+    from ght2dm_spark.snapshots import (
+        list_tags,
+        tag_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "t")
+    commit(prepare_commit(_mk(spark, [(1, 10)]), t))
+    pinned = tag_snapshot(t, "baseline")
+    commit(prepare_commit(_mk(spark, [(2, 20)]), t, mode="append"))
+    commit(prepare_commit(_mk(spark, [(3, 30)]), t, mode="append"))
+    assert list_tags(t) == {"baseline": pinned}
+    vacuum(t, keep_manifests=1)  # would drop the seed without the tag root
+    got = {(r.k, r.v) for r in read_snapshot(spark, t, tag="baseline").collect()}
+    assert got == {(1, 10)}
+    cur = {r.k for r in read_snapshot(spark, t).collect()}
+    assert cur == {1, 2, 3}
+
+
+def test_tag_retag_and_delete(spark, tmp_path):
+    import pytest
+
+    from ght2dm_spark.snapshots import delete_tag, tag_snapshot, vacuum
+
+    t = str(tmp_path / "t")
+    commit(prepare_commit(_mk(spark, [(1, 10)]), t))
+    tag_snapshot(t, "rel")
+    commit(prepare_commit(_mk(spark, [(2, 20)]), t, mode="append"))
+    m2 = tag_snapshot(t, "rel")  # re-tag moves the pin to CURRENT
+    from ght2dm_spark.snapshots import list_tags
+
+    assert list_tags(t)["rel"] == m2
+    assert delete_tag(t, "rel") is True
+    assert delete_tag(t, "rel") is False
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        read_snapshot(spark, t, tag="rel")
+    # untagged old versions are ordinary retention-governed history now
+    vacuum(t, keep_manifests=1)
+
+
+def test_tag_name_validation_and_selector_exclusivity(spark, tmp_path):
+    import pytest
+
+    from ght2dm_spark.snapshots import tag_snapshot
+
+    t = str(tmp_path / "t")
+    commit(prepare_commit(_mk(spark, [(1, 10)]), t))
+    for bad in ("", ".hidden", "a/b", "x" * 65, "sp ace"):
+        with pytest.raises(ValueError, match="invalid tag name"):
+            tag_snapshot(t, bad)
+    tag_snapshot(t, "ok-1.0_rc")
+    with pytest.raises(ValueError, match="not several"):
+        read_snapshot(spark, t, version=0, tag="ok-1.0_rc")
+
+
+def test_tag_to_vacuumed_manifest_raises_clearly(spark, tmp_path):
+    import json as _json
+
+    import pytest
+
+    from ght2dm_spark.snapshots import tag_snapshot
+
+    t = tmp_path / "t"
+    commit(prepare_commit(_mk(spark, [(1, 10)]), str(t)))
+    tag_snapshot(str(t), "base")
+    commit(prepare_commit(_mk(spark, [(2, 20)]), str(t), mode="append"))
+    # simulate an older engine's vacuum that didn't know tag roots:
+    # the tagged (no-longer-current) manifest vanishes under the tag
+    name = (t / "_tags" / "base").read_text().strip()
+    (t / "_manifests" / name).unlink()
+    with pytest.raises(FileNotFoundError, match="no longer exists"):
+        read_snapshot(spark, str(t), tag="base")

@@ -816,7 +816,7 @@ def test_as_of_timestamp_time_travel(spark, tmp_path):
     assert all(h["ts"] is not None for h in hist)
     with pytest.raises(FileNotFoundError, match="did not exist"):
         read_snapshot(spark, t, as_of=t0 - 3600)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="not several"):
         read_snapshot(spark, t, version=0, as_of=t0)
 
     # Legacy manifest without ts: its commit instant is ESTIMATED from

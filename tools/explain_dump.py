@@ -60,6 +60,9 @@ PICKS = [
     ("t1_ks_drift", "Two-sample KS: one (type, value) groupBy collapses rows to the distinct support BEFORE the cumulative window, so the window state is support-sized; the per-type n0/n1 frame broadcasts; max is order-independent — no float accumulation in the plan."),
     ("t1_ndcg_eval", "Retrieval eval: the 10-query batch broadcast over one corpus scan (the brute-force baseline shape), rank window partitioned on q_id, then rank-bounded arithmetic — eval cost after the scoring join touches 10×10 rows, with discounts as literals (no log2 calls in the plan)."),
     ("t1_quantile_bucketing", "Equal-frequency binning: NTILE over a per-stratum rank window (partitioned — no global sort), then one map-side-combinable groupBy; only (lang, n_chars, doc_id) ever shuffles."),
+    ("t1_lateral_topn_join", "LATERAL decorrelation: the correlated top-N subquery plans as a partitioned rank window + join — NOT a per-outer-row re-execution; the lateral is syntax, the plan is one shuffle."),
+    ("t1_vocab_growth", "Heaps'-law growth: prefix buckets by pure arithmetic against a broadcast 1-row id-span frame (no global rank window over the corpus); first-occurrence min-bucket aggregate is vocab-sized and map-side combinable; the only ordered window runs over the 10-row bucket aggregate."),
+    ("t1_ivm_topk_retraction", "Top-k retraction IVM: anti-join(re-ranked state ∪ inserts, affected) ∪ rank(recompute semi-join-bounded by delete-touched groups) — untouched groups carry O(k+delta) rows, the recompute branch is group-pruned."),
 ]
 
 
