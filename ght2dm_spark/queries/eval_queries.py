@@ -2,7 +2,8 @@
 a training-data pipeline runs AROUND its search/dedup/curation stages —
 NDCG over a retrieval run, rank-biased overlap between two orderings,
 a two-sample Kolmogorov-Smirnov drift statistic, deterministic
-stratified k-fold assignment, and equal-frequency quantile bucketing.
+stratified k-fold assignment, equal-frequency quantile bucketing, and
+reliability-diagram calibration bins.
 
 Cross-engine exactness discipline (the t1_char_entropy pattern): every
 irrational constant (log2 discounts, geometric RBO weights) is computed
