@@ -184,6 +184,11 @@ HEADLINE = [
     "t1_ccnet_buckets",
     "t1_ivm_topk_retraction",
     "t1_snapshot_tag_read",
+    # round 7, third wave
+    "t1_robust_scaler",
+    "t1_lang_confusion",
+    "t1_length_lognormal",
+    "t1_tag_diff",
 ]
 
 
@@ -228,6 +233,8 @@ SCALE_HEADLINE = [
     "t1_groupby_all",
     "t1_calibration_bins",
     "t1_oov_rate",
+    "t1_length_lognormal",
+    "t1_robust_scaler",
 ]
 
 #: tables replicated with shifted keys in the scale dir; everything else

@@ -391,3 +391,101 @@ def t1_snapshot_tag_read(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "t1_tag_diff",
+    oracle="""
+    SELECT 'removed' AS class, count(*) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey % 31 = 0 AND o_orderkey % 17 <> 0
+    UNION ALL
+    SELECT 'changed', count(*),
+           CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 17 = 0
+    UNION ALL
+    SELECT 'added', count(*),
+           CAST(min(o_orderkey + 5000000) AS BIGINT),
+           CAST(max(o_orderkey + 5000000) AS BIGINT)
+    FROM orders WHERE o_orderkey % 41 = 0
+    UNION ALL
+    SELECT 'unchanged', count(*),
+           CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 31 <> 0 AND o_orderkey % 17 <> 0
+    """,
+)
+def t1_tag_diff(spark, sf_dir):
+    """Tag-to-tag CDC diff through the REAL snapshot layer: version 'a'
+    is tagged, a mutation batch lands (merge-on-read deletes for the
+    removed AND changed keys, appends for the changed rows' new values
+    and the added keys), version 'b' is tagged, the table is VACUUMED
+    to keep_manifests=1 — and the diff is computed by full-outer-
+    joining the two TAGGED reads.  The oracle recomputes every class
+    from the base table, so a hash match certifies tag resolution,
+    merge-on-read delete application at both pins, and tag-rooted
+    retention in one query (t1_snapshot_diff is this diff's synthetic
+    twin without the table format; t1_snapshot_tag_read pins tag reads
+    alone).
+
+    Scale: the diff is one key-shuffled full outer join of two pinned
+    file lists; tags keep it runnable forever at one pointer file
+    each."""
+    import shutil
+    import tempfile
+
+    from ght2dm_spark.snapshots import (
+        commit,
+        delete_rows,
+        prepare_commit,
+        read_snapshot,
+        tag_snapshot,
+        vacuum,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    k = F.col("o_orderkey")
+    root = tempfile.mkdtemp(prefix="ght2dm-tagdiff-")
+    try:
+        table = f"{root}/T"
+        commit(prepare_commit(o, table))
+        tag_snapshot(table, "a")
+        commit(delete_rows(
+            o.filter((k % 31 == 0) | (k % 17 == 0)).select("o_orderkey"),
+            table,
+        ))
+        changed = o.filter(k % 17 == 0).select(
+            "o_orderkey", (F.col("o_custkey") + 1).alias("o_custkey")
+        )
+        added = o.filter(k % 41 == 0).select(
+            (k + 5_000_000).alias("o_orderkey"), "o_custkey"
+        )
+        commit(prepare_commit(
+            changed.unionByName(added), table, mode="append"))
+        tag_snapshot(table, "b")
+        vacuum(table, keep_manifests=1)
+
+        a = read_snapshot(spark, table, tag="a").alias("a")
+        b = read_snapshot(spark, table, tag="b").alias("b")
+        j = a.join(
+            b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+        ).select(
+            F.coalesce("a.o_orderkey", "b.o_orderkey").alias("key"),
+            F.when(F.col("a.o_orderkey").isNull(), "added")
+            .when(F.col("b.o_orderkey").isNull(), "removed")
+            .when(F.col("a.o_custkey") != F.col("b.o_custkey"), "changed")
+            .otherwise("unchanged")
+            .alias("class"),
+        )
+        out = (
+            j.groupBy("class")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("key").cast("bigint").alias("min_key"),
+                F.max("key").cast("bigint").alias("max_key"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -388,3 +388,55 @@ def t1_drift_tvd(spark, sf_dir):
         .cast("bigint")
         .alias("abs_diff_ppm"),
     )
+
+
+@register(
+    "t1_length_lognormal",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               CAST(round(log2(CAST(n_chars AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS lg,
+               CAST(round(log2(CAST(n_chars AS DOUBLE))
+                          * log2(CAST(n_chars AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS lg2
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT lang, count(*) AS n,
+           round(CAST(sum(lg) AS DOUBLE) / count(*), 6) AS mu,
+           round(sqrt(greatest(0,
+               CAST(sum(lg2) AS DOUBLE) / count(*)
+               - (CAST(sum(lg) AS DOUBLE) / count(*))
+                 * (CAST(sum(lg) AS DOUBLE) / count(*)))), 6) AS sigma
+    FROM t GROUP BY lang
+    """,
+)
+def t1_length_lognormal(spark, sf_dir):
+    """Log-normal fit of document lengths per language (mu, sigma of
+    log2 length) — the two numbers that summarize a source's length
+    distribution for chunking policy, sampling weights, and
+    out-of-distribution detection (real text lengths are famously
+    log-normal; a bad sigma flags boilerplate or truncation).
+
+    Exactness discipline: per-document log2 terms (and their squares)
+    round to DECIMAL(18,9) before summation — exact fixed-point, order
+    independent (the char-entropy pattern; engine log2 parity on
+    identical double inputs is pinned by that query's green rows) —
+    and mu/sigma are fixed chains of IEEE ops over the exact sums
+    (sqrt is correctly rounded by IEEE 754, so it is parity-safe).
+    Scale: a narrow map plus one |langs|-row groupBy."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    lg = F.log2(F.col("n_chars").cast("double"))
+    t = d.select(
+        "lang",
+        F.round(lg, 9).cast("decimal(18,9)").alias("lg"),
+        F.round(lg * lg, 9).cast("decimal(18,9)").alias("lg2"),
+    )
+    s1 = F.sum("lg").cast("double") / F.count(F.lit(1))
+    s2 = F.sum("lg2").cast("double") / F.count(F.lit(1))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(s1, 6).alias("mu"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), s2 - s1 * s1)), 6)
+        .alias("sigma"),
+    )

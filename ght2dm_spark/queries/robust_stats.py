@@ -512,3 +512,72 @@ def t1_rolling_median(spark, sf_dir):
         .filter(F.col("user_id") % 50 == 0)
         .select("user_id", "event_id", med.alias("med7"))
     )
+
+
+@register(
+    "t1_robust_scaler",
+    oracle="""
+    WITH r AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value, event_id) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM events WHERE value IS NOT NULL),
+    q AS (SELECT event_type,
+                 min(CASE WHEN rn = (25 * n + 99) // 100 THEN value END) AS q1,
+                 min(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS med,
+                 min(CASE WHEN rn = (75 * n + 99) // 100 THEN value END) AS q3
+          FROM r GROUP BY event_type)
+    SELECT e.event_type, q.med, q.q1, q.q3,
+           count(*) AS n,
+           count(*) FILTER (e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                         OR e.value > q.q3 + 1.5 * (q.q3 - q.q1))
+             AS n_fence_outliers
+    FROM events e JOIN q ON e.event_type = q.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type, q.med, q.q1, q.q3
+    """,
+)
+def t1_robust_scaler(spark, sf_dir):
+    """Robust-scaler statistics (median / IQR standardization, the
+    sklearn RobustScaler contract) plus Tukey-fence outlier counts —
+    the outlier-immune alternative to z-score standardization for
+    heavy-tailed feature columns.  All three quantiles are DISCRETE
+    integer-rank picks (rank = ceil(p·n) over a total order), so every
+    emitted bound IS a data value and the fence comparisons evaluate on
+    bit-identical operands cross-engine — the t1_winsorize_bounds
+    lesson applied to the quartile triple.
+
+    Scale: one rank window per type partition over (value, id), a
+    |types|-row quantile frame broadcast back onto the stream, and a
+    map-side-combinable count — the same two-pass shape as winsorize."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cw = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+
+    def pick(p):
+        rank = F.floor((p * F.col("n") + 99) / 100)
+        return F.min(F.when(F.col("rn") == rank, F.col("value")))
+
+    q = r.groupBy("event_type").agg(
+        pick(25).alias("q1"), pick(50).alias("med"), pick(75).alias("q3")
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (
+        (F.col("value") < F.col("q1") - 1.5 * iqr)
+        | (F.col("value") > F.col("q3") + 1.5 * iqr)
+    )
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "med", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("bigint")
+            .alias("n_fence_outliers"),
+        )
+        .select("event_type", "med", "q1", "q3", "n", "n_fence_outliers")
+    )

@@ -517,3 +517,36 @@ def t1_zipf_fit(spark, sf_dir):
         F.col("k").cast("int").alias("k"),
         F.round(num.cast("double") / den.cast("double"), 6).alias("zipf_slope"),
     )
+
+
+@register(
+    "t1_lang_confusion",
+    oracle="""
+    WITH li AS ({lang_id_oracle})
+    SELECT labeled_lang, detected_lang, count(*) AS n
+    FROM li GROUP BY labeled_lang, detected_lang
+    """,
+)
+def t1_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the detector's calls
+    (t1_text_lang_id's marker-voting argmax) cross-tabulated against
+    the stored labels — the eval that turns a per-document classifier
+    into an actionable per-language error profile (which languages leak
+    into 'und', which pairs confuse).  Composes the registered lang-id
+    query on the Spark side and SPLICES its oracle as a CTE on the
+    DuckDB side (the t1_ann_recall pattern), so the matrix certifies
+    the same detector both engines already agree on.
+
+    Scale: the detector is a narrow map; the matrix is one
+    map-side-combinable groupBy to |langs|² rows."""
+    li = t1_text_lang_id(spark, sf_dir)
+    return li.groupBy("labeled_lang", "detected_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+from ght2dm_spark.queries.registry import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["t1_lang_confusion"] = _ORACLE["t1_lang_confusion"].format(
+    lang_id_oracle=_ORACLE["t1_text_lang_id"]
+)
