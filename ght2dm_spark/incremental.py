@@ -142,14 +142,41 @@ def _view_def(aggs: dict) -> dict:
     return {out: [fn, col] for out, (fn, col) in aggs.items()}
 
 
+import re as _re
+
+#: a pin written before _validate_aggs required string column names
+#: serialized pyspark Column inputs via repr — "Column<'v'>".  Those
+#: states are healthy; only their pin format is legacy.
+_LEGACY_COLUMN_REPR = _re.compile(r"^Column<'(.+)'>$")
+
+
+def _canon_pin(view_def: dict) -> dict:
+    """Normalize a stored view_def pin before comparing: rewrite legacy
+    Column-repr inputs (``Column<'v'>`` → ``v``) to the bare column
+    name.  Without this, every view pinned under the old str(Column)
+    serialization would compare unequal to the same aggregate passed by
+    name — a silent full rebuild on refresh_aggregate and a hard stop
+    on streaming sinks, with no migration path."""
+    out = {}
+    for k, v in view_def.items():
+        fn, col = v
+        if isinstance(col, str):
+            m = _LEGACY_COLUMN_REPR.match(col)
+            if m:
+                col = m.group(1)
+        out[k] = [fn, col]
+    return out
+
+
 def _def_changed(stored_def, aggs: dict, state_cols: list[str], state) -> bool:
     """Does the committed state belong to a DIFFERENT view definition?
-    Compare the pinned definition when one was recorded; for legacy
-    states without a pin, fall back to exact column-set equality
+    Compare the pinned definition when one was recorded (legacy
+    Column-repr pins are canonicalized first — see _canon_pin); for
+    legacy states without a pin, fall back to exact column-set equality
     (catching pre-maintenance states and added/dropped companions —
     but not same-schema semantic changes, which only the pin sees)."""
     if stored_def is not None:
-        return stored_def != _view_def(aggs)
+        return _canon_pin(stored_def) != _view_def(aggs)
     return set(state_cols) != set(state.columns)
 
 

@@ -264,7 +264,7 @@ def t1_hashed_ngram_features(spark, sf_dir):
 @register(
     "t1_ccnet_buckets",
     oracle=f"""
-    WITH surp AS ({{surprisal_oracle}}),
+    WITH surp AS (__SURPRISAL_ORACLE__),
     langd AS (
         SELECT s.doc_id, d.lang, s.avg_surprisal
         FROM surp s JOIN documents d ON s.doc_id = d.doc_id
@@ -325,7 +325,10 @@ def t1_ccnet_buckets(spark, sf_dir):
 
 
 # splice the (already-registered) surprisal oracle into the bucket
-# oracle — the t1_ann_recall composition pattern
-ORACLE["t1_ccnet_buckets"] = ORACLE["t1_ccnet_buckets"].format(
-    surprisal_oracle=ORACLE["t1_unigram_surprisal"]
+# oracle — the t1_ann_recall composition pattern.  Sentinel + replace,
+# NOT str.format: format would throw at import the moment any literal
+# brace lands in the outer template (regex character classes like
+# [{}();] are routine in sibling oracles).
+ORACLE["t1_ccnet_buckets"] = ORACLE["t1_ccnet_buckets"].replace(
+    "__SURPRISAL_ORACLE__", ORACLE["t1_unigram_surprisal"]
 )

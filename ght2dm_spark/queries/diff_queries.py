@@ -302,9 +302,14 @@ def t1_asof_time_travel(spark, sf_dir):
         ))
         hist = history(table)  # oldest-first: [v0, v1, v2]
         ts1, ts2 = hist[1]["ts"], hist[2]["ts"]
+        # _stamp_ts is STRICTLY monotone (clamps a stepped-back clock to
+        # parent+1µs), so ts2 > ts1 always; a violation would make the
+        # midpoint ambiguous (resolve v2 while labeled v1_asof) — fail
+        # loudly here rather than emit a wrong-but-plausible row.
+        assert ts2 > ts1, f"non-monotone snapshot ts: {ts1} >= {ts2}"
         # an instant strictly inside (ts1, ts2): sees the append, not
-        # the delete (midpoint — the commits stamp distinct clamped ts)
-        instant = ts1 + (ts2 - ts1) / 2 if ts2 > ts1 else ts1
+        # the delete
+        instant = ts1 + (ts2 - ts1) / 2
 
         def agg(df, label):
             return df.agg(

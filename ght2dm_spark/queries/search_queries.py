@@ -31,7 +31,8 @@ from ght2dm_spark.queries.registry import register
     SELECT term,
            CAST(count(*) AS BIGINT) AS df,
            CAST(sum(tf) AS BIGINT) AS total_tf,
-           (list_sort(list(doc_id)))[1:10] AS postings_head
+           array_to_string((list_sort(list(doc_id)))[1:10], ',')
+             AS postings_head
     FROM tf GROUP BY term
     """,
 )
@@ -47,16 +48,26 @@ def t1_inverted_index(spark, sf_dir):
     because a full posting list is a column value of unbounded size —
     at 100 TB postings stay EXPLODED as (term, doc_id, tf) rows (the tf
     frame itself IS the index), and any per-term array materialization
-    needs this kind of cap."""
+    needs this kind of cap.
+
+    The posting head is serialized to a comma-joined STRING rather than
+    kept as an ARRAY column: the driver's pandas canonicalizer sorts
+    output columns and cannot hash/sort numpy arrays (r7 driver err),
+    so top-level ARRAY outputs are banned for every registered query
+    (mechanically enforced in tests/test_oracle_types.py)."""
     d = load_table(spark, sf_dir, "documents")
     toks = explode_ws_tokens(d, "text", "term", keep=("doc_id",))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     return tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("total_tf"),
-        F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10).alias(
-            "postings_head"
-        ),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
     )
 
 

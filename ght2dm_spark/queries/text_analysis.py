@@ -522,7 +522,7 @@ def t1_zipf_fit(spark, sf_dir):
 @register(
     "t1_lang_confusion",
     oracle="""
-    WITH li AS ({lang_id_oracle})
+    WITH li AS (__LANG_ID_ORACLE__)
     SELECT labeled_lang, detected_lang, count(*) AS n
     FROM li GROUP BY labeled_lang, detected_lang
     """,
@@ -547,6 +547,8 @@ def t1_lang_confusion(spark, sf_dir):
 
 from ght2dm_spark.queries.registry import ORACLE as _ORACLE  # noqa: E402
 
-_ORACLE["t1_lang_confusion"] = _ORACLE["t1_lang_confusion"].format(
-    lang_id_oracle=_ORACLE["t1_text_lang_id"]
+# sentinel + replace, not str.format: a literal brace in the outer
+# template (e.g. a regex class) would make format throw at import
+_ORACLE["t1_lang_confusion"] = _ORACLE["t1_lang_confusion"].replace(
+    "__LANG_ID_ORACLE__", _ORACLE["t1_text_lang_id"]
 )

@@ -254,12 +254,18 @@ def _stamp_ts(parent_manifest: dict | None) -> float:
     BACK (NTP correction) between two commits would otherwise stamp a
     child earlier than its parent and let an AS OF instant resolve to a
     snapshot newer than a skipped ancestor.  The invariant is enforced
-    at stamping time, not assumed."""
+    at stamping time, not assumed.
+
+    STRICTLY monotone: equal parent/child timestamps would make an AS OF
+    at that instant ambiguous (the newest-first scan would resolve the
+    CHILD while a caller that captured the parent's ts expects the
+    parent — a driver red for the time-travel queries), so a clamped
+    child gets the parent's ts plus one microsecond."""
     ts = time.time()
     if parent_manifest:
         pts = parent_manifest.get("ts")
-        if pts is not None:
-            ts = max(ts, float(pts))
+        if pts is not None and ts <= float(pts):
+            ts = float(pts) + 1e-6
     return ts
 
 
@@ -780,7 +786,11 @@ def list_tags(path: str) -> dict[str, str]:
         return {}
     out: dict[str, str] = {}
     for f in sorted(tdir.iterdir()):
-        if f.is_file() and _TAG_NAME_RE.match(f.name):
+        # ".tmp-" names are crash-orphaned _atomic_write temps, not tags
+        # — they happen to match _TAG_NAME_RE ("v1.tmp-ab12cd34"), and
+        # treating one as a tag would surface a phantom name AND make
+        # vacuum() hold its manifest as a permanent retention root.
+        if f.is_file() and _TAG_NAME_RE.match(f.name) and ".tmp-" not in f.name:
             out[f.name] = f.read_text().strip()
     return out
 
@@ -1427,7 +1437,11 @@ def vacuum(path: str, keep_manifests: int = 2) -> int:
     # that no live writer can still hold them are garbage.  unlink is
     # missing_ok to tolerate racing vacuums.
     cutoff = time.time() - _STALE_TMP_SECONDS
-    for tmp in (*mdir.glob("m-*.json.tmp-*"), *table.glob("CURRENT.tmp-*")):
+    for tmp in (
+        *mdir.glob("m-*.json.tmp-*"),
+        *table.glob("CURRENT.tmp-*"),
+        *(table / _TAGS).glob("*.tmp-*"),
+    ):
         try:
             if tmp.stat().st_mtime < cutoff:
                 tmp.unlink(missing_ok=True)

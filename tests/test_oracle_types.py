@@ -165,3 +165,56 @@ def test_cross_engine_output_types(spark, duck, sf_dir):
         "diverges on bit-exact values — cast the narrower/wider side): "
         f"{offenders}"
     )
+
+
+def test_no_spark_query_emits_nested_output(spark, sf_dir):
+    """r7 failure class made mechanical: the driver's pandas
+    canonicalizer ``sort_values`` every output column before hashing and
+    dies on unhashable cells (``TypeError: unhashable type:
+    'numpy.ndarray'`` — ``t1_inverted_index``'s ArrayType
+    ``postings_head``, the only driver err of round 7).  Top-level
+    ARRAY/MAP/STRUCT output columns are therefore banned for every
+    registered query that has an oracle: serialize to a string
+    (``array_join`` ↔ ``array_to_string``) or explode to rows.
+    Analysis only, no job."""
+    offenders = {}
+    for name in sorted(QUERIES):
+        if name not in ORACLE:
+            continue
+        sdf = QUERIES[name](spark, sf_dir)
+        bad = [
+            (f.name, f.dataType.simpleString())
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "nested (array/map/struct) output columns break the driver's "
+        "pandas canonicalizer — serialize to string or explode to rows: "
+        f"{offenders}"
+    )
+
+
+def test_no_oracle_emits_nested_output(duck):
+    """Mirror guard on the oracle side (DESCRIBE only, no execution):
+    no LIST/MAP/STRUCT-typed output columns."""
+    offenders = {}
+    for name, sql in ORACLE.items():
+        try:
+            cols = duck.sql(f"DESCRIBE {sql}").fetchall()
+        except Exception:
+            continue
+        bad = [
+            (c[0], c[1])
+            for c in cols
+            if c[1].endswith("[]")
+            or c[1].upper().startswith(("MAP(", "STRUCT(", "LIST(", "UNION("))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "nested (list/map/struct) oracle outputs break the driver's "
+        "pandas canonicalizer — array_to_string or unnest: "
+        f"{offenders}"
+    )
