@@ -1259,6 +1259,16 @@ def changefeed_join_sink(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # every frame committed below is bounded by the batch on at
+        # least one join side, but its PLAN partitioning follows the
+        # probe side — the accumulated state files — so without a
+        # coalesce each commit writes O(state files) near-empty parquet
+        # files and the state compounds (measured: 96 files on the
+        # third commit of a 100-row feed).  Coalescing to the batch's
+        # own partition count keeps writes delta-sized at any scale
+        # (a big trigger has many batch partitions, so no bottleneck)
+        # and caps footer-stat and scan costs for every later read.
+        nparts = max(1, batch_df.rdd.getNumPartitions())
         w = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
         # each side's delta feeds two join terms and its side-state
         # commit; an explicit persist was measured net negative (the
@@ -1297,13 +1307,30 @@ def changefeed_join_sink(
             delta = parts[0].select(out_cols)
             for x in parts[1:]:
                 delta = delta.unionByName(x.select(out_cols))
-            commit_stream_batch(delta, jtbl, batch_id)
-        commit_stream_batch(
-            dl.withColumnRenamed("__wl", _W), ltbl, batch_id
-        )
-        commit_stream_batch(
-            dr.withColumnRenamed("__wr", _W), rtbl, batch_id
-        )
+            commit_stream_batch(delta.coalesce(nparts), jtbl, batch_id)
+        # the exactly-once argument only needs the JOIN commit to land
+        # strictly FIRST (a replay must never see side states a not-yet-
+        # committed join delta was computed against); left and right are
+        # independent tables whose skip-at-or-below guards are per-table,
+        # so they commit CONCURRENTLY — Spark schedules jobs from
+        # separate threads fine, and this removes one sequential
+        # commit's wall time from every trigger (~8 commits per query
+        # at the bench feed: the r6/r7 job-count floor, shaved r8).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fl = pool.submit(
+                commit_stream_batch,
+                dl.withColumnRenamed("__wl", _W).coalesce(nparts),
+                ltbl, batch_id,
+            )
+            fr = pool.submit(
+                commit_stream_batch,
+                dr.withColumnRenamed("__wr", _W).coalesce(nparts),
+                rtbl, batch_id,
+            )
+            fl.result()
+            fr.result()
 
     return _sink
 

@@ -101,6 +101,53 @@ def shingle_sql(toks: str, ltext: str | None = None, n: int = 3) -> str:
     )
 
 
+#: hot-shingle document-frequency cap for the exact shingle-join pair
+#: queries (containment / jaccard): shingles appearing in more than
+#: this many documents are dropped from the inverted index AND from the
+#: per-doc set sizes (both engines — the measure becomes "overlap over
+#: discriminative shingles", standard Broder practice).  The self-join
+#: on a shingle generates O(df²) pairs, so at 100 TB boilerplate
+#: n-grams with df in the millions would otherwise explode one task —
+#: the same pathology LSH_MAX_BUCKET guards in the banded path.
+#: Production callers log :func:`hot_shingles` next to their pair
+#: counts, the dropped-recall audit.
+SHINGLE_MAX_DF = 16
+
+
+def capped_shingles(sh: DataFrame, max_df: int = SHINGLE_MAX_DF) -> DataFrame:
+    """``(id, shingle)`` rows with df-over-cap shingles removed, via a
+    count window over the shingle partitioning the downstream self-join
+    shuffles to anyway (A/B at sf0.1: 1.82 s vs 3.26 s uncapped and
+    3.75 s for a groupBy + broadcast-anti variant on
+    t1_ngram_containment)."""
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+    )
+
+
+def hot_shingles(sh: DataFrame, max_df: int = SHINGLE_MAX_DF) -> DataFrame:
+    """The ``(shingle, df)`` rows :func:`capped_shingles` drops — the
+    recall-loss audit frame (the lsh_dropped_buckets pattern)."""
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+    )
+
+
+def capped_shingles_sql(sh_cte: str, max_df: int = SHINGLE_MAX_DF) -> str:
+    """DuckDB CTE body mirroring :func:`capped_shingles` over an
+    existing ``(doc_id, shingle)`` CTE named ``sh_cte``."""
+    return (
+        f"SELECT doc_id, shingle FROM ("
+        f"SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df "
+        f"FROM {sh_cte}) WHERE df <= {max_df}"
+    )
+
+
 #: prime > 2^32 for the Kirsch-Mitzenmacher hash family g_i = h1 + i·h2
 MINHASH_PRIME = 4_294_967_311
 

@@ -839,17 +839,32 @@ def t1_tokenizer_fertility(spark, sf_dir):
     )
 
 
+#: deterministic code block planted into every 7th document — the test
+#: corpus is symbol-free word soup, so WITHOUT planting, the filter
+#: selects zero rows at every SF and the driver row is a trivially-
+#: matching empty compare (caught in r8; the _aug_docs lesson applied).
+_CODE_BLOCK = "\n    if (x == 1) { y[2] = z; }"
+
+
 @register(
     "t1_code_ratio_filter",
-    oracle="""
-    WITH m AS (
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, lang,
+               text || repeat('{_CODE_BLOCK.replace(chr(10), "' || chr(10) || '")}',
+                              CAST(doc_id % 3 + 2 AS BIGINT)) AS text
+        FROM documents WHERE doc_id % 7 = 3
+    ),
+    m AS (
         SELECT doc_id, lang,
                length(text) AS n_chars,
                length(text) - length(regexp_replace(text,
-                   '[{}();=<>\\[\\]#|&]', '', 'g')) AS n_sym,
+                   '[{{}}();=<>\\[\\]#|&]', '', 'g')) AS n_sym,
                len(regexp_extract_all(text,
                    '(^|\\n)(    |\\t)')) AS n_indent
-        FROM documents WHERE length(text) > 0
+        FROM aug WHERE length(text) > 0
     )
     SELECT doc_id, lang, CAST(n_sym AS BIGINT) AS n_sym,
            CAST(n_indent AS BIGINT) AS n_indent,
@@ -867,12 +882,33 @@ def t1_code_ratio_filter(spark, sf_dir):
     front of a learned classifier, same role as t1_gopher_rules for
     prose quality.
 
+    The synthetic corpus is symbol-free word soup, so a deterministic
+    code block is PLANTED into every 7th document (both engines, same
+    arithmetic) — the filter then provably selects exactly the planted
+    docs; without planting it matched on zero rows (a vacuous driver
+    green, fixed r8).
+
     Exactness: symbol and indent counts are integers from the SAME
     regex class both engines compile identically (no shorthand classes
     whose Unicode semantics differ); the ratio is one division.
-    Scale: pure narrow projection + filter — pushes to the scan, no
-    shuffle at all."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    Scale: narrow projection + filter — pushes to the scan, no shuffle
+    (the planted branch exists only to give the test corpus something
+    to route).  A translate()-based single-pass symbol count was A/B'd
+    at the sf≈1 scale point and LOST to the regex (0.84 s vs 0.63 s
+    median — Spark's UTF8String translate allocates per row), so the
+    regex formulation stays."""
+    base = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    planted = base.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        "lang",
+        F.concat(
+            "text",
+            F.repeat(
+                F.lit(_CODE_BLOCK), (F.col("doc_id") % 3 + 2).cast("int")
+            ),
+        ).alias("text"),
+    )
+    d = base.select("doc_id", "lang", "text").unionByName(planted)
     n_sym = (
         F.length("text")
         - F.length(F.regexp_replace("text", r"[{}();=<>\[\]#|&]", ""))
