@@ -189,6 +189,42 @@ HEADLINE = [
     "t1_lang_confusion",
     "t1_length_lognormal",
     "t1_tag_diff",
+    # round 8: second eval-metric wave, corpus-composition audits,
+    # dedup/search observability, relational/graph analytics, and the
+    # north-star snapshot/IVM/quantization extensions
+    "t1_mrr_eval",
+    "t1_recall_at_k",
+    "t1_brier_score",
+    "t1_pr_curve",
+    "t1_lift_deciles",
+    "t1_psi_drift",
+    "t1_f1_per_group",
+    "t1_stopword_profile",
+    "t1_mix_entropy",
+    "t1_ngram_novelty",
+    "t1_rare_shingle_docs",
+    "t1_lang_shingle_overlap",
+    "t1_heaps_exponent",
+    "t1_doc_length_gini",
+    "t1_hot_shingle_audit",
+    "t1_lsh_bucket_stats",
+    "t1_dup_cluster_sizes",
+    "t1_query_expansion_prf",
+    "t1_minhash_est_error",
+    "t1_reservoir_sample",
+    "t1_gap_islands",
+    "t1_running_distinct",
+    "t1_percent_change",
+    "t1_bollinger_bands",
+    "t1_order_value_pareto",
+    "t1_graph_reciprocity",
+    "t1_degree_assortativity",
+    "t1_u_shaped_attribution",
+    "t1_snapshot_key_history",
+    "t1_cross_snapshot_contamination",
+    "t1_ivm_variance",
+    "t1_ivm_filtered_agg",
+    "t1_quant_recall_drift",
 ]
 
 

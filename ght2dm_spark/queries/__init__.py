@@ -64,7 +64,12 @@ from ght2dm_spark.queries import linalg_queries  # noqa: E402,F401
 from ght2dm_spark.queries import layout_queries  # noqa: E402,F401
 from ght2dm_spark.queries import ml_training  # noqa: E402,F401
 from ght2dm_spark.queries import eval_queries  # noqa: E402,F401
+from ght2dm_spark.queries import eval_extra  # noqa: E402,F401
 from ght2dm_spark.queries import corpus_stats  # noqa: E402,F401 (after curation_extra: t1_ccnet_buckets splices its oracle)
+from ght2dm_spark.queries import text_extra  # noqa: E402,F401 (after corpus_stats: t1_heaps_exponent splices t1_vocab_growth)
+from ght2dm_spark.queries import dedup_extra  # noqa: E402,F401 (after dedup/clustering/search: splices components + bm25 oracles)
+from ght2dm_spark.queries import relational_extra  # noqa: E402,F401
+from ght2dm_spark.queries import northstar_extra  # noqa: E402,F401 (after similarity_queries: splices the bruteforce oracle)
 
 # Names with a green driver CORRECTNESS row in rounds 1-4 (r04 verified 48
 # of its 50-query window; the two hash failures are requeued at the head of
@@ -145,71 +150,91 @@ _DRIVER_VERIFIED = frozenset({
     "t1_window_range_frame", "t1_window_ranking", "t1_window_running",
     "t1_window_time_range", "t1_winsorize_bounds", "t1_zipf_fit",
     "t1_zorder_cluster",
+    # round-7 driver greens (CORRECTNESS_r07.json: 49 of the 50-name
+    # window; the one err, t1_inverted_index, requeues in round 8)
+    "t1_ab_lift", "t1_acf", "t1_asof_time_travel", "t1_auc_metric",
+    "t1_benford_audit", "t1_churn_labels", "t1_code_ratio_filter",
+    "t1_corrupt_json_routing", "t1_crosstab_chisq", "t1_drift_tvd",
+    "t1_embedding_drift", "t1_graph_jaccard", "t1_grouped_agg_udf",
+    "t1_grouped_map_scale", "t1_grouping_sets", "t1_ivm_avg",
+    "t1_ivm_distinct_count", "t1_ivm_join_delta", "t1_ivm_join_retraction",
+    "t1_ivm_minmax_recompute", "t1_ivm_retraction",
+    "t1_join_cardinality_audit", "t1_knn_classify", "t1_knn_confusion",
+    "t1_ks_drift", "t1_loghist_quantiles", "t1_mad_outliers",
+    "t1_mann_kendall", "t1_map_in_arrow", "t1_mmr_rerank", "t1_ndcg_eval",
+    "t1_negative_sampling", "t1_ngram_containment", "t1_pandas_udwf",
+    "t1_python_udf_row", "t1_python_udtf", "t1_quality_logit",
+    "t1_quantile_bucketing", "t1_rbo_rankings", "t1_regression_per_group",
+    "t1_source_dup_profile", "t1_stratified_kfold", "t1_stream_cdc_agg",
+    "t1_stream_cdc_join", "t1_stream_continuous_agg", "t1_stream_static_join",
+    "t1_textrank_keywords", "t1_tokenizer_fertility", "t1_wet_roundtrip",
 })
 
-# Round-7 window: EXACTLY 50 names — the ENTIRE remaining verification
-# ledger.  Head: t1_grouping_sets (r5+r6 hash-red; root-caused to the
-# int128-backed DECIMAL(38,2) output, now BIGINT on both sides), then
-# every never-driver-verified name (the 29 pre-round-6 tail + the 9
-# round-6 IVM/CDC/WET additions), then the 10 round-7 additions
-# (eval metrics, KS drift, k-fold, bucketing, containment, fertility,
-# code routing, IVM distinct-count, AS OF time travel).  After a clean
-# r7 run the cumulative ledger closes at 268/269 — everything except
-# t1_approx_aggs, which is rows-only BY DESIGN (self-validating error
-# bounds, no DuckDB oracle) and already has its r6 rows-only row, so a
-# window slot on it would be wasted.  Import-time assertions below keep
-# every slot honest (registered + not already green).
+# Round-8 window: EXACTLY 50 names.  Head: the t1_inverted_index
+# requeue (the only r7 non-green — its ArrayType output column crashed
+# the driver's pandas canonicalizer; now a comma-joined string on both
+# engines, and top-level nested outputs are mechanically banned in
+# tests/test_oracle_types.py), then the 16 never-driver-verified
+# round-7 wave-2/3 additions, then the 33 round-8 additions (second
+# eval-metric wave, corpus-composition text audits, dedup/search
+# observability, relational/graph analytics, and the north-star
+# snapshot-history / contamination-diff / IVM-variance / quantization-
+# drift extensions).  After a clean r8 run the cumulative ledger closes
+# at 317/318 — everything except t1_approx_aggs (rows-only BY DESIGN:
+# self-validating error bounds, no DuckDB oracle, r6 rows-only row
+# already recorded).  Import-time assertions below keep every slot
+# honest (registered + not already green).
 _LEAD = [
-    "t1_grouping_sets",
-    "t1_ab_lift",
-    "t1_acf",
-    "t1_auc_metric",
-    "t1_benford_audit",
-    "t1_churn_labels",
-    "t1_corrupt_json_routing",
-    "t1_crosstab_chisq",
-    "t1_drift_tvd",
-    "t1_embedding_drift",
-    "t1_graph_jaccard",
-    "t1_grouped_agg_udf",
-    "t1_grouped_map_scale",
     "t1_inverted_index",
-    "t1_ivm_avg",
-    "t1_ivm_join_delta",
-    "t1_ivm_join_retraction",
-    "t1_ivm_minmax_recompute",
-    "t1_ivm_retraction",
-    "t1_join_cardinality_audit",
-    "t1_knn_classify",
-    "t1_knn_confusion",
-    "t1_loghist_quantiles",
-    "t1_mad_outliers",
-    "t1_mann_kendall",
-    "t1_map_in_arrow",
-    "t1_mmr_rerank",
-    "t1_negative_sampling",
-    "t1_pandas_udwf",
-    "t1_python_udf_row",
-    "t1_python_udtf",
-    "t1_quality_logit",
-    "t1_regression_per_group",
-    "t1_source_dup_profile",
-    "t1_stream_cdc_agg",
-    "t1_stream_cdc_join",
-    "t1_stream_continuous_agg",
-    "t1_stream_static_join",
-    "t1_textrank_keywords",
-    "t1_wet_roundtrip",
-    "t1_ivm_distinct_count",
-    "t1_asof_time_travel",
-    "t1_ndcg_eval",
-    "t1_rbo_rankings",
-    "t1_ks_drift",
-    "t1_stratified_kfold",
-    "t1_quantile_bucketing",
-    "t1_tokenizer_fertility",
-    "t1_code_ratio_filter",
-    "t1_ngram_containment",
+    "t1_lateral_topn_join",
+    "t1_groupby_all",
+    "t1_rolling_median",
+    "t1_calibration_bins",
+    "t1_overlap_join",
+    "t1_time_decay_attribution",
+    "t1_oov_rate",
+    "t1_vocab_growth",
+    "t1_hashed_ngram_features",
+    "t1_ccnet_buckets",
+    "t1_ivm_topk_retraction",
+    "t1_snapshot_tag_read",
+    "t1_robust_scaler",
+    "t1_lang_confusion",
+    "t1_length_lognormal",
+    "t1_tag_diff",
+    "t1_mrr_eval",
+    "t1_recall_at_k",
+    "t1_brier_score",
+    "t1_pr_curve",
+    "t1_lift_deciles",
+    "t1_psi_drift",
+    "t1_f1_per_group",
+    "t1_stopword_profile",
+    "t1_mix_entropy",
+    "t1_ngram_novelty",
+    "t1_rare_shingle_docs",
+    "t1_lang_shingle_overlap",
+    "t1_heaps_exponent",
+    "t1_doc_length_gini",
+    "t1_hot_shingle_audit",
+    "t1_lsh_bucket_stats",
+    "t1_dup_cluster_sizes",
+    "t1_query_expansion_prf",
+    "t1_minhash_est_error",
+    "t1_reservoir_sample",
+    "t1_gap_islands",
+    "t1_running_distinct",
+    "t1_percent_change",
+    "t1_bollinger_bands",
+    "t1_order_value_pareto",
+    "t1_graph_reciprocity",
+    "t1_degree_assortativity",
+    "t1_u_shaped_attribution",
+    "t1_snapshot_key_history",
+    "t1_cross_snapshot_contamination",
+    "t1_ivm_variance",
+    "t1_ivm_filtered_agg",
+    "t1_quant_recall_drift",
 ]
 
 

@@ -76,6 +76,14 @@ CROSS_OK = {
     "t1_loghist_quantiles",  # 3-row quantile spec × ≤16-row histogram pick
     "t1_pca_power",  # 1-row mean/vector/max-abs frames broadcast per round
     "t1_vocab_growth",  # 1-row id-span frame for the prefix-bucket arithmetic
+    "t1_mrr_eval",  # grades the brute-force baseline run (query×corpus)
+    "t1_recall_at_k",  # same + query×corpus label cross for the denominator
+    "t1_pr_curve",  # 10-row literal threshold frame broadcast over one scan
+    "t1_quant_recall_drift",  # three deliberate compressed/exact linear scans
+    "t1_heaps_exponent",  # composes t1_vocab_growth (1-row id-span cross)
+    "t1_graph_reciprocity",  # two 1-row edge-count frames joined into one row
+    "t1_degree_assortativity",  # 1-row threshold-total frame for edge filter
+    "t1_query_expansion_prf",  # composes t1_bm25_topk (1-row stats frame)
 }
 
 # Queries whose plan legitimately contains an unpartitioned ORDERED
@@ -91,6 +99,18 @@ GLOBAL_WINDOW_OK = {
     # 100 TB form broadcasts approx-quantile cut points (docstring)
     "t1_loghist_quantiles",  # cumsum over the ≤16-row log histogram
     "t1_vocab_growth",  # cumsum over the 10-row bucket aggregate
+    "t1_percent_change",  # lag over |months| rows (calendar-bounded)
+    "t1_running_distinct",  # cumsum over |days| rows (calendar-bounded)
+    "t1_lift_deciles",  # global NTILE over (score, id); decile-bounded
+    # output — 100 TB form buckets scores first (docstring), like
+    # t1_rfm_segments' approx-quantile cut points
+    "t1_order_value_pareto",  # same class: NTILE over the per-customer
+    # aggregate, then 10-row window math
+    "t1_heaps_exponent",  # composes t1_vocab_growth's 10-row cumsum
+    "t1_query_expansion_prf",  # row_number over the candidate-term
+    # frame — k-bounded (terms of the 10 feedback docs only)
+    "t1_quant_recall_drift",  # composes the bounded per-query rank
+    # windows of the quantized scans (|Q| partitions)
 }
 
 # Streaming queries drive a memory sink; their final plan is the sink

@@ -63,6 +63,16 @@ PICKS = [
     ("t1_lateral_topn_join", "LATERAL decorrelation: the correlated top-N subquery plans as a partitioned rank window + join — NOT a per-outer-row re-execution; the lateral is syntax, the plan is one shuffle."),
     ("t1_vocab_growth", "Heaps'-law growth: prefix buckets by pure arithmetic against a broadcast 1-row id-span frame (no global rank window over the corpus); first-occurrence min-bucket aggregate is vocab-sized and map-side combinable; the only ordered window runs over the 10-row bucket aggregate."),
     ("t1_ivm_topk_retraction", "Top-k retraction IVM: anti-join(re-ranked state ∪ inserts, affected) ∪ rank(recompute semi-join-bounded by delete-touched groups) — untouched groups carry O(k+delta) rows, the recompute branch is group-pruned."),
+    ("t1_robust_scaler", "Robust-scaler quantiles (r8 restructure): the (type, value) groupBy collapses the stream to its distinct support MAP-SIDE before any window — the cumulative and unbounded windows then run over support-sized partitions, the |types|-row quantile frame broadcasts back, and the fence count is one map-side-combinable aggregate (A/B'd: 0.72x the per-row row_number form)."),
+    ("t1_lang_confusion", "Language-ID confusion: the detector is a narrow scalar map (no UDF), the matrix one map-side-combinable groupBy to |langs|² rows — composition adds no new exchange over the pinned detector plan."),
+    ("t1_length_lognormal", "Log-normal length fit: narrow map (log2 + two DECIMAL casts) over the pruned 2-column scan, ONE |langs|-row groupBy — nothing else in the plan; the >2x DuckDB ratio is the fixed scheduling constant (BASELINE.md floor entry), not a plan defect."),
+    ("t1_tag_diff", "Tag-to-tag CDC diff: both tagged reads plan from PINNED file lists (no listing, no scan of vacuumed files); the diff is one full-outer hash join keyed on the row key with classification as scalar projections."),
+    ("t1_ngram_novelty", "Novelty without prefix rescans: global first-occurrence doc per shingle (one map-side-combinable min aggregate), joined back on the shingle key both sides already shuffle on, then one doc-keyed aggregate."),
+    ("t1_hot_shingle_audit", "Hot-shingle audit: ONE shingle-keyed groupBy with map-side combine, heavy-tail-sized output — the observability frame for the SHINGLE_MAX_DF cap costs one exchange."),
+    ("t1_minhash_est_error", "Sketch-error audit: exact Jaccard computed ONLY for LSH candidates — the shingle join is DRIVEN from the candidate frame (join on id then shingle), never the all-co-shingle-pairs product; signatures cached once feed banding and both verify sides."),
+    ("t1_lift_deciles", "Gain chart: global NTILE over the 2-column (score, id) projection — decile-bounded output; the 100 TB form buckets scores first (the AUC histogram trick), documented and allowlisted like t1_rfm_segments."),
+    ("t1_ivm_variance", "Variance IVM: three decomposable moment sums ride the standard arithmetic-retraction merge (no recompute branch); the variance itself is a scalar projection over the maintained state at read time."),
+    ("t1_cross_snapshot_contamination", "Cross-snapshot contamination: each version's vocabulary plans from its PINNED file list (v0 read touches zero increment files), distinct map-side; eval shingles join each vocab on the shingle key — two vocab-sized shuffles, no rescan of the union."),
 ]
 
 
