@@ -225,6 +225,18 @@ HEADLINE = [
     "t1_ivm_variance",
     "t1_ivm_filtered_agg",
     "t1_quant_recall_drift",
+    # round 8, second wave: behavioral time series + inventory audits
+    "t1_session_duration_hist",
+    "t1_burstiness",
+    "t1_weekend_effect",
+    "t1_retention_curve",
+    "t1_conversion_lag",
+    "t1_doc_prefix_dup",
+    "t1_emb_norm_stats",
+    "t1_emb_dim_variance",
+    "t1_items_per_order_dist",
+    "t1_discount_buckets",
+    "t1_brand_share_shift",
 ]
 
 

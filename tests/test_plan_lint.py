@@ -84,6 +84,8 @@ CROSS_OK = {
     "t1_graph_reciprocity",  # two 1-row edge-count frames joined into one row
     "t1_degree_assortativity",  # 1-row threshold-total frame for edge filter
     "t1_query_expansion_prf",  # composes t1_bm25_topk (1-row stats frame)
+    "t1_retention_curve",  # 7-row offset spine × first-seen frame + 1-row base
+    "t1_items_per_order_dist",  # unbounded window over the ≤|basket-sizes| rollup
 }
 
 # Queries whose plan legitimately contains an unpartitioned ORDERED
@@ -111,6 +113,8 @@ GLOBAL_WINDOW_OK = {
     # frame — k-bounded (terms of the 10 feedback docs only)
     "t1_quant_recall_drift",  # composes the bounded per-query rank
     # windows of the quantized scans (|Q| partitions)
+    "t1_emb_dim_variance",  # rank over the 64-row per-dimension aggregate
+    "t1_items_per_order_dist",  # total window over the ≤|basket-sizes| rollup
 }
 
 # Streaming queries drive a memory sink; their final plan is the sink
