@@ -88,3 +88,4 @@ def assert_oracle_match(spark_df, duck_con, oracle_sql, name=""):
     assert sc == dc, f"{name}: column mismatch {sc} vs {dc}"
     for i, (a, b) in enumerate(zip(sr, dr)):
         assert a == b, f"{name}: first differing row #{i}:\n spark={a}\nduckdb={b}"
+    return len(srows)

@@ -151,3 +151,49 @@ def test_inverted_index_posting_head_is_string_and_matches(spark, duck, sf_dir):
     types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
     assert types["postings_head"] == "string"
     assert_oracle_match(sdf, duck, ORACLE["t1_inverted_index"])
+
+
+# -- changefeed sink write fan-out -------------------------------------------
+
+
+def test_changefeed_sink_writes_are_batch_sized(spark, tmp_path):
+    """The join-delta write must NOT follow the probe side's (i.e. the
+    accumulated state's) partitioning: before the r8 fix, each commit
+    wrote O(state-files) near-empty parquet files and the state
+    compounded per batch (measured 96 files on the third commit of a
+    100-row feed).  Deltas now coalesce to the batch's own partition
+    count, so per-commit file counts stay bounded by the batch."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ght2dm_spark.incremental import changefeed_join_sink
+
+    root = str(tmp_path)
+    sink = changefeed_join_sink(
+        f"{root}/state", on=["k"], left_cols=["k", "a"], right_cols=["k", "b"]
+    )
+    n_batches = 3
+    for b in range(n_batches):
+        rng = spark.range(b * 100, (b + 1) * 100).coalesce(2)
+        batch = rng.select(
+            F.lit("L").alias("side"), F.lit("I").alias("op"),
+            (F.col("id") % 50).alias("k"), F.col("id").alias("a"),
+            F.lit(None).cast("long").alias("b"),
+        ).unionByName(
+            rng.select(
+                F.lit("R").alias("side"), F.lit("I").alias("op"),
+                (F.col("id") % 50).alias("k"),
+                F.lit(None).cast("long").alias("a"),
+                F.col("id").alias("b"),
+            )
+        )
+        sink(batch, b)
+    batch_parts = 4  # 2 coalesced ranges unioned
+    for t in ("join", "left", "right"):
+        files = glob.glob(f"{root}/state/{t}/data/*.parquet")
+        assert len(files) <= n_batches * batch_parts, (
+            f"{t}: {len(files)} files after {n_batches} commits — the "
+            "delta write is fanning out to the accumulated state's "
+            "partitioning again"
+        )
