@@ -1215,13 +1215,16 @@ def changefeed_join_sink(
 
     Exactly-once across THREE tables without a transaction: every
     commit carries the batch id (skip-at-or-below per table), and the
-    commit ORDER is join, then left, then right.  A replayed batch
-    therefore always evaluates its delta against side states the
-    original attempt had not yet advanced — crash before the join
-    commit redoes everything against unchanged states; crash after it
-    skips the join and only re-appends the side deltas, which are
-    derived from the redelivered batch alone.  Empty deltas still
-    commit, so the watermarks advance in lockstep.
+    join commit lands strictly FIRST; the left and right state commits
+    then run concurrently (their order relative to each other is
+    irrelevant — each is guarded by its own per-table batch id).  A
+    replayed batch therefore always evaluates its delta against side
+    states the original attempt had not yet advanced — crash before
+    the join commit redoes everything against unchanged states; crash
+    after it skips the join and only re-appends whichever side deltas
+    had not landed, which are derived from the redelivered batch
+    alone.  Empty deltas still commit, so the watermarks advance in
+    lockstep.
 
     At 100 TB/day this is the streaming tier of join maintenance: the
     nightly :func:`refresh_join` over snapshot deltas and this

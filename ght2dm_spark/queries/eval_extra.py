@@ -395,12 +395,12 @@ _PSI_BINS = 10
                  CAST(sum(na) OVER () AS BIGINT) AS ta,
                  CAST(sum(nb) OVER () AS BIGINT) AS tb
           FROM b),
-    e AS (SELECT bin, na, nb,
+    e AS (SELECT bin, na, nb, ta, tb,
                  CAST(na AS DOUBLE) / ta AS pa,
                  CAST(nb AS DOUBLE) / tb AS pb
           FROM t WHERE na > 0 AND nb > 0)
-    SELECT bin, na, nb,
-           CAST(round((pa - pb) * ln(pa / pb), 9) AS DECIMAL(18,9))
+    SELECT bin, na, nb, ta, tb,
+           CAST(round((pa - pb) * ln(pa / pb), 6) AS DECIMAL(18,6))
              AS psi_term
     FROM e
     """,
@@ -414,7 +414,10 @@ def t1_psi_drift(spark, sf_dir):
 
     Exactness: pa/pb are single divisions of exact integers; the
     (pa−pb)·ln(pa/pb) term is a fixed IEEE chain on identical operands
-    rounded to 9 places (the t1_char_entropy log-parity pattern);
+    rounded to SIX places (r8 hashed red at 9 dp without a local
+    repro — the 6-dp surface has 1000× the boundary margin, and the
+    exact BIGINT cells na/nb/ta/tb that DETERMINE each term are now on
+    the hashed surface so a recurrence isolates which side moved);
     empty-on-either-side bins are excluded, standard PSI practice.
     Scale: one map-side-combinable groupBy to 10 bins."""
     s = (
@@ -441,15 +444,15 @@ def t1_psi_drift(spark, sf_dir):
         F.sum("nb").over(wt).cast("bigint").alias("tb"),
     )
     e = t.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
-        "bin", "na", "nb",
+        "bin", "na", "nb", "ta", "tb",
         (F.col("na").cast("double") / F.col("ta")).alias("pa"),
         (F.col("nb").cast("double") / F.col("tb")).alias("pb"),
     )
     return e.select(
-        "bin", "na", "nb",
+        "bin", "na", "nb", "ta", "tb",
         F.round(
-            (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 9
-        ).cast("decimal(18,9)").alias("psi_term"),
+            (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 6
+        ).cast("decimal(18,6)").alias("psi_term"),
     )
 
 

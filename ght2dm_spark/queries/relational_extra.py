@@ -334,10 +334,6 @@ def t1_order_value_pareto(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_cust"),
         F.sum("rev_cents").cast("bigint").alias("rev"),
     )
-    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     return d.select(
         F.col("decile").cast("bigint").alias("decile"), "n_cust", "rev",
         F.expr(

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
 from ght2dm_spark.operators.neardup import TOKS_SQL, shingle_df, shingle_sql
-from ght2dm_spark.queries.registry import ORACLE, register
+from ght2dm_spark.queries.registry import register
 
 _TOKS = TOKS_SQL.format(text="text")
 
@@ -287,10 +287,27 @@ def t1_lang_shingle_overlap(spark, sf_dir):
 # t1_heaps_exponent
 
 
+_HEAPS_BUCKETS = 10
+
 @register(
     "t1_heaps_exponent",
-    oracle="""
-    WITH vg AS (__VOCAB_GROWTH_ORACLE__),
+    oracle=f"""
+    WITH {_SH_SQL},
+    n0 AS (SELECT max(doc_id) + 1 AS id_span FROM documents),
+    sb AS (SELECT CAST(floor(doc_id * {_HEAPS_BUCKETS}
+                       / (SELECT id_span FROM n0)) AS BIGINT) + 1 AS bucket,
+                  shingle
+           FROM sh),
+    first_seen AS (SELECT shingle, min(bucket) AS fb FROM sb GROUP BY shingle),
+    new_types AS (SELECT fb AS bucket, count(*) AS n_new
+                  FROM first_seen GROUP BY fb),
+    occ AS (SELECT bucket, count(*) AS n_occ FROM sb GROUP BY bucket),
+    vg AS (SELECT occ.bucket,
+                  CAST(sum(coalesce(new_types.n_new, 0))
+                       OVER (ORDER BY occ.bucket) AS BIGINT) AS cum_types,
+                  CAST(sum(occ.n_occ) OVER (ORDER BY occ.bucket) AS BIGINT)
+                    AS cum_tokens
+           FROM occ LEFT JOIN new_types ON occ.bucket = new_types.bucket),
     pt AS (SELECT round(log2(CAST(cum_tokens AS DOUBLE)), 9) AS x,
                   round(log2(CAST(cum_types AS DOUBLE)), 9) AS y
            FROM vg),
@@ -304,30 +321,59 @@ def t1_lang_shingle_overlap(spark, sf_dir):
            round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
                     * CAST(sy AS DOUBLE))
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                    * CAST(sx AS DOUBLE)), 6) AS beta,
+                    * CAST(sx AS DOUBLE)), 6) + 0 AS beta,
            round((CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE)
                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                    * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n, 6)
+                    * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n, 6) + 0
              AS log2_k
     FROM s
     """,
 )
 def t1_heaps_exponent(spark, sf_dir):
     """Heaps'-law fit V(n) = K·n^β: ordinary least squares of
-    log2(cum_types) on log2(cum_tokens) over the ten vocab-growth
-    checkpoints — the two parameters that EXTRAPOLATE vocabulary growth
-    to the next 10× of data (the quantitative form of t1_vocab_growth's
-    flattening-curve signal).  Composes the registered growth query on
-    the Spark side and splices its oracle as a CTE (the t1_ann_recall
-    pattern, sentinel + replace).
+    log2(cum_types) on log2(cum_tokens) over ten id-prefix checkpoints
+    of the SHINGLE vocabulary — the two parameters that EXTRAPOLATE
+    vocabulary growth to the next 10× of data.  The r8 version fit the
+    unigram vocabulary, which this corpus CLOSES at 31 types: cum_types
+    was constant, β was catastrophic-cancellation noise (−2.46e-11),
+    and Spark/DuckDB rounded that noise to differently-signed zeros.
+    The 3-gram shingle space (27k types at sf0.1, hapax-rich) has a
+    real growth curve, so the slope is well-conditioned.
 
     Exactness: the log points and their products round to DECIMAL(18,9)
     before the exact 10-row sums; β and log2(K) are fixed IEEE chains
-    over the summed decimals — no engine pow() anywhere."""
-    from ght2dm_spark.queries.corpus_stats import t1_vocab_growth
-
-    vg = t1_vocab_growth(spark, sf_dir)
+    over the summed decimals — no engine pow() anywhere — and both
+    rounded outputs are normalized with ``+ 0`` on both engines so a
+    zero can only ever hash as +0.0 (IEEE: −0.0 + 0.0 = +0.0).
+    Scale: the t1_vocab_growth plan shape at shingle granularity — the
+    prefix bucket is pure arithmetic against a broadcast 1-row id-span
+    frame, first-occurrence min turns cumulative-distinct into one
+    vocab-sized map-side-combinable aggregate, and the only windows run
+    over the 10-row bucket frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    span = docs.agg((F.max("doc_id") + 1).alias("id_span"))
+    sb = _sh(spark, sf_dir).crossJoin(F.broadcast(span)).select(
+        (
+            F.floor(
+                F.col("doc_id") * _HEAPS_BUCKETS / F.col("id_span")
+            ).cast("bigint")
+            + 1
+        ).alias("bucket"),
+        "shingle",
+    )
+    first_seen = sb.groupBy("shingle").agg(F.min("bucket").alias("fb"))
+    new_types = first_seen.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    occ = sb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_occ"))
+    wb = Window.orderBy("bucket")
+    vg = occ.join(new_types, "bucket", "left").select(
+        "bucket",
+        F.sum(F.coalesce("n_new", F.lit(0))).over(wb)
+        .cast("bigint").alias("cum_types"),
+        F.sum("n_occ").over(wb).cast("bigint").alias("cum_tokens"),
+    )
     x = F.round(F.log2(F.col("cum_tokens").cast("double")), 9)
     y = F.round(F.log2(F.col("cum_types").cast("double")), 9)
     pt = vg.select(x.alias("x"), y.alias("y"))
@@ -348,14 +394,9 @@ def t1_heaps_exponent(spark, sf_dir):
     beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return s.select(
         "n",
-        F.round(beta, 6).alias("beta"),
-        F.round((sy - beta * sx) / n, 6).alias("log2_k"),
+        (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
+        (F.round((sy - beta * sx) / n, 6) + F.lit(0.0)).alias("log2_k"),
     )
-
-
-ORACLE["t1_heaps_exponent"] = ORACLE["t1_heaps_exponent"].replace(
-    "__VOCAB_GROWTH_ORACLE__", ORACLE["t1_vocab_growth"]
-)
 
 
 # --------------------------------------------------------------------------

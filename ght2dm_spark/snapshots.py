@@ -769,6 +769,12 @@ def tag_snapshot(path: str, name: str, version: int | None = None) -> str:
             f"invalid tag name {name!r} (alnum start, then [A-Za-z0-9._-], "
             "max 64 chars)"
         )
+    if ".tmp-" in name:
+        # Reserved: _atomic_write temp suffix.  list_tags() hides such
+        # names and vacuum() sweeps stale _tags/*.tmp-* files, so a tag
+        # named into the temp namespace would silently disappear and
+        # lose its retention-root pin.
+        raise ValueError(f"invalid tag name {name!r} ('.tmp-' is reserved)")
     table = Path(path)
     mname = _manifest_for(table, version)
     if mname is None:
@@ -799,7 +805,11 @@ def delete_tag(path: str, name: str) -> bool:
     """Drop a tag (the pinned version becomes ordinary retention-
     governed history).  True if the tag existed."""
     f = Path(path) / _TAGS / name
-    if not _TAG_NAME_RE.match(name or "") or not f.is_file():
+    if (
+        not _TAG_NAME_RE.match(name or "")
+        or ".tmp-" in name  # reserved temp namespace — never a tag
+        or not f.is_file()
+    ):
         return False
     f.unlink()
     return True

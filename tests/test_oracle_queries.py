@@ -19,7 +19,20 @@ from ght2dm_spark.queries import ORACLE, QUERIES
 from tests.conftest import assert_oracle_match
 
 #: name -> reason a zero-row result is a real answer, not a vacuous pass
-EMPTY_OK: dict[str, str] = {}
+EMPTY_OK: dict[str, str] = {
+    # Both are oracle-compared EXACTLY like every other query; the
+    # allowlist only waives the nonzero-row floor at the suite's tiny
+    # fixture.  The driver's correctness window runs at sf0.01 where
+    # both return rows (r8 verdict re-verified: 7 and 10 rows).
+    "q2_min_acctbal_supplier": (
+        "empty at sf0.001 (no part has a qualifying EUROPE supplier at "
+        "that scale), 7 rows oracle-exact at sf0.01"
+    ),
+    "q7_nation_volume": (
+        "empty at sf0.001 (no FRANCE<->GERMANY lineitem in the 1995-1996 "
+        "ship window at that scale), 10 rows oracle-exact at sf0.01"
+    ),
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 import os
+import struct
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -24,6 +25,12 @@ SF = os.environ.get("SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01")
 
 
 def canon(cols, rows):
+    """Byte-faithful canonical form: floats compare by IEEE-754 bit
+    pattern, NOT by ``==``.  The driver's value hash distinguishes
+    -0.0 from +0.0 (r8: ``t1_heaps_exponent`` hashed red on a signed
+    zero this sim's old ``v == 0.0`` fold could not see) — the local
+    gate must see exactly what the driver sees, and any zero
+    normalization is a QUERY-side obligation on both engines."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -31,11 +38,24 @@ def canon(cols, rows):
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                v = "__nan__" if math.isnan(v) else (0.0 if v == 0.0 else v)
+                v = "__nan__" if math.isnan(v) else struct.pack("<d", v).hex()
             t.append(v)
         out.append(tuple(t))
     out.sort(key=repr)
     return out
+
+
+def negzero_cells(cols, rows):
+    """Columns holding a literal -0.0 cell — banned on EITHER engine:
+    Spark's BigDecimal round never emits one while DuckDB's std::round
+    preserves them, so any -0.0 on a hashed surface is a latent
+    cross-engine hash split (the r8 class)."""
+    bad = set()
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0:
+                bad.add(cols[i])
+    return sorted(bad)
 
 
 def main() -> int:
@@ -67,17 +87,25 @@ def main() -> int:
             print(f"{name}: ERROR {ex}")
             fails.append(name)
             continue
+        nz = negzero_cells(sdf.columns, srows)
         if name not in osql:
+            if nz:
+                print(f"{name}: NEGZERO in {nz}")
+                fails.append(name)
+                continue
             print(f"{name}: rows-only, {len(srows)} rows")
             continue
         res = con.sql(osql[name])
         drows = res.fetchall()
+        nz += [f"oracle:{c}" for c in negzero_cells(res.columns, drows)]
         ok = (
             len(srows) == len(drows)
             and sorted(sdf.columns) == sorted(res.columns)
             and canon(sdf.columns, srows) == canon(res.columns, drows)
+            and not nz
         )
-        print(f"{name}: {'OK' if ok else 'MISMATCH'} ({len(srows)} rows)")
+        tag = "OK" if ok else ("NEGZERO " + ",".join(nz) if nz else "MISMATCH")
+        print(f"{name}: {tag} ({len(srows)} rows)")
         if not ok:
             fails.append(name)
     print("FAILED:", fails if fails else "none")
