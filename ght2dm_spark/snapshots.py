@@ -72,7 +72,11 @@ _STALE_TMP_SECONDS = 300
 _MANIFESTS = "_manifests"
 _DATA = "data"
 _TAGS = "_tags"
+_BRANCHES = "_branches"
 _TAG_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+#: the implicit branch name of the CURRENT pointer — reserved so a
+#: named branch can never shadow the main line
+MAIN_BRANCH = "main"
 
 
 def _fsync_file(path: Path) -> None:
@@ -828,6 +832,225 @@ def _resolve_tag(table: Path, tag: str) -> str:
     return mname
 
 
+# -- branches ---------------------------------------------------------------
+#
+# A branch is a WRITABLE named head (Iceberg-style): ``_branches/<name>``
+# holds a manifest filename exactly like a tag, but commit_branch advances
+# it — so an experiment can append/compact against its own lineage while
+# main (the CURRENT pointer) moves independently, and a fast-forward merge
+# is one atomic pointer flip.  Branch heads are vacuum retention roots.
+
+
+class BranchDivergedError(RuntimeError):
+    """Raised by :func:`merge_branch` when both main and the branch have
+    committed since their common ancestor — a fast-forward would silently
+    drop one side's rows.  Resolution is data-level and table-specific
+    (re-apply one side's increment onto the other via read_increment /
+    apply_changes), so the engine refuses rather than guesses."""
+
+
+def _check_ref_name(name: str, kind: str) -> None:
+    if not _TAG_NAME_RE.match(name or ""):
+        raise ValueError(
+            f"invalid {kind} name {name!r} (alnum start, then "
+            "[A-Za-z0-9._-], max 64 chars)"
+        )
+    if ".tmp-" in name:
+        # reserved: the _atomic_write temp namespace (list/vacuum treat
+        # such files as crash orphans, never refs)
+        raise ValueError(f"invalid {kind} name {name!r} ('.tmp-' is reserved)")
+
+
+def create_branch(
+    path: str, name: str, version: int | None = None, tag: str | None = None
+) -> str:
+    """Create (or atomically repoint) branch ``name`` at a committed
+    version — the current one by default, an older retained ``version``,
+    or a ``tag``'s pinned version.  Returns the head manifest filename.
+    The name ``main`` is reserved for the CURRENT pointer itself."""
+    _check_ref_name(name, "branch")
+    if name == MAIN_BRANCH:
+        raise ValueError(
+            f"branch name {MAIN_BRANCH!r} is reserved (it IS the CURRENT "
+            "pointer — commit() already writes it)"
+        )
+    table = Path(path)
+    mname = _manifest_for(table, version, tag=tag)
+    if mname is None:
+        raise FileNotFoundError(f"{path}: no committed snapshot to branch")
+    bdir = table / _BRANCHES
+    bdir.mkdir(parents=True, exist_ok=True)
+    _atomic_write(bdir / name, mname)
+    return mname
+
+
+def list_branches(path: str) -> dict[str, str]:
+    """branch name → head manifest filename (empty if none)."""
+    bdir = Path(path) / _BRANCHES
+    if not bdir.is_dir():
+        return {}
+    return {
+        f.name: f.read_text().strip()
+        for f in sorted(bdir.iterdir())
+        if f.is_file() and _TAG_NAME_RE.match(f.name) and ".tmp-" not in f.name
+    }
+
+
+def delete_branch(path: str, name: str) -> bool:
+    """Drop a branch head (its manifests become ordinary retention-
+    governed history).  True if the branch existed."""
+    f = Path(path) / _BRANCHES / name
+    if (
+        not _TAG_NAME_RE.match(name or "")
+        or ".tmp-" in name  # reserved temp namespace — never a branch
+        or not f.is_file()
+    ):
+        return False
+    f.unlink()
+    return True
+
+
+def branch_head(path: str, name: str) -> str:
+    """Head manifest filename of a branch; raises if absent/vacuumed."""
+    table = Path(path)
+    heads = list_branches(path)
+    if name not in heads:
+        raise FileNotFoundError(
+            f"{path}: no branch {name!r} (have {sorted(heads)})"
+        )
+    mname = heads[name]
+    if not (table / _MANIFESTS / mname).is_file():
+        raise FileNotFoundError(
+            f"{path}: branch {name!r} heads {mname}, which no longer exists"
+        )
+    return mname
+
+
+def prepare_commit_branch(
+    df: DataFrame, path: str, branch: str, mode: str = "append", **kw
+) -> PreparedCommit:
+    """:func:`prepare_commit` against a BRANCH head instead of CURRENT —
+    the staged manifest chains onto the branch's lineage, so main's
+    concurrent commits neither appear in nor conflict with it."""
+    return prepare_commit(
+        df, path, mode=mode, parent=branch_head(path, branch), **kw
+    )
+
+
+def commit_branch(prepared: PreparedCommit, branch: str, force: bool = False) -> None:
+    """Publish a prepared snapshot as the new head of ``branch`` — the
+    branch-file analogue of :func:`commit`, same optimistic-concurrency
+    rule: if the branch head moved after prepare, another writer won and
+    flipping would lose its rows."""
+    table = Path(prepared.table)
+    if not force:
+        cur = branch_head(prepared.table, branch)
+        if cur != prepared.parent:
+            raise SnapshotConflictError(
+                f"{prepared.table}: prepared against {prepared.parent!r} "
+                f"but branch {branch!r} is at {cur!r} — re-prepare and retry"
+            )
+    _atomic_write(table / _BRANCHES / branch, prepared.manifest_name)
+
+
+def _chain_from(table: Path, head: str | None) -> list[tuple[str, dict]]:
+    """(name, manifest) pairs reachable from an explicit head manifest
+    via parent links, newest-first (the :func:`_committed_chain` walk
+    generalized to any ref)."""
+    chain: list[tuple[str, dict]] = []
+    name, seen = head, set()
+    while name is not None and name not in seen:
+        seen.add(name)
+        try:
+            m = _load_manifest(table, name)
+        except FileNotFoundError:
+            break  # truncated by vacuum
+        chain.append((name, m))
+        name = m.get("parent")
+    return chain
+
+
+def is_ancestor(path: str, ancestor: str, head: str) -> bool:
+    """True if manifest ``ancestor`` is on ``head``'s parent chain
+    (inclusive).  Conservative under vacuum: a truncated chain answers
+    False, which only blocks a fast-forward, never loses data."""
+    table = Path(path)
+    return any(name == ancestor for name, _ in _chain_from(table, head))
+
+
+def merge_base(path: str, branch: str) -> str | None:
+    """Newest manifest common to main's chain and ``branch``'s chain —
+    the merge base for divergence checks; None if the chains no longer
+    intersect (vacuum truncation)."""
+    table = Path(path)
+    main_chain = {name for name, _ in _chain_from(table, _read_current(table))}
+    for name, _ in _chain_from(table, branch_head(path, branch)):
+        if name in main_chain:
+            return name
+    return None
+
+
+def merge_branch(path: str, branch: str) -> str:
+    """Fast-forward main to ``branch``'s head and return the new CURRENT
+    manifest name.  Legal only when main has NOT moved since the branch
+    forked (CURRENT is an ancestor of the branch head) — then the flip
+    is the same atomic publish a plain commit does, and every branch
+    commit becomes main history.  If the branch is already merged (its
+    head is an ancestor of CURRENT) this is a no-op returning CURRENT.
+    Divergence raises :class:`BranchDivergedError` with the merge base
+    named — the caller replays one side's increment, it is never
+    silently dropped."""
+    table = Path(path)
+    head = branch_head(path, branch)
+    cur = _read_current(table)
+    if cur is None or cur == head or is_ancestor(path, cur, head):
+        _atomic_write(table / _CURRENT, head)
+        return head
+    if is_ancestor(path, head, cur):
+        return cur  # already merged
+    base = merge_base(path, branch)
+    raise BranchDivergedError(
+        f"{path}: branch {branch!r} ({head}) and main ({cur}) have both "
+        f"committed since their merge base ({base}) — fast-forward would "
+        "drop one side; replay one side's increment onto the other"
+    )
+
+
+def vacuum_plan(path: str, keep_manifests: int = 2) -> dict[str, list[str]]:
+    """Dry-run of :func:`vacuum`'s MANIFEST retention: which manifest
+    files the chain window, tag roots, and branch roots each pin, and
+    which are removable (older chain entries plus crash-staged
+    orphans).  Categories are disjoint with chain > tag > branch
+    precedence; nothing is deleted."""
+    table = Path(path)
+    mdir = table / _MANIFESTS
+    if not mdir.exists():
+        return {"kept_chain": [], "kept_tag": [], "kept_branch": [],
+                "removable": []}
+    chain = _committed_chain(table)
+    kept_chain = [name for name, _ in chain[: max(keep_manifests, 1)]]
+    seen = set(kept_chain)
+    kept_tag = []
+    for _t, mname in sorted(list_tags(str(table)).items()):
+        if mname not in seen and (mdir / mname).is_file():
+            kept_tag.append(mname)
+            seen.add(mname)
+    kept_branch = []
+    for _b, mname in sorted(list_branches(str(table)).items()):
+        if mname not in seen and (mdir / mname).is_file():
+            kept_branch.append(mname)
+            seen.add(mname)
+    removable = sorted(
+        p.name for p in mdir.glob("m-*.json") if p.name not in seen
+    )
+    return {
+        "kept_chain": kept_chain,
+        "kept_tag": kept_tag,
+        "kept_branch": kept_branch,
+        "removable": removable,
+    }
+
+
 def _as_epoch(as_of) -> float:
     """Normalize an AS OF instant: epoch seconds, datetime, or an ISO
     string (naive strings are taken as UTC — manifest timestamps are
@@ -846,10 +1069,13 @@ def _as_epoch(as_of) -> float:
 
 
 def _manifest_for(
-    table: Path, version: int | None, as_of=None, tag: str | None = None
+    table: Path, version: int | None, as_of=None, tag: str | None = None,
+    branch: str | None = None,
 ) -> str | None:
-    if sum(x is not None for x in (version, as_of, tag)) > 1:
-        raise ValueError("pass version OR as_of OR tag, not several")
+    if sum(x is not None for x in (version, as_of, tag, branch)) > 1:
+        raise ValueError("pass version OR as_of OR tag OR branch, not several")
+    if branch is not None:
+        return branch_head(str(table), branch)
     if tag is not None:
         return _resolve_tag(table, tag)
     if as_of is not None:
@@ -908,6 +1134,7 @@ def snapshot_files(
     allow_deletes: bool = False,
     as_of=None,
     tag: str | None = None,
+    branch: str | None = None,
 ) -> list[str]:
     """Absolute data-file paths of the live snapshot — or, with
     ``version``, of that historical seq (time travel; raises if the
@@ -928,7 +1155,7 @@ def snapshot_files(
     :func:`read_snapshot`, which applies the delete files.  ``as_of``
     as in :func:`read_snapshot` (time travel by instant)."""
     table = Path(path)
-    name = _manifest_for(table, version, as_of=as_of, tag=tag)
+    name = _manifest_for(table, version, as_of=as_of, tag=tag, branch=branch)
     if name is None:
         return []
     m = _load_manifest(table, name)
@@ -955,6 +1182,7 @@ def read_snapshot(
     merge_schema: bool = False,
     as_of=None,
     tag: str | None = None,
+    branch: str | None = None,
 ) -> DataFrame | None:
     """DataFrame over the live snapshot's pinned file list (or a
     historical ``version``'s), or None if the table has never committed
@@ -974,9 +1202,11 @@ def read_snapshot(
     bounded by the vacuum retention like seq travel.  ``tag``
     (exclusive with both) reads the version pinned by
     :func:`tag_snapshot` — tags are vacuum retention roots, so a
-    tagged read outlives the retention window."""
+    tagged read outlives the retention window.  ``branch`` (exclusive
+    with all three) reads a branch's HEAD — see :func:`create_branch`;
+    branch heads are vacuum retention roots like tags."""
     table = Path(path)
-    name = _manifest_for(table, version, as_of=as_of, tag=tag)
+    name = _manifest_for(table, version, as_of=as_of, tag=tag, branch=branch)
     if name is None:
         return None
     m = _load_manifest(table, name)  # ONE load; snapshot_files would re-walk
@@ -1417,7 +1647,14 @@ def vacuum(path: str, keep_manifests: int = 2) -> int:
     # on" must survive routine retention.  A tag pointing at an
     # already-vacuumed manifest (older engine, manual deletion) is
     # skipped rather than fatal: vacuum must still be able to run.
-    for tname, mname in list_tags(str(table)).items():
+    for _ref, mname in (
+        *list_tags(str(table)).items(),
+        # branch HEADS are retention roots exactly like tags: an
+        # experiment's lineage must survive main-line retention (older
+        # branch ancestors remain ordinary history — further branch
+        # commits only need the head)
+        *list_branches(str(table)).items(),
+    ):
         if mname in keep_names:
             continue
         try:
@@ -1451,6 +1688,7 @@ def vacuum(path: str, keep_manifests: int = 2) -> int:
         *mdir.glob("m-*.json.tmp-*"),
         *table.glob("CURRENT.tmp-*"),
         *(table / _TAGS).glob("*.tmp-*"),
+        *(table / _BRANCHES).glob("*.tmp-*"),
     ):
         try:
             if tmp.stat().st_mtime < cutoff:
