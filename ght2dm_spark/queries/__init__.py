@@ -78,6 +78,7 @@ from ght2dm_spark.queries import text_extra2  # noqa: E402,F401
 from ght2dm_spark.queries import emb_extra  # noqa: E402,F401
 from ght2dm_spark.queries import contamination_extra  # noqa: E402,F401
 from ght2dm_spark.queries import branch_queries  # noqa: E402,F401
+from ght2dm_spark.queries import stream_extra  # noqa: E402,F401
 
 # Names with a green driver CORRECTNESS row in rounds 1-4 (r04 verified 48
 # of its 50-query window; the two hash failures are requeued at the head of

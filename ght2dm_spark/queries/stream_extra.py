@@ -1,0 +1,379 @@
+"""Round-9 streaming declared queries over REAL multi-batch streams:
+append-mode window finalization under a watermark, cross-batch
+session-window merging, CDC newest-wins dedup through the snapshot
+merge sink, update-mode emission accounting, and replayed-batch
+exactly-once dedup — the cross-micro-batch state semantics the
+single-batch streaming queries (events_windows.py) cannot exercise.
+
+Batch structure is deterministic: each query writes its feed as
+ORDERED parquet files (one per intended micro-batch, mtimes forced
+ascending) and streams them with maxFilesPerTrigger=1 — the file
+source processes oldest-first, so batch boundaries and arrival order
+are pinned, and every oracle can recompute the exact final state
+from the same split predicates.  Feeds are cached per (session, sf)
+like ivm_queries._cached_feed; each run still gets its own
+checkpoint/state dirs, so the streaming semantics are fresh.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from ght2dm_spark.io import load_table
+from ght2dm_spark.queries.registry import register
+
+#: (session id, sf_dir, tag) -> feed dir with ordered batch files
+_FEED_CACHE: dict[tuple[int, str, str], str] = {}
+
+
+def _ordered_feed(spark, sf_dir, tag: str, build_parts) -> str:
+    """Write each part DataFrame as ONE parquet file in a shared feed
+    dir, named and mtime-stamped so the file stream source processes
+    them in list order — deterministic micro-batch boundaries."""
+    key = (id(spark), str(sf_dir), tag)
+    src = _FEED_CACHE.get(key)
+    if src is not None and os.path.isdir(src):
+        return src
+    root = tempfile.mkdtemp(prefix=f"ght2dm-sfeed-{tag}-")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    now = time.time()
+    parts = build_parts()
+    for i, part in enumerate(parts):
+        stage = os.path.join(root, f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        dst = os.path.join(feed, f"batch-{i:03d}.parquet")
+        shutil.copy(glob.glob(os.path.join(stage, "*.parquet"))[0], dst)
+        # ascending mtimes pin source order (ties fall back to path,
+        # which the batch-%03d names also keep ascending)
+        os.utime(dst, (now - 600 + 60 * i, now - 600 + 60 * i))
+        shutil.rmtree(stage, ignore_errors=True)
+    _FEED_CACHE[key] = feed
+    return feed
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def _run_memory(df, output_mode: str):
+    """Drive to completion (AvailableNow) into a unique memory sink and
+    return the sink table name (caller reads it with spark.sql)."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ght2dm-ckpt-")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+# --------------------------------------------------------------------------
+# t1_stream_append_finalized
+
+
+@register(
+    "t1_stream_append_finalized",
+    oracle="""
+    WITH f AS (SELECT ts FROM events
+               WHERE ts < TIMESTAMP '2024-01-08'
+                  OR ts >= TIMESTAMP '2024-01-15'),
+    mx AS (SELECT max(ts) AS m FROM f),
+    d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM f GROUP BY window_start)
+    SELECT window_start, n_events
+    FROM d, mx WHERE window_start + INTERVAL 2 DAY <= m
+    """,
+)
+def t1_stream_append_finalized(spark, sf_dir):
+    """Append-mode finalization contract over two micro-batches: batch
+    0 carries the NEWEST two weeks (advancing the watermark to
+    max − 1 day), batch 1 delivers week-old data far BELOW it.  Spark's
+    aggregation watermark evicts STATE rather than filtering input —
+    the late batch's windows are admitted, aggregated, and emitted
+    closed in the same trigger — so the sink holds exactly the windows
+    whose END cleared the final watermark, with FULL counts: the
+    append-mode guarantee is 'emitted once, when finalized', not 'late
+    data dropped'.  The oracle recomputes that set from the feed
+    predicates and the watermark arithmetic.
+
+    Scale: per batch one map-side-combinable day-window aggregate;
+    state is |open windows|, never |events|."""
+    ev = _events(spark, sf_dir)
+    feed = _ordered_feed(
+        spark, sf_dir, "late",
+        lambda: [
+            ev.filter(F.col("ts") >= "2024-01-15"),
+            ev.filter(F.col("ts") < "2024-01-08"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    name = _run_memory(agg, "append")
+    return spark.sql(
+        f"SELECT CAST(w.start AS TIMESTAMP_NTZ) AS window_start, n_events "
+        f"FROM {name}"
+    )
+
+
+# --------------------------------------------------------------------------
+# t1_stream_session_merge
+
+
+@register(
+    "t1_stream_session_merge",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+    l AS (SELECT user_id, us,
+                 lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                   AS prev
+          FROM e),
+    m AS (SELECT user_id, us,
+                 CASE WHEN prev IS NULL OR us - prev >= 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM l),
+    s AS (SELECT user_id,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY us) AS sid
+          FROM m),
+    per AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n
+            FROM s GROUP BY user_id, sid)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(max(n) AS BIGINT) AS max_session_events
+    FROM per GROUP BY user_id
+    """,
+)
+def t1_stream_session_merge(spark, sf_dir):
+    """Cross-batch session-window merging: the stream is split
+    MID-CORPUS into two micro-batches, so every session spanning the
+    boundary exists as partial state after batch 0 and must MERGE with
+    its continuation in batch 1 — the stateful operation that
+    distinguishes true session windows from per-batch gap
+    sessionization.  Complete-mode output is the final session state;
+    it must equal the batch 30-minute-gap sessionization of the whole
+    corpus (the oracle), proving the merge lost and invented nothing.
+
+    Scale: session state is per (user, open session); the final
+    per-user rollup runs over the session frame, not the events."""
+    ev = _events(spark, sf_dir)
+    feed = _ordered_feed(
+        spark, sf_dir, "sess",
+        lambda: [
+            ev.filter(F.col("ts") < "2024-01-16"),
+            ev.filter(F.col("ts") >= "2024-01-16"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    sess = stream.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    name = _run_memory(sess, "complete")
+    return spark.sql(
+        f"""SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(max(n) AS BIGINT) AS max_session_events
+            FROM {name} GROUP BY user_id"""
+    )
+
+
+# --------------------------------------------------------------------------
+# t1_stream_cdc_dedup
+
+
+@register(
+    "t1_stream_cdc_dedup",
+    oracle="""
+    WITH r AS (SELECT user_id, event_id, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+               FROM events)
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_type
+    FROM r WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def t1_stream_cdc_dedup(spark, sf_dir):
+    """CDC newest-wins dedup through the snapshot merge sink: the
+    event log becomes a change feed (event_id as the CDC sequence
+    number, 'error' events as deletes), split into three
+    sequence-ordered micro-batches, each folded in by
+    snapshots.apply_changes — last-writer-wins per user with strict
+    newer-than-state, tombstone-free.  The final state must equal the
+    per-user argmax over the whole log with deleted keys absent (the
+    oracle's window), proving the three incremental merges compose to
+    the batch answer.
+
+    Scale: each merge is one hash shuffle on the key for a batch-sized
+    delta; state never resorts (the t1_stream_cdc_agg discipline at
+    row grain)."""
+    from ght2dm_spark.snapshots import cdc_sink, read_snapshot
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type")
+    feed_df = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "user_id", "event_id", "event_type",
+    )
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    cuts = (mx // 3, 2 * (mx // 3))
+    feed = _ordered_feed(
+        spark, sf_dir, "cdcdedup",
+        lambda: [
+            feed_df.filter(F.col("event_id") <= cuts[0]),
+            feed_df.filter(
+                (F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])
+            ),
+            feed_df.filter(F.col("event_id") > cuts[1]),
+        ],
+    )
+    root = tempfile.mkdtemp(prefix="ght2dm-cdcdedup-")
+    try:
+        tbl = f"{root}/state"
+        stream = (
+            spark.readStream.schema(
+                "op string, user_id long, event_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                cdc_sink(tbl, ["user_id"], "event_id")
+            )
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = read_snapshot(spark, tbl).select(
+            "user_id",
+            F.col("event_id").cast("bigint").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# t1_stream_update_counts
+
+
+@register(
+    "t1_stream_update_counts",
+    oracle="""
+    WITH b AS (SELECT event_type,
+                      CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+                           WHEN ts < TIMESTAMP '2024-01-21' THEN 1
+                           ELSE 2 END AS batch
+               FROM events)
+    SELECT event_type,
+           CAST(count(DISTINCT batch) AS BIGINT) AS n_updates,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM b GROUP BY event_type
+    """,
+)
+def t1_stream_update_counts(spark, sf_dir):
+    """Update-mode emission accounting: a per-type running count over
+    three ts-range micro-batches emits one updated row per key per
+    batch that CHANGED it — the sink therefore holds the count's
+    trajectory, not just its end state.  n_updates (sink rows per key)
+    must equal the number of batches containing the key, and the final
+    count (the max, since counts only grow) must equal the batch
+    count — the update-mode contract that incremental dashboards and
+    changelog sinks rely on.
+
+    Scale: per batch one map-side-combinable |types|-row aggregate;
+    the sink grows by |changed keys| per batch, never |events|."""
+    ev = _events(spark, sf_dir)
+    feed = _ordered_feed(
+        spark, sf_dir, "updcnt",
+        lambda: [
+            ev.filter(F.col("ts") < "2024-01-11"),
+            ev.filter(
+                (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
+            ),
+            ev.filter(F.col("ts") >= "2024-01-21"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    name = _run_memory(agg, "update")
+    return spark.sql(
+        f"""SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_updates,
+                   CAST(max(n) AS BIGINT) AS n_events
+            FROM {name} GROUP BY event_type"""
+    )
+
+
+# --------------------------------------------------------------------------
+# t1_stream_replay_dedup
+
+
+@register(
+    "t1_stream_replay_dedup",
+    oracle="SELECT CAST(event_id AS BIGINT) AS event_id, user_id FROM events",
+)
+def t1_stream_replay_dedup(spark, sf_dir):
+    """Replayed-batch exactly-once: the SAME file is delivered as two
+    consecutive micro-batches (the at-least-once redelivery every
+    file/queue source exhibits after a crash), and
+    dropDuplicatesWithinWatermark must emit each event exactly once —
+    the second delivery hits live dedup state (the 40-day watermark
+    covers the whole corpus) and vanishes.  Output equals the distinct
+    event log: state survived the batch boundary.
+
+    Scale: dedup state is bounded by the watermark horizon (keys
+    inside it), the production knob the unbounded t1_stream_dedup
+    variant lacks."""
+    ev = _events(spark, sf_dir)
+    feed = _ordered_feed(spark, sf_dir, "replay", lambda: [ev, ev])
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    dd = (
+        stream.withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(F.col("event_id").cast("bigint").alias("event_id"), "user_id")
+    )
+    name = _run_memory(dd, "append")
+    return spark.sql(f"SELECT event_id, user_id FROM {name}")
