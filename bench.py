@@ -237,6 +237,46 @@ HEADLINE = [
     "t1_items_per_order_dist",
     "t1_discount_buckets",
     "t1_brand_share_shift",
+    # round 9: relational/time-series analytics, eval metrics, text
+    # statistics, embedding health, n-gram contamination, snapshot
+    # branches, multi-batch streaming
+    "t1_customer_decile_shift",
+    "t1_rolling_corr",
+    "t1_cume_dist_price",
+    "t1_order_gap_percentiles",
+    "t1_monthly_mad",
+    "t1_user_span_stats",
+    "t1_basket_lift",
+    "t1_herfindahl_share",
+    "t1_dow_hour_heatmap",
+    "t1_ece_calibration",
+    "t1_cohen_kappa",
+    "t1_mcc_per_source",
+    "t1_js_divergence_sources",
+    "t1_doc_bigram_entropy",
+    "t1_ttr_distribution",
+    "t1_zipf_residuals",
+    "t1_kl_source_divergence",
+    "t1_shingle_burstiness",
+    "t1_emb_psi_quantized",
+    "t1_emb_code_entropy",
+    "t1_emb_centroid_shift",
+    "t1_emb_quantile_clip",
+    "t1_emb_hubness",
+    "t1_prefix_contamination",
+    "t1_tail_overlap",
+    "t1_crosssource_ngram_df",
+    "t1_containment_asym",
+    "t1_branch_create_read",
+    "t1_branch_divergence",
+    "t1_branch_merge_ff",
+    "t1_branch_conflict_keys",
+    "t1_vacuum_plan_audit",
+    "t1_stream_append_finalized",
+    "t1_stream_session_merge",
+    "t1_stream_cdc_dedup",
+    "t1_stream_update_counts",
+    "t1_stream_replay_dedup",
 ]
 
 

@@ -177,73 +177,95 @@ _DRIVER_VERIFIED = frozenset({
     "t1_source_dup_profile", "t1_stratified_kfold", "t1_stream_cdc_agg",
     "t1_stream_cdc_join", "t1_stream_continuous_agg", "t1_stream_static_join",
     "t1_textrank_keywords", "t1_tokenizer_fertility", "t1_wet_roundtrip",
+    # round-8 driver greens (CORRECTNESS_r08.json: 48 of the 50-name
+    # window; the two hash failures, t1_heaps_exponent and
+    # t1_psi_drift, are restructured and requeued at the head of the
+    # round-9 window below)
+    "t1_bollinger_bands", "t1_brier_score", "t1_calibration_bins",
+    "t1_ccnet_buckets", "t1_cross_snapshot_contamination",
+    "t1_degree_assortativity", "t1_doc_length_gini", "t1_dup_cluster_sizes",
+    "t1_f1_per_group", "t1_gap_islands", "t1_graph_reciprocity",
+    "t1_groupby_all", "t1_hashed_ngram_features", "t1_hot_shingle_audit",
+    "t1_inverted_index", "t1_ivm_filtered_agg", "t1_ivm_topk_retraction",
+    "t1_ivm_variance", "t1_lang_confusion", "t1_lang_shingle_overlap",
+    "t1_lateral_topn_join", "t1_length_lognormal", "t1_lift_deciles",
+    "t1_lsh_bucket_stats", "t1_minhash_est_error", "t1_mix_entropy",
+    "t1_mrr_eval", "t1_ngram_novelty", "t1_oov_rate",
+    "t1_order_value_pareto", "t1_overlap_join", "t1_percent_change",
+    "t1_pr_curve", "t1_quant_recall_drift", "t1_query_expansion_prf",
+    "t1_rare_shingle_docs", "t1_recall_at_k", "t1_reservoir_sample",
+    "t1_robust_scaler", "t1_rolling_median", "t1_running_distinct",
+    "t1_snapshot_key_history", "t1_snapshot_tag_read", "t1_stopword_profile",
+    "t1_tag_diff", "t1_time_decay_attribution", "t1_u_shaped_attribution",
+    "t1_vocab_growth",
 })
 
-# Round-8 window: EXACTLY 50 names.  Head: the t1_inverted_index
-# requeue (the only r7 non-green — its ArrayType output column crashed
-# the driver's pandas canonicalizer; now a comma-joined string on both
-# engines, and top-level nested outputs are mechanically banned in
-# tests/test_oracle_types.py), then the 16 never-driver-verified
-# round-7 wave-2/3 additions, then the 33 round-8 additions (second
-# eval-metric wave, corpus-composition text audits, dedup/search
-# observability, relational/graph analytics, and the north-star
-# snapshot-history / contamination-diff / IVM-variance / quantization-
-# drift extensions).  After a clean r8 run the cumulative ledger closes
-# at 317/318 — everything except t1_approx_aggs (rows-only BY DESIGN:
-# self-validating error bounds, no DuckDB oracle, r6 rows-only row
-# already recorded).  Import-time assertions below keep every slot
-# honest (registered + not already green).
+# Round-9 window: EXACTLY 50 names.  Head: the two r8 hash-failure
+# requeues, both restructured this round — t1_heaps_exponent now fits
+# the SHINGLE vocabulary (the r8 unigram fit was degenerate: the
+# closed 31-token vocab made beta cancellation noise that Spark and
+# DuckDB rounded to differently-SIGNED zeros; every rounded double
+# output is now +0-normalized and the sim compares byte-faithfully)
+# and t1_psi_drift carries its exact BIGINT determinant cells at a
+# 6-dp term.  Then the 11 never-driver-verified round-8 wave-2
+# additions (timeseries_extra / quality_extra, all sim-exact at both
+# SFs in the committed r8 logs), then the 37 round-9 additions
+# (relational/time-series analytics, eval metrics, text statistics,
+# embedding health, n-gram contamination, snapshot branches, and
+# multi-batch streaming).  After a clean r9 run the cumulative ledger
+# reaches 365/366 — everything except t1_approx_aggs (rows-only BY
+# DESIGN).  Import-time assertions below keep every slot honest.
 _LEAD = [
-    "t1_inverted_index",
-    "t1_lateral_topn_join",
-    "t1_groupby_all",
-    "t1_rolling_median",
-    "t1_calibration_bins",
-    "t1_overlap_join",
-    "t1_time_decay_attribution",
-    "t1_oov_rate",
-    "t1_vocab_growth",
-    "t1_hashed_ngram_features",
-    "t1_ccnet_buckets",
-    "t1_ivm_topk_retraction",
-    "t1_snapshot_tag_read",
-    "t1_robust_scaler",
-    "t1_lang_confusion",
-    "t1_length_lognormal",
-    "t1_tag_diff",
-    "t1_mrr_eval",
-    "t1_recall_at_k",
-    "t1_brier_score",
-    "t1_pr_curve",
-    "t1_lift_deciles",
-    "t1_psi_drift",
-    "t1_f1_per_group",
-    "t1_stopword_profile",
-    "t1_mix_entropy",
-    "t1_ngram_novelty",
-    "t1_rare_shingle_docs",
-    "t1_lang_shingle_overlap",
     "t1_heaps_exponent",
-    "t1_doc_length_gini",
-    "t1_hot_shingle_audit",
-    "t1_lsh_bucket_stats",
-    "t1_dup_cluster_sizes",
-    "t1_query_expansion_prf",
-    "t1_minhash_est_error",
-    "t1_reservoir_sample",
-    "t1_gap_islands",
-    "t1_running_distinct",
-    "t1_percent_change",
-    "t1_bollinger_bands",
-    "t1_order_value_pareto",
-    "t1_graph_reciprocity",
-    "t1_degree_assortativity",
-    "t1_u_shaped_attribution",
-    "t1_snapshot_key_history",
-    "t1_cross_snapshot_contamination",
-    "t1_ivm_variance",
-    "t1_ivm_filtered_agg",
-    "t1_quant_recall_drift",
+    "t1_psi_drift",
+    "t1_session_duration_hist",
+    "t1_burstiness",
+    "t1_weekend_effect",
+    "t1_retention_curve",
+    "t1_conversion_lag",
+    "t1_doc_prefix_dup",
+    "t1_emb_norm_stats",
+    "t1_emb_dim_variance",
+    "t1_items_per_order_dist",
+    "t1_discount_buckets",
+    "t1_brand_share_shift",
+    "t1_customer_decile_shift",
+    "t1_rolling_corr",
+    "t1_cume_dist_price",
+    "t1_order_gap_percentiles",
+    "t1_monthly_mad",
+    "t1_user_span_stats",
+    "t1_basket_lift",
+    "t1_herfindahl_share",
+    "t1_dow_hour_heatmap",
+    "t1_ece_calibration",
+    "t1_cohen_kappa",
+    "t1_mcc_per_source",
+    "t1_js_divergence_sources",
+    "t1_doc_bigram_entropy",
+    "t1_ttr_distribution",
+    "t1_zipf_residuals",
+    "t1_kl_source_divergence",
+    "t1_shingle_burstiness",
+    "t1_emb_psi_quantized",
+    "t1_emb_code_entropy",
+    "t1_emb_centroid_shift",
+    "t1_emb_quantile_clip",
+    "t1_emb_hubness",
+    "t1_prefix_contamination",
+    "t1_tail_overlap",
+    "t1_crosssource_ngram_df",
+    "t1_containment_asym",
+    "t1_branch_create_read",
+    "t1_branch_divergence",
+    "t1_branch_merge_ff",
+    "t1_branch_conflict_keys",
+    "t1_vacuum_plan_audit",
+    "t1_stream_append_finalized",
+    "t1_stream_session_merge",
+    "t1_stream_cdc_dedup",
+    "t1_stream_update_counts",
+    "t1_stream_replay_dedup",
 ]
 
 
