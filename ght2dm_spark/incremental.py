@@ -48,8 +48,9 @@ rows weigh −1, weights multiply through the join — appending z-set rows
 with a hidden ``__w`` that :func:`read_join_view` nets at read time and
 :func:`consolidate_join` folds on the maintenance cadence.  The
 streaming tier is :func:`changefeed_join_sink`: the same bilinear
-algebra per micro-batch over a combined L/R CDC feed, exactly-once
-across its three state tables by commit order.
+algebra per micro-batch over a combined L/R CDC feed, exactly-once as
+ONE fused z-set commit per batch (``__rel``-discriminated), read back
+via :func:`read_changefeed_join`.
 
 Reference scope: the reference's incremental mode skips already-loaded
 dump files (``/root/reference/ght2dm.go`` date-window scan) but
@@ -105,6 +106,7 @@ _CNT = "__cnt"
 #: hidden z-set weight column on join dests: each maintained output row
 #: carries +1 (joined in) or −1 (retracted); the view nets them.
 _W = "__w"
+_REL = "__rel"  # fused changefeed-join z-set discriminator (J/L/R)
 
 #: max distinct keys collected driver-side for IN-predicate pushdown
 #: (_key_prune) — past this, only the (cheaper, coarser) min/max footer
@@ -1110,6 +1112,23 @@ def read_join_view(spark: SparkSession, dest: str) -> DataFrame | None:
     return _expand_view(net, payload)
 
 
+def read_changefeed_join(spark: SparkSession, dest: str) -> DataFrame | None:
+    """The consumable join view over a :func:`changefeed_join_sink`
+    state: the fused z-set's join outputs (``__rel`` = 'J'), netted and
+    expanded exactly like :func:`read_join_view`.  The footer prune on
+    ``__rel`` skips the side-state files before any scan.  None if the
+    sink has never committed."""
+    ztbl = str(Path(dest) / "zset")
+    df = read_snapshot(
+        spark, ztbl, prune={_REL: ("J", "J")}, merge_schema=True
+    )
+    if df is None:
+        return None
+    df = df.filter(F.col(_REL) == "J").drop(_REL)
+    net, payload = _net_join(df)
+    return _expand_view(net, payload)
+
+
 def consolidate_join(spark: SparkSession, dest: str) -> bool:
     """Maintenance compaction for a join z-set: overwrite ``dest`` with
     its consolidated rows (net weight per distinct payload, zero-weight
@@ -1202,29 +1221,29 @@ def changefeed_join_sink(
     NULL).  ``left_cols``/``right_cols`` name each side's payload
     INCLUDING the join keys; non-key names must be disjoint.
 
-    State is three snapshot tables under ``dest``: ``left`` and
-    ``right`` hold each side's signed z-set (payload + ``__w``),
-    ``join`` holds signed join outputs read via :func:`read_join_view`.
-    Per batch the delta is the bilinear identity over the PRE-batch
-    side states — ΔJ = ΔL⋈R⁻ ∪ L⁻⋈ΔR ∪ ΔL⋈ΔR, weights multiplying —
-    and the side states are joined RAW (signed, unconsolidated):
-    bilinearity makes Σ(wΔ·wᵢ) over a row's occurrences equal
-    wΔ·(net w), so no consolidation is needed for correctness;
-    :func:`consolidate_join` folds any of the three tables on the
-    maintenance cadence.
+    State is ONE fused snapshot table at ``dest/zset`` holding all
+    three signed z-sets, discriminated by ``__rel`` ('J' join outputs,
+    'L'/'R' side states); join outputs are read via
+    :func:`read_changefeed_join`.  Per batch the delta is the bilinear
+    identity over the PRE-batch side states — ΔJ = ΔL⋈R⁻ ∪ L⁻⋈ΔR ∪
+    ΔL⋈ΔR, weights multiplying — and the side states are joined RAW
+    (signed, unconsolidated): bilinearity makes Σ(wΔ·wᵢ) over a row's
+    occurrences equal wΔ·(net w), so no consolidation is needed for
+    correctness; :func:`consolidate_join` over ``dest/zset`` folds the
+    fused z-set on the maintenance cadence (``__rel`` is part of the
+    payload, so each relation nets independently).
 
-    Exactly-once across THREE tables without a transaction: every
-    commit carries the batch id (skip-at-or-below per table), and the
-    join commit lands strictly FIRST; the left and right state commits
-    then run concurrently (their order relative to each other is
-    irrelevant — each is guarded by its own per-table batch id).  A
-    replayed batch therefore always evaluates its delta against side
-    states the original attempt had not yet advanced — crash before
-    the join commit redoes everything against unchanged states; crash
-    after it skips the join and only re-appends whichever side deltas
-    had not landed, which are derived from the redelivered batch
-    alone.  Empty deltas still commit, so the watermarks advance in
-    lockstep.
+    Exactly-once is a SINGLE atomic commit per batch (r9 — previously
+    three commits with a strict join-first ordering argument): the
+    join delta and both side deltas union into one frame and land in
+    one pointer flip guarded by one batch id.  A replayed batch either
+    skips wholesale or redoes everything against side states the
+    original attempt never advanced — no partial-commit window exists
+    at all.  The union keeps each relation's rows in their OWN
+    coalesced partitions, so data files are relation-pure and the
+    pre-batch side-state reads prune 'J' files (the bulk of the
+    table) by footer min/max on ``__rel`` before scanning.  Empty
+    deltas still commit, so the watermark advances every batch.
 
     At 100 TB/day this is the streaming tier of join maintenance: the
     nightly :func:`refresh_join` over snapshot deltas and this
@@ -1243,7 +1262,7 @@ def changefeed_join_sink(
     if missing:
         raise ValueError(f"join key(s) {missing} must appear in both sides' columns")
     payload = set(left_cols) | set(right_cols)
-    reserved = sorted(payload & set(_RESERVED_W))
+    reserved = sorted(payload & (set(_RESERVED_W) | {_REL}))
     if reserved:
         raise ValueError(
             f"payload column(s) {reserved} collide with the reserved "
@@ -1256,27 +1275,27 @@ def changefeed_join_sink(
             "columns — the feed tags are consumed, not joined"
         )
 
-    jtbl = str(Path(dest) / "join")
-    ltbl = str(Path(dest) / "left")
-    rtbl = str(Path(dest) / "right")
+    ztbl = str(Path(dest) / "zset")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # every frame committed below is bounded by the batch on at
-        # least one join side, but its PLAN partitioning follows the
-        # probe side — the accumulated state files — so without a
-        # coalesce each commit writes O(state files) near-empty parquet
-        # files and the state compounds (measured: 96 files on the
-        # third commit of a 100-row feed).  Coalescing to the batch's
-        # own partition count keeps writes delta-sized at any scale
-        # (a big trigger has many batch partitions, so no bottleneck)
-        # and caps footer-stat and scan costs for every later read.
+        last = last_streamed_batch(ztbl)
+        if last is not None and int(batch_id) <= int(last):
+            return  # replayed batch: the fused commit already landed
+        # every frame below is bounded by the batch on at least one
+        # join side, but its PLAN partitioning follows the probe side —
+        # the accumulated state files — so without a coalesce each
+        # commit writes O(state files) near-empty parquet files and the
+        # state compounds (measured r8: 96 files on the third commit of
+        # a 100-row feed).  Coalescing each relation's delta to the
+        # batch's own partition count keeps writes delta-sized at any
+        # scale AND keeps files relation-pure for the __rel prune.
         nparts = max(1, batch_df.rdd.getNumPartitions())
         w = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
-        # each side's delta feeds two join terms and its side-state
-        # commit; an explicit persist was measured net negative (the
-        # re-evaluations are bare scans of the trigger's files and the
-        # cache pass adds a materialization barrier per commit)
+        # each side's delta feeds two join terms and its state rows; an
+        # explicit persist was measured net negative (the re-evaluations
+        # are bare scans of the trigger's files and the cache pass adds
+        # a materialization barrier per commit)
         dl = (
             batch_df.filter(F.col(side_col) == "L")
             .select(*left_cols, w.alias("__wl"))
@@ -1285,55 +1304,53 @@ def changefeed_join_sink(
             batch_df.filter(F.col(side_col) == "R")
             .select(*right_cols, w.alias("__wr"))
         )
-        last_j = last_streamed_batch(jtbl)
-        if last_j is None or int(batch_id) > int(last_j):
-            # PRE-batch side states: the side commits below happen after
-            # this read, and a replay that skips this branch never
-            # re-reads them — the ordering that makes the identity exact
-            lc = read_snapshot(spark, ltbl, merge_schema=True)
-            rc = read_snapshot(spark, rtbl, merge_schema=True)
-            def _as(df, wcol):
-                return df.withColumnRenamed(_W, wcol) if df is not None else None
-            lc, rc = _as(lc, "__wl"), _as(rc, "__wr")
-            out_cols = (
-                list(on)
-                + [c for c in left_cols if c not in on]
-                + [c for c in right_cols if c not in on]
-                + [_W]
+        # PRE-batch side states from the fused table: the footer prune
+        # on __rel drops join-output files (the bulk) before any scan,
+        # so each read costs what a dedicated side table would
+        def _side(rel, cols, wcol):
+            st = read_snapshot(
+                spark, ztbl, prune={_REL: (rel, rel)}, merge_schema=True
             )
-            parts = []
-            if rc is not None:
-                parts.append(_weigh(dl.join(rc, on)))
-            if lc is not None:
-                parts.append(_weigh(lc.join(dr, on)))
-            parts.append(_weigh(dl.join(dr, on)))
-            delta = parts[0].select(out_cols)
-            for x in parts[1:]:
-                delta = delta.unionByName(x.select(out_cols))
-            commit_stream_batch(delta.coalesce(nparts), jtbl, batch_id)
-        # the exactly-once argument only needs the JOIN commit to land
-        # strictly FIRST (a replay must never see side states a not-yet-
-        # committed join delta was computed against); left and right are
-        # independent tables whose skip-at-or-below guards are per-table,
-        # so they commit CONCURRENTLY — Spark schedules jobs from
-        # separate threads fine, and this removes one sequential
-        # commit's wall time from every trigger (~8 commits per query
-        # at the bench feed: the r6/r7 job-count floor, shaved r8).
-        from concurrent.futures import ThreadPoolExecutor
+            if st is None:
+                return None
+            return st.filter(F.col(_REL) == rel).select(
+                *cols, F.col(_W).alias(wcol)
+            )
+        lc = _side("L", left_cols, "__wl")
+        rc = _side("R", right_cols, "__wr")
+        out_cols = (
+            list(on)
+            + [c for c in left_cols if c not in on]
+            + [c for c in right_cols if c not in on]
+            + [_W]
+        )
+        parts = []
+        if rc is not None:
+            parts.append(_weigh(dl.join(rc, on)))
+        if lc is not None:
+            parts.append(_weigh(lc.join(dr, on)))
+        parts.append(_weigh(dl.join(dr, on)))
+        dj = parts[0].select(out_cols)
+        for x in parts[1:]:
+            dj = dj.unionByName(x.select(out_cols))
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fl = pool.submit(
-                commit_stream_batch,
-                dl.withColumnRenamed("__wl", _W).coalesce(nparts),
-                ltbl, batch_id,
+        def _full(side_df, rel):
+            out = side_df.withColumnRenamed(
+                "__wl" if rel == "L" else "__wr", _W
             )
-            fr = pool.submit(
-                commit_stream_batch,
-                dr.withColumnRenamed("__wr", _W).coalesce(nparts),
-                rtbl, batch_id,
+            for c in out_cols:
+                if c not in out.columns:
+                    out = out.withColumn(c, F.lit(None))
+            return out.select(out_cols).withColumn(_REL, F.lit(rel)).coalesce(
+                nparts
             )
-            fl.result()
-            fr.result()
+
+        fused = (
+            dj.withColumn(_REL, F.lit("J")).coalesce(nparts)
+            .unionByName(_full(dl, "L"))
+            .unionByName(_full(dr, "R"))
+        )
+        commit_stream_batch(fused, ztbl, batch_id)
 
     return _sink
 

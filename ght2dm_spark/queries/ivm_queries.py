@@ -632,12 +632,13 @@ def t1_stream_cdc_join(spark, sf_dir):
     files and streamed with maxFilesPerTrigger=1, so partners, their
     retractions, and updates arrive in ARBITRARY batch order.
     incremental.changefeed_join_sink folds each batch in via the
-    bilinear identity against the pre-batch side states (three
-    exactly-once commits per batch: join, left, right), and
-    read_join_view nets the signed outputs.  The oracle joins the net
-    row sets wholesale — a hash match proves the per-batch signed
-    delta joins compose to the batch recompute regardless of arrival
-    order.
+    bilinear identity against the pre-batch side states (ONE fused
+    exactly-once z-set commit per batch since r9 — join delta and both
+    side deltas land in a single pointer flip), and
+    read_changefeed_join nets the signed outputs.  The oracle joins
+    the net row sets wholesale — a hash match proves the per-batch
+    signed delta joins compose to the batch recompute regardless of
+    arrival order.
 
     Scale: per trigger, three joins bounded by the batch on at least
     one side; no base re-join ever (the feed carries retracted
@@ -645,7 +646,10 @@ def t1_stream_cdc_join(spark, sf_dir):
     import shutil
     import tempfile
 
-    from ght2dm_spark.incremental import changefeed_join_sink, read_join_view
+    from ght2dm_spark.incremental import (
+        changefeed_join_sink,
+        read_changefeed_join,
+    )
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select(
@@ -707,7 +711,7 @@ def t1_stream_cdc_join(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-        view = read_join_view(spark, f"{dest}/join")
+        view = read_changefeed_join(spark, dest)
         out = (
             view.select(
                 F.col("c_mktsegment").alias("seg"),

@@ -729,7 +729,10 @@ def test_changefeed_join_sink_out_of_order_and_replay(spark, tmp_path):
     arrival order (an R partner arriving before its L row, a delete
     racing its insert), idempotent under batch replay, and its view
     equals the net join after every batch."""
-    from ght2dm_spark.incremental import changefeed_join_sink, read_join_view
+    from ght2dm_spark.incremental import (
+        changefeed_join_sink,
+        read_changefeed_join,
+    )
 
     dest = str(tmp_path / "cj")
     sink = changefeed_join_sink(
@@ -743,13 +746,13 @@ def test_changefeed_join_sink_out_of_order_and_replay(spark, tmp_path):
     # batch 0: L rows for keys 1,2 (no partners yet) + R row for key 3
     sink(b([("L", "I", 1, 10, None), ("L", "I", 2, 20, None),
             ("R", "I", 3, None, "c")]), 0)
-    assert read_join_view(spark, f"{dest}/join").count() == 0
+    assert read_changefeed_join(spark, dest).count() == 0
     # batch 1: partners arrive out of order; plus L row for key 3
     sink(b([("R", "I", 1, None, "a"), ("R", "I", 2, None, "b"),
             ("L", "I", 3, 30, None)]), 1)
     got = {
         (r["k"], r["lid"], r["tag"])
-        for r in read_join_view(spark, f"{dest}/join").collect()
+        for r in read_changefeed_join(spark, dest).collect()
     }
     assert got == {(1, 10, "a"), (2, 20, "b"), (3, 30, "c")}
     # batch 2: delete L(2) and R(1) in one batch; duplicate L insert on 3
@@ -757,7 +760,7 @@ def test_changefeed_join_sink_out_of_order_and_replay(spark, tmp_path):
             ("L", "I", 3, 31, None)]), 2)
     got = sorted(
         (r["k"], r["lid"], r["tag"])
-        for r in read_join_view(spark, f"{dest}/join").collect()
+        for r in read_changefeed_join(spark, dest).collect()
     )
     assert got == [(3, 30, "c"), (3, 31, "c")]
     # replay batch 2 (same id): state unchanged
@@ -765,7 +768,7 @@ def test_changefeed_join_sink_out_of_order_and_replay(spark, tmp_path):
             ("L", "I", 3, 31, None)]), 2)
     again = sorted(
         (r["k"], r["lid"], r["tag"])
-        for r in read_join_view(spark, f"{dest}/join").collect()
+        for r in read_changefeed_join(spark, dest).collect()
     )
     assert again == got
 

@@ -190,10 +190,11 @@ def test_changefeed_sink_writes_are_batch_sized(spark, tmp_path):
         )
         sink(batch, b)
     batch_parts = 4  # 2 coalesced ranges unioned
-    for t in ("join", "left", "right"):
-        files = glob.glob(f"{root}/state/{t}/data/*.parquet")
-        assert len(files) <= n_batches * batch_parts, (
-            f"{t}: {len(files)} files after {n_batches} commits — the "
-            "delta write is fanning out to the accumulated state's "
-            "partitioning again"
-        )
+    # fused layout (r9): one z-set table, each commit <= 3 relation-pure
+    # coalesced groups of at most the batch's partition count
+    files = glob.glob(f"{root}/state/zset/data/*.parquet")
+    assert len(files) <= n_batches * 3 * batch_parts, (
+        f"zset: {len(files)} files after {n_batches} commits — the "
+        "delta write is fanning out to the accumulated state's "
+        "partitioning again"
+    )
