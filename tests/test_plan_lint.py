@@ -86,6 +86,14 @@ CROSS_OK = {
     "t1_query_expansion_prf",  # composes t1_bm25_topk (1-row stats frame)
     "t1_retention_curve",  # 7-row offset spine × first-seen frame + 1-row base
     "t1_items_per_order_dist",  # unbounded window over the ≤|basket-sizes| rollup
+    # round 9
+    "t1_basket_lift",  # 1-row order-count frame for the lift denominator
+    "t1_rolling_corr",  # |days| × |types| dense grid (both tiny distincts)
+    "t1_emb_hubness",  # composes the brute-force baseline (query×corpus)
+    "t1_zipf_residuals",  # 1-row OLS-fit frame broadcast onto 50 rank rows
+    "t1_js_divergence_sources",  # |sources| × vocab dense grid (4 × 31)
+    "t1_kl_source_divergence",  # 1-row corpus-token-total frame
+    "t1_shingle_burstiness",  # 1-row id-span frame + top-30 × 10-bucket spine
 }
 
 # Queries whose plan legitimately contains an unpartitioned ORDERED
@@ -115,6 +123,16 @@ GLOBAL_WINDOW_OK = {
     # windows of the quantized scans (|Q| partitions)
     "t1_emb_dim_variance",  # rank over the 64-row per-dimension aggregate
     "t1_items_per_order_dist",  # total window over the ≤|basket-sizes| rollup
+    # round 9
+    "t1_zipf_residuals",  # rank over the vocab-sized df aggregate; the
+    # OLS fit runs over exactly 50 rows
+    "t1_crosssource_ngram_df",  # rank over the multi-source subset of
+    # the vocab-sized aggregate (top-50 output)
+    "t1_containment_asym",  # rank over the rare-shingle-bounded
+    # candidate-pair frame (df<=4 bounds pairs per shingle at C(4,2))
+    "t1_shingle_burstiness",  # rank over the vocab-sized df aggregate
+    # (top-30 pick); moments run on the 300-row dense grid
+    "t1_heaps_exponent",  # cumsum over the 10-row shingle-growth buckets
 }
 
 # Streaming queries drive a memory sink; their final plan is the sink
