@@ -73,6 +73,16 @@ PICKS = [
     ("t1_lift_deciles", "Gain chart: global NTILE over the 2-column (score, id) projection — decile-bounded output; the 100 TB form buckets scores first (the AUC histogram trick), documented and allowlisted like t1_rfm_segments."),
     ("t1_ivm_variance", "Variance IVM: three decomposable moment sums ride the standard arithmetic-retraction merge (no recompute branch); the variance itself is a scalar projection over the maintained state at read time."),
     ("t1_cross_snapshot_contamination", "Cross-snapshot contamination: each version's vocabulary plans from its PINNED file list (v0 read touches zero increment files), distinct map-side; eval shingles join each vocab on the shingle key — two vocab-sized shuffles, no rescan of the union."),
+    # round 9
+    ("t1_rolling_corr", "Daily-count correlation: the only per-event work is the day-grain aggregate (map-side combined); the dense day×type grid is a broadcast nested-loop of two TINY distinct frames, and the pair join + five moment sums run entirely on grid-sized rows."),
+    ("t1_monthly_mad", "Median + MAD: two rank windows PARTITIONED by month (no global sort), the 80-row median frame broadcast back for the deviation pass — all arithmetic integer cents."),
+    ("t1_basket_lift", "Basket lift: brands are a bounded vocabulary, so the distinct (order, brand) frame shuffles once on the order key, the pair self-join explodes at most C(25,2) per order, and the single-brand supports broadcast; the order-count denominator is a 1-row broadcast scalar."),
+    ("t1_emb_psi_quantized", "Quantized-code PSI: per-dim min/max broadcast back onto the posexploded components, ONE (dim, code) aggregate with map-side combine — every window downstream runs on the 1024-row histogram, never the vectors."),
+    ("t1_prefix_contamination", "Edge-n-gram leak check: the probe side is one edge shingle per eval doc (narrow map, no explode); the training vocabulary is DISTINCT map-side before the left-semi join on the shingle key — no doc×doc shape anywhere."),
+    ("t1_containment_asym", "Asymmetric containment: candidate pairs bounded by rare shingles (2≤df≤4 ⇒ ≤C(4,2) pairs per shingle); the intersection recount joins the bounded pair list back on doc/shingle keys both sides already shuffle on; sizes broadcast."),
+    ("t1_js_divergence_sources", "Jensen-Shannon: per-token work is one (source, tok) aggregate; the dense grid, totals, and the a<b pair join all run on |vocab|·|sources| rows with totals broadcast; JS terms round to 9 and sum as DECIMAL (order-independent)."),
+    ("t1_zipf_residuals", "Zipf residuals: one vocab-sized df aggregate, a 50-row rank pick, OLS moments over exactly 50 rows, and the 1-row fit broadcast back — the corpus is scanned once for shingles and never again."),
+    ("t1_kl_source_divergence", "Per-source KL: the (source, tok) aggregate is the only per-token shuffle; source totals and the corpus distribution are vocab-sized broadcast joins; the corpus total is a 1-row broadcast scalar."),
 ]
 
 
