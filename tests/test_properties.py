@@ -1650,7 +1650,10 @@ def test_changefeed_join_random_batches_match_model(
     and of retractions preceding their inserts."""
     from collections import Counter
 
-    from ght2dm_spark.incremental import changefeed_join_sink, read_join_view
+    from ght2dm_spark.incremental import (
+        changefeed_join_sink,
+        read_changefeed_join,
+    )
 
     dest = str(tmp_path_factory.mktemp("cjprop") / "t")
     sink = changefeed_join_sink(
@@ -1678,6 +1681,6 @@ def test_changefeed_join_random_batches_match_model(
         )
         got = sorted(
             (r["k"], r["lv"], r["rv"])
-            for r in read_join_view(spark, f"{dest}/join").collect()
+            for r in read_changefeed_join(spark, dest).collect()
         )
         assert got == expect
