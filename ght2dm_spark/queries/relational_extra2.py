@@ -482,7 +482,12 @@ def t1_basket_lift(spark, sf_dir):
     rounded and +0-normalized.  Scale: brands are a bounded vocabulary
     (25), so the distinct frame is |orders|·avg-brands rows shuffled
     once on the order key; the self-join explodes at most C(25,2)
-    pairs per order, and the single-brand frames broadcast."""
+    pairs per order, and the single-brand frames broadcast.  The
+    distinct frame is CACHED: four consumers (total, singles, both
+    pair sides) prune different columns, which defeats exchange reuse
+    — without the cache each consumer re-runs the fact join + distinct
+    (A/B at sf0.1: ~1.6 s → ~0.9 s, the t1_bfs_levels edge-set
+    pattern)."""
     ob = (
         load_table(spark, sf_dir, "lineitem")
         .join(
@@ -495,6 +500,7 @@ def t1_basket_lift(spark, sf_dir):
         )
         .select("l_orderkey", "p_brand")
         .distinct()
+        .cache()
     )
     n0 = ob.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
