@@ -22,7 +22,7 @@ state moves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: 1 unit = 1e-6 of the raw embedding value
@@ -86,15 +86,29 @@ def _assign_grouped(v: DataFrame, cents: DataFrame) -> DataFrame:
     """Per-group nearest centroid: one equi-join on the group key
     against the broadcast (g, cid, c) centroid table — the grouped form
     of ``_assign``'s K-way broadcast cross join — with the same exact
-    integer distances and (distance, cid) lexicographic tie-break."""
+    integer distances and (distance, cid) lexicographic tie-break.
+
+    The argmin is ``min(struct(d, cid, v))`` per (g, id), NOT a
+    row_number window: struct comparison is lexicographic and cid is
+    unique per group, so the minimum is exactly the (d, cid)-tie-broken
+    winner (``v`` rides along, never compared) — and a hash aggregate
+    partially combines the K candidate rows map-side before the (g, id)
+    shuffle, where the window shuffled all K rows per vector and then
+    sorted them (guide §2.3 'aggregate before you shuffle'; the window
+    form also paid a per-partition sort)."""
     d = sqdist_int(F.col("v"), F.col("c"))
-    w = Window.partitionBy("g", "id").orderBy("d", "cid")
     return (
         v.join(F.broadcast(cents), "g")
         .select("g", "id", "v", "cid", d.alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("g", "id")
+        .agg(F.min(F.struct("d", "cid", "v")).alias("__m"))
+        .select(
+            "g",
+            "id",
+            F.col("__m.v").alias("v"),
+            F.col("__m.cid").alias("cid"),
+            F.col("__m.d").alias("d"),
+        )
     )
 
 
@@ -132,9 +146,13 @@ def kmeans_int_grouped(
     # [0, k) per group).  A group whose ids all exceed k would otherwise
     # get NO centroids, and the assignment's inner join on g would
     # silently DROP all its vectors — a valid-looking but incomplete
-    # index.  Both counts run on tiny/cached frames.
-    n_groups = v.select("g").distinct().count()
-    n_seeded = cents.select("g").distinct().count()
+    # index.  ONE aggregation job over the cached frame computes both
+    # counts (two separate .count() actions scheduled two jobs for the
+    # same scan — guide §1.2: don't pay two passes for one decision).
+    n_groups, n_seeded = v.agg(
+        F.countDistinct("g"),
+        F.countDistinct(F.when(F.col("id") < k, F.col("g"))),
+    ).first()
     if n_seeded != n_groups:
         raise ValueError(
             f"kmeans_int_grouped: {n_groups - n_seeded} group(s) have no "

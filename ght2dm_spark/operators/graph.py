@@ -93,15 +93,20 @@ def connected_components(
     labeling.  ``stats``, if given, receives ``{"rounds": n}`` so tests
     can bound convergence.
     """
-    # localCheckpoint (eager), not cache: each star op references the edge
+    # localCheckpoint, not cache: each star op references the edge
     # frame TWICE, so an uncheckpointed plan doubles per round and the
     # optimizer/plan-string work goes exponential long before the data
     # does.  Checkpointing truncates lineage to the materialized blocks.
+    # LAZY (eager=False) + the count right after: the count's job IS the
+    # materialization, so each round schedules one job, not two — the
+    # logical plan is truncated to a LogicalRDD either way (guide §1.2:
+    # fewer passes; measured on the CC iteration inside
+    # t1_dup_cluster_sizes).
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_edges = e.count()
     rounds = 0
@@ -110,7 +115,7 @@ def connected_components(
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} rounds"
             )
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_n = new_e.count()
         # fixed point: same edge set (both are distinct sets, so equal
         # counts + empty anti-join ⇒ equality)
@@ -161,15 +166,16 @@ def bfs_levels(
     # union+distinct over the raw edges.  Pre-partitioned on the join
     # key so rounds reuse the cached partitioning (the pagerank note).
     both = _symmetrize(edges, src, dst).repartition("a").cache()
-    # Levels are localCheckpoint-ed (eager — the materialization doubles
-    # as the empty-frontier check's action), NOT cached: checkpointed
-    # frames stand alone, so the edge cache can be released before
-    # return instead of leaking per-level cache entries for the session
-    # lifetime (the result frame still references the level frames).
+    # Levels are localCheckpoint-ed LAZILY: the per-round count() right
+    # after is the materializing action (one job per round, not a
+    # checkpoint job plus a count job), and checkpointed frames stand
+    # alone, so the edge cache can be released before return instead of
+    # leaking per-level cache entries for the session lifetime (the
+    # result frame still references the level frames).
     frontier = (
         seeds.select(F.col(node_col).alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     levels = [frontier.withColumn("level", F.lit(0))]
 
@@ -183,7 +189,7 @@ def bfs_levels(
             .distinct()
             .join(seen, "node", "left_anti")
             .withColumn("level", F.lit(lvl))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.count() == 0:
             break
@@ -304,7 +310,10 @@ def kcore_edges(
     per-round localCheckpoint keeps round N's plan from replaying
     rounds 1..N-1 (the driver-loop pattern of this module).
     """
-    e = edges.select(src, dst).localCheckpoint(eager=True)
+    # lazy checkpoints: the count right after each is the materializing
+    # action — one job per round instead of two (same fusion as
+    # connected_components)
+    e = edges.select(src, dst).localCheckpoint(eager=False)
     prev = e.count()
     for _ in range(rounds):
         nodes = (
@@ -319,7 +328,7 @@ def kcore_edges(
             e.join(nodes.withColumnRenamed("node", src), src, "leftsemi")
             .join(nodes.withColumnRenamed("node", dst), dst, "leftsemi")
             .select(src, dst)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cnt = e.count()
         if cnt == prev:

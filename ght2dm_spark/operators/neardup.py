@@ -83,6 +83,29 @@ def shingle_df(
     )
 
 
+def shingle_array_df(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shs) with ``shs`` = the DISTINCT word n-gram array per doc —
+    the UN-exploded form of :func:`shingle_df` (same tokenization, same
+    grams, same array_distinct), for consumers that need per-doc set
+    sizes or pairwise intersections: ``F.size(shs)`` replaces an
+    explode + groupBy(doc) pass, and ``size(array_intersect(a, b))``
+    replaces the two-sided shingle join + pair groupBy — the guide §3.3
+    'join first on the un-exploded key, explode after' move (here:
+    never explode at all for the intersection)."""
+    t = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("__toks"),
+    )
+    return t.select(
+        F.col(id_col),
+        F.array_distinct(_grams_from_toks(F.col("__toks"), n)).alias("shs"),
+    )
+
+
 TOKS_SQL = "list_filter(regexp_split_to_array(lower({text}), '\\s+'), t -> t <> '')"
 
 
@@ -125,6 +148,27 @@ def capped_shingles(sh: DataFrame, max_df: int = SHINGLE_MAX_DF) -> DataFrame:
         sh.withColumn("__df", F.count(F.lit(1)).over(w))
         .filter(F.col("__df") <= max_df)
         .drop("__df")
+    )
+
+
+def bucket_pairs(ids: Column) -> Column:
+    """All ordered pairs struct(id_a, id_b) with id_a < id_b from a
+    SORTED ascending id array — the in-row form of the capped shingle
+    self-join.  For a df-capped bucket (``ids`` ≤ SHINGLE_MAX_DF
+    elements) this emits ≤ C(16,2) = 120 structs per row, so one
+    groupBy(shingle) + explode replaces the window-count + self-join
+    pipeline that evaluated the shingle explode once per join side
+    (guide §2.4: remove shuffles outright — the pair generation reuses
+    the groupBy's own exchange).  NOT safe for LSH buckets capped at
+    10k (C(10k,2) structs in one row); use the join form there."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
 
 

@@ -21,7 +21,13 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
-from ght2dm_spark.operators.neardup import TOKS_SQL, shingle_df, shingle_sql
+from ght2dm_spark.operators.neardup import (
+    TOKS_SQL,
+    bucket_pairs,
+    shingle_array_df,
+    shingle_df,
+    shingle_sql,
+)
 from ght2dm_spark.queries.registry import register
 
 _TOKS = TOKS_SQL.format(text="text")
@@ -255,12 +261,19 @@ def t1_containment_asym(spark, sf_dir):
     pairs.
 
     Scale: the rare-shingle filter bounds pair generation at
-    C(df,4) per shingle; the intersection recount joins the bounded
-    pair list back to the shingle frame on keys both sides shuffle
-    on; sizes are a doc-grain aggregate joined twice."""
-    sh = shingle_df(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", 3
-    ).select("doc_id", "shingle")
+    C(df,4) per shingle; the intersection and both set sizes come from
+    per-doc distinct-shingle ARRAYS attached to the bounded pair list
+    (size(array_intersect)) — the shingle frame is never exploded or
+    shuffled for the recount.
+
+    Round-9 shape: candidates from ONE groupBy(shingle) whose sorted
+    doc buckets (df between 2 and 4) emit their pairs in-row
+    (bucket_pairs); intersections/sizes from shingle_array_df joined to
+    the candidate frame.  The previous form evaluated the shingle
+    explode 5× (freq, both self-join sides, both inter sides + sizes)
+    and shuffled exploded rows through 3 joins and a pair groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_df(docs, "doc_id", "text", 3).select("doc_id", "shingle")
     freq = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
@@ -278,37 +291,28 @@ def t1_containment_asym(spark, sf_dir):
         )
         .distinct()
     )
-    size_ = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sh")
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    arrs = shingle_array_df(docs, "doc_id", "text", 3)
+    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
-    )
-    scored = (
-        inter.join(
-            size_.select(
-                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            size_.select(
-                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
-            ),
-            "doc_b",
-        )
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
-            "doc_a", "doc_b", "n_common", "n_a", "n_b",
-            F.expr("CAST(n_common * 1000000L div n_a AS BIGINT)")
-            .alias("contain_a_ppm"),
-            F.expr("CAST(n_common * 1000000L div n_b AS BIGINT)")
-            .alias("contain_b_ppm"),
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b"))
+            .cast("bigint")
+            .alias("n_common"),
+            F.size("shs_a").cast("bigint").alias("n_a"),
+            F.size("shs_b").cast("bigint").alias("n_b"),
         )
+    )
+    scored = inter.select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b",
+        F.expr("CAST(n_common * 1000000L div n_a AS BIGINT)")
+        .alias("contain_a_ppm"),
+        F.expr("CAST(n_common * 1000000L div n_b AS BIGINT)")
+        .alias("contain_b_ppm"),
     )
     w = Window.orderBy(
         F.col("n_common").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()

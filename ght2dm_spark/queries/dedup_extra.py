@@ -18,6 +18,7 @@ from ght2dm_spark.operators.neardup import (
     lsh_bands,
     lsh_candidate_pairs,
     minhash_signature,
+    shingle_array_df,
     shingle_df,
     shingle_sql,
     sig_jaccard,
@@ -316,9 +317,15 @@ def t1_minhash_est_error(spark, sf_dir):
     applied to the dedup sketch).
 
     Scale: exact Jaccard is computed ONLY for the candidate pairs (the
-    shingle join is driven from the candidate frame, never all
+    per-doc distinct-shingle ARRAYS are attached to the candidate frame
+    and intersected in-row — never an exploded shingle join, never all
     co-shingle pairs), so cost is candidate-bounded; est is array
     arithmetic on the already-built signatures.
+
+    Round-9 shape: shingle_array_df replaces the exploded sh frame —
+    inter = size(array_intersect), set sizes = size(shs) — removing
+    three evaluations of the explode pipeline (sz + both inter join
+    sides), the pair groupBy, and two of the four final joins.
 
     Exactness: est is i/16 (exact), exact is one division of integers,
     abs_err one IEEE subtract — all three round to 6."""
@@ -328,23 +335,32 @@ def t1_minhash_est_error(spark, sf_dir):
         sig, "doc_id", bands=LSH_BANDS, rows=LSH_ROWS, sig_len=MINHASH_K
     )
     cand = lsh_candidate_pairs(bands, "doc_id")
-    sh = shingle_df(aug, "doc_id", "text", 3)
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    arrs = shingle_array_df(aug, "doc_id", "text", 3)
     inter = (
         cand.join(
-            sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
+            arrs.select(
+                F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")
+            ),
+            "id_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
-            ["id_b", "shingle"],
+            arrs.select(
+                F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b")
+            ),
+            "id_b",
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("shs_a", "shs_b"))
+            .cast("bigint")
+            .alias("inter"),
+            F.size("shs_a").cast("bigint").alias("na"),
+            F.size("shs_b").cast("bigint").alias("nb"),
+        )
     )
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    za = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    zb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     est = sig_jaccard(F.col("sig_a"), F.col("sig_b"))
     exact = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
@@ -352,8 +368,6 @@ def t1_minhash_est_error(spark, sf_dir):
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .join(za, "id_a")
-        .join(zb, "id_b")
         .select(
             "id_a", "id_b",
             F.round(est, 6).alias("est"),

@@ -706,7 +706,14 @@ def t1_ngram_containment(spark, sf_dir):
 
     Exactness: inter/na/nb are integers; each containment is ONE
     division of exact operands, so the rounded doubles match bit-for-bit
-    cross-engine."""
+    cross-engine.
+
+    Round-9 A/B note: a groupBy(shingle)+collect_list bucket form with
+    in-row pair generation was measured at 3.05 s vs 1.59 s for this
+    join form at sf0.1 and reverted — AQE reuses the four branches'
+    canonically-identical shingle exchanges at runtime, so the apparent
+    re-evaluations share one shuffle, and the object-hash collect_list
+    aggregation costs more than the joins it removed."""
     aug = _aug_docs(spark, sf_dir)
     sh = capped_shingles(shingle_df(aug, "doc_id", "text", 3))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

@@ -244,18 +244,21 @@ def t1_stream_cdc_dedup(spark, sf_dir):
         .otherwise(F.lit("U")).alias("op"),
         "user_id", "event_id", "event_type",
     )
-    mx = ev.agg(F.max("event_id")).collect()[0][0]
-    cuts = (mx // 3, 2 * (mx // 3))
-    feed = _ordered_feed(
-        spark, sf_dir, "cdcdedup",
-        lambda: [
+    def _parts():
+        # the max(event_id) scan lives INSIDE the feed builder: the feed
+        # is cached per (session, sf), so a cached run must not re-pay a
+        # driver action whose only purpose is sizing the batch cuts
+        mx = ev.agg(F.max("event_id")).collect()[0][0]
+        cuts = (mx // 3, 2 * (mx // 3))
+        return [
             feed_df.filter(F.col("event_id") <= cuts[0]),
             feed_df.filter(
                 (F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])
             ),
             feed_df.filter(F.col("event_id") > cuts[1]),
-        ],
-    )
+        ]
+
+    feed = _ordered_feed(spark, sf_dir, "cdcdedup", _parts)
     root = tempfile.mkdtemp(prefix="ght2dm-cdcdedup-")
     try:
         tbl = f"{root}/state"

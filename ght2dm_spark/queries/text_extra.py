@@ -256,7 +256,12 @@ def t1_lang_shingle_overlap(spark, sf_dir):
 
     Scale: the per-language vocabulary is a DISTINCT over (lang,
     shingle) — map-side combinable — and the pair join runs on the
-    shingle key over vocab-sized frames, |langs|²-bounded output."""
+    shingle key over vocab-sized frames, |langs|²-bounded output.
+    (Round-9 A/B: a collect_set(lang)-per-shingle bucket form with
+    in-row pairs measured 3.34 s vs 1.25 s for this form at sf0.1 and
+    was reverted — the three DISTINCT branches share one AQE-reused
+    exchange, and object-hash set collection over the pre-distinct
+    posting stream costs more than the vocab-frame self-join.)"""
     v = _sh(spark, sf_dir).select("lang", "shingle").distinct()
     sz = v.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a = v.select(F.col("lang").alias("lang_a"), "shingle")
@@ -353,7 +358,14 @@ def t1_heaps_exponent(spark, sf_dir):
     over the 10-row bucket frame."""
     docs = load_table(spark, sf_dir, "documents")
     span = docs.agg((F.max("doc_id") + 1).alias("id_span"))
-    sb = _sh(spark, sf_dir).crossJoin(F.broadcast(span)).select(
+    # shingle_df directly — the _sh lang join is a per-row no-op here
+    # (only bucket/shingle survive the projection).  A (bucket, shingle)
+    # pre-agg feeding both consumers was A/B'd at 1.49 s vs 1.10 s and
+    # reverted: the extra exchange costs more than the second map-side
+    # explode evaluation it saves.
+    sb = shingle_df(docs, "doc_id", "text", 3).crossJoin(
+        F.broadcast(span)
+    ).select(
         (
             F.floor(
                 F.col("doc_id") * _HEAPS_BUCKETS / F.col("id_span")

@@ -411,8 +411,16 @@ def t1_shingle_burstiness(spark, sf_dir):
         F.floor(F.col("doc_id") * _BURST_BUCKETS / F.col("id_span"))
         .cast("bigint").alias("bucket"),
     )
-    tot = sb.groupBy("shingle").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tot")
+    # ONE (shingle, bucket) aggregate feeds both the per-shingle totals
+    # and the per-bucket counts — the previous form evaluated the full
+    # shingle explode twice (once per consumer); the totals now roll up
+    # from the ≤10-bucket-per-shingle frame and the bucket counts reuse
+    # the same exchange (guide §2.4).
+    sbc = sb.groupBy("shingle", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = sbc.groupBy("shingle").agg(
+        F.sum("n").cast("bigint").alias("tot")
     )
     w = Window.orderBy(F.col("tot").desc(), F.col("shingle").asc())
     top = tot.withColumn(
@@ -422,9 +430,9 @@ def t1_shingle_burstiness(spark, sf_dir):
         F.col("id").cast("bigint").alias("bucket")
     )
     grid = top.crossJoin(F.broadcast(buckets))
-    c = sb.join(F.broadcast(top.select("shingle")), "shingle").groupBy(
-        "shingle", "bucket"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    c = sbc.join(F.broadcast(top.select("shingle")), "shingle").select(
+        "shingle", "bucket", "n"
+    )
     g = grid.join(c, ["shingle", "bucket"], "left").select(
         "shingle", "tot", "rank", "bucket",
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),

@@ -1,0 +1,97 @@
+"""Round-9 optimization-round focused tests: the helpers and internals
+the perf restructures introduced must stay bit-equivalent to the forms
+they replaced (the optimization round's contract is identical results,
+only cheaper plans).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+
+def test_bucket_pairs_matches_combinations(spark):
+    """bucket_pairs(ids) on a sorted array == itertools.combinations."""
+    from ght2dm_spark.operators.neardup import bucket_pairs
+
+    cases = [
+        [],
+        [7],
+        [1, 2],
+        [1, 2, 3],
+        [10, 20, 30, 40, 50],
+        list(range(16)),  # the SHINGLE_MAX_DF-sized worst case
+    ]
+    df = spark.createDataFrame(
+        [(i, ids) for i, ids in enumerate(cases)], "i int, ids array<bigint>"
+    )
+    got = {
+        r["i"]: [(p["id_a"], p["id_b"]) for p in r["ps"]]
+        for r in df.select("i", bucket_pairs(F.col("ids")).alias("ps")).collect()
+    }
+    for i, ids in enumerate(cases):
+        assert got[i] == list(itertools.combinations(ids, 2)), f"case {i}"
+
+
+def test_shingle_array_df_is_unexploded_shingle_df(spark):
+    """Exploding shingle_array_df must reproduce shingle_df exactly —
+    same tokenization, same grams, same distinct — including the
+    short-doc fallback and whitespace normalization."""
+    from ght2dm_spark.operators.neardup import shingle_array_df, shingle_df
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha  beta"),  # short doc, double space normalizes
+            (3, "x"),
+            (4, ""),  # empty text -> zero tokens -> one '' shingle
+            (5, "alpha beta gamma alpha beta gamma"),  # repeated grams
+        ],
+        "doc_id bigint, text string",
+    )
+    exploded = {
+        (r["doc_id"], r["shingle"])
+        for r in shingle_df(docs, "doc_id", "text", 3).collect()
+    }
+    via_arrays = {
+        (r["doc_id"], r["s"])
+        for r in shingle_array_df(docs, "doc_id", "text", 3)
+        .select("doc_id", F.explode("shs").alias("s"))
+        .collect()
+    }
+    assert exploded == via_arrays
+    # and the array is DISTINCT per doc (size == distinct size)
+    bad = (
+        shingle_array_df(docs, "doc_id", "text", 3)
+        .filter(F.size("shs") != F.size(F.array_distinct("shs")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_grouped_kmeans_argmin_tiebreak(spark):
+    """The min(struct(d, cid, v)) argmin must break exact-distance ties
+    by the LOWEST cid — the contract the row_number window form had."""
+    from ght2dm_spark.operators.clustering import kmeans_int_grouped
+
+    # two identical seed vectors (cid 0 and 1) => every vector's two
+    # best candidates tie on distance; winner must be cid 0.
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 1.0]),
+            (1, [1.0, 1.0]),
+            (2, [5.0, 5.0]),
+            (3, [1.0, 2.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    ).withColumn("g", F.lit(0))
+    asg, _ = kmeans_int_grouped(
+        df, "g", "vec_id", "embedding", k=2, iters=1
+    )
+    rows = {r["id"]: r["cid"] for r in asg.collect()}
+    # iteration 1 ties every vector between the identical centroids 0
+    # and 1; lowest-cid wins, so cluster 1 empties out and drops from
+    # the trained table — every final assignment must be cid 0.  (A
+    # broken tie-break would instead empty cluster 0.)
+    assert set(rows.values()) == {0}, rows
