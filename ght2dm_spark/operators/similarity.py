@@ -203,7 +203,20 @@ def topk_neighbors(
     means brute force (queries side is broadcast — the corpus never
     shuffles for the join).  Self-matches (same id) are excluded.
     Deterministic: ties in cosine break by neighbor id.
+
+    The squared norms feeding cosine's denominator are computed ONCE PER
+    ROW on each side, below the pair join, instead of once per pair: the
+    projection is a separate operator under the join, so each corpus row
+    pays one self-dot instead of |queries| of them.  dot(v, v) is the
+    same sequential fold either way, so every cos double is bit-identical
+    to the per-pair form (and to the DuckDB mirror).
     """
+    qn = queries.withColumn(
+        "__q_n2", dot(as_double(F.col(q_vec)), as_double(F.col(q_vec)))
+    )
+    cn = corpus.withColumn(
+        "__c_n2", dot(as_double(F.col(c_vec)), as_double(F.col(c_vec)))
+    )
     joined = (
         # dropDuplicates BEFORE scoring: a queries side carrying multiple
         # probe rows per query (multi-probe, banded codes) can match the
@@ -211,14 +224,18 @@ def topk_neighbors(
         # occupy two of the k rank slots and evict a real neighbor.  The
         # duplicate rows are identical after this projection, so the pick
         # is deterministic.
-        corpus.join(F.broadcast(queries), pre_join)
-        .select(q_id, c_id, q_vec, c_vec)
+        cn.join(F.broadcast(qn), pre_join)
+        .select(q_id, c_id, q_vec, c_vec, "__q_n2", "__c_n2")
         .dropDuplicates([q_id, c_id])
         if pre_join
-        else corpus.crossJoin(F.broadcast(queries))
+        else cn.crossJoin(F.broadcast(qn))
     )
+    denom = F.sqrt(F.col("__q_n2") * F.col("__c_n2"))
     scored = joined.filter(F.col(q_id) != F.col(c_id)).withColumn(
-        "cos", cosine(as_double(F.col(q_vec)), as_double(F.col(c_vec)))
+        "cos",
+        F.when(denom == 0.0, F.lit(float("nan"))).otherwise(
+            dot(as_double(F.col(q_vec)), as_double(F.col(c_vec))) / denom
+        ),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id).asc())
     return (

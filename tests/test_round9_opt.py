@@ -95,3 +95,26 @@ def test_grouped_kmeans_argmin_tiebreak(spark):
     # the trained table — every final assignment must be cid 0.  (A
     # broken tie-break would instead empty cluster 0.)
     assert set(rows.values()) == {0}, rows
+
+
+def test_topk_neighbors_zero_vector_is_nan_not_crash(spark):
+    """topk_neighbors now inlines cosine over per-row precomputed squared
+    norms (the denominator is built from __q_n2 * __c_n2 instead of a
+    per-pair cosine() call).  The zero-norm guard must survive the
+    restructure: a zero corpus vector yields cos = NaN for its pair —
+    not an ANSI DIVIDE_BY_ZERO — and NaN sorts FIRST under desc() just
+    as it did in the per-pair form."""
+    import math
+
+    from ght2dm_spark.operators.similarity import topk_neighbors
+
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "q_id long, q_vec array<double>"
+    )
+    c = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "c_id long, c_vec array<double>",
+    )
+    out = {r.c_id: (r.cos, r.rank) for r in topk_neighbors(q, c, k=2).collect()}
+    assert math.isnan(out[2][0]) and out[2][1] == 1  # NaN ranks first (desc)
+    assert out[1] == (1.0, 2)
