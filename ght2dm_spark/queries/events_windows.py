@@ -172,7 +172,7 @@ def t1_stream_dedup(spark, sf_dir):
     s1 = read_events_stream(spark, sf_dir).select("event_id", "user_id")
     s2 = read_events_stream(spark, sf_dir).select("event_id", "user_id")
     deduped = s1.union(s2).dropDuplicates(["event_id"])
-    return run_to_completion(deduped, output_mode="append")
+    return run_to_completion(deduped, output_mode="append", row_grain_state=True)
 
 
 @register(
@@ -203,7 +203,9 @@ def t1_stream_dedup_watermark(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id")
     )
-    return run_to_completion(deduped, output_mode="append", expect_single_batch=True)
+    return run_to_completion(
+        deduped, output_mode="append", expect_single_batch=True, row_grain_state=True
+    )
 
 
 @register(
@@ -319,7 +321,9 @@ def t1_stream_stream_join(spark, sf_dir):
         & (F.col("c_ts") <= F.col("p_ts"))
     )
     return run_to_completion(
-        p.join(c, cond).select("p_id", "c_id"), output_mode="append"
+        p.join(c, cond).select("p_id", "c_id"),
+        output_mode="append",
+        row_grain_state=True,
     )
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
 from ght2dm_spark.queries.registry import register
+from ght2dm_spark.streaming import stream_shuffle_scope
 
 _G = 97  # group modulus: prime, coprime to every mutation modulus below
 _SHIFT = 6_000_000
@@ -384,19 +385,20 @@ def t1_stream_continuous_agg(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = (
-            stream.writeStream.foreachBatch(
-                aggregate_sink(
-                    tbl,
-                    ["event_type"],
-                    {"n_events": ("count", None), "tv": ("sum", "v")},
+        with stream_shuffle_scope(spark):
+            q = (
+                stream.writeStream.foreachBatch(
+                    aggregate_sink(
+                        tbl,
+                        ["event_type"],
+                        {"n_events": ("count", None), "tv": ("sum", "v")},
+                    )
                 )
+                .option("checkpointLocation", f"{root}/ckpt")
+                .trigger(availableNow=True)
+                .start()
             )
-            .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         out = read_snapshot(spark, tbl).select(
             "event_type",
             "n_events",
@@ -482,19 +484,20 @@ def t1_stream_cdc_agg(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = (
-            stream.writeStream.foreachBatch(
-                changefeed_aggregate_sink(
-                    tbl,
-                    ["g"],
-                    {"n_rows": ("count", None), "sum_v": ("sum", "v")},
+        with stream_shuffle_scope(spark):
+            q = (
+                stream.writeStream.foreachBatch(
+                    changefeed_aggregate_sink(
+                        tbl,
+                        ["g"],
+                        {"n_rows": ("count", None), "sum_v": ("sum", "v")},
+                    )
                 )
+                .option("checkpointLocation", f"{root}/ckpt")
+                .trigger(availableNow=True)
+                .start()
             )
-            .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         out = read_aggregate_view(spark, tbl).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -698,19 +701,20 @@ def t1_stream_cdc_join(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = (
-            stream.writeStream.foreachBatch(
-                changefeed_join_sink(
-                    dest, on=["o_custkey"],
-                    left_cols=["o_custkey", "o_orderkey"],
-                    right_cols=["o_custkey", "c_mktsegment"],
+        with stream_shuffle_scope(spark):
+            q = (
+                stream.writeStream.foreachBatch(
+                    changefeed_join_sink(
+                        dest, on=["o_custkey"],
+                        left_cols=["o_custkey", "o_orderkey"],
+                        right_cols=["o_custkey", "c_mktsegment"],
+                    )
                 )
+                .option("checkpointLocation", f"{root}/ckpt")
+                .trigger(availableNow=True)
+                .start()
             )
-            .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         view = read_changefeed_join(spark, dest)
         out = (
             view.select(

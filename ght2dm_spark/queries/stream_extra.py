@@ -65,20 +65,33 @@ def _events(spark, sf_dir):
     )
 
 
-def _run_memory(df, output_mode: str):
+def _run_memory(df, output_mode: str, row_grain_state: bool = False):
     """Drive to completion (AvailableNow) into a unique memory sink and
-    return the sink table name (caller reads it with spark.sql)."""
+    return the sink table name (caller reads it with spark.sql).
+    ``row_grain_state`` as in streaming.run_to_completion: input-sized
+    state keeps the session's batch partitioning, bounded keyed state
+    runs under the small stream_shuffle_scope override."""
+    import contextlib
+
+    from ght2dm_spark.streaming import stream_shuffle_scope
+
+    scope = (
+        contextlib.nullcontext()
+        if row_grain_state
+        else stream_shuffle_scope(df.sparkSession)
+    )
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="ght2dm-ckpt-")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scope:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return name
 
 
@@ -269,15 +282,18 @@ def t1_stream_cdc_dedup(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(feed)
         )
-        q = (
-            stream.writeStream.foreachBatch(
-                cdc_sink(tbl, ["user_id"], "event_id")
+        from ght2dm_spark.streaming import stream_shuffle_scope
+
+        with stream_shuffle_scope(spark):
+            q = (
+                stream.writeStream.foreachBatch(
+                    cdc_sink(tbl, ["user_id"], "event_id")
+                )
+                .option("checkpointLocation", f"{root}/ckpt")
+                .trigger(availableNow=True)
+                .start()
             )
-            .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         out = read_snapshot(spark, tbl).select(
             "user_id",
             F.col("event_id").cast("bigint").alias("last_event_id"),
@@ -378,5 +394,5 @@ def t1_stream_replay_dedup(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["event_id"])
         .select(F.col("event_id").cast("bigint").alias("event_id"), "user_id")
     )
-    name = _run_memory(dd, "append")
+    name = _run_memory(dd, "append", row_grain_state=True)
     return spark.sql(f"SELECT event_id, user_id FROM {name}")

@@ -17,11 +17,12 @@ windowed query here sets.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
 import uuid
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,10 +74,43 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_shuffle_parts() -> str:
+    """Shuffle/state-partition count for streaming runs.
+
+    A stateful streaming query sizes its state-store partition count —
+    and a ``foreachBatch`` sink its per-micro-batch shuffles — from
+    ``spark.sql.shuffle.partitions`` at query start.  The session-wide
+    batch value (cores locally, input-sized on a cluster) is the wrong
+    knob for streams whose per-batch state and deltas are KB-sized:
+    every extra state partition pays a fixed store-provider open/commit
+    cost per micro-batch, so 32 partitions of ~nothing cost ~4x more
+    wall clock than 8 (measured: t1_stream_update_counts 4.95s at 32 ->
+    1.80s at 8 shuffle partitions, same result).  Production sizes this
+    to the state volume / watermark horizon instead — hence the env
+    knob rather than a constant."""
+    return os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+
+
+@contextlib.contextmanager
+def stream_shuffle_scope(spark: SparkSession) -> Iterator[None]:
+    """Scoped ``spark.sql.shuffle.partitions`` override for one
+    streaming run: set to :func:`stream_shuffle_parts` before the query
+    starts, restored after it terminates (the streaming engine reads
+    the conf at query start, so the scope must cover start->await)."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, stream_shuffle_parts())
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def run_to_completion(
     transformed: DataFrame,
     output_mode: str,
     expect_single_batch: bool = False,
+    row_grain_state: bool = False,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion (AvailableNow) into a
     uniquely-named memory sink; return the sink contents as a batch DF.
@@ -86,42 +120,54 @@ def run_to_completion(
     whose exact-DISTINCT oracle is only valid while duplicate copies
     can't straddle a state-eviction boundary.  A fixture or trigger
     change that splits the input then fails loudly instead of flaking
-    the oracle."""
+    the oracle.
+
+    ``row_grain_state`` marks queries whose state scales with the INPUT
+    (per-row dedup keys, stream-stream join buffers) rather than with a
+    bounded key set: those keep the session's batch-sized partitioning
+    instead of the small :func:`stream_shuffle_parts` override
+    (measured: t1_stream_replay_dedup regresses 2x at 4 partitions
+    while every keyed-state query improves)."""
+    spark = transformed.sparkSession
+    scope = (
+        contextlib.nullcontext() if row_grain_state else stream_shuffle_scope(spark)
+    )
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="ght2dm-ckpt-")
-    q = (
-        transformed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-        if expect_single_batch:
-            fed = [p for p in q.recentProgress if (p.numInputRows or 0) > 0]
-            # > 1, not != 1: an EMPTY input (zero data-bearing batches)
-            # trivially satisfies the no-straddle guarantee — DISTINCT
-            # over nothing must return nothing, not raise
-            if len(fed) > 1:
-                raise AssertionError(
-                    f"expected all input in one micro-batch, got {len(fed)} "
-                    f"data-bearing batches: {[p.numInputRows for p in fed]}"
-                )
-    except BaseException:
-        # the failure path must not leak what the hygiene block below
-        # exists to clean: a raising UDF over the ~50-query driver walk
-        # would otherwise accrue one checkpoint dir + temp view per error
+    with scope:
+        q = (
+            transformed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
         try:
-            q.stop()
-        finally:
-            shutil.rmtree(ckpt, ignore_errors=True)
+            q.awaitTermination()
+            if expect_single_batch:
+                fed = [p for p in q.recentProgress if (p.numInputRows or 0) > 0]
+                # > 1, not != 1: an EMPTY input (zero data-bearing batches)
+                # trivially satisfies the no-straddle guarantee — DISTINCT
+                # over nothing must return nothing, not raise
+                if len(fed) > 1:
+                    raise AssertionError(
+                        f"expected all input in one micro-batch, got {len(fed)} "
+                        f"data-bearing batches: {[p.numInputRows for p in fed]}"
+                    )
+        except BaseException:
+            # the failure path must not leak what the hygiene block below
+            # exists to clean: a raising UDF over the ~50-query driver walk
+            # would otherwise accrue one checkpoint dir + temp view per error
             try:
-                transformed.sparkSession.catalog.dropTempView(name)
-            except Exception:
-                pass
-        raise
+                q.stop()
+            finally:
+                shutil.rmtree(ckpt, ignore_errors=True)
+                try:
+                    transformed.sparkSession.catalog.dropTempView(name)
+                except Exception:
+                    pass
+            raise
     # hygiene: the AvailableNow query has terminated — stop it and drop
     # its checkpoint dir, or a long session (the ~50-query driver walk)
     # accrues one ght2dm-ckpt-* state-store dir per call.  The memory

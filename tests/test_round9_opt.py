@@ -118,3 +118,25 @@ def test_topk_neighbors_zero_vector_is_nan_not_crash(spark):
     out = {r.c_id: (r.cos, r.rank) for r in topk_neighbors(q, c, k=2).collect()}
     assert math.isnan(out[2][0]) and out[2][1] == 1  # NaN ranks first (desc)
     assert out[1] == (1.0, 2)
+
+
+def test_stream_shuffle_scope_sets_and_restores(spark, monkeypatch):
+    """Streaming runs execute under the small SPARK_GRAFT_STREAM_SHUFFLE
+    partition count (state store + foreachBatch shuffles are sized from
+    spark.sql.shuffle.partitions at query start), and the session's
+    batch value must come back even when the run raises."""
+    import pytest
+
+    from ght2dm_spark.streaming import stream_shuffle_scope
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE", "3")
+    with stream_shuffle_scope(spark):
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == old
+    with pytest.raises(RuntimeError, match="boom"):
+        with stream_shuffle_scope(spark):
+            assert spark.conf.get(key) == "3"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == old
