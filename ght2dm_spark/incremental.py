@@ -73,6 +73,7 @@ from ght2dm_spark.snapshots import (
     _read_files_with_deletes,
     commit,
     commit_stream_batch,
+    delete_increment_stats,
     last_streamed_batch,
     prepare_commit,
     read_delete_increment,
@@ -312,6 +313,7 @@ def _removed_rows(
     dkeys: DataFrame,
     schema,
     merge_schema: bool = False,
+    key_stats: tuple[int, dict] | None = None,
 ) -> DataFrame | None:
     """The rows the window's delete commits removed: every one was
     visible at ``last`` (window deletes apply to every pre-window file;
@@ -327,10 +329,29 @@ def _removed_rows(
     what bounds a uniformly-spread delete-key set, which defeats range
     pruning by construction (every file's range straddles the keys).
     The exact semi-join stays: the IN lists are per-column supersets
-    of the conjunctive key tuples."""
+    of the conjunctive key tuples.
+
+    ``key_stats`` — (row count, per-column bounds) from
+    :func:`snapshots.delete_increment_stats`, i.e. the key files'
+    MANIFEST-recorded footer stats: the prune bounds then cost no Spark
+    job at all, and only a sub-cap key set pays a (bounded) collect for
+    the IN lists.  Delete keys are NULL-free by the delete_rows guard,
+    so the bounds need no NULL handling."""
     key_cols = list(dkeys.columns)
     dk = dkeys.distinct()
-    prune, in_lists = _key_prune(dk, null_keys_match=False)
+    if key_stats is not None:
+        n, bounds = key_stats
+        prune = {c: t for c, t in bounds.items() if c in key_cols} or None
+        in_lists = None
+        if n <= _PUSHDOWN_CAP:
+            head = dk.collect()  # bounded: n caps the distinct count
+            in_lists = {
+                c: [v for v in (r[c] for r in head) if v is not None]
+                for c in key_cols
+            }
+            in_lists = {c: v for c, v in in_lists.items() if v} or None
+    else:
+        prune, in_lists = _key_prune(dk, null_keys_match=False)
     base = read_snapshot(
         spark, source, schema=schema, version=last, prune=prune,
         merge_schema=merge_schema,
@@ -360,19 +381,12 @@ def _key_prune(
     (plain joins) never match NULL, so NULL values just drop from the
     lists."""
     cols = keys_df.columns
-    head = keys_df.limit(_PUSHDOWN_CAP + 1).collect()
-    if len(head) <= _PUSHDOWN_CAP:
-        prune: dict = {}
-        in_lists: dict[str, list] = {}
-        for c in cols:
-            vals = [r[c] for r in head]
-            nn = [v for v in vals if v is not None]
-            if not nn or (null_keys_match and len(nn) < len(vals)):
-                continue
-            prune[c] = (min(nn), max(nn))
-            in_lists[c] = nn
-        return prune or None, in_lists or None
+    # bounds-agg FIRST (it also yields the exact row count), then a
+    # bounded collect only when the count fits the cap: the common
+    # large-delete case used to pay a limit-collect probe AND the
+    # bounds agg — two actions where one decides
     row = keys_df.agg(
+        F.count(F.lit(1)).alias("n"),
         *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(cols)],
         *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(cols)],
         *[
@@ -380,7 +394,7 @@ def _key_prune(
             for i, c in enumerate(cols)
         ],
     ).first()
-    if row is None:
+    if row is None or row["n"] == 0:
         return None, None
     prune = {
         c: (row[f"lo_{i}"], row[f"hi_{i}"])
@@ -388,7 +402,14 @@ def _key_prune(
         if row[f"lo_{i}"] is not None
         and not (null_keys_match and row[f"null_{i}"])
     }
-    return prune or None, None
+    if row["n"] > _PUSHDOWN_CAP:
+        return prune or None, None
+    in_lists: dict[str, list] = {}
+    if prune:  # every prunable column is also IN-listable (same rules)
+        head = keys_df.collect()  # bounded: n <= _PUSHDOWN_CAP
+        for c in prune:
+            in_lists[c] = [v for v in (r[c] for r in head) if v is not None]
+    return prune or None, in_lists or None
 
 
 def _tip_seq(path: str) -> int | None:
@@ -423,6 +444,12 @@ def _read_pinned(
     files = [str(Path(path) / _DATA / f) for f in manifest["files"]]
     if not files:
         return None
+    # every _read_pinned target is ENGINE-written state (refresh dest,
+    # sink state, join view) whose manifest records its schema — plan
+    # at that recorded schema instead of scheduling a footer-inference
+    # job per read (one such job per refresh/micro-batch otherwise)
+    if schema is None and manifest.get("schema"):
+        merge_schema = True
     return _read_files_with_deletes(
         spark, Path(path), manifest, files, schema=schema,
         merge_schema=merge_schema,
@@ -528,7 +555,10 @@ def refresh_aggregate(
         # delta is not None here (the None/None case returned above)
         return _commit_state(_merge_frames(frames, keys, aggs))
 
-    removed = _removed_rows(spark, source, last, dkeys, schema, merge_schema=ms)
+    removed = _removed_rows(
+        spark, source, last, dkeys, schema, merge_schema=ms,
+        key_stats=delete_increment_stats(source, last, src_version),
+    )
     if not frames:
         # no prior state and no appended rows (delete-only window on an
         # empty view) — a merge has nothing to start from; recompute
@@ -1028,7 +1058,8 @@ def refresh_join(
         dkeys = read_delete_increment(spark, source, last, upto_version=upto)
         if dkeys is not None:
             removed = _removed_rows(
-                spark, source, last, dkeys, schema, merge_schema=ms
+                spark, source, last, dkeys, schema, merge_schema=ms,
+                key_stats=delete_increment_stats(source, last, upto),
             )
             if removed is not None:
                 parts.append(removed.withColumn(wcol, F.lit(-1)))

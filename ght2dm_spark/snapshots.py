@@ -377,6 +377,8 @@ def prepare_commit(
     parent_stats: dict[str, dict] = {}
     parent_deletes: list[str] = []
     parent_delete_keys: list[str] | None = None
+    parent_delete_schema: dict | None = None
+    parent_delete_stats: dict | None = None
     parent_fseqs: dict[str, int] = {}
     parent_dseqs: dict[str, int] = {}
     stream_batch: int | None = None
@@ -404,6 +406,8 @@ def prepare_commit(
             # part of the snapshot's logical state, not of any one commit
             parent_deletes = list(pm.get("delete_files", []))
             parent_delete_keys = pm.get("delete_keys")
+            parent_delete_schema = pm.get("delete_schema")
+            parent_delete_stats = pm.get("delete_stats")
             # sequence scoping (the Iceberg idea): remember which commit
             # added each file, so deletes only apply to files that
             # existed when the delete committed — a key re-inserted
@@ -491,6 +495,10 @@ def prepare_commit(
     if parent_deletes:
         manifest["delete_files"] = parent_deletes
         manifest["delete_keys"] = parent_delete_keys
+        if parent_delete_schema:
+            manifest["delete_schema"] = parent_delete_schema
+        if parent_delete_stats:
+            manifest["delete_stats"] = parent_delete_stats
         manifest["delete_seqs"] = parent_dseqs
     # refresh watermarks are snapshot-level STATE like stream_batch:
     # a maintenance overwrite (compaction, clustering) that dropped them
@@ -593,18 +601,49 @@ def delete_rows(
             )
     from functools import reduce as _reduce
 
+    from pyspark.sql import Observation
+
+    # NULL-key guard fused into the staging write: a separate
+    # filter(null).limit(1).count() probe would re-run the whole key
+    # frame's lineage (often a filtered base-table scan) once more just
+    # to check for NULLs — observe() rides the write job for free, and
+    # the staged files are unlinked before the raise so a rejected
+    # delete leaves no orphans for vacuum to misread.
     null_pred = _reduce(
         lambda a, b: a | b, [F.col(c).isNull() for c in key_cols]
     )
-    if df_keys.filter(null_pred).limit(1).count() > 0:
+    obs = Observation()
+    commit_id = uuid.uuid4().hex[:12]
+    new_dels, new_dstats = _stage_data_files(
+        df_keys.observe(obs, F.sum(null_pred.cast("int")).alias("n_null")),
+        table, commit_id, tag="-del", collect_stats=True,
+    )
+    if (obs.get["n_null"] or 0) > 0:
+        for f in new_dels:
+            (table / _DATA / f).unlink(missing_ok=True)
         raise ValueError(
             f"{path}: delete keys contain NULL — NULL never matches in the "
             f"anti-join, so such a delete silently removes nothing"
         )
-    commit_id = uuid.uuid4().hex[:12]
-    new_dels, _ = _stage_data_files(
-        df_keys, table, commit_id, tag="-del", collect_stats=False
-    )
+    # Record the key files' schema so readers can plan the delete-key
+    # scans without a footer-inference job (one per delete-applying
+    # read otherwise).  Widen against the parent's recorded key schema
+    # (older key files may be narrower — the reader upcasts); on an
+    # unwidenable conflict fall back to recording nothing (inference).
+    dschema: dict[str, str] | None = {
+        f.name: f.dataType.simpleString() for f in df_keys.schema.fields
+    }
+    parent_ds = pm.get("delete_schema")
+    if parent_ds is not None and dschema is not None:
+        merged_ds: dict[str, str] = {}
+        for c in key_cols:
+            a, b = parent_ds.get(c), dschema[c]
+            wide = b if (a is None or a == b) else _widen_type(a, b)
+            if wide is None:
+                merged_ds = {}
+                break
+            merged_ds[c] = wide
+        dschema = merged_ds or None
     seq = _max_staged_seq(table) + 1
     manifest = {
         "seq": seq,
@@ -623,6 +662,19 @@ def delete_rows(
             **{d: seq for d in new_dels},
         },
     }
+    if dschema:
+        manifest["delete_schema"] = dschema
+    # Per-key-file footer stats + row counts: lets the incremental
+    # refresh derive its retraction-scan prune bounds (and the
+    # IN-pushdown cap decision) from the MANIFEST instead of running
+    # bounds-aggregation jobs over the key frame at every refresh.
+    dstats = dict(pm.get("delete_stats", {}))
+    for f in new_dels:
+        dstats[f] = {
+            "cols": new_dstats.get(f, {}),
+            "rows": _pq.ParquetFile(table / _DATA / f).metadata.num_rows,
+        }
+    manifest["delete_stats"] = dstats
     if pm.get("schema"):
         manifest["schema"] = pm["schema"]
     if pm.get("stream_batch") is not None:
@@ -673,6 +725,15 @@ def _read_files_with_deletes(
     import bisect
 
     key_cols = list(m["delete_keys"])
+    # key files carry their recorded schema in the manifest (widened
+    # over delete commits): plan the key scans from it instead of a
+    # footer-inference job per read
+    ds = m.get("delete_schema")
+    kreader = (
+        spark.read.schema(", ".join(f"`{c}` {ds[c]}" for c in key_cols))
+        if ds and all(c in ds for c in key_cols)
+        else spark.read
+    )
     fseq = m.get("file_seqs", {})
     dseq = m.get("delete_seqs", {})
     inf = float("inf")
@@ -687,7 +748,7 @@ def _read_files_with_deletes(
     for i in sorted(groups):
         part = reader.parquet(*groups[i])
         if dels_sorted[i:]:
-            keys = spark.read.parquet(
+            keys = kreader.parquet(
                 *[str(table / _DATA / d) for d in dels_sorted[i:]]
             )
             part = part.join(keys, on=key_cols, how="left_anti")
@@ -1320,7 +1381,59 @@ def read_delete_increment(
     new_d = sorted(set(cur_d) - old_d)
     if not new_d:
         return None
-    return spark.read.parquet(*[str(table / _DATA / f) for f in new_d])
+    ds = cur_m.get("delete_schema")
+    kc = cur_m.get("delete_keys") or []
+    reader = (
+        spark.read.schema(", ".join(f"`{c}` {ds[c]}" for c in kc))
+        if ds and kc and all(c in ds for c in kc)
+        else spark.read
+    )
+    return reader.parquet(*[str(table / _DATA / f) for f in new_d])
+
+
+def delete_increment_stats(
+    path: str, since_version: int, upto_version: int | None = None
+) -> tuple[int, dict] | None:
+    """(row count, per-column [lo, hi] bounds) over the key files a
+    :func:`read_delete_increment` window would read, straight from the
+    manifest's recorded footer stats — no Spark job.  The refresh paths
+    use this to size and prune the retraction scan (the bounds are
+    parquet footer min/max: possibly truncation-loosened for strings,
+    never tighter than the data — exactly the prune contract).  None
+    when the window is empty or any window file predates stats
+    recording (callers fall back to aggregating the key frame)."""
+    table = Path(path)
+    cur_name = _manifest_for(table, upto_version)
+    if cur_name is None:
+        return None
+    old_name = _manifest_for(table, since_version)
+    cur_m = _load_manifest(table, cur_name)
+    old_m = _load_manifest(table, old_name)
+    new_d = sorted(
+        set(cur_m.get("delete_files", [])) - set(old_m.get("delete_files", []))
+    )
+    if not new_d:
+        return None
+    dstats = cur_m.get("delete_stats", {})
+    if not all(f in dstats for f in new_d):
+        return None  # legacy key files without recorded stats
+    n = 0
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
+    seen_all: set[str] | None = None
+    for f in new_d:
+        rows = int(dstats[f].get("rows", 0))
+        n += rows
+        if rows == 0:
+            continue  # an empty key file constrains nothing
+        cols = dstats[f].get("cols", {})
+        present = set(cols)
+        seen_all = present if seen_all is None else (seen_all & present)
+        for c, (mn, mx) in cols.items():
+            lo[c] = mn if c not in lo else min(lo[c], mn)
+            hi[c] = mx if c not in hi else max(hi[c], mx)
+    bounds = {c: (lo[c], hi[c]) for c in (seen_all or set())}
+    return n, bounds
 
 
 def compact_snapshot(
@@ -1456,7 +1569,10 @@ def rewrite_small_files(
             **{f: seq for f in new_files},
         },
     }
-    for carried in ("delete_files", "delete_keys", "delete_seqs", "schema"):
+    for carried in (
+        "delete_files", "delete_keys", "delete_seqs", "delete_schema",
+        "delete_stats", "schema",
+    ):
         if carried in m:
             manifest[carried] = m[carried]
     if m.get("stream_batch") is not None:

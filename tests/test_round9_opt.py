@@ -140,3 +140,93 @@ def test_stream_shuffle_scope_sets_and_restores(spark, monkeypatch):
             assert spark.conf.get(key) == "3"
             raise RuntimeError("boom")
     assert spark.conf.get(key) == old
+
+
+def test_delete_manifest_records_key_schema_and_stats(spark, tmp_path):
+    """delete_rows records the key files' schema and footer stats in the
+    manifest (delete_schema / delete_stats); both survive appends and
+    small-file rewrites, read_delete_increment plans from the recorded
+    schema (no inference), and delete_increment_stats reproduces the
+    window's exact row count and bounds without a Spark job."""
+    from ght2dm_spark.snapshots import (
+        commit,
+        delete_increment_stats,
+        delete_rows,
+        history,
+        prepare_commit,
+        read_delete_increment,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    rows = [(i, i * 10) for i in range(1, 21)]
+    commit(prepare_commit(spark.createDataFrame(rows, "k long, v long"), table))
+    v0 = history(table)[-1]["seq"]
+    keys = spark.createDataFrame([(3,), (7,), (19,)], "k long")
+    commit(delete_rows(keys, table))
+
+    inc = read_delete_increment(spark, table, since_version=v0)
+    assert inc.schema.simpleString() == "struct<k:bigint>"
+    assert sorted(r.k for r in inc.collect()) == [3, 7, 19]
+
+    st = delete_increment_stats(table, since_version=v0)
+    assert st is not None
+    n, bounds = st
+    assert n == 3 and tuple(bounds["k"]) == (3, 19)
+
+    # appends and rewrites must carry the recorded key schema/stats
+    commit(prepare_commit(
+        spark.createDataFrame([(100, 0)], "k long, v long"), table,
+        mode="append",
+    ))
+    st2 = delete_increment_stats(table, since_version=v0)
+    assert st2 is not None and st2[0] == 3
+    live = read_snapshot(spark, table)
+    assert sorted(r.k for r in live.collect()) == sorted(
+        set(range(1, 21)) - {3, 7, 19} | {100}
+    )
+
+
+def test_delete_rows_null_rejection_leaves_no_orphans(spark, tmp_path):
+    """The fused NULL-key guard stages the key file during the write
+    job; a rejected delete must unlink it again (no orphan data files
+    for vacuum to misread)."""
+    import pathlib
+
+    import pytest
+
+    from ght2dm_spark.snapshots import commit, delete_rows, prepare_commit
+
+    table = tmp_path / "t"
+    commit(prepare_commit(
+        spark.createDataFrame([(1, 2)], "k long, v long"), str(table)))
+    before = sorted(p.name for p in (table / "data").glob("*.parquet"))
+    with pytest.raises(ValueError, match="NULL"):
+        delete_rows(spark.createDataFrame([(None,)], "k long"), str(table))
+    after = sorted(p.name for p in (table / "data").glob("*.parquet"))
+    assert before == after
+
+
+def test_key_prune_agg_first_matches_old_semantics(spark):
+    """_key_prune must keep the exact skip rules through the agg-first
+    restructure: all-NULL columns never prune; with null_keys_match a
+    column containing any NULL is skipped; sub-cap frames still yield
+    IN lists, super-cap frames bounds only."""
+    from ght2dm_spark.incremental import _PUSHDOWN_CAP, _key_prune
+
+    small = spark.createDataFrame(
+        [(1, None, None), (5, 7, None)], "a long, b long, c long"
+    )
+    prune, in_lists = _key_prune(small, null_keys_match=False)
+    assert prune == {"a": (1, 5), "b": (7, 7)}
+    assert in_lists == {"a": [1, 5], "b": [7]}
+
+    prune, in_lists = _key_prune(small, null_keys_match=True)
+    assert prune == {"a": (1, 5)} and in_lists == {"a": [1, 5]}
+
+    big = spark.range(_PUSHDOWN_CAP + 10).select(F.col("id").alias("a"))
+    prune, in_lists = _key_prune(big, null_keys_match=False)
+    assert prune == {"a": (0, _PUSHDOWN_CAP + 9)} and in_lists is None
+
+    empty = spark.createDataFrame([], "a long")
+    assert _key_prune(empty, null_keys_match=False) == (None, None)
