@@ -81,8 +81,16 @@ def t1_doc_bigram_entropy(spark, sf_dir):
     (narrow map, no join); everything downstream groups on doc_id —
     one shuffle key end to end."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", _spark_toks(d).alias("toks")).filter(
-        F.size("toks") >= 2
+    # ONE exchange end to end: hash the doc rows by doc_id BEFORE the
+    # bigram explode — HashPartitioning(doc_id) satisfies the
+    # (doc_id, bigram) groupBy's clustering AND the doc_id window/agg
+    # below, so the two bigram-sized exchanges the old plan paid
+    # (groupBy key, then window key) disappear; the only shuffle moves
+    # |docs| rows, pre-explosion (guide §2.4 "share one exchange").
+    t = (
+        d.select("doc_id", _spark_toks(d).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .repartition("doc_id")
     )
     bg = t.select(
         "doc_id",
