@@ -59,17 +59,28 @@ def _edge_contamination(spark, sf_dir, head: bool):
     ev = d.filter(F.col("doc_id") % 10 == 0).select(
         "doc_id", "lang", edge.alias("shingle")
     )
-    train_sh = (
+    # Membership flipped to filter the BIG side first (guide §3.2): the
+    # probe set is ~|eval docs| edge shingles, so broadcasting IT and
+    # semi-joining the raw train shingle stream against it replaces the
+    # corpus-wide DISTINCT-vocabulary shuffle with a map-side hash
+    # filter; the surviving shingle set (≤ the probe set) is then the
+    # broadcast build side of the original semi join.  Semi-join
+    # membership is duplicate-insensitive, so results are identical.
+    edge_set = ev.select("shingle").distinct()
+    hit_sh = (
         shingle_df(
             load_table(spark, sf_dir, "documents").filter(
                 F.col("doc_id") % 10 != 0
             ),
             "doc_id", "text", 3,
         )
+        .join(F.broadcast(edge_set), "shingle", "left_semi")
         .select("shingle")
         .distinct()
     )
-    hit = ev.join(train_sh, "shingle", "left_semi").groupBy("lang").agg(
+    hit = ev.join(
+        F.broadcast(hit_sh), "shingle", "left_semi"
+    ).groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_leaked")
     )
     tot = ev.groupBy("lang").agg(
