@@ -348,12 +348,19 @@ def t1_js_divergence_sources(spark, sf_dir):
             ).alias("tok"),
         )
     )
-    vocab = tok.select("tok").distinct()
-    srcs = tok.select("source").distinct()
-    grid = srcs.crossJoin(F.broadcast(vocab))
+    # One explode pass instead of three: vocab / srcs / counts used to
+    # aggregate the token stream under THREE different shuffle keys
+    # (tok, source, (source, tok)) — distinct subtrees, so exchange
+    # reuse could not dedupe them and the tokenize+explode ran three
+    # times.  The (source, tok) counts determine both distinct sets, so
+    # derive vocab and srcs FROM the checkpointed counts (≤ |srcs|·|vocab|
+    # rows — the unigram vocabulary is closed).
     c = tok.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
-    )
+    ).localCheckpoint(eager=True)
+    vocab = c.select("tok").distinct()
+    srcs = c.select("source").distinct()
+    grid = srcs.crossJoin(F.broadcast(vocab))
     g = grid.join(c, ["source", "tok"], "left").select(
         "source", "tok", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
     )

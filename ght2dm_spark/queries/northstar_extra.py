@@ -166,6 +166,7 @@ def t1_cross_snapshot_contamination(spark, sf_dir):
     from ght2dm_spark.snapshots import (
         commit,
         prepare_commit,
+        read_increment,
         read_snapshot,
     )
 
@@ -181,39 +182,48 @@ def t1_cross_snapshot_contamination(spark, sf_dir):
         commit(prepare_commit(
             corpus.filter(F.col("doc_id") % 3 == 1), table, mode="append"))
 
-        def vocab(version):
-            snap = read_snapshot(spark, table, version=version)
+        # One membership pass instead of three evsh scans + two full
+        # corpus tokenizations: v1's vocabulary is v0's ∪ the
+        # increment's (append commits only add files), so each eval
+        # shingle carries two flags — present in the v0 vocab, present
+        # in the increment vocab — and hits_v0 / hits_v1 / n_shingles
+        # all roll up in ONE groupBy.  The v0 corpus is tokenized once
+        # (not again inside the v1 read: read_increment plans only the
+        # v1-new files), and the distinct vocab joins stay shingle-keyed
+        # exactly as before.
+        def vocab(df, flag):
             return (
-                shingle_df(snap, "doc_id", "text", 3)
+                shingle_df(df, "doc_id", "text", 3)
                 .select("shingle")
                 .distinct()
+                .withColumn(flag, F.lit(1))
             )
 
-        h0 = (
-            evsh.join(vocab(0), "shingle")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("hits_v0"))
+        v0 = vocab(read_snapshot(spark, table, version=0), "in0")
+        inc = read_increment(spark, table, since_version=0, upto_version=1)
+        vinc = (
+            vocab(inc, "ininc")
+            if inc is not None
+            # empty increment (possible at tiny SFs): no new shingles
+            else v0.select("shingle").limit(0).withColumn(
+                "ininc", F.lit(1)
+            )
         )
-        h1 = (
-            evsh.join(vocab(1), "shingle")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("hits_v1"))
-        )
-        sz = evsh.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles")
-        )
+        m = evsh.join(v0, "shingle", "left").join(vinc, "shingle", "left")
+        hit0 = F.when(F.col("in0") == 1, 1).otherwise(0)
+        hit1 = F.when(
+            (F.col("in0") == 1) | (F.col("ininc") == 1), 1
+        ).otherwise(0)
         out = (
-            sz.join(h0, "doc_id", "left")
-            .join(h1, "doc_id", "left")
+            m.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+                F.sum(hit0).cast("bigint").alias("hits_v0"),
+                F.sum(hit1).cast("bigint").alias("hits_v1"),
+                (F.sum(hit1) - F.sum(hit0)).cast("bigint").alias("new_hits"),
+            )
             .select(
-                "doc_id", "n_shingles",
-                F.coalesce("hits_v0", F.lit(0)).cast("bigint")
-                .alias("hits_v0"),
-                F.coalesce("hits_v1", F.lit(0)).cast("bigint")
-                .alias("hits_v1"),
-                (F.coalesce("hits_v1", F.lit(0))
-                 - F.coalesce("hits_v0", F.lit(0)))
-                .cast("bigint").alias("new_hits"),
+                "doc_id", "n_shingles", "hits_v0", "hits_v1", "new_hits"
             )
             .localCheckpoint(eager=True)
         )
@@ -503,41 +513,79 @@ def t1_quant_recall_drift(spark, sf_dir):
     as t1_sq8_ann; the recall join is rank-bounded."""
     e = load_table(spark, sf_dir, "embeddings")
 
-    def sq_topk(divisor: str):
-        scale = SCALE_SPARK.replace("127.0", divisor)
-        q_expr = Q_SPARK.replace("xd", "CAST(x AS DOUBLE)")
-        qz = e.select(
-            "vec_id",
-            F.expr(scale).alias("scale"),
-            F.expr(f"transform(embedding, x -> {q_expr})").alias("qs"),
+    # One fused quantized pass instead of two: the int8 and int4
+    # variants used to each scan + quantize + pair-score the whole
+    # corpus (two broadcast joins, two window exchanges).  Both codes
+    # derive from the same row, so one scan now carries (scale8, qs8,
+    # scale4, qs4), one broadcast pair join computes both scores, and
+    # the two rank windows share the q_id exchange.  Each per-variant
+    # (scale, qs, score, rank) expression chain is textually the one
+    # the unfused form evaluated — same IEEE chain, same ranks.
+    def q_at(divisor: str, suffix: str) -> str:
+        return (
+            Q_SPARK.replace("xd", "CAST(x AS DOUBLE)")
+            .replace("scale", f"scale{suffix}")
+        ), SCALE_SPARK.replace("127.0", divisor)
+
+    q8_expr, scale8 = q_at("127.0", "8")
+    q4_expr, scale4 = q_at("7.0", "4")
+    qz = e.select(
+        "vec_id", "embedding",
+        F.expr(scale8).alias("scale8"),
+        F.expr(scale4).alias("scale4"),
+    ).select(
+        "vec_id", "scale8", "scale4",
+        F.expr(f"transform(embedding, x -> {q8_expr})").alias("qs8"),
+        F.expr(f"transform(embedding, x -> {q4_expr})").alias("qs4"),
+    )
+    q = qz.filter(F.col("vec_id") < _QRD_QS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("scale8").alias("q_scale8"),
+        F.col("qs8").alias("q_qs8"),
+        F.col("scale4").alias("q_scale4"),
+        F.col("qs4").alias("q_qs4"),
+    )
+    c = qz.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("scale8").alias("c_scale8"),
+        F.col("qs8").alias("c_qs8"),
+        F.col("scale4").alias("c_scale4"),
+        F.col("qs4").alias("c_qs4"),
+    )
+
+    def dot(a: str, b: str):
+        return F.expr(
+            f"CAST(coalesce(aggregate(zip_with({a}, {b},"
+            " (a, b) -> a * b), 0L, (acc, x) -> acc + x), 0L)"
+            " AS DOUBLE)"
         )
-        q = qz.filter(F.col("vec_id") < _QRD_QS).select(
-            F.col("vec_id").alias("q_id"),
-            F.col("scale").alias("q_scale"),
-            F.col("qs").alias("q_qs"),
+
+    s = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id",
+            (
+                F.col("q_scale8") * F.col("c_scale8")
+                * dot("q_qs8", "c_qs8")
+            ).alias("score8"),
+            (
+                F.col("q_scale4") * F.col("c_scale4")
+                * dot("q_qs4", "c_qs4")
+            ).alias("score4"),
         )
-        c = qz.select(
-            F.col("vec_id").alias("c_id"),
-            F.col("scale").alias("c_scale"),
-            F.col("qs").alias("c_qs"),
-        )
-        s = (
-            c.crossJoin(F.broadcast(q))
-            .filter(F.col("q_id") != F.col("c_id"))
-            .select(
-                "q_id", "c_id",
-                (
-                    F.col("q_scale") * F.col("c_scale")
-                    * F.expr(
-                        "CAST(coalesce(aggregate(zip_with(q_qs, c_qs,"
-                        " (a, b) -> a * b), 0L, (acc, x) -> acc + x), 0L)"
-                        " AS DOUBLE)"
-                    )
-                ).alias("score"),
-            )
-        )
+    )
+    # Two separate rank/filter branches over the ONE fused score frame:
+    # each branch keeps the `filter(row_number() <= k)` shape Spark
+    # rewrites into a WindowGroupLimit (a per-partition top-k heap — no
+    # full sort), and both branches share the same hashpartitioning(q_id)
+    # exchange of `s`, so the fused scan+pair map work runs once.  (A
+    # first attempt computed both ranks in one window pass behind an OR
+    # filter: that defeated the group-limit rewrite on BOTH windows and
+    # full-sorted the pair stream twice — 1.44 → 2.03 s, reverted.)
+    def cut(score_col: str):
         w = Window.partitionBy("q_id").orderBy(
-            F.col("score").desc(), F.col("c_id").asc()
+            F.col(score_col).desc(), F.col("c_id").asc()
         )
         return (
             s.withColumn("rank", F.row_number().over(w))
@@ -545,22 +593,31 @@ def t1_quant_recall_drift(spark, sf_dir):
             .select("q_id", "c_id")
         )
 
+    s8 = cut("score8")
+    s4 = cut("score4")
+
     from ght2dm_spark.operators.similarity import topk_neighbors
 
-    q = e.filter(F.col("vec_id") < _QRD_QS).select(
+    q_ex = e.filter(F.col("vec_id") < _QRD_QS).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    c = e.select(
+    c_ex = e.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    exact = topk_neighbors(q, c, k=_QRD_K).select("q_id", "c_id")
+    # exact is referenced three times (h8, h4, the distinct q_id spine)
+    # but deliberately NOT checkpointed: its rank cut rides one q_id
+    # exchange that Spark's exchange reuse serves to all three
+    # references, and an eager checkpoint here measured as a pure
+    # added barrier (part of the 1.44→2.03 s regression of the first
+    # fused attempt, reverted).
+    exact = topk_neighbors(q_ex, c_ex, k=_QRD_K).select("q_id", "c_id")
     h8 = (
-        exact.join(sq_topk("127.0"), ["q_id", "c_id"])
+        exact.join(s8, ["q_id", "c_id"])
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit8"))
     )
     h4 = (
-        exact.join(sq_topk("7.0"), ["q_id", "c_id"])
+        exact.join(s4, ["q_id", "c_id"])
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit4"))
     )

@@ -375,6 +375,15 @@ def _edges(spark, sf_dir):
     seq = ev.select(
         "event_type", F.lead("event_type").over(w).alias("nxt")
     )
+    # NOTE (r09 A/B): checkpointing tc here looks attractive (the edge
+    # frame is referenced up to 4× per consumer and its static plan
+    # replays the events window per reference — 12 Window nodes in
+    # reciprocity's before-plan) but measured NEUTRAL-to-worse
+    # (reciprocity 0.72→0.74 s, assortativity 0.83→0.84 s): Spark's
+    # exchange reuse already serves every re-reference from the one
+    # (src, dst) shuffle, so the only runtime effect was the added
+    # materialization barrier.  Reverted; the static-plan duplication
+    # is cosmetic.
     tc = (
         seq.filter(
             F.col("nxt").isNotNull() & (F.col("event_type") != F.col("nxt"))

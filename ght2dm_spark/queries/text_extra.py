@@ -174,10 +174,17 @@ def t1_ngram_novelty(spark, sf_dir):
     into one join + one groupBy — the t1_vocab_growth trick at document
     granularity.  Integer counts, one division."""
     sh = _sh(spark, sf_dir).select("doc_id", "shingle")
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    # one explode pass: min(doc_id) OVER (PARTITION BY shingle) attaches
+    # each shingle's first-occurrence doc in the same shuffle the old
+    # aggregate-then-self-join form paid TWICE (the tokenize+explode
+    # scan ran once under the groupBy and once under the join probe —
+    # different payloads, so AQE could not reuse the exchange)
+    first = sh.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+    )
     novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     return (
-        sh.join(first, "shingle")
+        first
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
@@ -219,9 +226,14 @@ def t1_rare_shingle_docs(spark, sf_dir):
     vocab-sized, the join key is the shingle both sides already shuffle
     on."""
     sh = _sh(spark, sf_dir)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # one explode pass: the corpus df comes from count(*) OVER
+    # (PARTITION BY shingle) in the same shuffle the old
+    # aggregate-then-self-join paid twice (see t1_ngram_novelty)
     return (
-        sh.join(freq.filter(F.col("df") <= _RARE_DF), "shingle")
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("df") <= _RARE_DF)
         .groupBy("doc_id", "lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rare"))
     )

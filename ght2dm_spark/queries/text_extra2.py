@@ -242,11 +242,17 @@ def t1_zipf_residuals(spark, sf_dir):
     top = freq.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rank") <= _ZIPF_TOP)
+    # checkpoint: pt is exactly _ZIPF_TOP rows but its lineage is the
+    # full shingle-df aggregate + global rank window; it feeds BOTH the
+    # OLS moment aggregate and the final residual projection, and
+    # uncheckpointed each reference replays the whole shingle pass
+    # (4 Generate / 4 Window nodes in the r09 before-plan — two copies
+    # of everything).  One materialized 50-row frame halves the query.
     pt = top.select(
         "shingle", "df", "rank",
         F.round(F.log2(F.col("rank").cast("double")), 9).alias("x"),
         F.round(F.log2(F.col("df").cast("double")), 9).alias("y"),
-    )
+    ).localCheckpoint(eager=True)
     s = pt.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("x").cast("decimal(18,9)")).alias("sx"),

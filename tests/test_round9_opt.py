@@ -230,3 +230,88 @@ def test_key_prune_agg_first_matches_old_semantics(spark):
 
     empty = spark.createDataFrame([], "a long")
     assert _key_prune(empty, null_keys_match=False) == (None, None)
+
+
+def test_window_first_occurrence_matches_aggregate_join_form(spark):
+    """min(doc_id) OVER (PARTITION BY shingle) must mark exactly the
+    rows the old aggregate-then-self-join form marked (the
+    t1_ngram_novelty / t1_rare_shingle_docs restructure: one explode
+    pass instead of two), including duplicate (doc, shingle) rows and
+    single-occurrence shingles."""
+    from pyspark.sql import Window
+
+    sh = spark.createDataFrame(
+        [
+            (1, "a"), (1, "b"), (2, "a"), (2, "c"),
+            (3, "a"), (3, "a"),  # duplicate posting within one doc
+            (3, "d"),
+        ],
+        "doc_id bigint, shingle string",
+    )
+    # old form: first-occurrence via aggregate + join back
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    old = sorted(
+        (r["doc_id"], r["shingle"], r["first_doc"])
+        for r in sh.join(first, "shingle").collect()
+    )
+    # new form: same value via a shingle-partitioned window
+    new = sorted(
+        (r["doc_id"], r["shingle"], r["first_doc"])
+        for r in sh.withColumn(
+            "first_doc",
+            F.min("doc_id").over(Window.partitionBy("shingle")),
+        ).collect()
+    )
+    assert old == new
+    # df variant (t1_rare_shingle_docs): count over the same partition
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    old_df = sorted(
+        (r["doc_id"], r["shingle"], r["df"])
+        for r in sh.join(freq, "shingle").collect()
+    )
+    new_df = sorted(
+        (r["doc_id"], r["shingle"], r["df"])
+        for r in sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        ).collect()
+    )
+    assert old_df == new_df
+
+
+def test_increment_vocab_union_matches_full_v1_read(spark, tmp_path):
+    """v0 ∪ read_increment vocabulary == the full v1 read's vocabulary
+    (the t1_cross_snapshot_contamination restructure: the v1 membership
+    probe joins the v0 vocab and the increment vocab instead of
+    re-tokenizing every v1 file).  Append commits only extend the
+    parent's file list, so the union must be exact — including shingles
+    shared by both sides."""
+    from ght2dm_spark.snapshots import (
+        commit,
+        prepare_commit,
+        read_increment,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "T")
+    d0 = spark.createDataFrame(
+        [(1, "x y"), (2, "y z")], "doc_id bigint, text string"
+    )
+    d1 = spark.createDataFrame(
+        [(3, "y z"), (4, "w")], "doc_id bigint, text string"
+    )
+    commit(prepare_commit(d0, t))
+    commit(prepare_commit(d1, t, mode="append"))
+
+    def vocab(df):
+        return {
+            r["w"]
+            for r in df.select(
+                F.explode(F.split("text", " ")).alias("w")
+            ).distinct().collect()
+        }
+
+    v0 = vocab(read_snapshot(spark, t, version=0))
+    vinc = vocab(read_increment(spark, t, since_version=0, upto_version=1))
+    v1 = vocab(read_snapshot(spark, t, version=1))
+    assert v0 | vinc == v1
+    assert v0 == {"x", "y", "z"} and v1 == {"x", "y", "z", "w"}
