@@ -146,6 +146,7 @@ def bfs_levels(
     src: str = "src",
     dst: str = "dst",
     max_level: int = 3,
+    symmetrized: bool = False,
 ) -> DataFrame:
     """Breadth-first search: hop distance from a seed set, frontier style.
 
@@ -154,6 +155,14 @@ def bfs_levels(
     count, because a node joins the visited set the first round it is
     reachable and the anti-join bars rediscovery at a larger level.
     Integer-only arithmetic — deterministic across engines and runs.
+
+    ``symmetrized=True``: the caller guarantees ``edges`` is ALREADY a
+    deduplicated bidirectional list, so the union+distinct expansion is
+    skipped.  A bipartite caller whose two directions live in disjoint
+    key namespaces (t1_bfs_levels: even supplier ids, odd part ids) can
+    prove the swapped union of a distinct edge set is itself distinct —
+    paying ``_symmetrize``'s second full-width Exchange there buys
+    nothing (guide §2.1: remove the shuffle outright).
 
     Scale: each round shuffles only the frontier join (edges hashed on
     src) and an anti-join against visited (|V| rows max, not |E|).  The
@@ -165,7 +174,12 @@ def bfs_levels(
     # joins it, and without the cache each round would replay the
     # union+distinct over the raw edges.  Pre-partitioned on the join
     # key so rounds reuse the cached partitioning (the pagerank note).
-    both = _symmetrize(edges, src, dst).repartition("a").cache()
+    pre = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        if symmetrized
+        else _symmetrize(edges, src, dst)
+    )
+    both = pre.repartition("a").cache()
     # Levels are localCheckpoint-ed LAZILY: the per-round count() right
     # after is the materializing action (one job per round, not a
     # checkpoint job plus a count job), and checkpointed frames stand
@@ -214,6 +228,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     materialize_every: int = 10,
+    symmetrized: bool = False,
 ) -> DataFrame:
     """PageRank over an undirected graph (edges expanded to both
     directions) in INTEGER fixed-point: ranks are BIGINT multiples of
@@ -250,7 +265,14 @@ def pagerank(
     # edges⋈ranks join would re-shuffle all |E| rows; partitioned on
     # ``a`` the cached scan's output partitioning satisfies the join and
     # only the |V|-row rank frame moves per round.
-    both = _symmetrize(edges, src, dst).repartition("a").cache()
+    # ``symmetrized=True``: caller-guaranteed deduplicated bidirectional
+    # input — skip the union+distinct (same contract as bfs_levels).
+    pre = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        if symmetrized
+        else _symmetrize(edges, src, dst)
+    )
+    both = pre.repartition("a").cache()
     # deg ⋈ ranks pre-join: both are |V|-row frames keyed on the node,
     # fusing them means ONE small frame joins the edges each round
     deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("od")).cache()

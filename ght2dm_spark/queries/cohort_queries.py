@@ -351,21 +351,40 @@ def t1_bfs_levels(spark, sf_dir):
     expansion + anti-join against visited gives min-hop levels with
     integer-only arithmetic.  The oracle unrolls the same three rounds
     as CTEs.  See operators/graph.bfs_levels for the scale argument
-    (per-round shuffles touch the frontier, never the full edge set)."""
+    (per-round shuffles touch the frontier, never the full edge set).
+
+    Node ids stay LONG through every shuffle (suppkey→2k, partkey→2k+1,
+    the t1_pagerank relabel — a bijection, so hop sets are unchanged)
+    and decode to the oracle's 's<k>'/'p<k>' labels only in the final
+    ≤|V|-row projection: long keys shuffle/compare measurably faster
+    than strings in the edge distinct, the per-round frontier distincts
+    and the visited anti-joins.  The swapped union of the distinct
+    (even, odd) edge set is itself distinct (directions live in
+    disjoint namespaces), so ``symmetrized=True`` skips _symmetrize's
+    second full-width Exchange."""
     from ght2dm_spark.operators.graph import bfs_levels
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    e0 = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     ).distinct()
+    both = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     seeds = (
         load_table(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") <= 10)
-        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+        .select((F.col("s_suppkey") * 2).alias("node"))
     )
-    out = bfs_levels(edges, seeds, max_level=3)
-    return out.select("node", F.col("level").cast("int").alias("level"))
+    out = bfs_levels(both, seeds, max_level=3, symmetrized=True)
+    label = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("s")).otherwise(F.lit("p")),
+        F.expr("node div 2"),
+    )
+    return out.select(
+        label.alias("node"), F.col("level").cast("int").alias("level")
+    )
 
 
 _PR_ITERS = 3
@@ -426,11 +445,18 @@ def t1_pagerank(spark, sf_dir):
         (F.col("l_suppkey") * 2).alias("src"),
         (F.col("l_partkey") * 2 + 1).alias("dst"),
     ).distinct()
+    # the swapped union of the distinct (even, odd) edge set is itself
+    # distinct (disjoint direction namespaces) — pre-symmetrize here so
+    # the operator skips _symmetrize's second full-width Exchange
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     out = pagerank(
-        edges,
+        both,
         iterations=_PR_ITERS,
         damp_num=_PR_DAMP_NUM,
         damp_den=_PR_DAMP_DEN,
+        symmetrized=True,
     )
     label = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("s")).otherwise(F.lit("p")),

@@ -315,3 +315,42 @@ def test_increment_vocab_union_matches_full_v1_read(spark, tmp_path):
     v1 = vocab(read_snapshot(spark, t, version=1))
     assert v0 | vinc == v1
     assert v0 == {"x", "y", "z"} and v1 == {"x", "y", "z", "w"}
+
+
+def test_bfs_pagerank_symmetrized_matches_default(spark):
+    """symmetrized=True with a caller-pre-symmetrized edge list must be
+    bit-equivalent to the default _symmetrize path, for BOTH iterative
+    operators that take the flag — and the t1_bfs_levels long relabel
+    (2k / 2k+1) must reproduce the string-keyed levels under the
+    decode bijection."""
+    from ght2dm_spark.operators.graph import bfs_levels, pagerank
+
+    # small bipartite graph: suppliers 0..4 (even ids), parts (odd ids)
+    pairs = [(0, 101), (0, 102), (1, 102), (2, 103), (3, 104), (4, 105),
+             (1, 101), (2, 102)]
+    edges = spark.createDataFrame(
+        [(2 * s, 2 * p + 1) for s, p in pairs], "src bigint, dst bigint"
+    ).distinct()
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.createDataFrame([(0,), (2,)], "node bigint")
+
+    bfs_default = {
+        (r["node"], r["level"])
+        for r in bfs_levels(edges, seeds, max_level=3).collect()
+    }
+    bfs_sym = {
+        (r["node"], r["level"])
+        for r in bfs_levels(both, seeds, max_level=3, symmetrized=True).collect()
+    }
+    assert bfs_sym == bfs_default and bfs_default  # non-vacuous
+
+    pr_default = {
+        (r["node"], r["r"]) for r in pagerank(edges, iterations=3).collect()
+    }
+    pr_sym = {
+        (r["node"], r["r"])
+        for r in pagerank(both, iterations=3, symmetrized=True).collect()
+    }
+    assert pr_sym == pr_default and pr_default
