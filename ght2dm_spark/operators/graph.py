@@ -162,7 +162,12 @@ def bfs_levels(
     key namespaces (t1_bfs_levels: even supplier ids, odd part ids) can
     prove the swapped union of a distinct edge set is itself distinct —
     paying ``_symmetrize``'s second full-width Exchange there buys
-    nothing (guide §2.1: remove the shuffle outright).
+    nothing (guide §2.1: remove the shuffle outright).  This is an
+    UNCHECKED trust contract: BFS merely tolerates duplicate edges
+    (the frontier distinct absorbs them), but ``pagerank`` under the
+    same flag double-counts degrees and rank contributions — pass
+    ``symmetrized=True`` only with a proof like the namespace argument
+    above (the shared producer is ``cohort_queries._sp_bipartite_edges``).
 
     Scale: each round shuffles only the frontier join (edges hashed on
     src) and an anti-join against visited (|V| rows max, not |E|).  The
@@ -266,7 +271,11 @@ def pagerank(
     # ``a`` the cached scan's output partitioning satisfies the join and
     # only the |V|-row rank frame moves per round.
     # ``symmetrized=True``: caller-guaranteed deduplicated bidirectional
-    # input — skip the union+distinct (same contract as bfs_levels).
+    # input — skip the union+distinct (same contract as bfs_levels, but
+    # HERE a violated contract CORRUPTS results, not just performance:
+    # a duplicated edge double-counts its degree and its per-round rank
+    # contribution.  Pass True only with a distinctness proof — see
+    # bfs_levels' docstring and cohort_queries._sp_bipartite_edges).
     pre = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         if symmetrized

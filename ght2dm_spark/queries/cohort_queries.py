@@ -322,6 +322,32 @@ def t1_dedup_keep_canonical(spark, sf_dir):
     )
 
 
+def _sp_bipartite_edges(li):
+    """Distinct supplier↔part edge set relabeled to LONGs (suppkey→2k,
+    partkey→2k+1 — disjoint even/odd namespaces, a bijection), returned
+    PRE-SYMMETRIZED: the swapped union of a distinct (even, odd) edge
+    set is itself distinct because the two directions live in disjoint
+    key namespaces, which is exactly the ``symmetrized=True`` contract
+    of bfs_levels/pagerank (pagerank silently double-counts degrees on
+    duplicate edges — keep this the ONLY producer of that contract)."""
+    e0 = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    return e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _sp_decode_label(node: str = "node"):
+    """Decode the even/odd LONG relabeling back to the oracle's
+    's<k>'/'p<k>' string labels (final ≤|V|-row projection only)."""
+    return F.concat(
+        F.when(F.col(node) % 2 == 0, F.lit("s")).otherwise(F.lit("p")),
+        F.expr(f"{node} div 2"),
+    )
+
+
 @register(
     "t1_bfs_levels",
     oracle="""
@@ -365,25 +391,16 @@ def t1_bfs_levels(spark, sf_dir):
     from ght2dm_spark.operators.graph import bfs_levels
 
     li = load_table(spark, sf_dir, "lineitem")
-    e0 = li.select(
-        (F.col("l_suppkey") * 2).alias("src"),
-        (F.col("l_partkey") * 2 + 1).alias("dst"),
-    ).distinct()
-    both = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    both = _sp_bipartite_edges(li)
     seeds = (
         load_table(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") <= 10)
         .select((F.col("s_suppkey") * 2).alias("node"))
     )
     out = bfs_levels(both, seeds, max_level=3, symmetrized=True)
-    label = F.concat(
-        F.when(F.col("node") % 2 == 0, F.lit("s")).otherwise(F.lit("p")),
-        F.expr("node div 2"),
-    )
     return out.select(
-        label.alias("node"), F.col("level").cast("int").alias("level")
+        _sp_decode_label().alias("node"),
+        F.col("level").cast("int").alias("level"),
     )
 
 
@@ -436,21 +453,8 @@ def t1_pagerank(spark, sf_dir):
     from ght2dm_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
-    # every iteration joins + aggregates on the node id, so keep it a
-    # LONG through the whole computation (suppkey→2k, partkey→2k+1 —
-    # the bipartite sides can't collide) and decode to the oracle's
-    # 's<k>'/'p<k>' labels only in the final projection: long hash keys
-    # shuffle/compare measurably faster than strings at every scale
-    edges = li.select(
-        (F.col("l_suppkey") * 2).alias("src"),
-        (F.col("l_partkey") * 2 + 1).alias("dst"),
-    ).distinct()
-    # the swapped union of the distinct (even, odd) edge set is itself
-    # distinct (disjoint direction namespaces) — pre-symmetrize here so
-    # the operator skips _symmetrize's second full-width Exchange
-    both = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # long node keys + pre-symmetrized edges: see _sp_bipartite_edges
+    both = _sp_bipartite_edges(li)
     out = pagerank(
         both,
         iterations=_PR_ITERS,
@@ -458,11 +462,9 @@ def t1_pagerank(spark, sf_dir):
         damp_den=_PR_DAMP_DEN,
         symmetrized=True,
     )
-    label = F.concat(
-        F.when(F.col("node") % 2 == 0, F.lit("s")).otherwise(F.lit("p")),
-        F.expr("node div 2"),
+    return out.select(
+        _sp_decode_label().alias("node"), F.col("r").alias("rank_e12")
     )
-    return out.select(label.alias("node"), F.col("r").alias("rank_e12"))
 
 
 @register(

@@ -400,8 +400,7 @@ _PSI_BINS = 10
                  CAST(nb AS DOUBLE) / tb AS pb
           FROM t WHERE na > 0 AND nb > 0)
     SELECT bin, na, nb, ta, tb,
-           CAST(round((pa - pb) * ln(pa / pb), 6) AS DECIMAL(18,6))
-             AS psi_term
+           round((pa - pb) * ln(pa / pb), 6) AS psi_term
     FROM e
     """,
 )
@@ -419,6 +418,16 @@ def t1_psi_drift(spark, sf_dir):
     exact BIGINT cells na/nb/ta/tb that DETERMINE each term are now on
     the hashed surface so a recurrence isolates which side moved);
     empty-on-either-side bins are excluded, standard PSI practice.
+    r9 hashed red AGAIN with every integer cell on the surface and
+    ≥7.6e-9 absolute margin to any 6-dp boundary (ULP noise is 1e-16
+    relative — no engine's ln can flip a digit), so the residual
+    suspect is the DECIMAL(18,6) cell itself: psi_term was the ONLY
+    decimal-typed output cell across all 366 declared queries (schema
+    scan, r10), while ~50 queries emitting round(x, 6) as DOUBLE hash
+    green every round.  r10 therefore emits psi_term as a rounded
+    DOUBLE on both engines — the proven-green representation.  A -0.0
+    cannot arise: (pa−pb) and ln(pa/pb) always share a sign, so the
+    product is ≥ +0.0 on both engines.
     Scale: one map-side-combinable groupBy to 10 bins."""
     s = (
         load_table(spark, sf_dir, "events")
@@ -452,7 +461,7 @@ def t1_psi_drift(spark, sf_dir):
         "bin", "na", "nb", "ta", "tb",
         F.round(
             (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 6
-        ).cast("decimal(18,6)").alias("psi_term"),
+        ).alias("psi_term"),
     )
 
 

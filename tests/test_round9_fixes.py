@@ -123,6 +123,11 @@ def test_psi_surface_carries_exact_integer_cells(spark, sf_dir):
     df = QUERIES["t1_psi_drift"](spark, sf_dir)
     assert {"na", "nb", "ta", "tb"} <= set(df.columns)
     types = dict(df.dtypes)
-    assert types["psi_term"] == "decimal(18,6)"
+    # r10: psi_term is a rounded DOUBLE, not DECIMAL — it was the only
+    # decimal-typed output cell in the registry and the only hash-red
+    # (r8 at 9 dp, r9 at 6 dp with exact integers on the surface and
+    # >=7.6e-9 margin to any boundary); doubles are the proven-green
+    # representation for rounded outputs.
+    assert types["psi_term"] == "double"
     for c in ("na", "nb", "ta", "tb"):
         assert types[c] == "bigint"
