@@ -134,7 +134,23 @@ def kmeans_int_grouped(
     grouped, each iteration is ONE broadcast join on the group key (the
     centroid table is M×K rows — still tiny) plus ONE (g, cid, dim)
     aggregation.  Returns (assignment (g, id, v, cid, d), centroids
-    (g, cid, c))."""
+    (g, cid, c)).
+
+    Two restructures were built and A/B-REVERTED in r10 (tight
+    stash/unstash pairs at sf0.1, 5-rep p50s — see OPTIMIZATION_r10.md):
+    (a) literal-centroid pure-map assignment (collect the K×M centroids
+    per round, embed as an array literal, argmin via
+    filter+transform+array_min — no join, no Exchange): 2-3× SLOWER
+    (pq_ann 3.5→10.2 s, ivfadc 5.9→10.3 s) — interpreted
+    higher-order-function evaluation over struct-array literals loses
+    badly to the codegen'd broadcast join + partial-combining hash
+    aggregate, and the per-round collects serialize the lazy training
+    chain into per-round jobs; (b) posexplode-free centroid update
+    (ONE (g, cid) aggregate with per-dim sums): +25-49 % at dim=64
+    (65-buffer update codegen bloat) and NEUTRAL at dim=16 interleaved
+    — the explode form's (g, cid, i) partial aggregate combines to
+    K×M×dim cells map-side, so there was never a material shuffle to
+    remove.  Do not reattempt either without new evidence."""
     vec = F.col(vec_col) if pre_scaled else int_vec(F.col(vec_col))
     v = df.select(
         F.col(grp_col).alias("g"), F.col(id_col).alias("id"), vec.alias("v")

@@ -74,6 +74,30 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def with_norm2(df, vec_col: str, prefix: str):
+    """Project ``vec_col`` to (``<prefix>_nd``, ``<prefix>_n2``): the
+    double-cast vector and its squared norm, computed ONCE PER ROW so a
+    downstream pair join never re-pays the cast or the self-dot per
+    pair (the r9 topk_neighbors hoist, guide §1.2 per-task work /
+    §2.3 narrower pair payload).  Keeps every other column."""
+    nd = f"{prefix}_nd"
+    return df.withColumn(nd, as_double(F.col(vec_col))).withColumn(
+        f"{prefix}_n2", dot(F.col(nd), F.col(nd))
+    )
+
+
+def cosine_hoisted(nd_a: Column, n2_a: Column, nd_b: Column, n2_b: Column) -> Column:
+    """Cosine over pre-hoisted per-side (double-vector, squared-norm)
+    pairs — bit-identical to :func:`cosine` on the same inputs: dot(v,v)
+    is the identical left-to-right fold, the denominator is
+    sqrt(n2a * n2b) in both forms, and the zero-norm NaN guard is the
+    same; only dot(a, b) remains per pair."""
+    denom = F.sqrt(n2_a * n2_b)
+    return F.when(denom == 0.0, F.lit(float("nan"))).otherwise(
+        dot(nd_a, nd_b) / denom
+    )
+
+
 def dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
     """DuckDB mirror of :func:`dot` (1-based indexing, sequential fold)."""
     return (

@@ -292,7 +292,7 @@ def t1_ann_ivf_learned(spark, sf_dir):
         kmeans_int,
         sqdist_int,
     )
-    from ght2dm_spark.operators.similarity import as_double, cosine
+    from ght2dm_spark.operators.similarity import cosine_hoisted, with_norm2
 
     e = load_table(spark, sf_dir, "embeddings")
     asg, cents = kmeans_int(
@@ -313,15 +313,29 @@ def t1_ann_ivf_learned(spark, sf_dir):
         .filter(F.col("rn") <= _IVF_NPROBE)
         .select("q_id", "cid")
     )
-    qe = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    ce = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    # double-cast + squared norm hoisted per SIDE (once per row) so the
+    # probed-list pair stream pays one fold per pair, not three + two
+    # array casts — bit-identical cos doubles (operators/similarity
+    # .cosine_hoisted; oracle unchanged)
+    en = with_norm2(e, "embedding", "e")
+    qe = en.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e_nd").alias("q_nd"), F.col("e_n2").alias("q_n2"),
+    )
+    ce = en.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("e_nd").alias("c_nd"), F.col("e_n2").alias("c_n2"),
+    )
     scored = (
         qp.join(inv, "cid")
         .filter(F.col("q_id") != F.col("c_id"))
         .join(F.broadcast(qe), "q_id")
         .join(ce, "c_id")
         .withColumn(
-            "cos", cosine(as_double(F.col("q_vec")), as_double(F.col("c_vec")))
+            "cos",
+            cosine_hoisted(
+                F.col("q_nd"), F.col("q_n2"), F.col("c_nd"), F.col("c_n2")
+            ),
         )
         .groupBy("q_id", "c_id")
         .agg(F.min("cos").alias("cos"))

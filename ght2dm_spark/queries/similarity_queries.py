@@ -20,8 +20,9 @@ from ght2dm_spark.operators.similarity import (
     srp_projections,
     EMB_DIM,
     as_double,
-    cosine,
+    cosine_hoisted,
     cosine_sql,
+    with_norm2,
     l2_dist,
     l2_sql,
     srp_bucket,
@@ -259,20 +260,32 @@ def t1_ann_ivf_topk(spark, sf_dir):
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("__d").asc(), F.col("cid").asc())
     ranked = scored_cent.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "cid")
-    qprobe = (
+    # per-side double cast + squared norm hoisted ABOVE the probed-list
+    # pair join: one fold per pair instead of three + two array casts,
+    # bit-identical cos (operators/similarity.cosine_hoisted)
+    assign = with_norm2(
+        ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "cid"),
+        "embedding",
+        "c",
+    ).select("vec_id", "cid", "c_nd", "c_n2")
+    qprobe = with_norm2(
         ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_vec"),
             "cid",
-        )
-    )
+        ),
+        "q_vec",
+        "q",
+    ).select("q_id", "cid", "q_nd", "q_n2")
     scored = (
         assign.join(F.broadcast(qprobe), "cid")
         .filter(F.col("q_id") != F.col("vec_id"))
         .withColumn(
-            "cos", cosine(as_double(F.col("q_vec")), as_double(F.col("embedding")))
+            "cos",
+            cosine_hoisted(
+                F.col("q_nd"), F.col("q_n2"), F.col("c_nd"), F.col("c_n2")
+            ),
         )
         .groupBy("q_id", F.col("vec_id").alias("c_id"))
         .agg(F.min("cos").alias("cos"))
@@ -327,14 +340,25 @@ def t1_embedding_neardup(spark, sf_dir):
         ).alias("embedding"),
     )
     aug = e.unionByName(pert)
-    withb = aug.withColumn("bucket", srp_bucket(F.col("embedding")))
+    # bucket + per-side norms computed once per ROW; the within-bucket
+    # pair stream pays one fold per pair (bit-identical cos — see
+    # operators/similarity.cosine_hoisted)
+    withb = with_norm2(
+        aug.withColumn("bucket", srp_bucket(F.col("embedding"))),
+        "embedding",
+        "e",
+    )
     a = withb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket"
+        F.col("vec_id").alias("id_a"),
+        F.col("e_nd").alias("nd_a"), F.col("e_n2").alias("n2_a"), "bucket",
     )
     b = withb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "bucket"
+        F.col("vec_id").alias("id_b"),
+        F.col("e_nd").alias("nd_b"), F.col("e_n2").alias("n2_b"), "bucket",
     )
-    cos = cosine(as_double(F.col("emb_a")), as_double(F.col("emb_b")))
+    cos = cosine_hoisted(
+        F.col("nd_a"), F.col("n2_a"), F.col("nd_b"), F.col("n2_b")
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -424,15 +448,25 @@ def t1_ann_lsh_banded(spark, sf_dir):
         .select("q_id", F.col("vec_id").alias("c_id"))
         .distinct()
     )
-    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    # per-side norms hoisted below the candidate join — one fold per
+    # candidate pair, bit-identical cos (cosine_hoisted)
+    en = with_norm2(e, "embedding", "e")
+    qe = en.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e_nd").alias("q_nd"), F.col("e_n2").alias("q_n2"),
     )
-    ce = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    ce = en.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("e_nd").alias("c_nd"), F.col("e_n2").alias("c_n2"),
+    )
     scored = (
         cand.join(ce, "c_id")
         .join(F.broadcast(qe), "q_id")
         .withColumn(
-            "cos", cosine(as_double(F.col("q_vec")), as_double(F.col("c_vec")))
+            "cos",
+            cosine_hoisted(
+                F.col("q_nd"), F.col("q_n2"), F.col("c_nd"), F.col("c_n2")
+            ),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
