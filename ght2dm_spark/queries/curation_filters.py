@@ -29,6 +29,7 @@ double that two engines computed, make the double itself deterministic.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ght2dm_spark.functions.quantize import (
@@ -248,13 +249,22 @@ def t1_dup_ngram_coverage(spark, sf_dir):
     keys are high-cardinality md5s — no skew; partial aggregation
     absorbs the explode before every exchange."""
     grams = _gram_rows(spark, sf_dir)
-    nd = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    # the oracle's nd >= 2 needs only "does g occur in ≥2 DISTINCT
+    # docs", which is exactly min(doc_id) ≠ max(doc_id) per gram — two
+    # window aggregates in the ONE hashpartitioning(g) exchange replace
+    # the aggregate-then-join-back shape (one cached-gram pass and one
+    # exchange fewer; the r9 §12 window-first precedent, guide §2.4:
+    # same-key window needs no second shuffle)
+    wg = Window.partitionBy("g")
+    dup = (F.min("doc_id").over(wg) != F.max("doc_id").over(wg)).alias(
+        "dup"
+    )
     per = (
-        grams.join(nd, "g")
+        grams.select("doc_id", dup)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.count_if(F.col("nd") >= 2).alias("n_dup"),
+            F.count_if(F.col("dup")).alias("n_dup"),
         )
     )
     d = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -289,14 +299,19 @@ def t1_source_dup_profile(spark, sf_dir):
     cardinality is safe HERE because partial aggregation reduces each
     task to ≤|sources| rows before the exchange."""
     grams = _gram_rows(spark, sf_dir)
-    nd = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    # same min≠max-over-(g) replacement of the nd aggregate+join as
+    # t1_dup_ngram_coverage (nd >= 2 ⟺ ≥2 distinct doc_ids share g)
+    wg = Window.partitionBy("g")
+    dup = (F.min("doc_id").over(wg) != F.max("doc_id").over(wg)).alias(
+        "dup"
+    )
     return (
-        grams.join(nd, "g")
+        grams.select("source", "doc_id", dup)
         .groupBy("source")
         .agg(
             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.count_if(F.col("nd") >= 2).cast("bigint").alias("n_dup"),
+            F.count_if(F.col("dup")).cast("bigint").alias("n_dup"),
         )
     )
 

@@ -25,6 +25,7 @@ exact-after-round-6 by t1_embedding_neardup.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ght2dm_spark.io import load_table
@@ -334,11 +335,16 @@ def t1_span_dedup(spark, sf_dir):
             F.concat_ws(" ", F.slice("toks", F.col("s") + 1, _SPAN_K))
         ).alias("ghash"),
     )
-    dup = grams.groupBy("ghash").agg(F.count(F.lit(1)).alias("c")).filter(
-        F.col("c") >= 2
-    ).select("ghash")
+    # corpus-frequency filter as count(*) OVER (PARTITION BY ghash) in
+    # the gram stream's own shuffle: the aggregate-then-join-back form
+    # ran the tokenize+md5 gram pipeline TWICE (agg subtree + probe
+    # subtree, different exchange shapes — no reuse) and shuffled both
+    # join sides on the vocabulary-sized ghash key.  Same c >= 2 set,
+    # one gram pass, one exchange (the t1_dup_ngram_coverage move).
+    wg = Window.partitionBy("ghash")
     ds = (
-        grams.join(dup, "ghash")
+        grams.withColumn("__c", F.count(F.lit(1)).over(wg))
+        .filter(F.col("__c") >= 2)
         .groupBy("doc_id")
         .agg(
             F.array_sort(F.collect_list("s")).alias("starts"),

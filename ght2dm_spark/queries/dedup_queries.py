@@ -12,6 +12,7 @@ planted duplicates (nonzero output — no trivially-empty match).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ght2dm_spark.functions.text import content_fingerprint
@@ -29,6 +30,7 @@ from ght2dm_spark.operators.neardup import (
     minhash_signature,
     shingle_sql,
     sig_jaccard,
+    shingle_array_df,
     shingle_df,
     simhash64,
     simhash_sql,
@@ -203,14 +205,18 @@ def t1_ssjoin_prefix(spark, sf_dir):
     (vocabulary-sized, NOT broadcast — at 100 TB a shingle vocabulary
     doesn't fit one executor)."""
     aug = _aug_docs(spark, sf_dir)
-    toks = (
-        shingle_df(aug, "doc_id", "text", 3)
-        .withColumnRenamed("shingle", "tok")
-        .cache()
-    )
-    df_cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # ONE cached tokenize pass: the un-exploded distinct-gram ARRAY per
+    # doc (shingle_array_df) feeds the ordering branch (exploded below)
+    # AND the exact-intersection recount (array_intersect — no second
+    # two-sided tok join, the r9 §3 move); the per-tok document
+    # frequency is count(*) OVER (PARTITION BY tok) in the explode's
+    # own shuffle instead of an aggregate joined back on the
+    # vocabulary-sized tok key (the t1_dup_ngram_coverage move).
+    arr = shingle_array_df(aug, "doc_id", "text", 3).cache()
+    toks = arr.select("doc_id", F.explode("shs").alias("tok"))
+    wt = Window.partitionBy("tok")
     ordered = (
-        toks.join(df_cnt, "tok")
+        toks.withColumn("df", F.count(F.lit(1)).over(wt))
         .groupBy("doc_id")
         .agg(
             F.array_sort(
@@ -243,19 +249,18 @@ def t1_ssjoin_prefix(spark, sf_dir):
         .select("id_a", "id_b", "sa", "sb")
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("id_a"), "tok")
-    tb = toks.select(
-        F.col("doc_id").alias("id_b2"), F.col("tok").alias("tok_b")
-    )
+    aa = arr.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a"))
+    bb = arr.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b"))
     inter = (
-        cand.join(ta, "id_a")
-        .join(
-            tb,
-            (F.col("id_b") == F.col("id_b2"))
-            & (F.col("tok") == F.col("tok_b")),
+        cand.join(aa, "id_a")
+        .join(bb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "sa",
+            "sb",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("inter"),
         )
-        .groupBy("id_a", "id_b", "sa", "sb")
-        .agg(F.count(F.lit(1)).alias("inter"))
     )
     uni = F.col("sa") + F.col("sb") - F.col("inter")
     return (

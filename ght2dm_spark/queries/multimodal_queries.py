@@ -6,6 +6,7 @@ DuckDB oracles (md5 over the same bytes, ascii() for the fake header).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 import pandas as pd
@@ -341,10 +342,18 @@ def t1_image_ahash(spark, sf_dir):
 
     pay = d.select("doc_id", make("doc_id").alias("payload"))
     hashed = image_ahash(pay, "payload", keep=["doc_id"])
-    cl = hashed.groupBy("ahash").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_same")
+    # count-per-hash as a window IN the ahash shuffle, not an
+    # aggregate-then-join-back: the aggregate subtree and the probe
+    # subtree each contained the pandas-UDF decode (different shuffle
+    # shapes — ReusedExchange can't serve them), so the join form
+    # PIXEL-DECODED THE WHOLE CORPUS TWICE.  One ArrowEvalPython pass
+    # now (plan: 2 → 1), identical counts.
+    wa = Window.partitionBy("ahash")
+    return hashed.select(
+        "doc_id",
+        "ahash",
+        F.count(F.lit(1)).over(wa).cast("bigint").alias("n_same"),
     )
-    return hashed.join(cl, "ahash").select("doc_id", "ahash", "n_same")
 
 
 _AUDIO_FP_SQL = """
@@ -537,9 +546,14 @@ def t1_media_dedup(spark, sf_dir):
 
     pay = aug.select("doc_id", make("seed").alias("payload"))
     hashed = image_ahash(pay, "payload", keep=["doc_id"])
-    canon = hashed.groupBy("ahash").agg(F.min("doc_id").alias("canonical"))
+    # canonical-per-fingerprint as min(doc_id) OVER the ahash window —
+    # the aggregate+join-back form decoded every image twice (the same
+    # two-ArrowEvalPython shape as t1_image_ahash, fixed the same way)
+    wa = Window.partitionBy("ahash")
     return (
-        hashed.join(canon, "ahash")
+        hashed.select(
+            "doc_id", "ahash", F.min("doc_id").over(wa).alias("canonical")
+        )
         .filter(F.col("doc_id") != F.col("canonical"))
         .select("doc_id", "canonical", "ahash")
     )

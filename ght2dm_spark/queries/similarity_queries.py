@@ -704,11 +704,19 @@ def t1_ann_euclidean_topk(spark, sf_dir):
     corpus-never-shuffles plan, distance folded left-to-right so both
     engines produce bit-identical doubles, ties broken by neighbor id."""
     e = load_table(spark, sf_dir, "embeddings")
+    # double casts hoisted per SIDE: the corpus row's cast runs once
+    # instead of once per query pairing (and the broadcast query side's
+    # once instead of once per corpus row); the l2 fold itself stays
+    # per-pair on the SAME doubles — bit-identical dist
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("q_id"),
+        as_double(F.col("embedding")).alias("q_nd"),
     )
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    d = l2_dist(as_double(F.col("q_vec")), as_double(F.col("c_vec")))
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        as_double(F.col("embedding")).alias("c_nd"),
+    )
+    d = l2_dist(F.col("q_nd"), F.col("c_nd"))
     w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("c_id").asc())
     out = (
         c.crossJoin(F.broadcast(q))
