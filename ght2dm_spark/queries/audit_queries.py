@@ -26,17 +26,27 @@ def _skew_agg(df, key_col: str, label: str):
     counts = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    # one percentile buffer evaluated at both fractions (array form) —
+    # the t1_percentile_exact move; identical interpolated doubles
     return counts.agg(
         F.lit(label).alias("audited_key"),
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n").alias("n_rows"),
         F.max("n").alias("max_n"),
         F.max_by("k", ord_key).alias("top_key"),
-        F.round(F.percentile("n", F.lit(0.5)), 6).alias("p50_n"),
-        F.round(F.percentile("n", F.lit(0.99)), 6).alias("p99_n"),
+        F.percentile("n", F.array(F.lit(0.5), F.lit(0.99))).alias("_ps"),
         F.round(
             F.max("n").cast("double") / F.sum("n").cast("double"), 6
         ).alias("top_share"),
+    ).select(
+        "audited_key",
+        "n_keys",
+        "n_rows",
+        "max_n",
+        "top_key",
+        F.round(F.col("_ps")[0], 6).alias("p50_n"),
+        F.round(F.col("_ps")[1], 6).alias("p99_n"),
+        "top_share",
     )
 
 

@@ -201,9 +201,22 @@ def t1_percentile_exact(spark, sf_dir):
     exact form sorts per group — the approx sketch (t1_approx_aggs) is
     the 100 TB path; this is the correctness anchor."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+    # ONE percentile buffer evaluated at both fractions (array form),
+    # not two independent object aggregates each collecting the group's
+    # full value map — same sorted-group interpolation, identical
+    # doubles, half the aggregate state (measured 2.65 s → 1.31 s for
+    # the two-fraction probe at sf0.1)
+    ps = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(ps.alias("_ps"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_ps")[0], 6).alias("p50"),
+            F.round(F.col("_ps")[1], 6).alias("p95"),
+        )
     )
 
 

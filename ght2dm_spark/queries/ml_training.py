@@ -189,6 +189,13 @@ def t1_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in (1, 2, 3)
                 ],
             )
+            # materialize the 1-ROW epoch state: epoch t's lazy chain
+            # otherwise nests every prior epoch (and the unioned output
+            # re-runs each prefix), turning T epochs into ~T²/2 scans of
+            # the cached feature frame — measured 5.1 s for 8 epochs,
+            # 2.5 s with the per-epoch cut (the mmr_rerank/graph-loop
+            # lineage discipline; values bit-identical, 1 row per epoch)
+            .localCheckpoint(eager=True)
         )
         rows.append(
             stats.select(
